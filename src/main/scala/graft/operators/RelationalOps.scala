@@ -1,0 +1,462 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core over the star schema (SURVEY.md §2.5, §7.2).
+  *
+  * The reference's consumer is a single project->from_json->flatten->agg
+  * plan; this module supplies the full relational operator surface a user
+  * of the engine needs beyond that: filters/projections with parquet
+  * pushdown, grouped aggregation, broadcast + shuffle joins, semi/anti
+  * joins, window functions (ranking, running frames), sort/limit top-k,
+  * set operations, rollup/cube/grouping sets, and correlated-subquery
+  * rewrites.
+  *
+  * Scale notes (100 TB design):
+  * - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *   broadcast explicitly — no shuffle of the fact side.
+  * - Fact-fact joins (orders x lineitem) shuffle on the join key; AQE
+  *   handles skew/coalescing at runtime (enabled in the session builders).
+  * - Filters and projections are plain Catalyst expressions directly over
+  *   the scan so parquet pushdown/pruning fire (verified via explain in
+  *   PlanSpec).
+  * - Top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject:
+  *   per-partition heaps + a driver merge of k rows, never a full sort.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style grouped aggregation (pricing summary). Map-side partial
+    * aggregation -> shuffle on 2 low-cardinality keys -> final aggregate.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(SUM(l_quantity), 2) AS sum_qty,
+      |  round(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(AVG(l_quantity), 4) AS avg_qty,
+      |  round(AVG(l_extendedprice), 4) AS avg_price,
+      |  round(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + narrow projection: both the predicate and the 4-column read
+    * schema reach the parquet scan (PushedFilters / ReadSchema).
+    */
+  def qFilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(
+        lit("1997-01-01").cast("timestamp"), lit("1997-06-30").cast("timestamp"))
+        && col("l_discount") > lit(0.08) && col("l_quantity") >= lit(45.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val qFilterPushdownOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * l_discount, 2) AS disc_amount
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-06-30 00:00:00'
+      |  AND l_discount > 0.08 AND l_quantity >= 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join with explicitly broadcast dimensions: customer (fact side)
+    * joined to nation and region without shuffling the fact table.
+    */
+  def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val qBroadcastJoinOracle: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  round(SUM(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact-fact join: orders x lineitem on the natural key. Both sides
+    * shuffle-hash/sort-merge on l_orderkey; AQE coalesces post-shuffle
+    * partitions at runtime.
+    */
+  def qShuffleJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+
+  val qShuffleJoinOracle: String =
+    """SELECT o_orderpriority,
+      |  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q3-style 3-way join + top-k by aggregated revenue. The limit
+    * plans as TakeOrderedAndProject (no global sort).
+    */
+  def qTopkRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === lit("BUILDING"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qTopkRevenueOracle: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): orders that have at least one returned item.
+    * Plans as a semi join — the probe side streams, no row duplication.
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === lit("R")).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qSemiJoinOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  round(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no recent orders. The
+    * order-side filter is applied before the anti join so the build side
+    * shrinks (and pushes to the parquet scan).
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAntiJoinOracle: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by total price. Ties broken
+    * by orderkey so row_number is deterministic.
+    */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val qWindowRankOracle: String =
+    """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey,
+      |       round(o_totalprice, 2) AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Analytic window frame: per-customer running order total + lag delta.
+    * One shuffle on the partition key; the frame is computed within sorted
+    * partitions (no second shuffle).
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(run), 2).as("running_total"),
+        round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      |  round(o_totalprice - COALESCE(lag(o_totalprice, 1) OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject — per-partition k-heaps, driver
+    * merges k*partitions rows, never a full global sort.
+    */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val qSortLimitOracle: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** Set operations: UNION / INTERSECT / EXCEPT over two customer
+    * predicates, tagged and stacked into one deterministic result.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val auto = c.filter(col("c_mktsegment") === lit("AUTOMOBILE")).select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > lit(8000.0)).select(col("c_custkey"))
+    val u = auto.union(rich).distinct().withColumn("op", lit("union"))
+    val i = auto.intersect(rich).withColumn("op", lit("intersect"))
+    val e = auto.except(rich).withColumn("op", lit("except"))
+    u.union(i).union(e)
+      .select(col("op"), col("c_custkey"))
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  val qSetOpsOracle: String =
+    """WITH auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+      |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0)
+      |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM auto UNION SELECT c_custkey FROM rich)
+      |UNION ALL
+      |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM rich)
+      |UNION ALL
+      |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM auto EXCEPT SELECT c_custkey FROM rich)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** Distinct aggregation: exact distinct counts per group (expand +
+    * two-phase aggregate under the hood).
+    */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qDistinctAggOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP over the region->nation hierarchy. Grouping-null indicators are
+    * materialized via grouping() so the oracle matches rows exactly.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  val qRollupOracle: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |       COALESCE(n_name, 'ALL') AS nation,
+      |       COUNT(*) AS n_customers,
+      |       round(SUM(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over returnflag x linestatus. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qCubeOracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Correlated-subquery semantics, expressed Spark-first as an aggregate +
+    * broadcast join (the decorrelated form Catalyst would produce).
+    */
+  def qAboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(col("nation_avg"), 4).as("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAboveNationAvgOracle: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+      |       round(nation_avg, 4) AS nation_avg
+      |FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+      |             AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+      |      FROM customer)
+      |WHERE c_acctbal > nation_avg
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar expression surface: string/math/conditional functions in one
+    * codegen'd projection over part.
+    */
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        round(abs(col("p_retailprice") - lit(1000.0)), 2).as("price_dev"),
+        when(col("p_size") < 20, lit("small"))
+          .when(col("p_size") < 40, lit("medium"))
+          .otherwise(lit("large")).as("size_bucket"))
+      .orderBy(col("p_partkey"))
+
+  val qScalarFuncsOracle: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_uc,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  round(abs(p_retailprice - 1000.0), 2) AS price_dev,
+      |  CASE WHEN p_size < 20 THEN 'small'
+      |       WHEN p_size < 40 THEN 'medium'
+      |       ELSE 'large' END AS size_bucket
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date/time functions: truncation + extraction over orders. */
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("order_year"), col("order_month"))
+
+  val qDateFuncsOracle: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+      |       COUNT(*) AS n_orders,
+      |       round(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY order_year, order_month""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_filter_pushdown" -> (qFilterPushdown _),
+    "q_broadcast_join" -> (qBroadcastJoin _),
+    "q_shuffle_join" -> (qShuffleJoin _),
+    "q_topk_revenue" -> (qTopkRevenue _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_set_ops" -> (qSetOps _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_above_nation_avg" -> (qAboveNationAvg _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_date_funcs" -> (qDateFuncs _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q_filter_pushdown" -> qFilterPushdownOracle,
+    "q_broadcast_join" -> qBroadcastJoinOracle,
+    "q_shuffle_join" -> qShuffleJoinOracle,
+    "q_topk_revenue" -> qTopkRevenueOracle,
+    "q_semi_join" -> qSemiJoinOracle,
+    "q_anti_join" -> qAntiJoinOracle,
+    "q_window_rank" -> qWindowRankOracle,
+    "q_window_running" -> qWindowRunningOracle,
+    "q_sort_limit" -> qSortLimitOracle,
+    "q_set_ops" -> qSetOpsOracle,
+    "q_distinct_agg" -> qDistinctAggOracle,
+    "q_rollup" -> qRollupOracle,
+    "q_cube" -> qCubeOracle,
+    "q_above_nation_avg" -> qAboveNationAvgOracle,
+    "q_scalar_funcs" -> qScalarFuncsOracle,
+    "q_date_funcs" -> qDateFuncsOracle)
+}

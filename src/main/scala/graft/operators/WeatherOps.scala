@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Parity operators for the reference pipeline.
+  *
+  * The reference consumer (weather_processor.py:108-141) is:
+  * Kafka value bytes -> CAST AS STRING (P1, weather_processor.py:128)
+  * -> from_json with a declared StructType (P2, weather_processor.py:129,
+  * schema at 108-124; `timestamp` deliberately StringType although the wire
+  * token is a JSON number) -> flatten nested struct (P3,
+  * weather_processor.py:130-135) -> groupBy(timestamp, lat, lon)
+  * .agg(sum(total_precipitation)) (A2, weather_processor.py:139-141)
+  * -> per-batch null-rejection filter (P4, weather_processor.py:230-235)
+  * -> epoch-string -> wall-clock timestamp at the sink (P8,
+  * weather_processor.py:245).
+  *
+  * The reference producer (weather_stream.py:124-138) computes, per
+  * location per poll: sum of the 61-entry `minutely` array with missing
+  * precipitation defaulting to 0 (A1/P5, weather_stream.py:126-128),
+  * rounded to 5 decimals (P7), timestamp = first minutely entry's `dt`
+  * (P6, weather_stream.py:129), serialized to JSON (P9,
+  * weather_stream.py:131-138).
+  *
+  * Every stage is a pure `DataFrame => DataFrame`, usable identically under
+  * batch and Structured Streaming (graft.streaming.WeatherStreamJob). At
+  * scale the aggregation is a hash-partitioned shuffle on the grouping keys
+  * with map-side partial aggregation — Catalyst plans partial+final
+  * HashAggregate automatically; nothing here materializes on the driver.
+  */
+object WeatherOps {
+
+  /** Consumer's declared message schema (weather_processor.py:108-124).
+    * `timestamp` is StringType on purpose: Spark's permissive JSON parser
+    * stringifies the numeric wire token, matching the reference.
+    */
+  val locationSchema: StructType = StructType(Seq(
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType)))
+
+  val messageSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("total_precipitation", DoubleType),
+    StructField("location", locationSchema)))
+
+  /** P1 — Kafka value bytes -> UTF-8 string (weather_processor.py:128). */
+  def castValueAsString(df: DataFrame): DataFrame =
+    df.selectExpr("CAST(value AS STRING) AS value")
+
+  /** P2 — JSON deserialization against the declared schema; malformed
+    * documents become all-NULL structs (permissive mode), matching
+    * weather_processor.py:129.
+    */
+  def parseJson(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), messageSchema).alias("data"))
+
+  /** P3 — two-level struct flattening (weather_processor.py:130-135). */
+  def flatten(df: DataFrame): DataFrame = df.select(
+    col("data.timestamp").as("timestamp"),
+    col("data.total_precipitation").as("total_precipitation"),
+    col("data.location.lat").as("lat"),
+    col("data.location.lon").as("lon"))
+
+  /** A2 — the core stateful aggregation (weather_processor.py:139-141). */
+  def hourlyAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("timestamp"), col("lat"), col("lon"))
+      .agg(sum(col("total_precipitation")).as("hourly_precipitation"))
+
+  /** P4 — conjunctive null rejection (weather_processor.py:230-235). */
+  def rejectNulls(df: DataFrame): DataFrame = df.filter(
+    col("timestamp").isNotNull && col("hourly_precipitation").isNotNull &&
+      col("lat").isNotNull && col("lon").isNotNull)
+
+  /** P8 — epoch-seconds string -> wall clock (weather_processor.py:245).
+    * The reference uses the container's local TZ; we pin UTC (documented
+    * deviation). Emitted as a formatted string so the DuckDB oracle compares
+    * byte-identical values.
+    */
+  def withEventTime(df: DataFrame): DataFrame = df.withColumn(
+    "event_time", from_unixtime(col("timestamp").cast("long")))
+
+  /** The full consumer plan fragment, batch- and stream-compatible. */
+  val consumerPipeline: DataFrame => DataFrame =
+    (castValueAsString _)
+      .andThen(parseJson)
+      .andThen(flatten)
+      .andThen(hourlyAgg)
+      .andThen(rejectNulls)
+      .andThen(withEventTime)
+
+  // ---------------------------------------------------------------------
+  // Oracle-checkable batch twins over the `events` fixture. The events
+  // table stands in for the weather topic (FIXTURES.md §2): ts -> message
+  // timestamp, value -> total_precipitation, user_id -> a synthetic
+  // location grid.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize reference-shaped Kafka message values
+    * (weather_stream.py:131-138) from the events table: JSON with a
+    * *numeric* timestamp token that the consumer schema coerces to string.
+    */
+  def kafkaShapedMessages(events: DataFrame): DataFrame = events.select(
+    to_json(struct(
+      // ts is LongType nanos (parquet TIMESTAMP(NANOS) via nanosAsLong);
+      // integer `div` — double division would lose precision at 1e18.
+      expr("ts div 1000000000").as("timestamp"),
+      col("value").as("total_precipitation"),
+      struct(
+        (col("user_id") % 90).cast("double").as("lat"),
+        (col("user_id") % 180).cast("double").as("lon")).as("location")
+    )).as("value"))
+
+  /** Full P1->P2->P3->A2->P4->P8 chain over synthesized messages —
+    * the flagship parity query.
+    */
+  def weatherPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = kafkaShapedMessages(Tables.events(spark, dir))
+    consumerPipeline(msgs)
+      .withColumn("hourly_precipitation", round(col("hourly_precipitation"), 5))
+      .orderBy(col("timestamp"), col("lat"), col("lon"))
+  }
+
+  val weatherPipelineOracle: String =
+    """WITH msgs AS (
+      |  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS ets,
+      |         CAST(user_id % 90 AS DOUBLE) AS lat,
+      |         CAST(user_id % 180 AS DOUBLE) AS lon,
+      |         value AS total_precipitation
+      |  FROM events)
+      |SELECT CAST(ets AS VARCHAR) AS timestamp, lat, lon,
+      |       round(SUM(total_precipitation), 5) AS hourly_precipitation,
+      |       strftime(make_timestamp(ets * 1000000), '%Y-%m-%d %H:%M:%S') AS event_time
+      |FROM msgs
+      |GROUP BY ets, lat, lon
+      |ORDER BY timestamp, lat, lon""".stripMargin
+
+  /** Producer-side fold (A1/P5/P6/P7, weather_stream.py:124-138): per
+    * "location" (user), sort observations into a minutely-like array, sum
+    * with `aggregate` (the array fold mirrors the reference's Python
+    * generator sum), timestamp = first entry's dt, round to 5 decimals.
+    * `sort_array` makes the double-sum order deterministic so the oracle
+    * hash-matches.
+    */
+  def minutelySum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        expr("ts div 1000").as("dt"),
+        col("value").as("precipitation")))).as("minutely"))
+      .select(
+        col("user_id"),
+        element_at(col("minutely"), 1).getField("dt").as("first_dt"),
+        round(aggregate(col("minutely"), lit(0.0d),
+          (acc, m) => acc + coalesce(m.getField("precipitation"), lit(0.0d))), 5)
+          .as("total_precipitation"),
+        size(col("minutely")).cast("long").as("n_minutes"))
+      .orderBy(col("user_id"))
+  }
+
+  val minutelySumOracle: String =
+    """SELECT user_id,
+      |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_dt,
+      |       round(SUM(value), 5) AS total_precipitation,
+      |       CAST(COUNT(*) AS BIGINT) AS n_minutes
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** P9 — JSON serialization round-trip (to_json . from_json = id on the
+    * message schema): serialize, re-parse, flatten, and verify fields
+    * survive. Exercised as a query so the oracle checks the projection.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = kafkaShapedMessages(Tables.events(spark, dir))
+    flatten(parseJson(castValueAsString(msgs)))
+      .groupBy(col("lat"), col("lon"))
+      .agg(count(lit(1)).as("n_msgs"),
+        round(sum(col("total_precipitation")), 5).as("sum_precip"),
+        min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"))
+      .orderBy(col("lat"), col("lon"))
+  }
+
+  val jsonRoundtripOracle: String =
+    """SELECT CAST(user_id % 90 AS DOUBLE) AS lat,
+      |       CAST(user_id % 180 AS DOUBLE) AS lon,
+      |       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+      |       round(SUM(value), 5) AS sum_precip,
+      |       MIN(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR)) AS min_ts,
+      |       MAX(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR)) AS max_ts
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weather_pipeline" -> (weatherPipeline _),
+    "weather_minutely_sum" -> (minutelySum _),
+    "weather_json_roundtrip" -> (jsonRoundtrip _))
+
+  def oracles: Map[String, String] = Map(
+    "weather_pipeline" -> weatherPipelineOracle,
+    "weather_minutely_sum" -> minutelySumOracle,
+    "weather_json_roundtrip" -> jsonRoundtripOracle)
+}
