@@ -20,11 +20,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.5). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WeatherOps.queries ++ RelationalOps.queries
+    WeatherOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    WeatherOps.oracles ++ RelationalOps.oracles
+    WeatherOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++
+      MultimodalOps.oracles
 }

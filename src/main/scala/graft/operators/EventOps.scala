@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: JSON property
+  * extraction, sessionization, and time-bucketed pivots — the batch twins
+  * of the streaming operators in graft.streaming.
+  *
+  * `ts` arrives as LongType nanoseconds (parquet TIMESTAMP(NANOS) read
+  * under nanosAsLong); all arithmetic stays in integer micros — double
+  * math would lose precision at 1e18.
+  */
+object EventOps {
+
+  /** Session gap: a new session starts after 4 h of user inactivity. */
+  val SessionGapMicros: Long = 4L * 3600 * 1000000
+
+  private def withMicros(df: DataFrame): DataFrame =
+    df.withColumn("us", expr("ts div 1000"))
+
+  /** JSON property extraction (the reference's from_json analog over the
+    * props column) via regexp — P2's schema-less cousin; group stats per
+    * event type.
+    */
+  def eventsJsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val eventsJsonPropsOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       round(AVG(k), 4) AS avg_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization: lag + cumulative-sum session ids, then
+    * per-session rollup. One shuffle on user_id; the window sort and the
+    * session aggregate share that partitioning (verified in PlanSpec).
+    * Streaming twin: `session_window($"ts", "4 hours")` in
+    * graft.streaming.SessionStreamJob.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMicros(Tables.events(spark, dir))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapMicros, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        round(sum(col("value")), 5).as("sum_value"))
+      .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_sec"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val eventsSessionizeOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                   > ${SessionGapMicros} THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |       MIN(us) AS start_us, MAX(us) AS end_us,
+      |       (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+      |       round(SUM(value), 5) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Hour-of-day x event-type pivot via conditional aggregation (the
+    * shuffle-once form of PIVOT).
+    */
+  def eventsHourlyPivot(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) =
+      sum(when(col("event_type") === lit(t), 1L).otherwise(0L)).as(s"n_$t")
+    withMicros(Tables.events(spark, dir))
+      .withColumn("hour", hour(timestamp_micros(col("us"))).cast("long"))
+      .groupBy(col("hour"))
+      .agg(cnt("click"), cnt("purchase"), cnt("error"), cnt("signup"), cnt("view"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
+  val eventsHourlyPivotOracle: String =
+    """SELECT CAST(EXTRACT(hour FROM make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  round(SUM(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_props" -> (eventsJsonProps _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_hourly_pivot" -> (eventsHourlyPivot _))
+
+  def oracles: Map[String, String] = Map(
+    "events_json_props" -> eventsJsonPropsOracle,
+    "events_sessionize" -> eventsSessionizeOracle,
+    "events_hourly_pivot" -> eventsHourlyPivotOracle)
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (builder mandate:
+  * large-scale training-data pipeline surface — language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * All operators are narrow per-row projections (codegen'd array/string
+  * built-ins — no UDFs) followed by at most one aggregation, so at 100 TB
+  * they scan-and-project with column pruning and only shuffle grouped
+  * key-space-sized data. Token/shingle helpers here are shared with
+  * DedupOps.
+  */
+object TextOps {
+
+  /** Whitespace tokens (documents.text is space-separated, FIXTURES.md §2). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles, 0-based Spark array indexing. Documents shorter
+    * than 3 tokens yield an empty shingle set (mirrors DuckDB's graceful
+    * empty `range`).
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        j => concat_ws(" ",
+          element_at(toks, j + 1), element_at(toks, j + 2), element_at(toks, j + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingles per doc as (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
+
+  /** Per-language token statistics: counting + type/token ratio. */
+  def textTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("t"), col("text"))
+      .select(col("lang"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_distinct") / col("n_tokens")), 4).as("avg_ttr"),
+        round(avg(col("n_letters") / col("n_tokens")), 4).as("avg_token_len"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  val textTokenStatsOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       round(AVG(n_tokens), 4) AS avg_tokens,
+      |       round(AVG(n_distinct * 1.0 / n_tokens), 4) AS avg_ttr,
+      |       round(AVG(n_letters / n_tokens), 4) AS avg_token_len,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality score: length, stopword ratio, mean token
+    * length — a deterministic analog of the heuristics used to filter web
+    * corpora before LLM training.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"), col("text"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(filter(col("t"), x => x === lit("a") || x === lit("the")))
+          / size(col("t")).cast("double")).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", ""))
+          / size(col("t")).cast("double")).as("avg_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("avg_len"), 4).as("avg_len"),
+        // +1e-9 nudges exact .00005 boundaries off the half so Spark's
+        // decimal-string HALF_UP and DuckDB's binary-value round agree.
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(col("avg_len") / lit(6.0), lit(1.0)) * 0.3 + lit(1e-9), 4).as("quality"))
+      .withColumn("tier",
+        when(col("quality") >= 0.8, lit("high"))
+          .when(col("quality") >= 0.6, lit("mid"))
+          .otherwise(lit("low")))
+      .orderBy(col("doc_id"))
+
+  val textQualityOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+      |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+      |         length(replace(text, ' ', '')) * 1.0
+      |           / len(string_split(text, ' ')) AS avg_len
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |         round(stop_ratio, 4) AS stop_ratio,
+      |         round(avg_len, 4) AS avg_len,
+      |         round(least(n_tokens / 100.0, 1.0) * 0.4
+      |               + (1.0 - stop_ratio) * 0.3
+      |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4) AS quality
+      |  FROM d)
+      |SELECT doc_id, n_tokens, stop_ratio, avg_len, quality,
+      |       CASE WHEN quality >= 0.8 THEN 'high'
+      |            WHEN quality >= 0.6 THEN 'mid'
+      |            ELSE 'low' END AS tier
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Self-trained unigram language classifier: the top-10 most frequent
+    * tokens per language (ties broken by token) form each language's
+    * profile; a document is classified as the language whose profile
+    * overlaps most with its distinct tokens (ties broken by lang asc).
+    * The profile build is a small aggregate (vocabulary-sized) that gets
+    * broadcast back against the corpus — no corpus-sized shuffle.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val profile = tok.groupBy(col("lang").as("p_lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= 10)
+      .select(col("p_lang"), col("tok"))
+    val docTok = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val scored = docTok.join(broadcast(profile), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val best = scored.withColumn("rk", row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+    best.select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
+        col("overlap"),
+        when(col("lang") === col("p_lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangIdOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |profile AS (
+      |  SELECT p_lang, tok FROM (
+      |    SELECT lang AS p_lang, tok, COUNT(*) AS cnt,
+      |           row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rk
+      |    FROM tok GROUP BY lang, tok)
+      |  WHERE rk <= 10),
+      |doctok AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS overlap
+      |  FROM doctok d JOIN profile p ON d.tok = p.tok
+      |  GROUP BY d.doc_id, d.lang, p.p_lang),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY overlap DESC, p_lang) AS rk
+      |  FROM scored)
+      |SELECT doc_id, lang, p_lang AS predicted, overlap,
+      |       CAST(CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set
+    * (bag-of-words normalization), with the number of documents sharing
+    * each fingerprint — the cheap first pass of fuzzy dedup.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+          .cast("binary")).as("fingerprint"))
+      .withColumn("n_sharing",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintOracle: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      |       COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_sharing
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level n-gram profile: top-20 word bigrams. The explode is
+    * map-side; only (bigram, partial count) pairs shuffle.
+    */
+  def textBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(tokens(col("text")).as("t"))
+    val bigrams = toks.select(explode(
+      when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          j => concat_ws(" ", element_at(col("t"), j + 1), element_at(col("t"), j + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val textBigramsOracle: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM bi
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (textTokenStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_bigrams" -> (textBigrams _))
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" -> textTokenStatsOracle,
+    "text_quality" -> textQualityOracle,
+    "text_langid" -> textLangIdOracle,
+    "text_fingerprint" -> textFingerprintOracle,
+    "text_bigrams" -> textBigramsOracle)
+}

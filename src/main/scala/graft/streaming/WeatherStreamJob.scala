@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.WeatherOps
+
+/** Structured Streaming layer — the reference consumer re-expressed over
+  * the same plan fragments as the batch path (WeatherOps).
+  *
+  * Reference behavior preserved (weather_processor.py:144-151):
+  * - update output mode, stateful groupBy-sum with NO watermark: every
+  *   re-observed (timestamp, lat, lon) key re-emits its accumulated sum,
+  *   and state is unbounded — exactly the reference's semantics
+  *   (SURVEY.md §2.3 A2). [[boundedStateAgg]] is the documented
+  *   deviation-available variant with a watermark for production use.
+  * - foreachBatch sink. The reference collect()s each batch to the driver
+  *   and row-loops INSERTs (weather_processor.py:238-250) — the scalability
+  *   ceiling called out in SURVEY.md §3.3. Here the batch DataFrame is
+  *   written executor-parallel (parquet append in tests; swap the writer
+  *   lambda for `.format("jdbc")` against Postgres for full parity —
+  *   same rows, no driver bottleneck).
+  * - Kafka source shape (S3): `readStream.format("kafka")` with
+  *   subscribe/startingOffsets options — [[fromKafka]]; tests drive the
+  *   identical plan via MemoryStream instead (no broker in this
+  *   container).
+  * - trigger: 60 s processing time matching the producer poll cadence
+  *   (weather_stream.py:26,157-159).
+  * - checkpointLocation is required here (the reference runs without one
+  *   and replays the topic on restart — documented deviation, SURVEY.md
+  *   §2.1 S5).
+  */
+object WeatherStreamJob {
+
+  /** Kafka streaming scan, reference S3 (weather_processor.py:59-64). */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** The streaming aggregation over any source that provides a `value`
+    * column (Kafka scan or MemoryStream) — the exact batch plan fragments.
+    */
+  def aggregate(source: DataFrame): DataFrame = {
+    val flat = WeatherOps.flatten(
+      WeatherOps.parseJson(WeatherOps.castValueAsString(source)))
+    WeatherOps.hourlyAgg(flat)
+  }
+
+  /** Production variant with bounded state: event-time watermark over the
+    * parsed epoch so state for closed windows is dropped. Changes emitted
+    * results for very-late data (documented deviation from the reference).
+    */
+  def boundedStateAgg(source: DataFrame, delayThreshold: String = "2 hours"): DataFrame = {
+    val flat = WeatherOps.flatten(
+      WeatherOps.parseJson(WeatherOps.castValueAsString(source)))
+      .withColumn("event_ts", to_timestamp(from_unixtime(col("timestamp").cast("long"))))
+      .withWatermark("event_ts", delayThreshold)
+    flat.groupBy(col("event_ts"), col("lat"), col("lon"))
+      .agg(sum(col("total_precipitation")).as("hourly_precipitation"))
+  }
+
+  /** Update-mode foreachBatch writer (reference S5+S6), executor-parallel.
+    * `sinkWriter` receives each micro-batch after the reference's
+    * null-rejection filter (P4) and epoch conversion (P8).
+    */
+  def start(aggregated: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))(
+      sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cleaned = WeatherOps.withEventTime(WeatherOps.rejectNulls(batch))
+        sinkWriter(cleaned, id)
+      }
+      .start()
+
+  /** Parquet sink writer for tests/local runs: executor-parallel append
+    * with the Postgres table's columns (init.sql:1-7; id is sink-generated
+    * there, so not emitted here).
+    */
+  def parquetSink(outDir: String): (DataFrame, Long) => Unit = (batch, _) =>
+    batch.select(col("event_time"), col("lat"), col("lon"), col("hourly_precipitation"))
+      .write.mode("append").parquet(outDir)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.WeatherStreamJob
+
+/** Streaming-semantics tests (SURVEY.md §5.2.2): the exact reference plan
+  * (parse -> flatten -> groupBy-sum) under update mode, driven by
+  * MemoryStream micro-batches.
+  */
+class WeatherStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def msg(ts: Long, precip: Double, lat: Double, lon: Double): String =
+    s"""{"timestamp": $ts, "total_precipitation": $precip, "location": {"lat": $lat, "lon": $lon}}"""
+
+  test("update-mode accumulation across micro-batches, malformed JSON -> null row") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = WeatherStreamJob.aggregate(stream.toDF().withColumnRenamed("value", "value"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("weather_updates").start()
+    try {
+      // batch 1: two messages for the same key + one different + malformed
+      stream.addData(
+        msg(1736532000L, 0.5, 52.0, 5.1),
+        msg(1736532000L, 0.25, 52.0, 5.1),
+        msg(1736532000L, 1.0, 41.1, -8.6),
+        """not json at all""")
+      q.processAllAvailable()
+      val afterB1 = spark.table("weather_updates").collect()
+        .map(r => (r.getAs[String]("timestamp"), Option(r.get(1)), Option(r.get(2)),
+          r.getAs[Double]("hourly_precipitation"))).toSet
+      // numeric wire token coerced into the StringType field (FIXTURES.md §1.1)
+      assert(afterB1.contains(("1736532000", Some(52.0), Some(5.1), 0.75)))
+      assert(afterB1.contains(("1736532000", Some(41.1), Some(-8.6), 1.0)))
+      // malformed JSON becomes the all-NULL key group (filtered at sink by P4)
+      assert(afterB1.exists(_._1 == null), "expected an all-NULL key group from malformed JSON")
+
+      // batch 2: same key again -> state accumulates and re-emits (no watermark)
+      stream.addData(msg(1736532000L, 0.25, 52.0, 5.1))
+      q.processAllAvailable()
+      val reEmit = spark.table("weather_updates").collect()
+        .filter(r => r.getAs[String]("timestamp") == "1736532000"
+          && Option(r.get(1)).contains(52.0))
+        .map(_.getAs[Double]("hourly_precipitation"))
+      assert(reEmit.contains(1.0), s"expected accumulated 1.0 in ${reEmit.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch parquet sink: null rejection + epoch conversion, executor-parallel") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val out = Files.createTempDirectory("weather_sink").toString
+    val ckpt = Files.createTempDirectory("weather_ckpt").toString
+    val agg = WeatherStreamJob.aggregate(stream.toDF())
+    val q = WeatherStreamJob.start(agg, ckpt, Trigger.AvailableNow())(
+      WeatherStreamJob.parquetSink(out))
+    stream.addData(msg(1736532000L, 0.5, 52.0, 5.1), """{"broken": """)
+    q.awaitTermination(60000)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == 1) // malformed row null-filtered (P4)
+    val row = sunk.collect().head
+    assert(row.getAs[String]("event_time") == "2025-01-10 18:00:00")
+    assert(row.getAs[Double]("hourly_precipitation") == 0.5)
+  }
+
+  test("bounded-state variant applies a watermark (production deviation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = WeatherStreamJob.boundedStateAgg(stream.toDF())
+    // logical plan carries an EventTimeWatermark node
+    assert(agg.queryExecution.logical.toString.contains("EventTimeWatermark"))
+  }
+}
