@@ -61,38 +61,56 @@ object DedupOps {
     * shingles carry no discriminative signal anyway. Verification still
     * computes Jaccard over the *full* shingle sets.
     */
-  val MaxShingleDf = 100
+  val MaxShingleDf = 10
 
-  /** Candidate pairs (da < db) sharing at least one rare shingle, with
-    * exact Jaccard over full distinct-shingle sets, thresholded.
+  /** Per-doc distinct shingle sets as arrays (one row per doc), with set
+    * size. The array form lets pair verification compute intersections
+    * map-side via array_intersect instead of exploding a
+    * candidates x shingles join (which fans out to |cand| * avg-set-size
+    * rows).
     */
-  private def jaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
-    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val rare = sh.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= MaxShingleDf)
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    val inter = cand
-      .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        (col("n_inter") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("da"), col("db"))
-  }
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("sset"), count(lit(1)).as("n_sh"))
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir, 0.6)
+  /** Exact-Jaccard verification of candidate (da, db) pairs against the
+    * full shingle sets. Two joins against the doc->set table (AQE
+    * broadcasts it when small; shuffle join on doc_id at corpus scale —
+    * either way no row explosion), then a per-row array_intersect.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sset").as("set_a"),
+        col("n_sh").as("n_a")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sset").as("set_b"),
+        col("n_sh").as("n_b")), "db")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard_raw",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+
+  /** Pair generation from inverted postings: group shingles, keep rare
+    * ones (df cap), emit all doc pairs per posting list map-side. One
+    * shuffle on the shingle key; the df cap bounds per-key fan-out at
+    * MaxShingleDf^2/2 — the property that keeps candidate generation
+    * feasible at corpus scale.
+    */
+  private def candidatesFromRareShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(expr(
+        "flatten(transform(ds, (d, i) -> transform(slice(ds, i + 2, size(ds)), d2 -> named_struct('x', d, 'y', d2))))")).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("da"),
+        greatest(col("p.x"), col("p.y")).as("db"))
+      .distinct()
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
+    verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), 0.6)
+  }
 
   private val shingleCte =
     """sh AS (
@@ -130,16 +148,18 @@ object DedupOps {
   val NumHashes = 8
   val BandSize = 2
 
-  /** MinHash signature h_k(doc) = min over shingles of md5("k:" + shingle)
+  /** MinHash signatures h_k(doc) = min over shingles of md5("k:" + shingle)
     * — lexicographic min over salted md5 hex, identical in Spark and
-    * DuckDB. Returns (doc_id, k, sig).
+    * DuckDB. Computed as [[NumHashes]] min-aggregates in a single pass
+    * (one shuffle on doc_id, map-side partial mins) instead of exploding
+    * the shingle set x NumHashes — 8x less shuffle volume, same result.
     */
-  private def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("k"), col("s"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("s"))
-        .cast("binary"))).as("sig"))
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("s")).cast("binary"))).as(s"sig$k")
+    }
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
 
   /** MinHash + LSH near-dedup: band buckets (r=2) generate candidates,
     * exact Jaccard >= 0.6 verifies. Output is a subset of
@@ -150,32 +170,25 @@ object DedupOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sigs = minhashSignatures(sh)
-    // Band key must be order-independent: collect_list order is not
-    // guaranteed, so sort "k=sig" entries before concatenating.
+    // Band key "k=sig|k=sig" with k ascending — byte-identical to the
+    // oracle's sorted list_sort construction (k < 10 so lexicographic =
+    // numeric order). Bands come straight off the signature columns — no
+    // second shuffle.
+    val bandCols = (0 until NumHashes by BandSize).map { b =>
+      struct(lit(b / BandSize).as("band"),
+        concat_ws("|", (b until b + BandSize).map(k =>
+          concat(lit(s"$k="), col(s"sig$k"))): _*).as("band_key"))
+    }
     val bandKeys = sigs
-      .withColumn("band", (col("k") / BandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("|", sort_array(collect_list(
-        concat(col("k").cast("string"), lit("="), col("sig"))))).as("band_key"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val inter = cand
-      .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        (col("n_inter") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("da"), col("db"))
+    verifyJaccard(cand, shingleSets(sh), 0.6)
   }
 
   val dedupMinhashLshOracle: String =
@@ -257,7 +270,9 @@ object DedupOps {
     * join since the fingerprint table is tiny relative to the corpus.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = dedupSimhash(spark, dir)
+    // cache: the fingerprint subplan would otherwise be computed once per
+    // join side (it contains a repartition + 16x bit explode)
+    val fp = dedupSimhash(spark, dir).cache()
     fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))

@@ -31,9 +31,18 @@ object TextOps {
           element_at(toks, j + 1), element_at(toks, j + 2), element_at(toks, j + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Spread rows across all cores before compute-heavy per-row work.
+    * Small-file parquet arrives as one input split, which would serialize
+    * the tokenize/shingle/hash pipeline on a single thread; on a real
+    * multi-file warehouse the scan is already split and this becomes a
+    * cheap no-op-sized shuffle.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct shingles per doc as (doc_id, shingle) pairs. */
   def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
       explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
 
   /** Per-language token statistics: counting + type/token ratio. */
@@ -124,7 +133,7 @@ object TextOps {
     * broadcast back against the corpus — no corpus-sized shuffle.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = spread(Tables.documents(spark, dir))
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("tok"))
     val profile = tok.groupBy(col("lang").as("p_lang"), col("tok"))
@@ -194,7 +203,7 @@ object TextOps {
     * map-side; only (bigram, partial count) pairs shuffle.
     */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = spread(Tables.documents(spark, dir))
     val toks = docs.select(tokens(col("text")).as("t"))
     val bigrams = toks.select(explode(
       when(size(col("t")) >= 2,

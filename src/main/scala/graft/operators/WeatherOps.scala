@@ -102,7 +102,8 @@ object WeatherOps {
     * (weather_stream.py:131-138) from the events table: JSON with a
     * *numeric* timestamp token that the consumer schema coerces to string.
     */
-  def kafkaShapedMessages(events: DataFrame): DataFrame = events.select(
+  def kafkaShapedMessages(events: DataFrame): DataFrame =
+    TextOps.spread(events).select(
     to_json(struct(
       // ts is LongType nanos (parquet TIMESTAMP(NANOS) via nanosAsLong);
       // integer `div` — double division would lose precision at 1e18.
