@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimilarity
+
+/** Session-extension entry point for the engine: installs the custom
+  * Catalyst functions into any session built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * This is the supported integration path for SQL users of the engine;
+  * programmatic callers can equivalently use
+  * [[graft.functions.CosineSimilarity.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName,
+        null,
+        "cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float vectors in double precision",
+        ""),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

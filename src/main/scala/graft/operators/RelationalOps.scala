@@ -422,7 +422,150 @@ object RelationalOps {
       |GROUP BY 1, 2
       |ORDER BY order_year, order_month""".stripMargin
 
+  /** GROUPING SETS via the Spark 4 DataFrame API: region totals and
+    * nation totals in one shuffle (Expand + single aggregate).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))), col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("-")).as("region"),
+        coalesce(col("n_name"), lit("-")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  val qGroupingSetsOracle: String =
+    """SELECT COALESCE(r_name, '-') AS region, COALESCE(n_name, '-') AS nation,
+      |       COUNT(*) AS n_customers, round(SUM(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name))
+      |ORDER BY region, nation""".stripMargin
+
+  /** TPC-H Q5-shaped 6-table star join: all four dimension sides broadcast,
+    * the two fact tables shuffle once on the order key.
+    */
+  def qLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("AMERICA", "ASIA"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+  }
+
+  val qLocalSupplierVolumeOracle: String =
+    """SELECT r_name, n_name,
+      |  round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_nationkey = s_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND r_name IN ('AMERICA', 'ASIA')
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, revenue DESC, n_name""".stripMargin
+
+  /** unionByName across differently-shaped projections (schema evolution
+    * form of union).
+    */
+  def qUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val highValue = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("key"), lit("order").as("kind"),
+        round(col("o_totalprice"), 2).as("amount"))
+    val bigItems = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 90000)
+      .select(lit("item").as("kind"),
+        round(col("l_extendedprice"), 2).as("amount"),
+        col("l_orderkey").as("key"))
+    highValue.unionByName(bigItems)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")), 2).as("total"))
+      .orderBy(col("kind"))
+  }
+
+  val qUnionByNameOracle: String =
+    """WITH u AS (
+      |  SELECT o_orderkey AS key, 'order' AS kind, round(o_totalprice, 2) AS amount
+      |  FROM orders WHERE o_totalprice > 400000
+      |  UNION ALL BY NAME
+      |  SELECT 'item' AS kind, round(l_extendedprice, 2) AS amount, l_orderkey AS key
+      |  FROM lineitem WHERE l_extendedprice > 90000)
+      |SELECT kind, COUNT(*) AS n, round(SUM(amount), 2) AS total
+      |FROM u GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Native pivot (groupBy.pivot with explicit values -> no extra pass to
+    * discover the pivot domain; one shuffle).
+    */
+  def qPivotNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .select(col("order_year"), coalesce(col("F"), lit(0.0)).as("total_f"),
+        coalesce(col("O"), lit(0.0)).as("total_o"),
+        coalesce(col("P"), lit(0.0)).as("total_p"))
+      .orderBy(col("order_year"))
+
+  val qPivotNativeOracle: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      |  COALESCE(round(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS total_f,
+      |  COALESCE(round(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS total_o,
+      |  COALESCE(round(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS total_p
+      |FROM orders
+      |GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** The engine's SQL surface: temp views + spark.sql. The reference has
+    * no SQL interface (SURVEY.md §2.4) — this is the extension that makes
+    * the engine usable from pure SQL.
+    */
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_orders,
+        |       round(AVG(o_totalprice), 4) AS avg_price
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val qSqlInterfaceOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       round(AVG(o_totalprice), 4) AS avg_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_local_supplier_volume" -> (qLocalSupplierVolume _),
+    "q_union_by_name" -> (qUnionByName _),
+    "q_pivot_native" -> (qPivotNative _),
+    "q_sql_interface" -> (qSqlInterface _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_filter_pushdown" -> (qFilterPushdown _),
     "q_broadcast_join" -> (qBroadcastJoin _),
@@ -442,6 +585,11 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_local_supplier_volume" -> qLocalSupplierVolumeOracle,
+    "q_union_by_name" -> qUnionByNameOracle,
+    "q_pivot_native" -> qPivotNativeOracle,
+    "q_sql_interface" -> qSqlInterfaceOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q_filter_pushdown" -> qFilterPushdownOracle,
     "q_broadcast_join" -> qBroadcastJoinOracle,

@@ -223,7 +223,28 @@ object TextOps {
       |SELECT bigram, COUNT(*) AS n FROM bi
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Token counting three ways (builder mandate: whitespace + a BPE-ish
+    * regex + the chars/4 estimator used for LLM budget planning). The
+    * regex splits on subword-ish boundaries (vowel-consonant transitions),
+    * a deterministic stand-in for a learned BPE merge table.
+    */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(split(col("text"), "[aeiou]+")).cast("long").as("n_bpe_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("est_llm_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textBpeTokensOracle: String =
+    """SELECT doc_id, n_chars,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(string_split_regex(text, '[aeiou]+')) AS BIGINT) AS n_bpe_tokens,
+      |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_llm_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -231,6 +252,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,

@@ -26,6 +26,11 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(maxDiff < 1e-12, s"native vs builtin diverged by $maxDiff")
   }
 
+  test("GraftExtensions installs the function into a session-extensions registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without throwing
+  }
+
   test("null inputs, length mismatch and zero vectors yield null") {
     CosineSimilarity.register(spark)
     val df = spark.sql("""

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.SessionStreamJob
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+class SessionStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("session_window groups events within the gap, append mode emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sessions = SessionStreamJob.sessionize(
+      stream.toDF(), col("ts"), col("user_id"), gap = "1 hour", delay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      stream.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(t("2024-01-01 10:30:00"), 1, 2.0), // same session (30m < 1h gap)
+        Ev(t("2024-01-01 13:00:00"), 1, 4.0)) // new session
+      q.processAllAvailable()
+      // advance the watermark so the first sessions close
+      stream.addData(Ev(t("2024-01-02 00:00:00"), 2, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select("key", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"merged session missing in $rows")
+      assert(rows.contains((1L, 1L, 4.0)), s"singleton session missing in $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each key once within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = SessionStreamJob.dedupWithinWatermark(
+      stream.toDF(), col("ts"), Seq("user_id"), delay = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(t("2024-01-01 10:05:00"), 1, 2.0), // dup key within horizon
+        Ev(t("2024-01-01 10:10:00"), 2, 3.0))
+      q.processAllAvailable()
+      val users = spark.table("dedup_out").select("user_id").as[Long].collect().sorted
+      assert(users.toSeq == Seq(1L, 2L), s"expected one row per key, got $users")
+    } finally q.stop()
+  }
+}
