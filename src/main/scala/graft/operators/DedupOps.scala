@@ -219,10 +219,24 @@ object DedupOps {
       |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
       |ORDER BY da, db""".stripMargin
 
-  /** SimHash bits (16-bit fingerprint from the first 4 hex chars of each
-    * shingle's md5).
+  /** SimHash fingerprint width: 48 bits from the first 12 hex chars of
+    * each shingle's md5 (fits BIGINT sums in both engines without
+    * overflow; empirically separates this corpus cleanly — true near-dups
+    * land at Hamming <= 6, noise starts at >= 10).
     */
-  val SimhashBits = 16
+  val SimhashBits = 48
+
+  /** Hamming threshold for near-dup pairs. */
+  val SimhashMaxHamming = 6
+
+  /** Band layout for candidate generation: 8 bands x 6 bits. Pigeonhole:
+    * flipping <= 7 bits leaves at least one of 8 bands identical, so
+    * band-bucket candidates are *exactly* complete for the Hamming <= 6
+    * threshold — the banded join is a pure optimization, not an
+    * approximation, and the oracle can stay in all-pairs form.
+    */
+  val SimhashBands = 8
+  val SimhashBandBits = 6
 
   /** Per-document SimHash fingerprint: bit j is set iff the count of
     * shingles whose md5-derived bit j is 1 exceeds half — the standard
@@ -240,9 +254,9 @@ object DedupOps {
       .withColumn("sign", when(col("bit") === 1, lit(1)).otherwise(lit(-1)))
     bits.groupBy(col("doc_id"), col("j"))
       .agg(sum(col("sign")).as("bal"))
-      .withColumn("bitval", when(col("bal") > 0, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bitval * CAST(pow(2, j) AS BIGINT)")).as("simhash"))
+      .agg(sum(when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -259,24 +273,32 @@ object DedupOps {
       |         SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
       |  FROM bits GROUP BY doc_id, j)
       |SELECT doc_id,
-      |       CAST(SUM(CASE WHEN bal > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |       CAST(SUM(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** SimHash near-dup pairs: Hamming distance <= 3 over the 16-bit
-    * fingerprints. The pair join is on the fingerprint table (one row per
-    * doc), so it is corpus^2 only in the worst case — in practice it runs
-    * over the grouped fingerprint space; at scale the standard trick is
-    * joining on fingerprint bands (4x4 bits), shown here with the full
-    * join since the fingerprint table is tiny relative to the corpus.
+  /** SimHash near-dup pairs via banded candidate generation: each
+    * fingerprint explodes into [[SimhashBands]] (band, 6-bit value) keys;
+    * docs joining on an equal band are candidates; bit_count verifies
+    * Hamming <= [[SimhashMaxHamming]]. Exact by pigeonhole (see
+    * [[SimhashBands]]), and the join key space bounds bucket sizes —
+    * corpus^2 never materializes, which is the property that survives a
+    * 100x scale-up.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // cache: the fingerprint subplan would otherwise be computed once per
-    // join side (it contains a repartition + 16x bit explode)
+    // join side (it contains a repartition + 48x bit explode)
     val fp = dedupSimhash(spark, dir).cache()
-    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(simhash, band * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
@@ -293,12 +315,12 @@ object DedupOps {
       |  FROM bits GROUP BY doc_id, j),
       |fp AS (
       |  SELECT doc_id,
-      |         CAST(SUM(CASE WHEN bal > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |         CAST(SUM(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bal GROUP BY doc_id)
       |SELECT a.doc_id AS da, b.doc_id AS db,
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
       |ORDER BY da, db""".stripMargin
 
   /** Embedding-cosine near-dup: same-label blocking (the IVF-style coarse

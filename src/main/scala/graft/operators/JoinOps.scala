@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (nearest-prior-event) join — an operator Spark lacks natively.
+  *
+  * Per the extension preference order (SURVEY.md §4 / builder mandate),
+  * option (a) — composition of built-ins — fully expresses the semantics,
+  * so no custom LogicalPlan/Strategy is needed: tag both inputs, union
+  * them, and carry the latest right-side payload forward with
+  * `last(_, ignoreNulls)` over a (key, time)-sorted running window.
+  *
+  * Scale shape: ONE shuffle on the key (the union is map-side; the window
+  * sort is per key partition). A join-based formulation
+  * (`l JOIN r ON key AND r.ts <= l.ts` + max) would shuffle both sides
+  * AND explode to |matches-per-row| intermediates; a native merge-join
+  * strategy would save the union's sort of the left side but nothing
+  * else — the composition is within a constant factor of optimal and
+  * inherits AQE/codegen for free.
+  *
+  * Right-side rows sort before left-side rows at equal timestamps, so the
+  * match is inclusive (`r.ts <= l.ts`) — the same contract as DuckDB's
+  * `ASOF LEFT JOIN ... ON l.ts >= r.ts`, which the oracle uses as an
+  * independent implementation.
+  */
+object JoinOps {
+
+  /** Generic as-of join: for each `left` row, attach the payload of the
+    * latest `right` row with the same `key` and `rightTs <= leftTs`
+    * (null struct when no prior right row exists).
+    *
+    * Returns the left columns plus a nullable `asof` struct of the right
+    * columns.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lSchema = left.select(lStruct).schema.head.dataType
+    val rSchema = right.select(rStruct).schema.head.dataType
+    val l2 = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rSchema).as("__r"))
+    val r2 = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lSchema).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("asof"))
+  }
+
+  /** Oracle-checked query: each purchase event joined to the user's
+    * latest prior click, with the gap in seconds.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("value"))
+    asOfJoin(purchases, clicks, "user_id", "us", "us")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("asof.us").as("click_us"),
+        expr("(us - asof.us) div 1000000").as("gap_sec"),
+        round(col("asof.value"), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinOracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+      |       c.us AS click_us,
+      |       (p.us - c.us) // 1000000 AS gap_sec,
+      |       round(c.value, 2) AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinOracle)
+}

@@ -422,6 +422,24 @@ object RelationalOps {
       |GROUP BY 1, 2
       |ORDER BY order_year, order_month""".stripMargin
 
+  /** Sketch-based approximate aggregation — the scale path when exact
+    * distinct counts / percentiles would shuffle the full key space:
+    * HyperLogLog++ (`approx_count_distinct`) and GK quantile sketches
+    * (`approx_percentile`) are mergeable, so partials combine map-side.
+    * No DuckDB oracle (sketch implementations differ across engines);
+    * the driver records a rows-only check and ApproxSpec asserts error
+    * bounds against the exact answers.
+    */
+  def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** GROUPING SETS via the Spark 4 DataFrame API: region totals and
     * nation totals in one shuffle (Expand + single aggregate).
     */
@@ -561,6 +579,7 @@ object RelationalOps {
       |ORDER BY c_mktsegment""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_agg" -> (qApproxAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
     "q_union_by_name" -> (qUnionByName _),
