@@ -83,6 +83,22 @@ object JoinOps {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
       |ORDER BY event_id""".stripMargin
 
+  /** Salted join for skewed keys: replicate the build side `salt` times
+    * and scatter the probe side uniformly, so one hot key spreads over
+    * `salt` reducers instead of one straggler. AQE's skew-join handles
+    * moderate skew automatically; salting is the explicit tool for
+    * pathological keys (the classic null-key / power-law-user case at
+    * 100 TB).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val replicated = build
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _))
 

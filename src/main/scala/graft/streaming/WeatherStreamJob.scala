@@ -64,6 +64,23 @@ object WeatherStreamJob {
       .agg(sum(col("total_precipitation")).as("hourly_precipitation"))
   }
 
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * idiomatic Structured Streaming form of "hourly precipitation" that
+    * the reference approximates by grouping on the raw timestamp string
+    * (SURVEY.md §2.3). Append mode: a window emits once, when the
+    * watermark passes its end; state for closed windows is dropped.
+    */
+  def tumblingHourlyAgg(source: DataFrame, delayThreshold: String = "2 hours"): DataFrame = {
+    val flat = WeatherOps.flatten(
+      WeatherOps.parseJson(WeatherOps.castValueAsString(source)))
+      .withColumn("event_ts", to_timestamp(from_unixtime(col("timestamp").cast("long"))))
+      .withWatermark("event_ts", delayThreshold)
+    flat.groupBy(window(col("event_ts"), "1 hour"), col("lat"), col("lon"))
+      .agg(sum(col("total_precipitation")).as("hourly_precipitation"))
+      .select(col("window.start").as("hour_start"), col("lat"), col("lon"),
+        col("hourly_precipitation"))
+  }
+
   /** Update-mode foreachBatch writer (reference S5+S6), executor-parallel.
     * `sinkWriter` receives each micro-batch after the reference's
     * null-rejection filter (P4) and epoch conversion (P8).

@@ -68,6 +68,30 @@ class WeatherStreamSpec extends AnyFunSuite {
     assert(row.getAs[Double]("hourly_precipitation") == 0.5)
   }
 
+  test("tumbling-window agg emits closed hourly windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = graft.streaming.WeatherStreamJob.tumblingHourlyAgg(
+      stream.toDF(), delayThreshold = "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      // 18:00 and 18:30 fall in the same hourly window; 20:05 in another
+      stream.addData(
+        msg(1736532000L, 0.5, 52.0, 5.1),  // 2025-01-10 18:00:00
+        msg(1736533800L, 0.25, 52.0, 5.1), // 2025-01-10 18:30:00
+        msg(1736539500L, 1.0, 52.0, 5.1))  // 2025-01-10 20:05:00
+      q.processAllAvailable()
+      // push the watermark far forward so both windows close
+      stream.addData(msg(1736625600L, 0.0, 0.0, 0.0)) // next day
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(3))).toSet
+      assert(rows.contains(("2025-01-10 18:00:00.0", 0.75)), s"merged window missing in $rows")
+      assert(rows.contains(("2025-01-10 20:00:00.0", 1.0)), s"second window missing in $rows")
+    } finally q.stop()
+  }
+
   test("bounded-state variant applies a watermark (production deviation)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
