@@ -121,12 +121,39 @@ object EventOps {
       |FROM events
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** Deterministic per-group sampling via the custom
+    * [[graft.functions.BottomKByHash]] aggregate: 5 consistent samples
+    * per event type in one pass (map-side partial heaps, k rows per group
+    * per partition at the shuffle — never a per-group sort).
+    */
+  def eventsSampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BottomKByHash.register(spark)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id").cast("string").as("val"))
+      .groupBy(col("event_type"))
+      .agg(expr("bottom_k_by_hash(val, 5)").as("sample"))
+      .select(col("event_type"), posexplode(col("sample")).as(Seq("pos", "val")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"), col("val"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val eventsSampleBottomKOracle: String =
+    """SELECT event_type, CAST(rk AS BIGINT) AS rk, val
+      |FROM (SELECT event_type, CAST(event_id AS VARCHAR) AS val,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY md5(CAST(event_id AS VARCHAR)), CAST(event_id AS VARCHAR)) AS rk
+      |      FROM events)
+      |WHERE rk <= 5
+      |ORDER BY event_type, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sample_bottomk" -> (eventsSampleBottomK _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessionize" -> (eventsSessionize _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_sample_bottomk" -> eventsSampleBottomKOracle,
     "events_json_props" -> eventsJsonPropsOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_hourly_pivot" -> eventsHourlyPivotOracle)
