@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WeatherOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
-      MultimodalOps.queries ++ JoinOps.queries
+      MultimodalOps.queries ++ JoinOps.queries ++ RangeJoinOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     WeatherOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++
-      MultimodalOps.oracles ++ JoinOps.oracles
+      MultimodalOps.oracles ++ JoinOps.oracles ++ RangeJoinOps.oracles
 }
