@@ -32,8 +32,11 @@ object Bench {
       // drop caches left by the previous query so timings are independent
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a broken query must surface as -1, never as a plausible timing
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = onePass(); val p2 = onePass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }

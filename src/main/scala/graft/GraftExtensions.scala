@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float vectors in double precision",
         ""),
-      exprs => CosineSimilarity(exprs.head, exprs(1))))
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_similarity(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

@@ -47,12 +47,26 @@ case class BottomKByHash(
   override def createAggregationBuffer(): mutable.PriorityQueue[(String, String)] =
     mutable.PriorityQueue.empty[(String, String)](ord)
 
+  // One digest instance per deserialized expression (= per task thread;
+  // MessageDigest.digest resets after each call) and table-lookup hex —
+  // the update path allocates only the 32-char result, no per-row
+  // getInstance/format.
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(
-      s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(2 * i) = HexChars(b >> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def update(buf: mutable.PriorityQueue[(String, String)],
@@ -111,7 +125,12 @@ object BottomKByHash {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k_by_hash",
-      exprs => BottomKByHash(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => {
+        require(exprs.length == 2,
+          s"bottom_k_by_hash(value, k) takes exactly 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "bottom_k_by_hash(value, k): k must be a literal integer")
+        BottomKByHash(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      },
       "built-in")
 }

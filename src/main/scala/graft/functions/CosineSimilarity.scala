@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: cosine similarity between two
   * `array<float>` embedding columns, computed in double precision.
@@ -26,8 +27,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must already be array<float> (the embeddings schema);
-  // ExpectsInputTypes is private[sql] so no implicit-cast contract here.
+  // Inputs must be array<float> (the embeddings schema); getFloat on any
+  // other element type would silently misread bytes, so misuse must be an
+  // analysis-time error, not wrong numbers.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity requires (array<float>, array<float>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
@@ -92,6 +103,10 @@ object CosineSimilarity {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_similarity(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
       "built-in")
 }

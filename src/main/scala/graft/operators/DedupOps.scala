@@ -148,17 +148,25 @@ object DedupOps {
   val NumHashes = 8
   val BandSize = 2
 
-  /** MinHash signatures h_k(doc) = min over shingles of md5("k:" + shingle)
-    * — lexicographic min over salted md5 hex, identical in Spark and
-    * DuckDB. Computed as [[NumHashes]] min-aggregates in a single pass
-    * (one shuffle on doc_id, map-side partial mins) instead of exploding
-    * the shingle set x NumHashes — 8x less shuffle volume, same result.
+  /** MinHash signatures from ONE md5 per shingle: the 128-bit digest is
+    * split into two 60-bit halves (h1, h2) and the [[NumHashes]] hash
+    * functions are the Carter–Wegman family g_k = h1 + k*h2 (k < 8 and
+    * h1,h2 < 2^60 keep g_k < 2^63 — no 64-bit overflow in either engine).
+    * Signature k = min over shingles of g_k. One md5 pass (vs one per
+    * hash function), [[NumHashes]] min-aggregates in a single shuffle on
+    * doc_id with map-side partial mins. DuckDB reproduces g_k exactly via
+    * its hex-string→BIGINT cast.
     */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val h = md5(col("s").cast("binary"))
+    // one projection: subexpression elimination evaluates md5 once
+    val hashed = sh.select(col("doc_id"),
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until NumHashes).map { k =>
-      min(md5(concat(lit(s"$k:"), col("s")).cast("binary"))).as(s"sig$k")
+      min(col("h1") + lit(k.toLong) * col("h2")).as(s"sig$k")
     }
-    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash + LSH near-dedup: band buckets (r=2) generate candidates,
@@ -194,7 +202,9 @@ object DedupOps {
   val dedupMinhashLshOracle: String =
     s"""WITH $shingleCte,
       |sigs AS (
-      |  SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || s)) AS sig
+      |  SELECT doc_id, k,
+      |         MIN(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+      |             + k * CAST('0x' || substr(md5(s), 17, 15) AS BIGINT)) AS sig
       |  FROM sh, range(0, $NumHashes) r(k)
       |  GROUP BY doc_id, k),
       |bandkeys AS (
@@ -238,27 +248,42 @@ object DedupOps {
   val SimhashBands = 8
   val SimhashBandBits = 6
 
-  /** Per-document SimHash fingerprint: bit j is set iff the count of
-    * shingles whose md5-derived bit j is 1 exceeds half — the standard
-    * sign-of-sum construction, fully deterministic.
+  /** Per-document SimHash fingerprints WITHOUT a presentation sort — the
+    * shared stage behind [[dedupSimhash]] (which adds the oracle's
+    * orderBy) and [[dedupSimhashPairs]] (which must not pay it).
+    *
+    * Shape: one projection computes all 48 per-shingle bit signs (±1)
+    * as columns — no (shingle × bit) row explosion — then a SINGLE
+    * groupBy(doc_id) runs 48 codegen'd sum aggregates with map-side
+    * partials. vs the explode formulation this is 48× less shuffle volume
+    * and one shuffle instead of two; bit j of the fingerprint is set iff
+    * its sign-sum is positive (standard sign-of-sum construction, fully
+    * deterministic).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.docShingles(Tables.documents(spark, dir))
     val withHash = sh.select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-    val bits = withHash
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, 1 + CAST(j / 4 AS INT), 1)) - 1"))
-      .withColumn("bit", expr("shiftright(nib, 3 - (j % 4)) & 1"))
-      .withColumn("sign", when(col("bit") === 1, lit(1)).otherwise(lit(-1)))
-    bits.groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("sign")).as("bal"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(lit(0L))).as("simhash"))
-      .orderBy(col("doc_id"))
+    // 12 leading hex nibbles -> 48 bits; sign_j = bit_j * 2 - 1
+    val nibCols = (0 until SimhashBits / 4).map { i =>
+      expr(s"instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1").as(s"nib$i")
+    }
+    val withNibs = withHash.select(col("doc_id") +: nibCols: _*)
+    val signCols = (0 until SimhashBits).map { j =>
+      expr(s"CAST((shiftright(nib${j / 4}, ${3 - (j % 4)}) & 1) * 2 - 1 AS BIGINT)")
+        .as(s"sgn$j")
+    }
+    val signs = withNibs.select(col("doc_id") +: signCols: _*)
+    val balCols = (0 until SimhashBits).map(j => sum(col(s"sgn$j")).as(s"bal$j"))
+    val bal = signs.groupBy(col("doc_id")).agg(balCols.head, balCols.tail: _*)
+    val fp = (0 until SimhashBits).map { j =>
+      when(col(s"bal$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    bal.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Oracle-facing fingerprint table (deterministic order). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
   val dedupSimhashOracle: String =
     s"""WITH $shingleCte,
@@ -285,9 +310,10 @@ object DedupOps {
     * 100x scale-up.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the fingerprint subplan would otherwise be computed once per
-    // join side (it contains a repartition + 48x bit explode)
-    val fp = dedupSimhash(spark, dir).cache()
+    // No cache and no presentation sort: both join sides derive from the
+    // same fingerprint plan, so exchange reuse serves the second side from
+    // the first side's shuffle files (scan/shingle/md5 run once).
+    val fp = simhashFingerprints(spark, dir)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_val",

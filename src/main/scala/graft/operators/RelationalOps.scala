@@ -428,7 +428,9 @@ object RelationalOps {
     * (`approx_percentile`) are mergeable, so partials combine map-side.
     * No DuckDB oracle (sketch implementations differ across engines);
     * the driver records a rows-only check and ApproxSpec asserts error
-    * bounds against the exact answers.
+    * bounds against the exact answers. Quantiles are projected to scalar
+    * p50/p95 columns (the array output is an internal detail; scalar
+    * columns keep the result sink-friendly and sortable).
     */
   def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -436,8 +438,13 @@ object RelationalOps {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pq"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        col("approx_parts"), col("approx_orders"),
+        round(element_at(col("pq"), 1), 2).as("price_p50"),
+        round(element_at(col("pq"), 2), 2).as("price_p95"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** GROUPING SETS via the Spark 4 DataFrame API: region totals and

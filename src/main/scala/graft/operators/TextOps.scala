@@ -31,14 +31,18 @@ object TextOps {
           element_at(toks, j + 1), element_at(toks, j + 2), element_at(toks, j + 3))))
       .otherwise(array().cast("array<string>"))
 
-  /** Spread rows across all cores before compute-heavy per-row work.
-    * Small-file parquet arrives as one input split, which would serialize
-    * the tokenize/shingle/hash pipeline on a single thread; on a real
-    * multi-file warehouse the scan is already split and this becomes a
-    * cheap no-op-sized shuffle.
+  /** Spread rows across all cores before compute-heavy per-row work —
+    * but ONLY when the input arrives with fewer splits than cores
+    * (single-file small parquet would otherwise serialize the
+    * tokenize/shingle/hash pipeline on one thread). On a real multi-file
+    * warehouse the scan already has >= parallelism splits and this is the
+    * identity — no corpus-wide shuffle hides in the dedup/text plans at
+    * scale.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Distinct shingles per doc as (doc_id, shingle) pairs. */
   def docShingles(docs: DataFrame): DataFrame =

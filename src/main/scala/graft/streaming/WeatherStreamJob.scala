@@ -81,20 +81,25 @@ object WeatherStreamJob {
         col("hourly_precipitation"))
   }
 
-  /** Update-mode foreachBatch writer (reference S5+S6), executor-parallel.
-    * `sinkWriter` receives each micro-batch after the reference's
-    * null-rejection filter (P4) and epoch conversion (P8).
+  /** foreachBatch writer (reference S5+S6), executor-parallel. Defaults
+    * reproduce the reference: update mode, and each micro-batch passes
+    * through the null-rejection filter (P4) + epoch conversion (P8) before
+    * `sinkWriter`. [[tumblingHourlyAgg]] output composes via
+    * `outputMode = OutputMode.Append()` and `clean = identity` (it emits
+    * `hour_start`, not the raw `timestamp` the default cleaner expects).
     */
   def start(aggregated: DataFrame, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))(
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      outputMode: OutputMode = OutputMode.Update(),
+      clean: DataFrame => DataFrame =
+        b => WeatherOps.withEventTime(WeatherOps.rejectNulls(b)))(
       sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
     aggregated.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val cleaned = WeatherOps.withEventTime(WeatherOps.rejectNulls(batch))
-        sinkWriter(cleaned, id)
+        sinkWriter(clean(batch), id)
       }
       .start()
 
