@@ -110,4 +110,45 @@ object WeatherStreamJob {
   def parquetSink(outDir: String): (DataFrame, Long) => Unit = (batch, _) =>
     batch.select(col("event_time"), col("lat"), col("lon"), col("hourly_precipitation"))
       .write.mode("append").parquet(outDir)
+
+  /** JDBC sink writer — the reference's core output (S6,
+    * weather_processor.py:238-250 + init.sql:1-7), executor-parallel:
+    * `.format("jdbc")` append opens one connection per partition and
+    * batches inserts, replacing the reference's driver `collect()` +
+    * row-by-row INSERT (its scalability ceiling, SURVEY.md §3.3). Same
+    * rows inserted: the `id SERIAL` column is sink-generated so not
+    * emitted, and append-only (no upsert) means update-mode re-emissions
+    * duplicate rows exactly like the reference.
+    */
+  def jdbcSink(url: String, table: String,
+      options: Map[String, String] = Map.empty): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      batch.select(
+          col("event_time").cast("timestamp").as("timestamp"),
+          col("lat"), col("lon"), col("hourly_precipitation"))
+        .write.mode("append").format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .options(options)
+        .save()
+
+  /** Kafka sink (producer side, reference S2): message value built by
+    * WeatherOps.kafkaShapedMessages (P9), delivery semantics surfaced as
+    * the reference's producer config (weather_stream.py:67-81: acks=all,
+    * retries=5, batch_size=16384, linger_ms=0; the sync per-record ack at
+    * :142 has no Spark analog — the checkpoint provides the at-least-once
+    * guarantee instead). Returns the configured writer unstarted: no
+    * broker (or kafka connector jar) exists in this container, so
+    * execution is exercised only via the message-contract tests.
+    */
+  def toKafka(messages: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    messages.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.acks", "all")
+      .option("kafka.retries", "5")
+      .option("kafka.batch.size", "16384")
+      .option("kafka.linger.ms", "0")
+      .option("checkpointLocation", checkpointDir)
 }

@@ -92,6 +92,63 @@ class WeatherStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("JDBC sink (S6): update-mode rows land in embedded Derby through " +
+      "start(); re-emissions append duplicates like the reference") {
+    implicit val sqlCtx = spark.sqlContext
+    // init.sql:1-7 columns; id is sink-generated (SERIAL analog). Quoted
+    // lowercase so Spark's quoted INSERT column list matches.
+    val url = "jdbc:derby:memory:weatherdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE weather_data (
+        |"id" INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |"timestamp" TIMESTAMP, "lat" DOUBLE, "lon" DOUBLE,
+        |"hourly_precipitation" DOUBLE)""".stripMargin)
+    finally conn.close()
+
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("weather_jdbc_ckpt").toString
+    val agg = WeatherStreamJob.aggregate(stream.toDF())
+    val q = WeatherStreamJob.start(agg, ckpt, Trigger.ProcessingTime(0))(
+      WeatherStreamJob.jdbcSink(url, "weather_data"))
+    try {
+      stream.addData(msg(1736532000L, 0.5, 52.0, 5.1))
+      q.processAllAvailable()
+      // same key again: update mode re-emits the accumulated sum, and the
+      // append-only sink keeps BOTH rows (reference parity: no upsert)
+      stream.addData(msg(1736532000L, 0.25, 52.0, 5.1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "weather_data").load()
+    assert(back.columns.toSet ==
+      Set("id", "timestamp", "lat", "lon", "hourly_precipitation"))
+    val vals = back.select("hourly_precipitation").as[Double].collect().sorted
+    assert(vals.toSeq == Seq(0.5, 0.75), s"expected both emissions, got ${vals.toSeq}")
+    val ts = back.collect()
+      .map(_.getAs[java.sql.Timestamp]("timestamp").toString).toSet
+    assert(ts == Set("2025-01-10 18:00:00.0")) // epoch 1736532000 in UTC
+  }
+
+  test("Kafka message contract (S3): consumer plan runs over the exact " +
+      "Kafka scan schema, binary value decoded as UTF-8") {
+    // the 7 columns a kafka streaming scan produces; producer messages
+    // carry no key (weather_stream.py:131-138 sends topic+value only)
+    val rows = Seq(
+      (null: Array[Byte], msg(1736532000L, 0.5, 52.0, 5.1).getBytes("UTF-8"),
+        "weather", 0, 0L, new java.sql.Timestamp(0L), 0),
+      (null: Array[Byte], msg(1736532000L, 0.25, 52.0, 5.1).getBytes("UTF-8"),
+        "weather", 0, 1L, new java.sql.Timestamp(0L), 0))
+    val kafkaShaped = rows.toDF(
+      "key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val out = WeatherStreamJob.aggregate(kafkaShaped).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("timestamp") == "1736532000")
+    assert(r.getAs[Double]("hourly_precipitation") == 0.75)
+  }
+
   test("bounded-state variant applies a watermark (production deviation)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
