@@ -53,4 +53,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("[codegen id :"), s"no codegen spans:\n$plan")
     assert(plan.contains("HashAggregate"))
   }
+
+  test("dedup family: candidate generation is bucketed, never all-pairs") {
+    for (name <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding")) {
+      val plan = finalPlan(graft.operators.DedupOps.queries(name)(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("simhash fingerprints aggregate in a single groupBy (no bit explode)") {
+    val plan = finalPlan(graft.operators.DedupOps.dedupSimhash(spark, dir))
+    // inspect only the AQE final plan (the formatted dump repeats operators
+    // in the initial-plan and per-node-detail sections)
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalSection).size == 2,
+      s"expected exactly one partial+final aggregate pair:\n$plan")
+    // exactly one Generate: the per-doc shingle explode. The old 48x
+    // per-bit explode would add a second one.
+    assert("Generate".r.findAllIn(finalSection).size == 1,
+      s"fingerprinting should explode shingles once, nothing else:\n$plan")
+  }
+
+  test("spread is the identity when the scan is already parallel") {
+    val already = spark.range(1000).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    assert(graft.operators.TextOps.spread(already) eq already,
+      "spread repartitioned an input that already had enough splits")
+  }
 }
