@@ -19,8 +19,9 @@ import graft.functions.CosineSimilarity
   *   get exact verification. Both stages are plain shuffles on short
   *   string keys.
   * - The cross-engine-deterministic hash family is md5 (identical lowercase
-  *   hex in Spark and DuckDB); "minhash" = lexicographic min of salted md5
-  *   strings, so oracle SQL reproduces signatures byte-for-byte.
+  *   hex in Spark and DuckDB), reduced to two 60-bit integer halves per
+  *   shingle; MinHash uses the Carter–Wegman combination h1 + k*h2, so
+  *   oracle SQL reproduces signatures value-for-value.
   */
 object DedupOps {
 
@@ -63,15 +64,48 @@ object DedupOps {
     */
   val MaxShingleDf = 10
 
-  /** Per-doc distinct shingle sets as arrays (one row per doc), with set
-    * size. The array form lets pair verification compute intersections
+  /** Distinct shingles per doc reduced to two 60-bit md5 halves. All
+    * downstream Jaccard/MinHash stages operate on the 8-byte `h1` key
+    * instead of the ~25-byte shingle string — smaller shuffles, cheaper
+    * group/join/intersect comparisons; `h2` feeds the MinHash hash family.
+    * 60-bit keys are collision-free at any realistic shingle vocabulary
+    * (p ~ v^2/2^61), and the oracle computes the SAME keys (DuckDB
+    * hex-cast of the same md5), so results stay byte-identical either
+    * way.
+    */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("s").cast("binary"))
+    TextOps.docShingles(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
+  }
+
+  /** Hashed-shingle CTE shared by the ngram/minhash oracles — mirrors
+    * [[docShingleHashes]].
+    */
+  private val hashedShingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+      |         CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) AS h2
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |             list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc distinct shingle-hash sets as arrays (one row per doc), with
+    * set size. The array form lets pair verification compute intersections
     * map-side via array_intersect instead of exploding a
     * candidates x shingles join (which fans out to |cand| * avg-set-size
     * rows).
     */
   private def shingleSets(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("sset"), count(lit(1)).as("n_sh"))
+      .agg(collect_list(col("h1")).as("sset"), count(lit(1)).as("n_sh"))
 
   /** Exact-Jaccard verification of candidate (da, db) pairs against the
     * full shingle sets. Two joins against the doc->set table (AQE
@@ -99,7 +133,7 @@ object DedupOps {
     * feasible at corpus scale.
     */
   private def candidatesFromRareShingles(sh: DataFrame): DataFrame =
-    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+    sh.groupBy(col("h1")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, MaxShingleDf))
       .select(explode(expr(
         "flatten(transform(ds, (d, i) -> transform(slice(ds, i + 2, size(ds)), d2 -> named_struct('x', d, 'y', d2))))")).as("p"))
@@ -108,7 +142,7 @@ object DedupOps {
       .distinct()
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
+    val sh = docShingleHashes(spark, dir).cache()
     verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), 0.6)
   }
 
@@ -122,19 +156,19 @@ object DedupOps {
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
 
   val dedupNgramJaccardOracle: String =
-    s"""WITH $shingleCte,
+    s"""WITH $hashedShingleCte,
       |rare AS (
-      |  SELECT doc_id, s FROM (
-      |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  SELECT doc_id, h1 FROM (
+      |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
       |  WHERE df <= $MaxShingleDf),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |  FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id),
       |inter AS (
       |  SELECT c.da, c.db, COUNT(*) AS n_inter
       |  FROM cand c
       |  JOIN sh x ON c.da = x.doc_id
-      |  JOIN sh y ON c.db = y.doc_id AND x.s = y.s
+      |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
       |  GROUP BY c.da, c.db)
       |SELECT da, db,
       |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -148,25 +182,19 @@ object DedupOps {
   val NumHashes = 8
   val BandSize = 2
 
-  /** MinHash signatures from ONE md5 per shingle: the 128-bit digest is
-    * split into two 60-bit halves (h1, h2) and the [[NumHashes]] hash
-    * functions are the Carter–Wegman family g_k = h1 + k*h2 (k < 8 and
-    * h1,h2 < 2^60 keep g_k < 2^63 — no 64-bit overflow in either engine).
-    * Signature k = min over shingles of g_k. One md5 pass (vs one per
-    * hash function), [[NumHashes]] min-aggregates in a single shuffle on
-    * doc_id with map-side partial mins. DuckDB reproduces g_k exactly via
-    * its hex-string→BIGINT cast.
+  /** MinHash signatures over the hashed shingles: the [[NumHashes]] hash
+    * functions are the Carter–Wegman family g_k = h1 + k*h2 over the two
+    * 60-bit md5 halves (k < 8 and h1,h2 < 2^60 keep g_k < 2^63 — no
+    * 64-bit overflow in either engine). Signature k = min over shingles
+    * of g_k: one md5 pass per shingle (shared with the Jaccard stages via
+    * [[docShingleHashes]]), [[NumHashes]] min-aggregates in a single
+    * shuffle on doc_id with map-side partial mins.
     */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val h = md5(col("s").cast("binary"))
-    // one projection: subexpression elimination evaluates md5 once
-    val hashed = sh.select(col("doc_id"),
-      conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until NumHashes).map { k =>
       min(col("h1") + lit(k.toLong) * col("h2")).as(s"sig$k")
     }
-    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash + LSH near-dedup: band buckets (r=2) generate candidates,
@@ -177,7 +205,7 @@ object DedupOps {
     * join is bounded — the scale path where all-pairs is impossible.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.docShingles(Tables.documents(spark, dir)).cache()
+    val sh = docShingleHashes(spark, dir).cache()
     val sigs = minhashSignatures(sh)
     // Band key "k=sig|k=sig" with k ascending — byte-identical to the
     // oracle's sorted list_sort construction (k < 10 so lexicographic =
@@ -200,16 +228,14 @@ object DedupOps {
   }
 
   val dedupMinhashLshOracle: String =
-    s"""WITH $shingleCte,
+    s"""WITH $hashedShingleCte,
       |sigs AS (
-      |  SELECT doc_id, k,
-      |         MIN(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
-      |             + k * CAST('0x' || substr(md5(s), 17, 15) AS BIGINT)) AS sig
+      |  SELECT doc_id, k, MIN(h1 + k * h2) AS sig
       |  FROM sh, range(0, $NumHashes) r(k)
       |  GROUP BY doc_id, k),
       |bandkeys AS (
       |  SELECT doc_id, CAST(k // $BandSize AS INT) AS band,
-      |         array_to_string(list_sort(list(CAST(k AS VARCHAR) || '=' || sig)), '|') AS band_key
+      |         array_to_string(list_sort(list(CAST(k AS VARCHAR) || '=' || CAST(sig AS VARCHAR))), '|') AS band_key
       |  FROM sigs GROUP BY doc_id, CAST(k // $BandSize AS INT)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -219,7 +245,7 @@ object DedupOps {
       |  SELECT c.da, c.db, COUNT(*) AS n_inter
       |  FROM cand c
       |  JOIN sh x ON c.da = x.doc_id
-      |  JOIN sh y ON c.db = y.doc_id AND x.s = y.s
+      |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
       |  GROUP BY c.da, c.db)
       |SELECT da, db,
       |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
