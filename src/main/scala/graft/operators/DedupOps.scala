@@ -402,13 +402,108 @@ object DedupOps {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  /** Maximum label-propagation rounds. Each round shrinks every label to
+    * the component minimum reachable one hop further, so rounds needed =
+    * max component diameter; near-dup clusters are near-cliques (diameter
+    * 2-3). 20 is a safety bound, not the expected count — the loop exits
+    * at the fixpoint.
+    */
+  val MaxCcIterations = 20
+
+  /** Connected components over the verified near-dup pairs -> a full
+    * dedup manifest: every document mapped to its cluster's canonical
+    * (minimum) doc_id, with cluster size and survivor flag. This is the
+    * step that makes pair detection actionable — "keep is_survivor = 1"
+    * IS the dedup.
+    *
+    * Scale shape: Pregel-style min-label propagation as a driver loop of
+    * (edges join labels -> per-node min) rounds; every round is one
+    * bounded shuffle on doc_id, state is one label per doc, and
+    * convergence is detected by the (monotonically decreasing) label sum
+    * — one cheap aggregate, no extra join. Rounds = component diameter,
+    * which for near-dup clusters (near-cliques) is 2-3; for adversarial
+    * long-chain graphs the large-star/small-star variant would bound
+    * rounds at O(log n), not needed for dedup workloads. The DuckDB
+    * oracle recomputes components independently via a recursive
+    * reachability CTE.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("lab")).cache()
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lab")))
+      .head().getLong(0)
+    var iter = 0
+    while (sum < prevSum && iter < MaxCcIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("lab").as("blab")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("blab")).as("nlab"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .cache()
+      prevSum = sum
+      sum = updated.agg(org.apache.spark.sql.functions.sum(col("lab")))
+        .head().getLong(0)
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("lab"))))
+      .select(col("doc_id"), col("lab").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("lab")).cast("long").as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $hashedShingleCte,
+      |rare AS (
+      |  SELECT doc_id, h1 FROM (
+      |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
+      |  WHERE df <= $MaxShingleDf),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh x ON c.da = x.doc_id
+      |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
+      |  GROUP BY c.da, c.db),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id
+      |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+      |edges AS (
+      |  SELECT da AS a, db AS b FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs),
+      |reach(d, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.d, e.b FROM reach w JOIN edges e ON e.a = w.r),
+      |lab AS (SELECT d AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY d)
+      |SELECT doc_id, canonical_id,
+      |       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+      |       CAST(doc_id = canonical_id AS BIGINT) AS is_survivor
+      |FROM lab ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
@@ -416,5 +511,6 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_simhash_pairs" -> dedupSimhashPairsOracle,
-    "dedup_embedding" -> dedupEmbeddingOracle)
+    "dedup_embedding" -> dedupEmbeddingOracle,
+    "dedup_clusters" -> dedupClustersOracle)
 }

@@ -25,6 +25,29 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped.count() == docs.select("lang").distinct().count())
   }
 
+  test("clusters: both ends of every near-dup pair share a canonical id, " +
+      "which is the cluster minimum") {
+    val clusters = DedupOps.dedupClusters(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1,
+        s"pair ($a,$b) split across clusters ${clusters(a)._1}/${clusters(b)._1}")
+    }
+    // canonical = min member; sizes consistent; non-dup docs are singletons
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (canon, members) =>
+      assert(members.keys.min == canon, s"cluster $canon canonical not the min")
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong))
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.collect { case (d, (c, sz)) if !paired.contains(d) =>
+      assert(c == d && sz == 1L, s"unpaired doc $d in cluster $c size $sz")
+    }
+  }
+
   test("near-dup pairs sit far below the random simhash hamming baseline") {
     val fp = DedupOps.dedupSimhash(spark, TestSpark.sfDir)
     val jac = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir)
