@@ -496,7 +496,44 @@ object DedupOps {
       |       CAST(doc_id = canonical_id AS BIGINT) AS is_survivor
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Minimum shared distinct shingles for a train/benchmark doc pair to
+    * count as contaminated (tuned to the fixture's overlap distribution;
+    * real pipelines use 8-13-gram exact matches with similar counting).
+    */
+  val ContaminationMinOverlap = 2
+
+  /** Benchmark-contamination check — the pretraining hygiene step: flag
+    * training documents sharing >= [[ContaminationMinOverlap]] distinct
+    * shingles with any held-out benchmark document (stand-in benchmark
+    * set: doc_id % 100 == 0). The benchmark side is always tiny relative
+    * to the corpus, so its shingle set is broadcast and the overlap join
+    * is map-side against the training scan — no corpus shuffle; the
+    * groupBy shuffles only matched (doc, bench) pairs.
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleHashes(spark, dir).cache()
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("h1"))
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+    train.join(broadcast(bench), Seq("h1"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= ContaminationMinOverlap)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val textContaminationOracle: String =
+    s"""WITH $hashedShingleCte,
+      |bench AS (SELECT doc_id AS bench_id, h1 FROM sh WHERE doc_id % 100 = 0),
+      |train AS (SELECT doc_id, h1 FROM sh WHERE doc_id % 100 <> 0)
+      |SELECT t.doc_id, b.bench_id, COUNT(*) AS n_overlap
+      |FROM train t JOIN bench b ON t.h1 = b.h1
+      |GROUP BY t.doc_id, b.bench_id
+      |HAVING COUNT(*) >= $ContaminationMinOverlap
+      |ORDER BY doc_id, bench_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (textContamination _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -506,6 +543,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "text_contamination" -> textContaminationOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,

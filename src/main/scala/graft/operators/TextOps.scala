@@ -247,7 +247,40 @@ object TextOps {
       |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_llm_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition detection — the training-corpus quality signal for
+    * machine-generated/boilerplate text: the fraction of a document's
+    * 3-gram occurrences that are duplicates of an earlier one. Pure
+    * per-row array math (size vs distinct size), map-only at any scale.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4)))
+      .withColumn("is_repetitive", (col("rep_ratio") >= 0.2).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val textRepetitionOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |r AS (
+      |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+      |         CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+      |         CASE WHEN len(g) = 0 THEN 0.0
+      |              ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) END AS rep_ratio
+      |  FROM g)
+      |SELECT doc_id, n_grams, n_distinct, rep_ratio,
+      |       CAST(rep_ratio >= 0.2 AS BIGINT) AS is_repetitive
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
@@ -256,6 +289,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
     "text_quality" -> textQualityOracle,
