@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{PollingSource, WeatherStreamJob}
+
+/** S1 polling source end-to-end: fake-fetch poller -> staged files ->
+  * file streaming scan -> producer math in-engine -> consumer aggregate.
+  * The fake fetch exercises the reference's edge cases: a minutely entry
+  * with missing precipitation (P5 default-0), a location whose payload
+  * has no minutely block (the weather_stream.py:124 guard), and a failed
+  * fetch (skip-and-continue).
+  */
+class PollingSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def oneCall(lat: Double, lon: Double, dts: Seq[(Long, Option[Double])]): String = {
+    val minutely = dts.map { case (dt, p) =>
+      p.map(v => s"""{"dt": $dt, "precipitation": $v}""")
+        .getOrElse(s"""{"dt": $dt}""")
+    }.mkString("[", ",", "]")
+    s"""{"lat": $lat, "lon": $lon, "minutely": $minutely}"""
+  }
+
+  test("poller stages atomic files; producer messages match the wire contract") {
+    val staging = Files.createTempDirectory("graft_poll").toString
+    val fetch: (Double, Double) => Option[String] = {
+      case (52.0, 5.1) => Some(oneCall(52.0, 5.1,
+        Seq(1736532000L -> Some(0.25), 1736532060L -> None, 1736532120L -> Some(0.5))))
+      case (41.1, -8.6) => Some("""{"lat": 41.1, "lon": -8.6}""") // no minutely
+      case _ => None                                               // failed fetch
+    }
+    val src = new PollingSource(staging,
+      Seq((52.0, 5.1), (41.1, -8.6), (0.0, 0.0)), fetch)
+    src.pollOnce()
+    src.pollOnce()
+
+    // staged: 2 rounds x 2 successful fetches (the failed one skipped)
+    val staged = spark.read.schema(PollingSource.oneCallSchema).json(staging)
+    assert(staged.count() == 4)
+
+    val msgs = PollingSource.producerMessages(staged).collect().map(_.getString(0))
+    // the no-minutely payload is guarded out; 2 rounds x 1 message
+    assert(msgs.length == 2)
+    // missing precipitation defaulted to 0: 0.25 + 0 + 0.5; numeric ts token
+    assert(msgs.toSet == Set(
+      """{"timestamp":1736532000,"total_precipitation":0.75,"location":{"lat":52.0,"lon":5.1}}"""))
+  }
+
+  test("streaming: staged polls flow through producer + consumer plans") {
+    val staging = Files.createTempDirectory("graft_poll_stream").toString
+    var round = 0
+    val fetch: (Double, Double) => Option[String] = { case (lat, lon) =>
+      Some(oneCall(lat, lon, Seq(1736532000L -> Some(1.0 + round))))
+    }
+    val src = new PollingSource(staging, Seq((52.0, 5.1)), fetch)
+
+    val agg = WeatherStreamJob.aggregate(
+      PollingSource.producerMessages(PollingSource.readStaged(spark, staging)))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("polled_updates").start()
+    try {
+      src.pollOnce(); round = 1
+      q.processAllAvailable()
+      src.pollOnce()
+      q.processAllAvailable()
+      val rows = spark.table("polled_updates").collect()
+        .map(r => r.getAs[Double]("hourly_precipitation")).toSet
+      // update mode: first batch emits 1.0, second re-emits accumulated 3.0
+      assert(rows == Set(1.0, 3.0), s"unexpected emissions $rows")
+    } finally q.stop()
+  }
+}
