@@ -428,7 +428,11 @@ object DedupOps {
     * reachability CTE.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir).select(col("da"), col("db"))
+    // cache pairs BEFORE the union: both direction branches and every
+    // propagation round read the cached pair list instead of recomputing
+    // the whole shingle/posting/verify pipeline
+    val pairs = dedupNgramJaccard(spark, dir).select(col("da"), col("db")).cache()
+    pairs.count() // materialize once — the union below reads cache twice
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache()

@@ -146,13 +146,80 @@ object EventOps {
       |WHERE rk <= 5
       |ORDER BY event_type, rk""".stripMargin
 
+  /** Ordered funnel analysis (signup -> view -> click -> purchase): each
+    * step's first occurrence must strictly follow the previous step's.
+    * Every step is one filter + user-keyed aggregation; the step joins
+    * stay co-partitioned on user_id, so the whole funnel is a chain of
+    * bounded user-keyed shuffles — no event-level self-join.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    def firstAfter(step: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("us") > col(prevCol))
+        .groupBy(col("user_id"), col(prevCol))
+        .agg(min(col("us")).as(outCol))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = firstAfter("view", s1, "t1", "t2")
+    val s3 = firstAfter("click", s2.select("user_id", "t2"), "t2", "t3")
+    val s4 = firstAfter("purchase", s3.select("user_id", "t3"), "t3", "t4")
+    def step(no: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no.toLong).as("step_no"), lit(name).as("step"), col("n_users"))
+    step(1, "signup", s1)
+      .unionAll(step(2, "view", s2))
+      .unionAll(step(3, "click", s3))
+      .unionAll(step(4, "purchase", s4))
+      .orderBy(col("step_no"))
+  }
+
+  val eventsFunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'click' AND us > t2 GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > t3 GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS step_no, 'signup' AS step, COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+      |UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+      |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+      |ORDER BY step_no""".stripMargin
+
+  /** PII-style redaction over the props payload: mask every digit run,
+    * count masked runs. Pure map-side regexp — the redaction pass a
+    * training pipeline runs over every document, shaped to scan-project
+    * with zero shuffle.
+    */
+  def eventsRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
+        (size(split(col("props"), "[0-9]+")) - 1).cast("long").as("n_redacted"))
+      .orderBy(col("event_id"))
+
+  val eventsRedactOracle: String =
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |       CAST(len(string_split_regex(props, '[0-9]+')) - 1 AS BIGINT) AS n_redacted
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "events_redact" -> (eventsRedact _),
     "events_sample_bottomk" -> (eventsSampleBottomK _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessionize" -> (eventsSessionize _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelOracle,
+    "events_redact" -> eventsRedactOracle,
     "events_sample_bottomk" -> eventsSampleBottomKOracle,
     "events_json_props" -> eventsJsonPropsOracle,
     "events_sessionize" -> eventsSessionizeOracle,

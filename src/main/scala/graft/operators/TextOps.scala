@@ -279,7 +279,112 @@ object TextOps {
       |       CAST(rep_ratio >= 0.2 AS BIGINT) AS is_repetitive
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per document: term frequency per (doc, token),
+    * document frequency per token, score tf * ln((N+1)/(df+1)), top-3 by
+    * score with token tiebreak. Two key-bounded shuffles (doc-token, then
+    * token) plus a per-doc window — the vocabulary table is tiny relative
+    * to the corpus at any scale.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+    val n = Tables.documents(spark, dir).count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val textTfidfOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (
+      |  SELECT t.doc_id, t.tok, round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 4) AS tfidf
+      |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY tfidf DESC, tok) AS rk
+      |  FROM s)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Context window for sequence packing (tokens). */
+  val CtxTokens = 256
+
+  /** Concatenate-and-chunk sequence packing — how pretraining pipelines
+    * turn variable-length documents into fixed context windows: within
+    * each lang shard, documents concatenate in doc_id order into a token
+    * stream that is cut every [[CtxTokens]] tokens; each doc records its
+    * stream offset and the chunk span it lands in. The running sum is
+    * per-shard (partitionBy lang), so shards pack in parallel — never a
+    * single global cumulative sort.
+    */
+  def textPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $CtxTokens").as("first_chunk"),
+        expr(s"(tok_offset + n_tokens - 1) div $CtxTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val textPackingOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, tok_offset,
+      |       tok_offset // $CtxTokens AS first_chunk,
+      |       (tok_offset + n_tokens - 1) // $CtxTokens AS last_chunk,
+      |       (tok_offset + n_tokens - 1) // $CtxTokens
+      |         - tok_offset // $CtxTokens + 1 AS n_chunks
+      |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Percentage of each stratum kept by [[sampleStratified]]. */
+  val SamplePct = 20
+
+  /** Deterministic stratified sampling: keep a doc iff its md5-derived
+    * 60-bit hash lands in the first [[SamplePct]] residues mod 100 — the
+    * same sample regardless of row order, partitioning, or engine, with
+    * per-lang proportions preserved in expectation. Map-only: the one
+    * sampling pattern that never shuffles and never needs a count first.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hk", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .filter(col("hk") % 100 < SamplePct)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val sampleStratifiedOracle: String =
+    s"""SELECT doc_id, lang FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 100 < $SamplePct
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
+    "text_packing" -> (textPacking _),
+    "sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (textRepetition _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
@@ -289,6 +394,9 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfOracle,
+    "text_packing" -> textPackingOracle,
+    "sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
