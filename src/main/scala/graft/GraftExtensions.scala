@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
 
 /** Session-extension entry point for the engine: installs the custom
   * Catalyst functions into any session built with
@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"cosine_similarity(a, b) takes exactly 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getCanonicalName,
+        null,
+        "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted bigint arrays",
+        ""),
+      exprs => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        SortedIntersectCount(exprs.head, exprs(1))
       }))
   }
 }

@@ -105,26 +105,31 @@ object DedupOps {
     */
   private def shingleSets(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("h1")).as("sset"), count(lit(1)).as("n_sh"))
+      .agg(sort_array(collect_list(col("h1"))).as("sset"), count(lit(1)).as("n_sh"))
 
   /** Exact-Jaccard verification of candidate (da, db) pairs against the
     * full shingle sets. Two joins against the doc->set table (AQE
     * broadcasts it when small; shuffle join on doc_id at corpus scale —
-    * either way no row explosion), then a per-row array_intersect.
+    * either way no row explosion), then a per-row fused two-pointer merge
+    * over the sorted hash sets (the native
+    * [[graft.functions.SortedIntersectCount]] expression — no per-row
+    * hash-set build, stays in whole-stage codegen).
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    graft.functions.SortedIntersectCount.register(cand.sparkSession)
     cand
       .join(sets.select(col("doc_id").as("da"), col("sset").as("set_a"),
         col("n_sh").as("n_a")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sset").as("set_b"),
         col("n_sh").as("n_b")), "db")
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_inter", expr("sorted_intersect_count(set_a, set_b)"))
       .withColumn("jaccard_raw",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("da"), col("db"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy(col("da"), col("db"))
+  }
 
   /** Pair generation from inverted postings: group shingles, keep rare
     * ones (df cap), emit all doc pairs per posting list map-side. One

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SortedIntersectCount
+
+/** sorted_intersect_count: parity with the built-in array_intersect on
+  * sorted distinct arrays, codegen execution, analysis-time type errors.
+  * (Generators sampled under a fixed seed — no scalatest-scalacheck
+  * bridge in the offline cache.)
+  */
+class SortedIntersectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(202L + i)))
+
+  test("matches size(array_intersect) on random sorted distinct arrays") {
+    SortedIntersectCount.register(spark)
+    val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    val cases = samples(gen.flatMap(a => gen.map(b => (a, b))), 60)
+    val rows = cases.map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+      .toDF("a", "b")
+      .select(
+        expr("sorted_intersect_count(a, b)").as("merge"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("null on null input; executes inside whole-stage codegen") {
+    SortedIntersectCount.register(spark)
+    val nullRow = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]])).toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)").as("c"))
+    assert(nullRow.head().isNullAt(0))
+    // non-foldable input (range-derived arrays) so the expression cannot
+    // be constant-folded away before reaching codegen
+    val df = spark.range(4)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id") + 1, col("id") + 2).as("b"))
+      .select(expr("sorted_intersect_count(a, b)").as("c"))
+    assert(df.collect().forall(_.getLong(0) == 1L))
+    // "*(n)" prefixes mark whole-stage-codegen stages in the simple plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
+  test("non-bigint arrays are rejected at analysis time") {
+    SortedIntersectCount.register(spark)
+    val err = intercept[Exception] {
+      Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+        .select(expr("sorted_intersect_count(a, b)")).head()
+    }
+    assert(err.getMessage.contains("sorted_intersect_count") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
