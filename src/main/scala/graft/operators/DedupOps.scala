@@ -454,11 +454,14 @@ object DedupOps {
     // propagation round read the cached pair list instead of recomputing
     // the whole shingle/posting/verify pipeline
     val pairs = dedupNgramJaccard(spark, dir).select(col("da"), col("db")).cache()
-    pairs.count() // materialize once — the union below reads cache twice
+    pairs.count() // materialize once — everything below reads the cache
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache()
-    var labels = Tables.documents(spark, dir)
+    // propagate only over docs that appear in a pair: label state scales
+    // with the number of DUPLICATED docs, not the corpus — unpaired docs
+    // are singletons by construction and rejoin at the end
+    var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lab")).cache()
     var prevSum = Long.MaxValue
     var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lab")))
@@ -468,9 +471,8 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("b"), col("lab").as("blab")), "b")
         .groupBy(col("a").as("doc_id")).agg(min(col("blab")).as("nlab"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      val updated = labels.join(neighborMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
         .cache()
       prevSum = sum
       sum = updated.agg(org.apache.spark.sql.functions.sum(col("lab")))
@@ -480,12 +482,18 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("lab"))))
-      .select(col("doc_id"), col("lab").as("canonical_id"),
-        col("cluster_size"),
-        (col("doc_id") === col("lab")).cast("long").as("is_survivor"))
+    // cluster sizes come from the (tiny) label table and broadcast back;
+    // singleton docs default to their own id with size 1 — the corpus
+    // side stays a map-only scan + broadcast join
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("sz"))
+    val labeled = labels.join(broadcast(sizes), "lab")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("canonical_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === coalesce(col("lab"), col("doc_id")))
+          .cast("long").as("is_survivor"))
       .orderBy(col("doc_id"))
   }
 
