@@ -79,6 +79,17 @@ object TextOps {
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The weighted quality formula over its raw components — shared by the
+    * batch query and the streaming document pipeline
+    * (graft.streaming.DocStreamJob). +1e-9 nudges exact .00005 boundaries
+    * off the half so Spark's decimal-string HALF_UP and DuckDB's
+    * binary-value round agree.
+    */
+  def qualityScore(nTokens: Column, stopRatio: Column, avgLen: Column): Column =
+    round(least(nTokens / lit(100.0), lit(1.0)) * 0.4
+      + (lit(1.0) - stopRatio) * 0.3
+      + least(avgLen / lit(6.0), lit(1.0)) * 0.3 + lit(1e-9), 4)
+
   /** Per-document quality score: length, stopword ratio, mean token
     * length — a deterministic analog of the heuristics used to filter web
     * corpora before LLM training.
@@ -95,11 +106,7 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("avg_len"), 4).as("avg_len"),
-        // +1e-9 nudges exact .00005 boundaries off the half so Spark's
-        // decimal-string HALF_UP and DuckDB's binary-value round agree.
-        round(least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
-          + (lit(1.0) - col("stop_ratio")) * 0.3
-          + least(col("avg_len") / lit(6.0), lit(1.0)) * 0.3 + lit(1e-9), 4).as("quality"))
+        qualityScore(col("n_tokens"), col("stop_ratio"), col("avg_len")).as("quality"))
       .withColumn("tier",
         when(col("quality") >= 0.8, lit("high"))
           .when(col("quality") >= 0.6, lit("mid"))
