@@ -585,7 +585,36 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Correlated LATERAL subquery (SQL surface): top-2 customers by
+    * balance per nation. Decorrelates to a ranked join — same shape as
+    * the window formulation, exercised through the parser/analyzer path.
+    */
+  def qLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation_v
+        |JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_v
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+        |) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
+  val qLateralTopnOracle: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation
+      |JOIN LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+      |) c ON true
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_topn" -> (qLateralTopn _),
     "q_approx_agg" -> (qApproxAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
@@ -611,6 +640,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_lateral_topn" -> qLateralTopnOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_local_supplier_volume" -> qLocalSupplierVolumeOracle,
     "q_union_by_name" -> qUnionByNameOracle,

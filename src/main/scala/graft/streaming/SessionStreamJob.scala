@@ -40,4 +40,22 @@ object SessionStreamJob {
       .withColumn("event_ts", tsCol)
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join (view -> click attribution): each click
+    * joins the views by the same user that preceded it by at most
+    * `window`. BOTH sides are watermarked and the join condition bounds
+    * event time on both sides, so Spark evicts join state once the
+    * watermark passes the interval — bounded state, the canonical
+    * stream-stream join shape. Expects `views(user_id, view_ts, ...)` and
+    * `clicks(user_id, click_ts, ...)`.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes", delay: String = "10 minutes"): DataFrame =
+    views.withWatermark("view_ts", delay).as("v")
+      .join(clicks.withWatermark("click_ts", delay).as("c"),
+        expr(s"""v.user_id = c.user_id
+                | AND c.click_ts >= v.view_ts
+                | AND c.click_ts <= v.view_ts + interval $window""".stripMargin))
+      .select(col("v.user_id").as("user_id"),
+        col("v.view_ts").as("view_ts"), col("c.click_ts").as("click_ts"))
 }

@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprinting should explode shingles once, nothing else:\n$plan")
   }
 
+  test("per-key top-k windows plan a partial WindowGroupLimit before the shuffle") {
+    // row_number + rk<=k must not sort whole partitions: Spark's
+    // InferWindowGroupLimit keeps only k rows per key map-side
+    val plan = finalPlan(graft.operators.SimilarityOps.simTopkBruteforce(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"), s"no map-side partial top-k in:\n$plan")
+  }
+
   test("spread is the identity when the scan is already parallel") {
     val already = spark.range(1000).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism)

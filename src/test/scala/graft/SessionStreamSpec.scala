@@ -38,6 +38,32 @@ class SessionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to preceding views " +
+      "with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = SessionStreamJob.attributeClicks(
+      views.toDF().toDF("user_id", "view_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"))
+    // both sides watermarked -> the unsupported-operation check passes and
+    // the plan carries join state eviction
+    assert(joined.queryExecution.logical.toString.contains("EventTimeWatermark"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      views.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, t("2024-01-01 10:05:00")),  // within 10 min of user 1's view
+        (2L, t("2024-01-01 10:30:00")),  // outside the window -> dropped
+        (3L, t("2024-01-01 10:02:00")))  // no matching view
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("user_id").as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"expected only user 1 attributed, got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each key once within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
