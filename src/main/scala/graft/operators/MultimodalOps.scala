@@ -107,9 +107,49 @@ object MultimodalOps {
       |         + CAST(instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS BIGINT)) / 255.0, 4) AS pseudo_score
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame size (bytes) and cap for [[multimodalFrameSample]]. */
+  val FrameBytes = 64
+  val MaxFrames = 8
+
+  /** Frame sampling over a media payload — the video-pipeline shape:
+    * split the payload into fixed-size frames, keep every 2nd frame up
+    * to a cap (bounded fan-out per record regardless of payload size),
+    * fingerprint each sampled frame. The explode is map-side; a real
+    * deployment swaps the substring+md5 for a frame decode, the
+    * offsets/stride/cap plumbing stays.
+    */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0L),
+          least(ceil(col("len") / lit(FrameBytes.toDouble)).cast("long"),
+            lit(MaxFrames.toLong)) - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * FrameBytes).as("byte_offset"),
+        md5(expr(s"CAST(substring(text, frame_idx * $FrameBytes + 1, $FrameBytes) AS BINARY)"))
+          .as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val multimodalFrameSampleOracle: String =
+    s"""WITH f AS (
+      |  SELECT doc_id AS media_id, text,
+      |         unnest(range(0, least(CAST(ceil(strlen(text) / $FrameBytes.0) AS BIGINT),
+      |                               $MaxFrames))) AS frame_idx
+      |  FROM documents)
+      |SELECT media_id, frame_idx,
+      |       frame_idx * $FrameBytes AS byte_offset,
+      |       md5(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_md5
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrameSample _))
 
   def oracles: Map[String, String] = Map(
-    "multimodal_features" -> multimodalFeaturesOracle)
+    "multimodal_features" -> multimodalFeaturesOracle,
+    "multimodal_frames" -> multimodalFrameSampleOracle)
 }

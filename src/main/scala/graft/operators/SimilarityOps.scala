@@ -239,11 +239,59 @@ object SimilarityOps {
     cents.toSeq.sortBy(_._1).toDF("cell", "centroid")
   }
 
+  /** Symmetric int8 quantization stats per vector — the storage-scale
+    * path for embedding tables (4x smaller than float32): scale =
+    * max|x|, q_i = round(127 * x_i / scale), plus the reconstruction
+    * MSE the quantization costs. Map-only array folds (no shuffle, no
+    * UDF); scalar outputs so the result stays sink/oracle-friendly.
+    */
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding"),
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))).as("scale_raw"))
+      .select(col("vec_id"),
+        round(col("scale_raw"), 6).as("scale"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => least(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long")))
+          .as("q_min"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => greatest(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long")))
+          .as("q_max"),
+        round(
+          aggregate(col("embedding"), lit(0.0d), (acc, x) => {
+            val xd = x.cast("double")
+            val deq = round(lit(127.0) * xd / col("scale_raw")).cast("double") *
+              col("scale_raw") / lit(127.0)
+            acc + (xd - deq) * (xd - deq)
+          }) / size(col("embedding")), 10).as("mse"))
+      .orderBy(col("vec_id"))
+
+  val simQuantizeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale_raw
+      |  FROM e)
+      |SELECT vec_id,
+      |       round(scale_raw, 6) AS scale,
+      |       CAST(least(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'min')) AS BIGINT) AS q_min,
+      |       CAST(greatest(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'max')) AS BIGINT) AS q_max,
+      |       round(list_aggregate(list_transform(v,
+      |               x -> (x - round(127.0 * x / scale_raw) * scale_raw / 127.0)
+      |                    * (x - round(127.0 * x / scale_raw) * scale_raw / 127.0)), 'sum')
+      |             / len(v), 10) AS mse
+      |FROM s ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
-    "sim_ivf_topk" -> (simIvfTopk _))
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
-    "sim_ivf_topk" -> simIvfTopkOracle)
+    "sim_ivf_topk" -> simIvfTopkOracle,
+    "sim_quantize" -> simQuantizeOracle)
 }
