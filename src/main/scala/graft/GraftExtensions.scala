@@ -42,5 +42,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sorted_intersect_count(a, b) takes exactly 2 arguments, got ${exprs.length}")
         SortedIntersectCount(exprs.head, exprs(1))
       }))
+    e.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
   }
 }

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Literal, Size, SortArray}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import graft.functions.SortedIntersectCount
+
+/** Optimizer rule: `size(array_intersect(sort_array(a), sort_array(b)))`
+  * over non-null bigint arrays -> the native two-pointer
+  * [[graft.functions.SortedIntersectCount]] merge.
+  *
+  * The built-in pair builds a hash set per row per side to compute an
+  * intersection ARRAY that the caller immediately reduces to its size;
+  * when both inputs are provably sorted (explicit ascending
+  * `sort_array`) the merge computes the count directly with zero
+  * allocation. Users who write the idiomatic built-in form get the
+  * native expression for free when the engine's extensions are installed
+  * (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `spark.experimental.extraOptimizations` for an existing session).
+  *
+  * Guards: both sides ascending `sort_array`, both element types bigint
+  * with containsNull=false (the merge reads primitive longs). The
+  * replacement is wrapped in a cast back to `size`'s result type so the
+  * rewrite never changes the plan's schema.
+  */
+object RewriteSortedIntersect extends Rule[LogicalPlan] {
+
+  private def sortedLongs(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case SortArray(base, Literal(true, _)) =>
+        base.dataType == ArrayType(LongType, containsNull = false)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case s @ Size(ArrayIntersect(l, r), _) if sortedLongs(l) && sortedLongs(r) =>
+        Cast(SortedIntersectCount(l, r), s.dataType)
+    }
+}

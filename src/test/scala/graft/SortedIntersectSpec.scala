@@ -49,6 +49,32 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
   }
 
+  test("optimizer rule rewrites size(array_intersect(sort_array, sort_array)) " +
+      "to the native merge") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
+    val df = spark.range(8)
+      .select(array(col("id"), col("id") + 2).as("a"),
+        array(col("id") + 2, col("id") + 4).as("b"))
+      .select(size(array_intersect(sort_array(col("a")), sort_array(col("b"))))
+        .as("n"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"), "rule did not fire:\n" +
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().forall(_.getInt(0) == 1))
+  }
+
+  test("rule leaves unsorted or non-bigint inputs untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
+    val plain = spark.range(4)
+      .select(array(col("id")).as("a"), array(col("id")).as("b"))
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(!plain.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"))
+    assert(plain.collect().forall(_.getInt(0) == 1))
+  }
+
   test("non-bigint arrays are rejected at analysis time") {
     SortedIntersectCount.register(spark)
     val err = intercept[Exception] {
