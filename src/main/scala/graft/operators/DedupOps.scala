@@ -460,9 +460,12 @@ object DedupOps {
       .cache()
     // propagate only over docs that appear in a pair: label state scales
     // with the number of DUPLICATED docs, not the corpus — unpaired docs
-    // are singletons by construction and rejoin at the end
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lab")).cache()
+    // are singletons by construction and rejoin at the end. The first
+    // propagation round is fused into the init (label = min over self +
+    // direct neighbors), so clique-shaped components — the typical
+    // near-dup case — are final before the loop runs a single round.
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(least(col("a"), col("b"))).as("lab")).cache()
     var prevSum = Long.MaxValue
     var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lab")))
       .head().getLong(0)
