@@ -209,7 +209,61 @@ object EventOps {
       |       CAST(len(string_split_regex(props, '[0-9]+')) - 1 AS BIGINT) AS n_redacted
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Pairwise time-series similarity: Pearson correlation between users'
+    * hourly activity profiles. Profiles pre-aggregate to (user, hour)
+    * before the hour-aligned self-join, so the join input is key-space
+    * sized; correlation is computed from explicit co-moment sums (not the
+    * corr() aggregate) so the arithmetic is identical algebra in both
+    * engines. Rounded inputs + 4-dp output keep double sums cross-engine
+    * stable.
+    */
+  def eventsSeriesCorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = withMicros(Tables.events(spark, dir))
+      .filter(col("user_id") < 5)
+      .withColumn("hour", hour(timestamp_micros(col("us"))).cast("long"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(round(sum(col("value")), 5).as("v"))
+    val joined = hourly.as("a").join(hourly.as("b"),
+        col("a.hour") === col("b.hour") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    joined.groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("ua"), col("ub"), col("n_hours"),
+        round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_hours") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("pearson"))
+      .orderBy(col("ua"), col("ub"))
+  }
+
+  val eventsSeriesCorrOracle: String =
+    """WITH hourly AS (
+      |  SELECT user_id,
+      |         CAST(EXTRACT(hour FROM make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour,
+      |         round(SUM(value), 5) AS v
+      |  FROM events WHERE user_id < 5
+      |  GROUP BY user_id, 2),
+      |j AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, a.v AS x, b.v AS y
+      |  FROM hourly a JOIN hourly b
+      |    ON a.hour = b.hour AND a.user_id < b.user_id),
+      |m AS (
+      |  SELECT ua, ub, COUNT(*) AS n_hours,
+      |         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+      |         SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM j GROUP BY ua, ub)
+      |SELECT ua, ub, n_hours,
+      |       round((n_hours * sxy - sx * sy)
+      |             / sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)), 4) AS pearson
+      |FROM m ORDER BY ua, ub""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_series_corr" -> (eventsSeriesCorr _),
     "events_funnel" -> (eventsFunnel _),
     "events_redact" -> (eventsRedact _),
     "events_sample_bottomk" -> (eventsSampleBottomK _),
@@ -218,6 +272,7 @@ object EventOps {
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_series_corr" -> eventsSeriesCorrOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_redact" -> eventsRedactOracle,
     "events_sample_bottomk" -> eventsSampleBottomKOracle,

@@ -613,7 +613,38 @@ object RelationalOps {
       |) c ON true
       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
+  /** Full outer join with null-side accounting: per-nation customer and
+    * supplier counts including nations present on only one side. Both
+    * sides pre-aggregate to key-space size BEFORE the join (shuffle
+    * carries nation-sized rows, not fact rows).
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val byNationC = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_customers"))
+    val byNationS = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_suppliers"))
+    byNationC.join(byNationS, Seq("nk"), "full_outer")
+      .select(col("nk").cast("long").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterOracle: String =
+    """SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+      |       COALESCE(c.n_customers, 0) AS n_customers,
+      |       COALESCE(s.n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      |      FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+      |ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
     "q_lateral_topn" -> (qLateralTopn _),
     "q_approx_agg" -> (qApproxAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -640,6 +671,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_full_outer" -> qFullOuterOracle,
     "q_lateral_topn" -> qLateralTopnOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_local_supplier_volume" -> qLocalSupplierVolumeOracle,
