@@ -131,6 +131,37 @@ class WeatherStreamSpec extends AnyFunSuite {
     assert(ts == Set("2025-01-10 18:00:00.0")) // epoch 1736532000 in UTC
   }
 
+  test("JDBC upsert sink: re-emissions replace the key's row instead of " +
+      "duplicating (production variant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:weatherup;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE weather_data (
+        |"id" INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |"timestamp" TIMESTAMP, "lat" DOUBLE, "lon" DOUBLE,
+        |"hourly_precipitation" DOUBLE)""".stripMargin)
+    finally conn.close()
+
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("weather_upsert_ckpt").toString
+    val agg = WeatherStreamJob.aggregate(stream.toDF())
+    val q = WeatherStreamJob.start(agg, ckpt, Trigger.ProcessingTime(0))(
+      WeatherStreamJob.jdbcUpsertSink(url, "weather_data"))
+    try {
+      stream.addData(msg(1736532000L, 0.5, 52.0, 5.1))
+      q.processAllAvailable()
+      stream.addData(msg(1736532000L, 0.25, 52.0, 5.1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "weather_data").load()
+    val vals = back.select("hourly_precipitation").as[Double].collect()
+    assert(vals.toSeq == Seq(0.75), // ONE row, holding the accumulated sum
+      s"expected single upserted row, got ${vals.toSeq}")
+  }
+
   test("Kafka message contract (S3): consumer plan runs over the exact " +
       "Kafka scan schema, binary value decoded as UTF-8") {
     // the 7 columns a kafka streaming scan produces; producer messages
