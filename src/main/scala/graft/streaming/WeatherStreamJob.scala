@@ -111,6 +111,19 @@ object WeatherStreamJob {
     batch.select(col("event_time"), col("lat"), col("lon"), col("hourly_precipitation"))
       .write.mode("append").parquet(outDir)
 
+  /** Replay-safe parquet sink: the micro-batch id becomes a partition
+    * directory written with overwrite, so a batch REPLAYED after a
+    * failure (foreachBatch is at-least-once) replaces its own previous
+    * attempt instead of appending duplicates — exactly-once delivery to
+    * the file sink given Spark's deterministic batch replay. The plain
+    * [[parquetSink]] keeps the reference's duplicating append semantics.
+    */
+  def idempotentParquetSink(outDir: String): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      batch.select(col("event_time"), col("lat"), col("lon"),
+        col("hourly_precipitation"))
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
   /** JDBC sink writer — the reference's core output (S6,
     * weather_processor.py:238-250 + init.sql:1-7), executor-parallel:
     * `.format("jdbc")` append opens one connection per partition and

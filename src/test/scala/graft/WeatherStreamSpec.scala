@@ -131,6 +131,20 @@ class WeatherStreamSpec extends AnyFunSuite {
     assert(ts == Set("2025-01-10 18:00:00.0")) // epoch 1736532000 in UTC
   }
 
+  test("idempotent parquet sink: a replayed batch overwrites its own " +
+      "output instead of duplicating") {
+    val out = Files.createTempDirectory("weather_idem").toString
+    val batch = Seq(("2025-01-10 18:00:00", 52.0, 5.1, 0.5))
+      .toDF("event_time", "lat", "lon", "hourly_precipitation")
+    val sink = WeatherStreamJob.idempotentParquetSink(out)
+    sink(batch, 0L)
+    sink(batch, 0L) // simulated at-least-once replay of the same batch id
+    sink(batch, 1L)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == 2, "replayed batch duplicated rows")
+    assert(sunk.select("batch_id").distinct().count() == 2)
+  }
+
   test("JDBC upsert sink: re-emissions replace the key's row instead of " +
       "duplicating (production variant)") {
     implicit val sqlCtx = spark.sqlContext
