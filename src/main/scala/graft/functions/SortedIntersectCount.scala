@@ -7,18 +7,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native Catalyst expression: |A ∩ B| for two SORTED array<bigint>
-  * columns via a fused two-pointer merge — O(|A|+|B|) with zero
-  * allocation, inside whole-stage codegen.
+/** Native Catalyst expression: |A ∩ B| (DISTINCT common values) for two
+  * SORTED array<bigint> columns via a fused two-pointer merge —
+  * O(|A|+|B|) with zero allocation, inside whole-stage codegen.
   *
   * This is the hot inner operation of near-dup verification
   * (graft.operators.DedupOps.verifyJaccard): `array_intersect` builds a
-  * hash set per row per side; for the sorted distinct shingle-hash sets
-  * the dedup pipeline produces (`sort_array(collect_list(...))`), the
-  * merge needs no structure at all. Inputs MUST be sorted ascending;
-  * duplicate elements count once per matching pair of occurrences
-  * (dedup callers pass distinct sets, so intersection semantics are
-  * exact).
+  * hash set per row per side; for the sorted shingle-hash sets the dedup
+  * pipeline produces (`sort_array(collect_list(...))`), the merge needs
+  * no structure at all. Inputs MUST be sorted ascending. On a matched
+  * value both pointers advance past the entire equal run, so duplicate
+  * elements count ONCE — exactly `size(array_intersect(a, b))` set
+  * semantics, which is what lets [[graft.plans.RewriteSortedIntersect]]
+  * substitute this expression in arbitrary user plans.
   *
   * Null contract: null if either input is null (BinaryExpression default).
   */
@@ -45,7 +46,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
+      if (xv == yv) {
+        c += 1
+        // skip the full equal run on both sides: distinct-value count
+        while (i < nx && x.getLong(i) == xv) i += 1
+        while (j < ny && y.getLong(j) == yv) j += 1
+      }
       else if (xv < yv) i += 1
       else j += 1
     }
@@ -64,7 +70,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |while ($i < $nx && $j < $ny) {
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { ${ev.value}_c++; $i++; $j++; }
+         |  if ($xv == $yv) {
+         |    ${ev.value}_c++;
+         |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
+         |  }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
          |${ev.value} = ${ev.value}_c;

@@ -81,20 +81,28 @@ object DedupOps {
       conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
   }
 
+  /** Single source of truth for oracle shingle generation (per-doc
+    * distinct word 3-grams) — wrapped by BOTH [[shingleCte]] (string
+    * shingles, simhash oracles) and [[hashedShingleCte]] (60-bit halves,
+    * jaccard/minhash/clusters/contamination oracles), so the shingle
+    * definition can never silently diverge between oracle families.
+    */
+  private val rawShingleSelect =
+    """SELECT doc_id, unnest(list_distinct(
+      |           list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3""".stripMargin
+
   /** Hashed-shingle CTE shared by the ngram/minhash oracles — mirrors
     * [[docShingleHashes]].
     */
   private val hashedShingleCte =
-    """sh AS (
+    s"""sh AS (
       |  SELECT doc_id,
       |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
       |         CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) AS h2
-      |  FROM (
-      |    SELECT doc_id, unnest(list_distinct(
-      |             list_transform(range(1, greatest(len(t) - 1, 1)),
-      |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |    WHERE len(t) >= 3)),
+      |  FROM ($rawShingleSelect)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Per-doc distinct shingle-hash sets as arrays (one row per doc), with
@@ -166,12 +174,8 @@ object DedupOps {
   }
 
   private val shingleCte =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |           list_transform(range(1, greatest(len(t) - 1, 1)),
-      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 3),
+    s"""sh AS (
+      |  $rawShingleSelect),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
 
   val dedupNgramJaccardOracle: String =
@@ -466,9 +470,16 @@ object DedupOps {
     // near-dup case — are final before the loop runs a single round.
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(least(col("a"), col("b"))).as("lab")).cache()
-    var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lab")))
-      .head().getLong(0)
+    // convergence metric: sum of labels, monotonically decreasing.
+    // decimal(38,0) cannot overflow at any doc_id scale; empty label set
+    // (no pairs at all) sums to null -> 0 and the loop exits immediately.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val s = df.agg(org.apache.spark.sql.functions.sum(
+        col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) BigDecimal(0) else BigDecimal(s)
+    }
+    var prevSum = BigDecimal(Long.MaxValue) * BigDecimal(Long.MaxValue)
+    var sum = labelSum(labels)
     var iter = 0
     while (sum < prevSum && iter < MaxCcIterations) {
       val neighborMin = edges
@@ -478,12 +489,17 @@ object DedupOps {
         .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
         .cache()
       prevSum = sum
-      sum = updated.agg(org.apache.spark.sql.functions.sum(col("lab")))
-        .head().getLong(0)
+      sum = labelSum(updated)
       labels.unpersist()
       labels = updated
       iter += 1
     }
+    // wrong clusters are worse than a loud failure: a component whose
+    // diameter exceeds the round budget must not ship a split manifest
+    if (sum < prevSum)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $MaxCcIterations rounds " +
+          "(pathological long-chain component); raise MaxCcIterations")
     edges.unpersist()
     // cluster sizes come from the (tiny) label table and broadcast back;
     // singleton docs default to their own id with size 1 — the corpus

@@ -233,10 +233,15 @@ object EventOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      .withColumn("den2",
+        (col("n_hours") * col("sxx") - col("sx") * col("sx"))
+          * (col("n_hours") * col("syy") - col("sy") * col("sy")))
       .select(col("ua"), col("ub"), col("n_hours"),
-        round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
-          / sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx"))
-            * (col("n_hours") * col("syy") - col("sy") * col("sy"))), 4)
+        // a zero-variance series has no defined correlation: NULL, not
+        // NaN (and identically NULL in the oracle)
+        when(col("den2") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("den2")), 4))
           .as("pearson"))
       .orderBy(col("ua"), col("ub"))
   }
@@ -256,11 +261,14 @@ object EventOps {
       |  SELECT ua, ub, COUNT(*) AS n_hours,
       |         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
       |         SUM(x*x) AS sxx, SUM(y*y) AS syy
-      |  FROM j GROUP BY ua, ub)
+      |  FROM j GROUP BY ua, ub),
+      |d AS (
+      |  SELECT *, (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy) AS den2
+      |  FROM m)
       |SELECT ua, ub, n_hours,
-      |       round((n_hours * sxy - sx * sy)
-      |             / sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)), 4) AS pearson
-      |FROM m ORDER BY ua, ub""".stripMargin
+      |       CASE WHEN den2 <= 0 THEN NULL
+      |            ELSE round((n_hours * sxy - sx * sy) / sqrt(den2), 4) END AS pearson
+      |FROM d ORDER BY ua, ub""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_series_corr" -> (eventsSeriesCorr _),

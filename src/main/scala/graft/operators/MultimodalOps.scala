@@ -123,9 +123,13 @@ object MultimodalOps {
       .select(col("doc_id").as("media_id"), col("text"),
         length(col("text")).cast("long").as("len"))
       .select(col("media_id"), col("text"),
-        explode(sequence(lit(0L),
-          least(ceil(col("len") / lit(FrameBytes.toDouble)).cast("long"),
-            lit(MaxFrames.toLong)) - 1)).as("frame_idx"))
+        // empty/null payloads yield NO frames (sequence(0,-1) would emit
+        // a descending [0,-1] — guard matches the oracle's empty range)
+        explode(when(col("len") > 0,
+          sequence(lit(0L),
+            least(ceil(col("len") / lit(FrameBytes.toDouble)).cast("long"),
+              lit(MaxFrames.toLong)) - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
       .filter(col("frame_idx") % 2 === 0)
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * FrameBytes).as("byte_offset"),

@@ -41,7 +41,11 @@ object TextOps {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // .rdd is illegal on streaming plans (and micro-batch sizing is the
+    // trigger's job anyway) — streaming frames keep the plain repartition
+    if (df.isStreaming) df.repartition(target)
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** Distinct shingles per doc as (doc_id, shingle) pairs. */
@@ -294,6 +298,8 @@ object TextOps {
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(Tables.documents(spark, dir))
+    // N for the idf term: a zero-column count over parquet (row counts
+    // come from footers, no data pages read) — not a second table scan
     val n = Tables.documents(spark, dir).count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))

@@ -20,9 +20,11 @@ import graft.functions.SortedIntersectCount
   * `spark.experimental.extraOptimizations` for an existing session).
   *
   * Guards: both sides ascending `sort_array`, both element types bigint
-  * with containsNull=false (the merge reads primitive longs). The
-  * replacement is wrapped in a cast back to `size`'s result type so the
-  * rewrite never changes the plan's schema.
+  * with containsNull=false (the merge reads primitive longs). The merge
+  * counts DISTINCT common values — identical to `array_intersect` set
+  * semantics even when inputs contain duplicate runs — and the
+  * replacement is wrapped in a cast back to `size`'s result type, so the
+  * rewrite never changes results or schema.
   */
 object RewriteSortedIntersect extends Rule[LogicalPlan] {
 

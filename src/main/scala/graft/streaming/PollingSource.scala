@@ -37,7 +37,11 @@ class PollingSource(
     fetch: (Double, Double) => Option[String],
     intervalMs: Long = 60000L) {
 
-  private val seq = new AtomicLong(0)
+  // Resume the file sequence after the max already staged: a restarted
+  // poller must never reuse a name the checkpointed file source has
+  // already recorded (an ATOMIC_MOVE onto poll-0.json would be silently
+  // ignored by the source forever).
+  private val seq = new AtomicLong(PollingSource.nextSeq(stagingDir))
   private val exec = Executors.newSingleThreadScheduledExecutor { r =>
     val t = new Thread(r, "graft-polling-source"); t.setDaemon(true); t
   }
@@ -60,15 +64,44 @@ class PollingSource(
 
   /** Begin polling at the configured cadence (first round immediately,
     * mirroring the reference's poll-then-sleep loop,
-    * weather_stream.py:157-159).
+    * weather_stream.py:157-159). The round body is exception-guarded:
+    * `scheduleAtFixedRate` permanently cancels the task on an uncaught
+    * throw, so a single transient fetch/IO failure must not end
+    * ingestion — log-and-keep-polling, like the reference
+    * (weather_stream.py:146-151).
     */
   def start(): Unit =
-    exec.scheduleAtFixedRate(() => pollOnce(), 0, intervalMs, TimeUnit.MILLISECONDS)
+    exec.scheduleAtFixedRate(() =>
+      try pollOnce()
+      catch { case e: Throwable =>
+        System.err.println(s"[polling-source] poll round failed, continuing: $e")
+      },
+      0, intervalMs, TimeUnit.MILLISECONDS)
 
   def stop(): Unit = exec.shutdownNow()
 }
 
 object PollingSource {
+
+  /** First unused staging sequence number: one past the max already on
+    * disk (restart safety), 0 for a fresh directory.
+    */
+  private[streaming] def nextSeq(stagingDir: String): Long = {
+    val dir = Paths.get(stagingDir)
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val stream = Files.list(dir)
+      try {
+        val pat = "poll-(\\d+)\\.json".r
+        var max = -1L
+        stream.forEach { p =>
+          pat.findFirstMatchIn(p.getFileName.toString)
+            .foreach(m => max = math.max(max, m.group(1).toLong))
+        }
+        max + 1
+      } finally stream.close()
+    }
+  }
 
   /** The One Call 3.0 document shape the producer consumes — `minutely`
     * only; the poll URL excludes hourly/daily/current

@@ -48,6 +48,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clusters on a pair-free corpus: every doc is its own singleton " +
+      "(no NPE on the empty label sum)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nodup").toString
+    Seq((1L, "alpha beta gamma delta", "en", "s0", 22L),
+        (2L, "epsilon zeta eta theta", "en", "s1", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.dedupClusters(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "singleton not self-canonical")
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+    }
+  }
+
   test("near-dup pairs sit far below the random simhash hamming baseline") {
     val fp = DedupOps.dedupSimhash(spark, TestSpark.sfDir)
     val jac = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir)

@@ -67,7 +67,11 @@ class PollingSourceSpec extends AnyFunSuite {
 
     src.pollOnce()
     runOnce()
-    src.pollOnce()
+    // restarted POLLER instance too: its sequence must resume after the
+    // files already staged, not overwrite poll-0.json (which the
+    // checkpointed file source would silently never re-read)
+    val src2 = new PollingSource(staging, Seq((52.0, 5.1)), fetch)
+    src2.pollOnce()
     runOnce() // fresh query instance, same checkpoint
     val sunk = spark.read.parquet(out)
       .collect().map(_.getAs[Double]("hourly_precipitation")).toSeq.sorted

@@ -18,11 +18,13 @@ class SortedIntersectSpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(202L + i)))
 
-  test("matches size(array_intersect) on random sorted distinct arrays") {
+  test("matches size(array_intersect) on random sorted arrays, " +
+      "duplicates included (distinct-value semantics)") {
     SortedIntersectCount.register(spark)
-    val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    // small value range forces duplicate runs inside the arrays
+    val gen = Gen.listOf(Gen.chooseNum(-30L, 30L))
     val cases = samples(gen.flatMap(a => gen.map(b => (a, b))), 60)
-    val rows = cases.map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+    val rows = cases.map { case (a, b) => (a.sorted, b.sorted) }
       .toDF("a", "b")
       .select(
         expr("sorted_intersect_count(a, b)").as("merge"),
