@@ -24,6 +24,24 @@ class ApproxJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles sit close to the exact quantiles") {
+    val approx = RelationalOps.qApproxAgg(spark, TestSpark.sfDir)
+      .select("l_returnflag", "price_p50", "price_p95")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, p50, p95) => k -> (p50, p95) }.toMap
+    val exact = Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95"))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, e50, e95) => k -> (e50, e95) }.toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (p50, p95) = approx(k)
+      assert(math.abs(p50 - e50) / e50 <= 0.02, s"flag $k p50: $p50 vs $e50")
+      assert(math.abs(p95 - e95) / e95 <= 0.02, s"flag $k p95: $p95 vs $e95")
+    }
+  }
+
   test("as-of join matches a right row at the exact same timestamp (inclusive bound)") {
     val left = Seq((1L, 100L), (2L, 50L)).toDF("id", "ts")
     val right = Seq((10L, 100L), (11L, 99L)).toDF("rid", "ts_r")

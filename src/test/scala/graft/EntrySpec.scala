@@ -30,4 +30,24 @@ class EntrySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  test("no stale oracle entries (every oracle key is a registered query)") {
+    val stale = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"oracle SQL without a query: $stale")
+  }
+
+  test("no query-name collisions between operator modules (Map ++ would " +
+      "silently shadow one)") {
+    import graft.operators._
+    val moduleMaps = Seq(
+      WeatherOps.queries, RelationalOps.queries, TextOps.queries,
+      DedupOps.queries, SimilarityOps.queries, EventOps.queries,
+      MultimodalOps.queries, JoinOps.queries, RangeJoinOps.queries)
+    val totalDeclared = moduleMaps.map(_.size).sum
+    assert(totalDeclared == SparkEntry.queries.size,
+      s"$totalDeclared names declared across modules but only " +
+        s"${SparkEntry.queries.size} survive the union — duplicate names: " +
+        moduleMaps.flatMap(_.keys).groupBy(identity)
+          .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+  }
 }
