@@ -394,7 +394,50 @@ object TextOps {
       |      % 100 < $SamplePct
       |ORDER BY doc_id""".stripMargin
 
+  /** Samples kept per stratum by [[sampleWeighted]]. */
+  val WeightedSampleK = 10
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): key_i = -ln(u_i) / w_i with u_i a uniform
+    * derived from md5(doc_id) and w_i = n_chars; the k smallest keys per
+    * lang are the sample, so longer documents are proportionally more
+    * likely — the length/quality-weighted selection step of training-data
+    * curation. Same sample on any engine, row order, or partitioning;
+    * the per-key top-k plans as a map-side partial WindowGroupLimit.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val hk = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("double")
+    // u in (0, 1]: (h + 1) / 2^60
+    val u = (hk + lit(1.0)) / lit(math.pow(2.0, 60))
+    val key = -log(u) / col("n_chars")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))))
+      .filter(col("rk") <= WeightedSampleK)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleWeightedOracle: String =
+    s"""WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |              + 1.0) / power(2.0, 60)) / n_chars AS es_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |            ORDER BY es_key, doc_id) AS rk
+      |  FROM keyed)
+      |SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= $WeightedSampleK
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "text_tfidf" -> (textTfidf _),
     "text_packing" -> (textPacking _),
     "sample_stratified" -> (sampleStratified _),
@@ -407,6 +450,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "sample_weighted" -> sampleWeightedOracle,
     "text_tfidf" -> textTfidfOracle,
     "text_packing" -> textPackingOracle,
     "sample_stratified" -> sampleStratifiedOracle,

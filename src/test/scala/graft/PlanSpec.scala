@@ -86,6 +86,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), s"no map-side partial top-k in:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local fixtures are far below the 10GB production threshold
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join — broadcast joins prune by themselves
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = graft.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000)
+      val li = graft.Tables.lineitem(spark, dir)
+      val joined = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+      joined.collect() // and it executes
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("spread is the identity when the scan is already parallel") {
     val already = spark.range(1000).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism)
