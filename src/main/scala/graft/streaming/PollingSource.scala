@@ -114,9 +114,17 @@ object PollingSource {
       StructField("dt", LongType),
       StructField("precipitation", DoubleType)))))))
 
-  /** Streaming scan over the staged payloads. */
-  def readStaged(spark: SparkSession, stagingDir: String): DataFrame =
-    spark.readStream.schema(oneCallSchema).json(stagingDir)
+  /** Streaming scan over the staged payloads. `maxFilesPerTrigger`
+    * bounds each micro-batch after downtime (backpressure: a poller that
+    * ran while the query was down leaves a backlog; without the cap the
+    * first batch swallows it whole).
+    */
+  def readStaged(spark: SparkSession, stagingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(oneCallSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(stagingDir)
+  }
 
   /** Producer math in-engine (weather_stream.py:124-138): skip documents
     * without `minutely` (the :124 guard), fold the minutely array with

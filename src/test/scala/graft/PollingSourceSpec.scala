@@ -82,6 +82,26 @@ class PollingSourceSpec extends AnyFunSuite {
     assert(sunk == Seq(1.0, 2.0), s"unexpected sink contents $sunk")
   }
 
+  test("maxFilesPerTrigger drains a staged backlog in bounded micro-batches") {
+    val staging = Files.createTempDirectory("graft_poll_bp").toString
+    val fetch: (Double, Double) => Option[String] =
+      (lat, lon) => Some(oneCall(lat, lon, Seq(1736532000L -> Some(1.0))))
+    val src = new PollingSource(staging, Seq((52.0, 5.1)), fetch)
+    (1 to 4).foreach(_ => src.pollOnce()) // backlog before the query starts
+    val agg = WeatherStreamJob.aggregate(PollingSource.producerMessages(
+      PollingSource.readStaged(spark, staging, maxFilesPerTrigger = Some(1))))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("bp_out").start()
+    try {
+      q.processAllAvailable()
+      // 4 files drained one per batch: the key re-emits 4 times with the
+      // running sum 1.0 .. 4.0 (one emission per micro-batch)
+      val sums = spark.table("bp_out").collect()
+        .map(_.getAs[Double]("hourly_precipitation")).toSeq.sorted
+      assert(sums == Seq(1.0, 2.0, 3.0, 4.0), s"expected 4 bounded batches, got $sums")
+    } finally q.stop()
+  }
+
   test("streaming: staged polls flow through producer + consumer plans") {
     val staging = Files.createTempDirectory("graft_poll_stream").toString
     var round = 0
