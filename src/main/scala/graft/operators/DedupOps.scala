@@ -481,26 +481,32 @@ object DedupOps {
     var prevSum = BigDecimal(Long.MaxValue) * BigDecimal(Long.MaxValue)
     var sum = labelSum(labels)
     var iter = 0
-    while (sum < prevSum && iter < MaxCcIterations) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("lab").as("blab")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min(col("blab")).as("nlab"))
-      val updated = labels.join(neighborMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
-        .cache()
-      prevSum = sum
-      sum = labelSum(updated)
-      labels.unpersist()
-      labels = updated
-      iter += 1
+    try {
+      while (sum < prevSum && iter < MaxCcIterations) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("b"), col("lab").as("blab")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min(col("blab")).as("nlab"))
+        val updated = labels.join(neighborMin, Seq("doc_id"))
+          .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
+          .cache()
+        prevSum = sum
+        sum = labelSum(updated)
+        labels.unpersist()
+        labels = updated
+        iter += 1
+      }
+      // wrong clusters are worse than a loud failure: a component whose
+      // diameter exceeds the round budget must not ship a split manifest
+      if (sum < prevSum)
+        throw new IllegalStateException(
+          s"dedupClusters did not converge within $MaxCcIterations rounds " +
+            "(pathological long-chain component); raise MaxCcIterations")
+    } finally {
+      // labels stays cached (it backs the returned plan); the session
+      // must not keep pair/edge storage on any exit path
+      edges.unpersist()
+      pairs.unpersist()
     }
-    // wrong clusters are worse than a loud failure: a component whose
-    // diameter exceeds the round budget must not ship a split manifest
-    if (sum < prevSum)
-      throw new IllegalStateException(
-        s"dedupClusters did not converge within $MaxCcIterations rounds " +
-          "(pathological long-chain component); raise MaxCcIterations")
-    edges.unpersist()
     // cluster sizes come from the (tiny) label table and broadcast back;
     // singleton docs default to their own id with size 1 — the corpus
     // side stays a map-only scan + broadcast join

@@ -233,15 +233,15 @@ object EventOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("den2",
-        (col("n_hours") * col("sxx") - col("sx") * col("sx"))
-          * (col("n_hours") * col("syy") - col("sy") * col("sy")))
+      .withColumn("varx", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n_hours") * col("syy") - col("sy") * col("sy"))
       .select(col("ua"), col("ub"), col("n_hours"),
         // a zero-variance series has no defined correlation: NULL, not
-        // NaN (and identically NULL in the oracle)
-        when(col("den2") <= 0, lit(null).cast("double"))
+        // NaN. Guard each factor — a product of two tiny NEGATIVE fp
+        // residuals would sneak past a den2 <= 0 check as positive.
+        when(col("varx") <= 0 || col("vary") <= 0, lit(null).cast("double"))
           .otherwise(round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
-            / sqrt(col("den2")), 4))
+            / sqrt(col("varx") * col("vary")), 4))
           .as("pearson"))
       .orderBy(col("ua"), col("ub"))
   }
@@ -263,11 +263,12 @@ object EventOps {
       |         SUM(x*x) AS sxx, SUM(y*y) AS syy
       |  FROM j GROUP BY ua, ub),
       |d AS (
-      |  SELECT *, (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy) AS den2
+      |  SELECT *, n_hours * sxx - sx * sx AS varx,
+      |         n_hours * syy - sy * sy AS vary
       |  FROM m)
       |SELECT ua, ub, n_hours,
-      |       CASE WHEN den2 <= 0 THEN NULL
-      |            ELSE round((n_hours * sxy - sx * sy) / sqrt(den2), 4) END AS pearson
+      |       CASE WHEN varx <= 0 OR vary <= 0 THEN NULL
+      |            ELSE round((n_hours * sxy - sx * sy) / sqrt(varx * vary), 4) END AS pearson
       |FROM d ORDER BY ua, ub""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,12 +40,13 @@ object TextOps {
     * scale.
     */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames pass through: .rdd is illegal there, and
+    // micro-batch parallelism is the source/trigger's job — an
+    // unconditional per-batch shuffle is exactly what this gate exists
+    // to avoid
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd is illegal on streaming plans (and micro-batch sizing is the
-    // trigger's job anyway) — streaming frames keep the plain repartition
-    if (df.isStreaming) df.repartition(target)
-    else if (df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Distinct shingles per doc as (doc_id, shingle) pairs. */
@@ -413,6 +414,9 @@ object TextOps {
     val u = (hk + lit(1.0)) / lit(math.pow(2.0, 60))
     val key = -log(u) / col("n_chars")
     Tables.documents(spark, dir)
+      // zero/null-weight docs are unsampleable (and would divide by zero
+      // under ANSI / rank NULLS-FIRST): excluded identically in the oracle
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))))
@@ -427,7 +431,7 @@ object TextOps {
       |  SELECT doc_id, lang, n_chars,
       |         -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
       |              + 1.0) / power(2.0, 60)) / n_chars AS es_key
-      |  FROM documents),
+      |  FROM documents WHERE n_chars > 0),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY lang
       |            ORDER BY es_key, doc_id) AS rk

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Literal, Size, SortArray}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, LongType}
 import graft.functions.SortedIntersectCount
 
@@ -37,7 +38,11 @@ object RewriteSortedIntersect extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case s @ Size(ArrayIntersect(l, r), _) if sortedLongs(l) && sortedLongs(r) =>
+      // under legacy sizeOfNull (ANSI off), size(NULL) = -1 while the
+      // merge returns NULL — only rewrite when a NULL input is provably
+      // impossible, so the substitution can never change results
+      case s @ Size(ArrayIntersect(l, r), _) if sortedLongs(l) && sortedLongs(r) &&
+          (!SQLConf.get.legacySizeOfNull || (!l.nullable && !r.nullable)) =>
         Cast(SortedIntersectCount(l, r), s.dataType)
     }
 }

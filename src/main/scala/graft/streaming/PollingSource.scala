@@ -73,7 +73,9 @@ class PollingSource(
   def start(): Unit =
     exec.scheduleAtFixedRate(() =>
       try pollOnce()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (OOM, linkage) must propagate and stop the task;
+        // an interrupt from stop() ends the executor quietly
         System.err.println(s"[polling-source] poll round failed, continuing: $e")
       },
       0, intervalMs, TimeUnit.MILLISECONDS)

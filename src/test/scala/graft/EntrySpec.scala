@@ -43,10 +43,17 @@ class EntrySpec extends AnyFunSuite {
       WeatherOps.queries, RelationalOps.queries, TextOps.queries,
       DedupOps.queries, SimilarityOps.queries, EventOps.queries,
       MultimodalOps.queries, JoinOps.queries, RangeJoinOps.queries)
+    // first: this test's module list must track SparkEntry's union (a
+    // 10th module added there but not here is list drift, not shadowing)
+    val unionKeys = moduleMaps.flatMap(_.keys).toSet
+    assert(unionKeys == SparkEntry.queries.keySet,
+      "module list in this test drifted from SparkEntry.queries: " +
+        s"missing ${SparkEntry.queries.keySet.diff(unionKeys)}, " +
+        s"extra ${unionKeys.diff(SparkEntry.queries.keySet)}")
     val totalDeclared = moduleMaps.map(_.size).sum
-    assert(totalDeclared == SparkEntry.queries.size,
+    assert(totalDeclared == unionKeys.size,
       s"$totalDeclared names declared across modules but only " +
-        s"${SparkEntry.queries.size} survive the union — duplicate names: " +
+        s"${unionKeys.size} survive the union — duplicate names: " +
         moduleMaps.flatMap(_.keys).groupBy(identity)
           .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
   }
