@@ -643,7 +643,31 @@ object RelationalOps {
       |ON c.nk = s.nk
       |ORDER BY nationkey""".stripMargin
 
+  /** Unpivot (melt): wide per-nation metrics to long (nation, metric,
+    * value) form — the inverse of pivot, via the native Dataset.unpivot
+    * (Expand node, map-side, no shuffle beyond the feeding aggregate).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .unpivot(Array(col("nationkey")),
+        Array(col("n_customers"), col("sum_acctbal")), "metric", "value")
+      .orderBy(col("nationkey"), col("metric"))
+
+  val qUnpivotOracle: String =
+    """SELECT nationkey, metric, value FROM (
+      |  UNPIVOT (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |                  CAST(COUNT(*) AS DOUBLE) AS n_customers,
+      |                  round(SUM(c_acctbal), 2) AS sum_acctbal
+      |           FROM customer GROUP BY 1)
+      |  ON n_customers, sum_acctbal
+      |  INTO NAME metric VALUE value)
+      |ORDER BY nationkey, metric""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),
     "q_lateral_topn" -> (qLateralTopn _),
     "q_approx_agg" -> (qApproxAgg _),
@@ -671,6 +695,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotOracle,
     "q_full_outer" -> qFullOuterOracle,
     "q_lateral_topn" -> qLateralTopnOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
