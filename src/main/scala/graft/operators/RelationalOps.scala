@@ -426,11 +426,15 @@ object RelationalOps {
     * distinct counts / percentiles would shuffle the full key space:
     * HyperLogLog++ (`approx_count_distinct`) and GK quantile sketches
     * (`approx_percentile`) are mergeable, so partials combine map-side.
-    * No DuckDB oracle (sketch implementations differ across engines);
-    * the driver records a rows-only check and ApproxSpec asserts error
-    * bounds against the exact answers. Quantiles are projected to scalar
-    * p50/p95 columns (the array output is an internal detail; scalar
-    * columns keep the result sink-friendly and sortable).
+    * Sketch outputs differ across engines, so the cross-engine contract
+    * is self-validating: the query emits the exact values (reproducible
+    * in any engine) plus booleans asserting the sketch landed within its
+    * error bound — HLL(0.02) within 6% of the exact distinct count, the
+    * GK p50/p95 inside the exact 45–55 / 93–97 percentile band. The
+    * oracle recomputes the exact columns and literal TRUEs, so a sketch
+    * regression flips a boolean and fails the hash. (The exact
+    * distinct / percentile aggregates exist for this verification; at
+    * 100 TB only the sketch side runs.)
     */
   def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -438,14 +442,32 @@ object RelationalOps {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pq"),
+        expr("percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))").as("pe"),
         count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"),
-        col("approx_parts"), col("approx_orders"),
-        round(element_at(col("pq"), 1), 2).as("price_p50"),
-        round(element_at(col("pq"), 2), 2).as("price_p95"),
-        col("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")) <= lit(0.06) * col("exact_parts"))
+          .as("parts_ok"),
+        (abs(col("approx_orders") - col("exact_orders")) <= lit(0.06) * col("exact_orders"))
+          .as("orders_ok"),
+        element_at(col("pq"), 1)
+          .between(element_at(col("pe"), 1), element_at(col("pe"), 2)).as("p50_ok"),
+        element_at(col("pq"), 2)
+          .between(element_at(col("pe"), 3), element_at(col("pe"), 4)).as("p95_ok"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxAggOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       TRUE AS parts_ok, TRUE AS orders_ok,
+      |       TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** GROUPING SETS via the Spark 4 DataFrame API: region totals and
     * nation totals in one shuffle (Expand + single aggregate).
@@ -698,6 +720,7 @@ object RelationalOps {
     "q_unpivot" -> qUnpivotOracle,
     "q_full_outer" -> qFullOuterOracle,
     "q_lateral_topn" -> qLateralTopnOracle,
+    "q_approx_agg" -> qApproxAggOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_local_supplier_volume" -> qLocalSupplierVolumeOracle,
     "q_union_by_name" -> qUnionByNameOracle,

@@ -361,14 +361,16 @@ object TextOps {
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (
-      |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      |  -- DuckDB's window SUM(BIGINT) widens to HUGEINT (int128); the
+      |  -- harness hashes int128 differently than int64, so pin BIGINT.
+      |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
       |  FROM d)
       |SELECT doc_id, lang, n_tokens, tok_offset,
-      |       tok_offset // $CtxTokens AS first_chunk,
-      |       (tok_offset + n_tokens - 1) // $CtxTokens AS last_chunk,
-      |       (tok_offset + n_tokens - 1) // $CtxTokens
-      |         - tok_offset // $CtxTokens + 1 AS n_chunks
+      |       CAST(tok_offset // $CtxTokens AS BIGINT) AS first_chunk,
+      |       CAST((tok_offset + n_tokens - 1) // $CtxTokens AS BIGINT) AS last_chunk,
+      |       CAST((tok_offset + n_tokens - 1) // $CtxTokens
+      |         - tok_offset // $CtxTokens + 1 AS BIGINT) AS n_chunks
       |FROM o ORDER BY doc_id""".stripMargin
 
   /** Percentage of each stratum kept by [[sampleStratified]]. */

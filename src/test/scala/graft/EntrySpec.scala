@@ -21,13 +21,8 @@ class EntrySpec extends AnyFunSuite {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
-  /** Queries intentionally registered without a DuckDB oracle (the driver
-    * records a rows-only check): sketch outputs are engine-specific.
-    */
-  private val rowsOnly = Set("q_approx_agg")
-
-  test("every query has an oracle (or is explicitly rows-only)") {
-    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 

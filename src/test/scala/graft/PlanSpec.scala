@@ -55,13 +55,61 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup family: candidate generation is bucketed, never all-pairs") {
-    for (name <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding")) {
-      val plan = finalPlan(graft.operators.DedupOps.queries(name)(spark, dir))
+    // dedup_ngram_jaccard's query path reads a staged parquet, so the
+    // shape assertion runs against the unstaged pair-pipeline builder
+    val frames = Seq(
+      "dedup_exact" -> graft.operators.DedupOps.queries("dedup_exact")(spark, dir),
+      "ngram_pairs_plan" -> graft.operators.DedupOps.ngramPairsPlan(spark, dir),
+      "dedup_minhash_lsh" -> graft.operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir),
+      "dedup_simhash" -> graft.operators.DedupOps.queries("dedup_simhash")(spark, dir),
+      "dedup_simhash_pairs" -> graft.operators.DedupOps.queries("dedup_simhash_pairs")(spark, dir),
+      "dedup_embedding" -> graft.operators.DedupOps.queries("dedup_embedding")(spark, dir))
+    for ((name, df) <- frames) {
+      val plan = finalPlan(df)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("corpus-growing sides are never hint-forced into a broadcast " +
+      "(clusters manifest, contamination bench side)") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // forced-large setting: with no hint in the plan, nothing may
+      // broadcast; a leftover broadcast() hint would override this
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // structural walk instead of a string match on the formatted dump:
+      // the dump inlines InMemoryRelation internals, and cached fragments
+      // built by concurrently-running suites under the DEFAULT conf may be
+      // reused here — those are that conf's plans, not this query forcing
+      // a broadcast. InMemoryTableScan is a leaf, so the walk stops there.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def broadcasts(p: SparkPlan): Seq[String] = {
+        val here = if (p.nodeName.contains("BroadcastExchange")) Seq(p.nodeName) else Nil
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => broadcasts(a.executedPlan)
+          case q: QueryStageExec => broadcasts(q.plan)
+          case _ => Nil
+        }
+        here ++ nested ++ p.children.flatMap(broadcasts)
+      }
+      for (name <- Seq("dedup_clusters", "text_contamination")) {
+        val df = graft.operators.DedupOps.queries(name)(spark, dir)
+        df.collect()
+        val found = broadcasts(df.queryExecution.executedPlan)
+        assert(found.isEmpty,
+          s"$name forces a broadcast of a corpus-growing side: $found")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 
