@@ -85,6 +85,45 @@ class PollingSource(
 
 object PollingSource {
 
+  /** One Call 3.0 poll URL (weather_stream.py:29-30): minutely only —
+    * hourly/daily/current excluded — metric units, key as query param.
+    */
+  def buildUrl(baseUrl: String, apiKey: String, lat: Double, lon: Double): String =
+    s"$baseUrl?lat=$lat&lon=$lon&exclude=hourly,daily,current&units=metric&appid=$apiKey"
+
+  /** Production HTTP fetch (weather_stream.py:120-121): a blocking GET of
+    * the poll URL per location. Status handling is the
+    * `raise_for_status` + `except RequestException` analog
+    * (weather_stream.py:121,146-151): non-2xx and transport errors both
+    * resolve to None, so the poller logs, skips the location, and keeps
+    * polling. The reference's `requests.get` has no timeout (a hung
+    * socket stalls its loop forever); here both connect and request
+    * carry `timeoutMs` — documented hardening, not a semantic change.
+    */
+  def httpFetch(baseUrl: String, apiKey: String,
+      timeoutMs: Long = 30000L): (Double, Double) => Option[String] = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    (lat, lon) =>
+      try {
+        val req = HttpRequest
+          .newBuilder(java.net.URI.create(buildUrl(baseUrl, apiKey, lat, lon)))
+          .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 200 && resp.statusCode() < 300) Some(resp.body())
+        else {
+          System.err.println(
+            s"[polling-source] HTTP ${resp.statusCode()} for ($lat, $lon) — skipping")
+          None
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[polling-source] fetch failed for ($lat, $lon): $e")
+          None
+      }
+  }
+
   /** First unused staging sequence number: one past the max already on
     * disk (restart safety), 0 for a fresh directory.
     */

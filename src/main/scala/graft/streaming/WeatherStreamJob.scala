@@ -42,6 +42,15 @@ object WeatherStreamJob {
       .option("startingOffsets", "earliest")
       .load()
 
+  /** [[fromKafka]] behind the reference consumer's connect-time retry
+    * loop (weather_processor.py:28-77: x10, 2 s between attempts, raise
+    * after exhaustion).
+    */
+  def fromKafkaWithRetry(spark: SparkSession, bootstrap: String, topic: String,
+      retries: Int = 10, delayMs: Long = 2000L): DataFrame =
+    Retry.connect("kafka-source", retries, delayMs)(
+      fromKafka(spark, bootstrap, topic))
+
   /** The streaming aggregation over any source that provides a `value`
     * column (Kafka scan or MemoryStream) — the exact batch plan fragments.
     */
@@ -103,6 +112,21 @@ object WeatherStreamJob {
       }
       .start()
 
+  /** [[start]] behind the reference producer's connect-time retry loop
+    * (weather_stream.py:33-91: x10, 2 s) — a sink whose first connection
+    * attempt fails transiently (checkpoint dir on flaky storage, DB not
+    * yet up) gets the reference's ten chances before a loud abort.
+    */
+  def startWithRetry(aggregated: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      outputMode: OutputMode = OutputMode.Update(),
+      clean: DataFrame => DataFrame =
+        b => WeatherOps.withEventTime(WeatherOps.rejectNulls(b)),
+      retries: Int = 10, delayMs: Long = 2000L)(
+      sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
+    Retry.connect("stream-start", retries, delayMs)(
+      start(aggregated, checkpointDir, trigger, outputMode, clean)(sinkWriter))
+
   /** Parquet sink writer for tests/local runs: executor-parallel append
     * with the Postgres table's columns (init.sql:1-7; id is sink-generated
     * there, so not emitted here).
@@ -156,8 +180,12 @@ object WeatherStreamJob {
   def jdbcUpsertSink(url: String, table: String): (DataFrame, Long) => Unit =
     (batch, _) => {
       val cleaned = batch.select(
-        col("event_time").cast("timestamp").as("ts"),
-        col("lat"), col("lon"), col("hourly_precipitation"))
+          col("event_time").cast("timestamp").as("ts"),
+          col("lat"), col("lon"), col("hourly_precipitation"))
+        // exactly-once per key requires each (ts, lat, lon) to land in ONE
+        // partition: two partitions holding the same key could race their
+        // UPDATE-then-INSERT and write duplicates
+        .repartition(col("ts"), col("lat"), col("lon"))
       cleaned.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(url)

@@ -102,6 +102,53 @@ class PollingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("httpFetch drives pollOnce through a real HTTP round-trip " +
+      "(status check, skip-on-5xx, query params)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/onecall", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val query = ex.getRequestURI.getQuery
+        seen.add(query)
+        // lat=13 simulates an upstream outage -> raise_for_status analog
+        val (code, body) =
+          if (query.contains("lat=13.0")) (500, "upstream error")
+          else {
+            val lat = query.split("&").find(_.startsWith("lat=")).get.drop(4)
+            val lon = query.split("&").find(_.startsWith("lon=")).get.drop(4)
+            (200, oneCall(lat.toDouble, lon.toDouble, Seq(1736532000L -> Some(0.5))))
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/onecall"
+      val staging = Files.createTempDirectory("graft_poll_http").toString
+      val fetch = PollingSource.httpFetch(base, apiKey = "test-key", timeoutMs = 5000)
+      val src = new PollingSource(staging, Seq((52.0, 5.1), (13.0, 9.9)), fetch)
+      src.pollOnce()
+      // both locations were requested with the reference's URL shape
+      assert(seen.size == 2)
+      seen.forEach { q =>
+        assert(q.contains("exclude=hourly,daily,current") &&
+          q.contains("units=metric") && q.contains("appid=test-key"), q)
+      }
+      // the 500 location was skipped; the 200 payload staged verbatim
+      val staged = spark.read.schema(PollingSource.oneCallSchema).json(staging)
+      val rows = staged.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("lat") == 52.0)
+      val msgs = PollingSource.producerMessages(staged).collect().map(_.getString(0))
+      assert(msgs.toSeq == Seq(
+        """{"timestamp":1736532000,"total_precipitation":0.5,"location":{"lat":52.0,"lon":5.1}}"""))
+    } finally server.stop(0)
+  }
+
   test("streaming: staged polls flow through producer + consumer plans") {
     val staging = Files.createTempDirectory("graft_poll_stream").toString
     var round = 0

@@ -194,6 +194,16 @@ class WeatherStreamSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hourly_precipitation") == 0.75)
   }
 
+  test("fromKafkaWithRetry runs the full connect-time retry budget before " +
+      "aborting (no connector in this container, so every attempt throws)") {
+    val e = intercept[IllegalStateException] {
+      graft.streaming.WeatherStreamJob.fromKafkaWithRetry(
+        spark, "localhost:9092", "weather", retries = 3, delayMs = 1)
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(e.getCause != null, "last failure must be chained for diagnosis")
+  }
+
   test("bounded-state variant applies a watermark (production deviation)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
