@@ -18,11 +18,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WeatherOps.weatherPipeline(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (+ §2.5). */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.5),
+    * plus the fixed-seed generated differential queries (fuzz_q*).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WeatherOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
-      MultimodalOps.queries ++ JoinOps.queries ++ RangeJoinOps.queries
+      MultimodalOps.queries ++ JoinOps.queries ++ RangeJoinOps.queries ++
+      graft.fuzz.QueryFuzz.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     WeatherOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++
-      MultimodalOps.oracles ++ JoinOps.oracles ++ RangeJoinOps.oracles
+      MultimodalOps.oracles ++ JoinOps.oracles ++ RangeJoinOps.oracles ++
+      graft.fuzz.QueryFuzz.oracles
 }

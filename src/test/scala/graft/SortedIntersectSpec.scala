@@ -77,6 +77,37 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(plain.collect().forall(_.getInt(0) == 1))
   }
 
+  test("GraftExtensions installs end-to-end via spark.sql.extensions: a " +
+      "clean newSession() resolves the functions from plain SQL and the " +
+      "rewrite rule fires") {
+    // TestSpark's context is built with
+    // spark.sql.extensions=graft.GraftExtensions — the production
+    // `--conf` path, class loaded by name via reflection. newSession()
+    // builds a FRESH SessionState (empty temp registry: programmatic
+    // register() calls made by other suites on their session do not
+    // leak here), so resolution below can only come from the installed
+    // extensions.
+    val fresh = spark.newSession()
+    val n = fresh.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS n")
+      .head().getLong(0)
+    assert(n == 2L)
+    val cos = fresh.sql(
+      "SELECT cosine_similarity(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+    // a SQL user writing the idiomatic built-in form gets the native
+    // merge via the injected optimizer rule (non-foldable input so
+    // constant folding cannot pre-empt the rewrite)
+    val df = fresh.sql(
+      """SELECT size(array_intersect(sort_array(array(id, id + 2)),
+        |                            sort_array(array(id + 2, id + 4)))) AS n
+        |FROM range(8)""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
+      s"rule did not fire in the extensions-installed session:\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().forall(_.getInt(0) == 1))
+  }
+
   test("non-bigint arrays are rejected at analysis time") {
     SortedIntersectCount.register(spark)
     val err = intercept[Exception] {

@@ -15,6 +15,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // production install path: the extensions class is loaded by NAME
+      // via reflection at context/session creation — every suite runs
+      // against an extensions-installed session, and the dedicated
+      // SortedIntersectSpec case proves resolution in a clean newSession()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
