@@ -26,17 +26,32 @@ object MaintenanceOps {
         max(col("n_rows")).as("max_rows_per_file"))
 
   /** Rewrite a parquet directory into ~`targetFileBytes` output files.
-    * The file count comes from the optimizer's size estimate;
-    * `coalesce` narrows partitions without a shuffle (compaction must
-    * not pay one — it is IO-bound by design). Returns the file count
-    * written.
+    * The file count comes from the ACTUAL on-disk byte total (filesystem
+    * listing) — the optimizer's `stats.sizeInBytes` is an in-memory /
+    * uncompressed estimate, typically several times the parquet size,
+    * which would undershoot the target. `coalesce` narrows partitions
+    * without a shuffle (the IO-bound common case: many small files →
+    * few); when the target needs MORE partitions than the scan provides
+    * (a few huge files that must split), coalesce cannot raise the
+    * count, so fall back to `repartition` and pay the one shuffle.
+    * Returns the file count written.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(inDir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).toSeq
+      .filter(_.isFile)
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
-    df.coalesce(n).write.mode("overwrite").parquet(outDir)
+    val current = df.rdd.getNumPartitions
+    val sized = if (n <= current) df.coalesce(n) else df.repartition(n)
+    sized.write.mode("overwrite").parquet(outDir)
     n
   }
 }

@@ -117,12 +117,26 @@ object MultimodalOps {
     * fingerprint each sampled frame. The explode is map-side; a real
     * deployment swaps the substring+md5 for a frame decode, the
     * offsets/stride/cap plumbing stays.
+    *
+    * All frame arithmetic is BYTE-based on the binary payload
+    * (octet_length + substring over BinaryType) — the correct unit for
+    * opaque media. DuckDB 1.0 has no BLOB substring, so the oracle
+    * frames `text` with character-unit substr; the two coincide exactly
+    * because the documents fixture is pure ASCII (char == byte).
+    * MultimodalSpec asserts the byte semantics directly on a non-ASCII
+    * payload, where the units genuinely differ.
     */
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"),
-        length(col("text")).cast("long").as("len"))
-      .select(col("media_id"), col("text"),
+    frameSample(Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload")))
+
+  /** Library form over any (media_id, payload binary) frame. */
+  def frameSample(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        octet_length(col("payload")).cast("long").as("len"))
+      .select(col("media_id"), col("payload"),
         // empty/null payloads yield NO frames (sequence(0,-1) would emit
         // a descending [0,-1] — guard matches the oracle's empty range)
         explode(when(col("len") > 0,
@@ -133,7 +147,7 @@ object MultimodalOps {
       .filter(col("frame_idx") % 2 === 0)
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * FrameBytes).as("byte_offset"),
-        md5(expr(s"CAST(substring(text, frame_idx * $FrameBytes + 1, $FrameBytes) AS BINARY)"))
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
           .as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
 

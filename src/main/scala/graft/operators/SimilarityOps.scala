@@ -253,19 +253,23 @@ object SimilarityOps {
           (acc, x) => greatest(acc, abs(x.cast("double")))).as("scale_raw"))
       .select(col("vec_id"),
         round(col("scale_raw"), 6).as("scale"),
-        aggregate(col("embedding"), lit(0L),
-          (acc, x) => least(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long")))
-          .as("q_min"),
-        aggregate(col("embedding"), lit(0L),
-          (acc, x) => greatest(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long")))
-          .as("q_max"),
-        round(
+        // all-zero vector: scale_raw = 0 would divide-by-zero into
+        // NULL/NaN whose propagation differs between engines — a zero
+        // vector quantizes to all-zero codes with zero error by
+        // definition, so emit q_min = q_max = mse = 0 directly
+        when(col("scale_raw") > 0, aggregate(col("embedding"), lit(0L),
+          (acc, x) => least(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long"))))
+          .otherwise(lit(0L)).as("q_min"),
+        when(col("scale_raw") > 0, aggregate(col("embedding"), lit(0L),
+          (acc, x) => greatest(acc, round(lit(127.0) * x.cast("double") / col("scale_raw")).cast("long"))))
+          .otherwise(lit(0L)).as("q_max"),
+        when(col("scale_raw") > 0, round(
           aggregate(col("embedding"), lit(0.0d), (acc, x) => {
             val xd = x.cast("double")
             val deq = round(lit(127.0) * xd / col("scale_raw")).cast("double") *
               col("scale_raw") / lit(127.0)
             acc + (xd - deq) * (xd - deq)
-          }) / size(col("embedding")), 10).as("mse"))
+          }) / size(col("embedding")), 10)).otherwise(lit(0.0d)).as("mse"))
       .orderBy(col("vec_id"))
 
   val simQuantizeOracle: String =
@@ -277,12 +281,18 @@ object SimilarityOps {
       |  FROM e)
       |SELECT vec_id,
       |       round(scale_raw, 6) AS scale,
-      |       CAST(least(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'min')) AS BIGINT) AS q_min,
-      |       CAST(greatest(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'max')) AS BIGINT) AS q_max,
-      |       round(list_aggregate(list_transform(v,
+      |       CASE WHEN scale_raw > 0 THEN
+      |         CAST(least(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'min')) AS BIGINT)
+      |       ELSE 0 END AS q_min,
+      |       CASE WHEN scale_raw > 0 THEN
+      |         CAST(greatest(0, list_aggregate(list_transform(v, x -> round(127.0 * x / scale_raw)), 'max')) AS BIGINT)
+      |       ELSE 0 END AS q_max,
+      |       CASE WHEN scale_raw > 0 THEN
+      |         round(list_aggregate(list_transform(v,
       |               x -> (x - round(127.0 * x / scale_raw) * scale_raw / 127.0)
       |                    * (x - round(127.0 * x / scale_raw) * scale_raw / 127.0)), 'sum')
-      |             / len(v), 10) AS mse
+      |             / len(v), 10)
+      |       ELSE 0.0 END AS mse
       |FROM s ORDER BY vec_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

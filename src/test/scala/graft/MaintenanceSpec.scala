@@ -27,6 +27,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(compacted).exceptAll(src).isEmpty)
   }
 
+  test("compact splits oversized files via repartition fallback " +
+      "(coalesce cannot raise partition count)") {
+    val big = Files.createTempDirectory("big").toString
+    val split = Files.createTempDirectory("split").toString
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    src.coalesce(1).write.mode("overwrite").parquet(big)
+    // tiny target forces more output files than the single input file
+    val written = MaintenanceOps.compact(spark, big, split, targetFileBytes = 16L << 10)
+    assert(written > 1, s"expected a split, wrote $written file(s)")
+    val after = MaintenanceOps.fileStats(spark, split).head()
+    assert(after.getAs[Long]("n_files") == written.toLong)
+    assert(spark.read.parquet(split).exceptAll(src).isEmpty)
+  }
+
+  test("compact output files land near the byte target (on-disk sizing, " +
+      "not the optimizer's in-memory estimate)") {
+    val frag = Files.createTempDirectory("frag3").toString
+    val out = Files.createTempDirectory("sized").toString
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .repartition(32).write.mode("overwrite").parquet(frag)
+    val path = new org.apache.hadoop.fs.Path(frag)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inBytes = fs.listStatus(path).filter(_.isFile)
+      .filterNot(s => s.getPath.getName.startsWith("_")).map(_.getLen).sum
+    // target = half the on-disk input -> expect ~2 output files; the old
+    // in-memory estimate (several x larger) would have written 4+
+    val written = MaintenanceOps.compact(spark, frag, out, targetFileBytes = inBytes / 2)
+    assert(written == 2, s"expected 2 size-targeted files, wrote $written")
+  }
+
   test("compact plans no shuffle (coalesce narrows)") {
     val frag = Files.createTempDirectory("frag2").toString
     spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
