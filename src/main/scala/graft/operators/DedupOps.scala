@@ -56,6 +56,34 @@ object DedupOps {
       |      FROM documents)
       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  /** Source-priority exact dedup — when the same document arrives from
+    * multiple ingestion sources, keep the copy from the most-trusted
+    * source (lexicographic source rank here; a real pipeline would join
+    * an explicit priority table), tiebreak min doc_id. The survivor
+    * CHOICE is what distinguishes this from [[dedupExact]] (which keeps
+    * the min doc_id unconditionally): curated copies beat crawl copies —
+    * the standard multi-source curation rule. Same one-shuffle window
+    * shape as exact dedup.
+    */
+  def dedupSourcePriority(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(col("text"))
+    val w = Window.partitionBy(col("ntext")).orderBy(col("source"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), norm.as("ntext"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("source"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSourcePriorityOracle: String =
+    """SELECT doc_id, source,
+      |       first_value(doc_id) OVER (PARTITION BY lower(text)
+      |         ORDER BY source, doc_id) AS canonical_id,
+      |       CAST(doc_id = first_value(doc_id) OVER (PARTITION BY lower(text)
+      |         ORDER BY source, doc_id) AS BIGINT) AS is_survivor
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Max document frequency for a shingle to participate in candidate
     * blocking. Bounds the self-join fan-out per shingle key (df^2), which
     * is what keeps candidate generation feasible at corpus scale; hot
@@ -63,6 +91,44 @@ object DedupOps {
     * computes Jaccard over the *full* shingle sets.
     */
   val MaxShingleDf = 10
+
+  /** A shingle occurring in >= this many documents counts as
+    * corpus-common for [[textBoilerplate]].
+    */
+  val BoilerplateDf = 20
+
+  /** Boilerplate-fraction scoring — the span-level cousin of document
+    * dedup: the share of a document's distinct shingles that are
+    * corpus-common (df >= [[BoilerplateDf]]). High ratios mark documents
+    * that are mostly template/navigation text repeated across the corpus
+    * (C4/Gopher-style span hygiene). Reads the staged shingle substrate;
+    * the df table is shingle-vocabulary-bounded, so both shuffles stay
+    * key-bounded at corpus scale. Documents with no shingles (< 3
+    * tokens) emit no row, identically in the oracle.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = stagedShingleHashes(spark, dir)
+    val dfc = sh.groupBy(col("h1")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "h1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") >= BoilerplateDf).cast("long")).as("n_common"))
+      .withColumn("boiler_ratio",
+        round(col("n_common") / col("n_shingles").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: hashedShingleCte is declared later in this object, and a
+  // strict val here would capture null at initialization order
+  lazy val textBoilerplateOracle: String =
+    s"""WITH $hashedShingleCte,
+      |dfc AS (SELECT h1, COUNT(*) AS df FROM sh GROUP BY h1)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |       CAST(SUM(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |       round(SUM(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) * 1.0
+      |             / COUNT(*), 4) AS boiler_ratio
+      |FROM sh JOIN dfc USING (h1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Distinct shingles per doc reduced to two 60-bit md5 halves. All
     * downstream Jaccard/MinHash stages operate on the 8-byte `h1` key
@@ -101,11 +167,27 @@ object DedupOps {
     spark.read.parquet(path)
   }
 
+  /** The one expensive shingle pass, staged: per-doc distinct shingles
+    * exploded and md5-hashed. EVERY shingle consumer derives from this —
+    * the Jaccard/MinHash family projects the two 60-bit halves out of
+    * the hex, SimHash projects the leading nibbles — so the corpus is
+    * shingled and hashed exactly once per session, like a production
+    * pipeline's shared shingle index.
+    */
+  private def stagedShingleMd5(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"sh-md5:$dir")(
+      TextOps.docShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), md5(col("s").cast("binary")).as("h")))
+
   /** Staged twin of [[docShingleHashes]] — the substrate shared by the
-    * ngram/minhash/contamination/clusters queries.
+    * ngram/minhash/contamination/clusters queries. The hex→long
+    * projection runs on read (cheap) over the staged md5 pass.
     */
   private def stagedShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"sh:$dir")(docShingleHashes(spark, dir))
+    stagedShingleMd5(spark, dir).select(
+      col("doc_id"),
+      conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(col("h"), 17, 15), 16, 10).cast("long").as("h2"))
 
   /** Single source of truth for oracle shingle generation (per-doc
     * distinct word 3-grams) — wrapped by BOTH [[shingleCte]] (string
@@ -355,9 +437,7 @@ object DedupOps {
     * its sign-sum is positive (standard sign-of-sum construction, fully
     * deterministic).
     */
-  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.docShingles(Tables.documents(spark, dir))
-    val withHash = sh.select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+  private def simhashFromHashes(withHash: DataFrame): DataFrame = {
     // 12 leading hex nibbles -> 48 bits; sign_j = bit_j * 2 - 1
     val nibCols = (0 until SimhashBits / 4).map { i =>
       expr(s"instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1").as(s"nib$i")
@@ -375,6 +455,23 @@ object DedupOps {
     }.reduce(_ + _)
     bal.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Unstaged fingerprint pipeline — the plan PlanSpec asserts shape on
+    * (single aggregate pair, one Generate).
+    */
+  private[graft] def simhashPlan(spark: SparkSession, dir: String): DataFrame =
+    simhashFromHashes(
+      TextOps.docShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), md5(col("s").cast("binary")).as("h")))
+
+  /** Fingerprints staged once per corpus (one row per doc — tiny): the
+    * 48-sum aggregate is shared by `dedup_simhash` and
+    * `dedup_simhash_pairs` instead of running twice, and its input is
+    * the staged md5 pass shared with the Jaccard family.
+    */
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"simhash-fp:$dir")(
+      simhashFromHashes(stagedShingleMd5(spark, dir)))
 
   /** Oracle-facing fingerprint table (deterministic order). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -405,9 +502,8 @@ object DedupOps {
     * 100x scale-up.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // No cache and no presentation sort: both join sides derive from the
-    // same fingerprint plan, so exchange reuse serves the second side from
-    // the first side's shuffle files (scan/shingle/md5 run once).
+    // both join sides read the staged fingerprint parquet (one row per
+    // doc); the shingle/md5/aggregate work happened once at staging time
     val fp = simhashFingerprints(spark, dir)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
@@ -644,6 +740,8 @@ object DedupOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_contamination" -> (textContamination _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "dedup_source_priority" -> (dedupSourcePriority _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -654,6 +752,8 @@ object DedupOps {
 
   def oracles: Map[String, String] = Map(
     "text_contamination" -> textContaminationOracle,
+    "text_boilerplate" -> textBoilerplateOracle,
+    "dedup_source_priority" -> dedupSourcePriorityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,

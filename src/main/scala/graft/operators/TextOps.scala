@@ -442,7 +442,99 @@ object TextOps {
       |FROM r WHERE rk <= $WeightedSampleK
       |ORDER BY lang, rk""".stripMargin
 
+  /** Residue scale for [[sampleMixture]] rates (1/10000 granularity). */
+  val MixtureResidues = 10000
+
+  /** Data-mixture rebalancing — the step that turns a skewed crawl into
+    * the language (or domain) proportions a training run wants: compute
+    * each language's keep-rate toward an equal share,
+    * `rate_l = min(1, total / (n_langs * cnt_l))`, then keep a document
+    * iff its md5-residue falls under `floor(rate_l * 10000)`. The same
+    * deterministic hash-residue trick as [[sampleStratified]], so the
+    * sample is identical on any engine or partitioning; over-represented
+    * languages down-sample, under-represented ones pass through whole.
+    * One tiny aggregate (lang counts) broadcast back against a map-only
+    * corpus scan — no corpus shuffle at any scale.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_langs"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        least(lit(1.0), col("total") / (col("n_langs") * col("cnt"))).as("rate"))
+    val hk = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    docs.select(col("doc_id"), col("lang"), hk.as("hk"))
+      .join(broadcast(rates), "lang")
+      .filter(col("hk") % MixtureResidues <
+        floor(col("rate") * MixtureResidues).cast("long"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleMixtureOracle: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c),
+      |r AS (SELECT lang, least(1.0, total * 1.0 / (n_langs * cnt)) AS rate
+      |      FROM c CROSS JOIN t)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % $MixtureResidues < CAST(floor(rate * $MixtureResidues) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bigram perplexity proxy — the KenLM-style quality filter shape:
+    * train corpus bigram statistics, score each document by its mean
+    * negative log conditional probability `-ln(c(w1 w2) / c(w1))`. High
+    * scores mark documents whose word transitions are unusual for the
+    * corpus (noise, shuffled text); the standard pretraining quality
+    * gate next to [[textQuality]]'s surface heuristics. Count tables are
+    * vocabulary-bounded (tiny vs the corpus), so the two count shuffles
+    * and the score join stay key-bounded at any scale; every document
+    * bigram occurs in the corpus counts by construction, so p > 0 and no
+    * smoothing is needed for the proxy.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bi = toks.select(col("doc_id"), explode(
+      when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          j => struct(element_at(col("t"), j + 1).as("w1"),
+            concat_ws(" ", element_at(col("t"), j + 1),
+              element_at(col("t"), j + 2)).as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, "bg").join(c1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("c2") / col("c1"))), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexityOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+      |c1 AS (SELECT unnest(t) AS w1 FROM toks),
+      |c1c AS (SELECT w1, COUNT(*) AS c1 FROM c1 GROUP BY w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       round(AVG(-ln(c2 * 1.0 / c1)), 4) AS nll
+      |FROM bi JOIN c2 USING (bg) JOIN c1c USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_mixture" -> (sampleMixture _),
+    "text_perplexity" -> (textPerplexity _),
     "sample_weighted" -> (sampleWeighted _),
     "text_tfidf" -> (textTfidf _),
     "text_packing" -> (textPacking _),
@@ -456,6 +548,8 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "sample_mixture" -> sampleMixtureOracle,
+    "text_perplexity" -> textPerplexityOracle,
     "sample_weighted" -> sampleWeightedOracle,
     "text_tfidf" -> textTfidfOracle,
     "text_packing" -> textPackingOracle,

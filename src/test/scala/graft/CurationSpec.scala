@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** Semantic invariants for the round-3 curation operators, beyond the
+  * DuckDB oracle hash check.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  test("source-priority dedup: survivor has the minimal (source, doc_id) " +
+      "of its duplicate group; groups agree with exact dedup") {
+    val rows = DedupOps.dedupSourcePriority(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byCanon = rows.groupBy(_._3)
+    byCanon.foreach { case (canon, members) =>
+      val best = members.map(m => (m._2, m._1)).min // (source, doc_id)
+      assert(best._2 == canon,
+        s"canonical $canon is not the min-(source,doc_id) member $best")
+      assert(members.count(_._4 == 1L) == 1, s"group $canon survivor count != 1")
+    }
+    // same GROUPS as exact dedup (only the survivor choice differs):
+    // group count must match dedup_exact's row count
+    val exactGroups = DedupOps.dedupExact(spark, dir).count()
+    assert(byCanon.size.toLong == exactGroups)
+  }
+
+  test("mixture rebalancing: over-represented languages shrink toward the " +
+      "equal share, under-represented ones pass through whole") {
+    val before = Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = TextOps.sampleMixture(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val share = before.values.sum.toDouble / before.size
+    before.foreach { case (lang, n) =>
+      if (n <= share) assert(after(lang) == n, s"$lang under share but sampled")
+      else {
+        // kept count concentrates near the equal share (hash residues are
+        // uniform; 3x slack for the small fixture)
+        assert(after(lang) < n, s"$lang over share but not down-sampled")
+        assert(after(lang) <= 3 * share, s"$lang kept ${after(lang)} vs share $share")
+      }
+    }
+  }
+
+  test("perplexity proxy: every nll is positive and finite") {
+    val scored = TextOps.textPerplexity(spark, dir)
+      .select("doc_id", "nll").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(scored.nonEmpty)
+    scored.foreach { case (id, nll) =>
+      assert(nll > 0.0 && !nll.isNaN && !nll.isInfinite, s"doc $id nll=$nll")
+    }
+  }
+
+  test("boilerplate fraction is a ratio in [0,1] consistent with its counts") {
+    val rows = DedupOps.textBoilerplate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val c = r.getAs[Long]("n_common")
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(ratio - c.toDouble / n) < 1e-3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+}

@@ -114,7 +114,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("simhash fingerprints aggregate in a single groupBy (no bit explode)") {
-    val plan = finalPlan(graft.operators.DedupOps.dedupSimhash(spark, dir))
+    // the query path reads staged parquet; assert on the unstaged builder
+    val plan = finalPlan(graft.operators.DedupOps.simhashPlan(spark, dir))
     // inspect only the AQE final plan (the formatted dump repeats operators
     // in the initial-plan and per-node-detail sections)
     val finalSection = plan.split("== Initial Plan ==").head
