@@ -304,8 +304,13 @@ object TextOps {
     val n = Tables.documents(spark, dir).count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "tok")
+    // df as a window count over the tf table: one row per (doc, tok)
+    // means rows-per-tok == docs containing tok. This derives df from the
+    // ALREADY-aggregated tf in one tok-shuffle — the groupBy+join form
+    // re-ran the whole explode+tf aggregate for the dfreq branch (Spark
+    // reuses exchanges, not aggregate subtrees)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("tfidf",
         round(col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
