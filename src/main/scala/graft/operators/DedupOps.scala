@@ -156,10 +156,22 @@ object DedupOps {
     * (which Verify/Bench issue), unlike `.cache()`. Keyed by data dir,
     * so different scale factors stage independently.
     */
-  private val stagedPaths = scala.collection.concurrent.TrieMap[String, String]()
+  // ConcurrentHashMap.computeIfAbsent runs the build at most once per
+  // key even under parallel suites (TrieMap.getOrElseUpdate would let
+  // racers each run the expensive pass and leak the loser's directory);
+  // a JVM shutdown hook removes the staged directories on exit.
+  private val stagedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    stagedPaths.values.forEach { p =>
+      try {
+        val root = java.nio.file.Paths.get(p)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () } // best-effort cleanup
+    }, "graft-stage-cleanup"))
 
   private def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = stagedPaths.getOrElseUpdate(key, {
+    val path = stagedPaths.computeIfAbsent(key, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-stage-").toString
       build.write.mode("overwrite").parquet(p)
       p
@@ -641,10 +653,14 @@ object DedupOps {
       }
       // wrong clusters are worse than a loud failure: a component whose
       // diameter exceeds the round budget must not ship a split manifest
-      if (changed != 0L)
+      if (changed != 0L) {
+        // nothing referencing the round cache escapes on this path —
+        // release it, or the orphaned storage survives in the session
+        cachedRound.unpersist()
         throw new IllegalStateException(
           s"dedupClusters did not converge within $MaxCcIterations rounds " +
             "(pathological long-chain component); raise MaxCcIterations")
+      }
     } finally {
       // labels stays cached (it backs the returned plan); the session
       // must not keep edge storage on any exit path

@@ -41,13 +41,15 @@ object MaintenanceOps {
     val df = spark.read.parquet(inDir)
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path).toSeq
-      .filter(_.isFile)
-      .filterNot { s =>
-        val n = s.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
-      }
-      .map(_.getLen).sum
+    // recursive: partitioned datasets keep their files in key=value
+    // subdirectories, which a flat listing would sum to zero bytes
+    var bytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += s.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
     val current = df.rdd.getNumPartitions
     val sized = if (n <= current) df.coalesce(n) else df.repartition(n)

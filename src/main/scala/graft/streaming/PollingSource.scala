@@ -87,9 +87,14 @@ object PollingSource {
 
   /** One Call 3.0 poll URL (weather_stream.py:29-30): minutely only —
     * hourly/daily/current excluded — metric units, key as query param.
+    * The key is URL-encoded: a reserved char ('&', '=', '+') in a raw
+    * interpolation would silently truncate the query string and turn
+    * every poll into a skipped 401.
     */
-  def buildUrl(baseUrl: String, apiKey: String, lat: Double, lon: Double): String =
-    s"$baseUrl?lat=$lat&lon=$lon&exclude=hourly,daily,current&units=metric&appid=$apiKey"
+  def buildUrl(baseUrl: String, apiKey: String, lat: Double, lon: Double): String = {
+    val key = java.net.URLEncoder.encode(apiKey, UTF_8)
+    s"$baseUrl?lat=$lat&lon=$lon&exclude=hourly,daily,current&units=metric&appid=$key"
+  }
 
   /** Production HTTP fetch (weather_stream.py:120-121): a blocking GET of
     * the poll URL per location. Status handling is the

@@ -36,12 +36,13 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val share = before.values.sum.toDouble / before.size
     before.foreach { case (lang, n) =>
-      if (n <= share) assert(after(lang) == n, s"$lang under share but sampled")
+      val kept = after.getOrElse(lang, 0L)
+      if (n <= share) assert(kept == n, s"$lang under share but sampled")
       else {
         // kept count concentrates near the equal share (hash residues are
         // uniform; 3x slack for the small fixture)
-        assert(after(lang) < n, s"$lang over share but not down-sampled")
-        assert(after(lang) <= 3 * share, s"$lang kept ${after(lang)} vs share $share")
+        assert(kept < n, s"$lang over share but not down-sampled ($kept of $n)")
+        assert(kept <= 3 * share, s"$lang kept $kept vs share $share")
       }
     }
   }

@@ -51,9 +51,11 @@ class MaintenanceSpec extends AnyFunSuite {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inBytes = fs.listStatus(path).filter(_.isFile)
       .filterNot(s => s.getPath.getName.startsWith("_")).map(_.getLen).sum
-    // target = half the on-disk input -> expect ~2 output files; the old
+    // target = half the on-disk input (rounded UP so odd totals still
+    // give ceil(in/target) = 2) -> expect 2 output files; the old
     // in-memory estimate (several x larger) would have written 4+
-    val written = MaintenanceOps.compact(spark, frag, out, targetFileBytes = inBytes / 2)
+    val written = MaintenanceOps.compact(spark, frag, out,
+      targetFileBytes = (inBytes + 1) / 2)
     assert(written == 2, s"expected 2 size-targeted files, wrote $written")
   }
 
