@@ -79,7 +79,7 @@ object QueryFuzz {
     // FROM clause: a base table plus 0-2 FK hops off the chain tail
     var joined = List(pick(rnd, tables))
     var fromSql = joined.head.name
-    var joinCols = List.empty[(String, String)]
+    var joinCols = List.empty[(String, String, Boolean)]
     var hops = rnd.nextInt(3)
     while (hops > 0) {
       hops -= 1
@@ -89,8 +89,18 @@ object QueryFuzz {
       else {
         val (_, rt, lc, rc) = pick(rnd, candidates)
         joined = tables.find(_.name == rt).get :: joined
-        fromSql += s" JOIN $rt ON $lc = $rc"
-        joinCols = (lc, rc) :: joinCols
+        // 1-in-4 hops: LEFT JOIN against a FILTERED right side. FK edges
+        // always match, so a plain left join would degenerate to inner;
+        // halving the dimension manufactures unmatched rows and
+        // exercises null propagation through group keys and aggregates
+        val leftFiltered = rnd.nextInt(4) == 0
+        if (leftFiltered) {
+          fromSql += s" LEFT JOIN (SELECT * FROM $rt WHERE $rc % 2 = 0) $rt ON $lc = $rc"
+          joinCols = (lc, rc, true) :: joinCols
+        } else {
+          fromSql += s" JOIN $rt ON $lc = $rc"
+          joinCols = (lc, rc, false) :: joinCols
+        }
       }
     }
     val ints = joined.flatMap(_.ints)
@@ -155,27 +165,71 @@ object QueryFuzz {
     }
     val having = rnd.nextInt(3) == 0
 
+    // 1-in-4 trees: a non-aggregate scalar-projection shape instead —
+    // string/arithmetic/conditional functions row-by-row (coverage the
+    // aggregate shape can't give); base key projected for row identity
+    val isProjection = rnd.nextInt(4) == 0
+    val baseKey = joined.last.ints.head
+    val projections: Seq[(String, Column)] =
+      if (!isProjection) Nil
+      else {
+        val sc = if (strings.nonEmpty) pick(rnd, strings) else null
+        val ic = pick(rnd, ints)
+        val p0 =
+          if (sc != null) (s"upper($sc) AS p0", upper(col(sc)).as("p0"))
+          else (s"CAST($ic % 7 AS BIGINT) AS p0", (col(ic) % 7).cast("long").as("p0"))
+        val p1 =
+          if (sc != null)
+            (s"CAST(length($sc) AS BIGINT) AS p1",
+              length(col(sc)).cast("long").as("p1"))
+          else
+            (s"CAST($ic AS BIGINT) * 2 + 1 AS p1",
+              (col(ic).cast("long") * 2 + 1).as("p1"))
+        val p2 =
+          if (doubles.nonEmpty) {
+            val dc = pick(rnd, doubles)
+            val cut = pick(rnd, doubleCuts(dc))
+            (s"CASE WHEN $dc >= $cut THEN 'hi' ELSE 'lo' END AS p2",
+              when(col(dc) >= cut, lit("hi")).otherwise(lit("lo")).as("p2"))
+          } else
+            (s"CAST($ic % 3 AS BIGINT) AS p2", (col(ic) % 3).cast("long").as("p2"))
+        Seq(
+          (s"CAST($baseKey AS BIGINT) AS k0", col(baseKey).cast("long").as("k0")),
+          p0, p1, p2)
+      }
+
     val sql = {
       val where = if (filters.isEmpty) "" else filters.map(_._1).mkString(" WHERE ", " AND ", "")
-      val hav = if (having) " HAVING COUNT(*) >= 2" else ""
-      s"SELECT ${keys.map(_._1).mkString(", ")}, COUNT(*) AS a_cnt" +
-        s"${extraAggs.map(a => ", " + a._1).mkString}" +
-        s" FROM $fromSql$where GROUP BY ${keys.indices.map(i => s"k$i").mkString(", ")}$hav"
+      if (isProjection)
+        s"SELECT ${projections.map(_._1).mkString(", ")} FROM $fromSql$where"
+      else {
+        val hav = if (having) " HAVING COUNT(*) >= 2" else ""
+        s"SELECT ${keys.map(_._1).mkString(", ")}, COUNT(*) AS a_cnt" +
+          s"${extraAggs.map(a => ", " + a._1).mkString}" +
+          s" FROM $fromSql$where GROUP BY ${keys.indices.map(i => s"k$i").mkString(", ")}$hav"
+      }
     }
 
     val joinedNames = joined.map(_.name).reverse // base first
     val jc = joinCols.reverse
     val build = (spark: SparkSession, dir: String) => {
       var df = Tables.table(spark, dir, joinedNames.head)
-      joinedNames.tail.zip(jc).foreach { case (t, (lc, rc)) =>
-        df = df.join(Tables.table(spark, dir, t), col(lc) === col(rc))
+      joinedNames.tail.zip(jc).foreach { case (t, (lc, rc, leftFiltered)) =>
+        val right = Tables.table(spark, dir, t)
+        df =
+          if (leftFiltered)
+            df.join(right.filter(col(rc) % 2 === 0), col(lc) === col(rc), "left")
+          else df.join(right, col(lc) === col(rc))
       }
       filters.foreach { case (_, c) => df = df.filter(c) }
-      val aggCols = count(lit(1)).as("a_cnt") +: extraAggs.map(_._2)
-      var out = df.groupBy(keys.map(_._2): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-      if (having) out = out.filter(col("a_cnt") >= 2)
-      out
+      if (isProjection) df.select(projections.map(_._2): _*)
+      else {
+        val aggCols = count(lit(1)).as("a_cnt") +: extraAggs.map(_._2)
+        var out = df.groupBy(keys.map(_._2): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+        if (having) out = out.filter(col("a_cnt") >= 2)
+        out
+      }
     }
     Gen(seed, sql, build)
   }
@@ -184,7 +238,8 @@ object QueryFuzz {
     * check (chosen to return rows at sf0.001 so the driver smoke-check
     * passes; the in-Spark spec sweeps a much wider seed range).
     */
-  val registeredSeeds: Seq[Long] = Seq(1L, 2L, 3L, 5L, 7L, 8L, 11L, 13L, 19L, 22L)
+  val registeredSeeds: Seq[Long] =
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 13L, 16L, 22L, 26L, 29L, 37L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
