@@ -166,6 +166,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("staged substrate is reused: after one dedup query runs, the next " +
+      "ngram query plans a parquet scan, not the shingle pipeline") {
+    // first call stages (or finds already-staged) the verified pairs
+    graft.operators.DedupOps.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    val second = graft.operators.DedupOps.queries("dedup_ngram_jaccard")(spark, dir)
+    val plan = second.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Join"),
+      s"second invocation recomputed the pair pipeline instead of reading the stage:\n$plan")
+    assert(second.count() > 0)
+  }
+
   test("spread is the identity when the scan is already parallel") {
     val already = spark.range(1000).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism)
