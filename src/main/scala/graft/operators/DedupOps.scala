@@ -310,6 +310,50 @@ object DedupOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     stagedNgramPairs(spark, dir).orderBy(col("da"), col("db"))
 
+  /** Incremental near-dedup — the daily-increment shape at corpus scale:
+    * verify a (small) batch of NEW documents against the EXISTING corpus
+    * without re-shingling the corpus. The corpus side is the staged
+    * shingle index; only the new batch is shingled and hashed here. A
+    * new doc joins the index's bounded postings (df <= [[MaxShingleDf]];
+    * a single-doc posting is a valid link — unlike batch pair
+    * generation, one side is external), candidates floor at
+    * [[MinSharedRareShingles]] shared postings, and exact Jaccard >= 0.6
+    * verifies over both full shingle sets. A new doc identical to a
+    * corpus doc reports jaccard 1.0 — exact-duplicate detection falls
+    * out for free. Returns (new_id, corpus_id, jaccard).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      newDocs: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val corpusSh = stagedShingleHashes(spark, dir)
+    val newSh = TextOps.docShingles(newDocs).select(col("doc_id"),
+      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h1"))
+    val postings = corpusSh.groupBy(col("h1"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= MaxShingleDf)
+    val cand = newSh.join(postings, "h1")
+      .select(col("doc_id").as("new_id"), explode(col("ds")).as("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedRareShingles)
+      .select(col("new_id"), col("corpus_id"))
+    val newSets = newSh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h1"))).as("nset"), count(lit(1)).as("n_new"))
+    val corpusSets = shingleSets(corpusSh)
+    cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("nset"), col("n_new")), "new_id")
+      .join(corpusSets.select(col("doc_id").as("corpus_id"),
+        col("sset"), col("n_sh")), "corpus_id")
+      .withColumn("n_inter", expr("sorted_intersect_count(nset, sset)"))
+      .withColumn("jaccard_raw",
+        col("n_inter") / (col("n_new") + col("n_sh") - col("n_inter")))
+      .filter(col("jaccard_raw") >= 0.6)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   private val shingleCte =
     s"""sh AS (
       |  $rawShingleSelect),

@@ -64,6 +64,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: a new doc finds its batch-verified near-dup " +
+      "partners plus its own exact copy, with matching jaccard") {
+    val pairs = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val (da, db, jac) = pairs.head
+    // replay the corpus doc `db` as a new arrival
+    val newDocs = Tables.documents(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === db)
+    val hits = DedupOps.dedupIncremental(spark, TestSpark.sfDir, newDocs)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.get(db).contains(1.0), s"self copy not reported as exact: $hits")
+    assert(hits.get(da).contains(jac),
+      s"batch partner $da (jaccard $jac) missing or different: $hits")
+    // incremental must not invent pairs the batch pipeline rejects:
+    // every reported corpus partner (minus self) is a batch pair of db
+    val batchPartners = pairs.collect {
+      case (a, b, _) if a == db => b
+      case (a, b, _) if b == db => a
+    }.toSet
+    assert((hits.keySet - db).subsetOf(batchPartners),
+      s"extra partners: ${hits.keySet - db -- batchPartners}")
+  }
+
   test("near-dup pairs sit far below the random simhash hamming baseline") {
     val fp = DedupOps.dedupSimhash(spark, TestSpark.sfDir)
     val jac = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir)
