@@ -139,13 +139,20 @@ object DedupOps {
     * hex-cast of the same md5), so results stay byte-identical either
     * way.
     */
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5(col("s").cast("binary"))
-    TextOps.docShingles(Tables.documents(spark, dir)).select(
+  /** (doc_id, h) md5 hex per distinct shingle — the shared first stage. */
+  private def shingleMd5(docs: DataFrame): DataFrame =
+    TextOps.docShingles(docs)
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+
+  /** Project the two 60-bit halves out of the md5 hex column. */
+  private def hexHalves(withHash: DataFrame): DataFrame =
+    withHash.select(
       col("doc_id"),
-      conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
-  }
+      conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(col("h"), 17, 15), 16, 10).cast("long").as("h2"))
+
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    hexHalves(shingleMd5(Tables.documents(spark, dir)))
 
   /** Session-scoped staged intermediates: the first query needing a
     * substrate materializes it to parquet in a temp dir; every later
@@ -187,19 +194,14 @@ object DedupOps {
     * pipeline's shared shingle index.
     */
   private def stagedShingleMd5(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"sh-md5:$dir")(
-      TextOps.docShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), md5(col("s").cast("binary")).as("h")))
+    staged(spark, s"sh-md5:$dir")(shingleMd5(Tables.documents(spark, dir)))
 
   /** Staged twin of [[docShingleHashes]] — the substrate shared by the
     * ngram/minhash/contamination/clusters queries. The hex→long
     * projection runs on read (cheap) over the staged md5 pass.
     */
   private def stagedShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    stagedShingleMd5(spark, dir).select(
-      col("doc_id"),
-      conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(col("h"), 17, 15), 16, 10).cast("long").as("h2"))
+    hexHalves(stagedShingleMd5(spark, dir))
 
   /** Single source of truth for oracle shingle generation (per-doc
     * distinct word 3-grams) — wrapped by BOTH [[shingleCte]] (string
@@ -243,21 +245,33 @@ object DedupOps {
     * [[graft.functions.SortedIntersectCount]] expression — no per-row
     * hash-set build, stays in whole-stage codegen).
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Exact-Jaccard pair threshold for the whole near-dup family. */
+  val JaccardThreshold = 0.6
+
+  /** Two-sided form: candidate (aKey, bKey) pairs verified against
+    * possibly DIFFERENT per-doc set tables (incremental dedup joins a
+    * new batch against the corpus index; batch dedup passes the same
+    * table twice).
+    */
+  private def verifyJaccardAgainst(cand: DataFrame, aKey: String, bKey: String,
+      aSets: DataFrame, bSets: DataFrame, threshold: Double): DataFrame = {
     graft.functions.SortedIntersectCount.register(cand.sparkSession)
     cand
-      .join(sets.select(col("doc_id").as("da"), col("sset").as("set_a"),
-        col("n_sh").as("n_a")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sset").as("set_b"),
-        col("n_sh").as("n_b")), "db")
+      .join(aSets.select(col("doc_id").as(aKey), col("sset").as("set_a"),
+        col("n_sh").as("n_a")), aKey)
+      .join(bSets.select(col("doc_id").as(bKey), col("sset").as("set_b"),
+        col("n_sh").as("n_b")), bKey)
       .withColumn("n_inter", expr("sorted_intersect_count(set_a, set_b)"))
       .withColumn("jaccard_raw",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col("da"), col("db"), round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy(col("da"), col("db"))
+      .select(col(aKey), col(bKey), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col(aKey), col(bKey))
   }
+
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccardAgainst(cand, "da", "db", sets, sets, threshold)
 
   /** Minimum co-occurring rare shingles for a pair to reach exact
     * verification. A jaccard >= 0.6 pair shares the large majority of its
@@ -294,7 +308,7 @@ object DedupOps {
     */
   private[graft] def ngramPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingleHashes(spark, dir)
-    verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), 0.6)
+    verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), JaccardThreshold)
   }
 
   /** Verified near-dup pairs, staged once per corpus: `dedup_clusters`
@@ -304,7 +318,7 @@ object DedupOps {
   private def stagedNgramPairs(spark: SparkSession, dir: String): DataFrame =
     staged(spark, s"ngram-pairs:$dir") {
       val sh = stagedShingleHashes(spark, dir)
-      verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), 0.6)
+      verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), JaccardThreshold)
     }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -324,11 +338,8 @@ object DedupOps {
     */
   def dedupIncremental(spark: SparkSession, dir: String,
       newDocs: DataFrame): DataFrame = {
-    graft.functions.SortedIntersectCount.register(spark)
     val corpusSh = stagedShingleHashes(spark, dir)
-    val newSh = TextOps.docShingles(newDocs).select(col("doc_id"),
-      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("h1"))
+    val newSh = hexHalves(shingleMd5(newDocs))
     val postings = corpusSh.groupBy(col("h1"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= MaxShingleDf)
@@ -338,20 +349,8 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinSharedRareShingles)
       .select(col("new_id"), col("corpus_id"))
-    val newSets = newSh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h1"))).as("nset"), count(lit(1)).as("n_new"))
-    val corpusSets = shingleSets(corpusSh)
-    cand
-      .join(newSets.select(col("doc_id").as("new_id"), col("nset"), col("n_new")), "new_id")
-      .join(corpusSets.select(col("doc_id").as("corpus_id"),
-        col("sset"), col("n_sh")), "corpus_id")
-      .withColumn("n_inter", expr("sorted_intersect_count(nset, sset)"))
-      .withColumn("jaccard_raw",
-        col("n_inter") / (col("n_new") + col("n_sh") - col("n_inter")))
-      .filter(col("jaccard_raw") >= 0.6)
-      .select(col("new_id"), col("corpus_id"),
-        round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy(col("new_id"), col("corpus_id"))
+    verifyJaccardAgainst(cand, "new_id", "corpus_id",
+      shingleSets(newSh), shingleSets(corpusSh), JaccardThreshold)
   }
 
   private val shingleCte =
@@ -431,7 +430,7 @@ object DedupOps {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, shingleSets(sh), 0.6)
+    verifyJaccard(cand, shingleSets(sh), JaccardThreshold)
   }
 
   val dedupMinhashLshOracle: String =
