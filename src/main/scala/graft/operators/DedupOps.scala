@@ -130,6 +130,11 @@ object DedupOps {
       |FROM sh JOIN dfc USING (h1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** (doc_id, h) md5 hex per distinct shingle — the shared first stage. */
+  private def shingleMd5(docs: DataFrame): DataFrame =
+    TextOps.docShingles(docs)
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+
   /** Distinct shingles per doc reduced to two 60-bit md5 halves. All
     * downstream Jaccard/MinHash stages operate on the 8-byte `h1` key
     * instead of the ~25-byte shingle string — smaller shuffles, cheaper
@@ -139,12 +144,6 @@ object DedupOps {
     * hex-cast of the same md5), so results stay byte-identical either
     * way.
     */
-  /** (doc_id, h) md5 hex per distinct shingle — the shared first stage. */
-  private def shingleMd5(docs: DataFrame): DataFrame =
-    TextOps.docShingles(docs)
-      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-
-  /** Project the two 60-bit halves out of the md5 hex column. */
   private def hexHalves(withHash: DataFrame): DataFrame =
     withHash.select(
       col("doc_id"),
