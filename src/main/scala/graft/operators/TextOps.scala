@@ -95,23 +95,34 @@ object TextOps {
       + (lit(1.0) - stopRatio) * 0.3
       + least(avgLen / lit(6.0), lit(1.0)) * 0.3 + lit(1e-9), 4)
 
+  /** Add the raw quality components + score to any frame with a `text`
+    * column: n_tokens, stop_ratio, avg_len (unrounded), quality. Shared
+    * by the batch query, the curation manifest, and the streaming
+    * cleanse stage (graft.streaming.DocStreamJob).
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(t, x => x === lit("a") || x === lit("the")))
+          / col("n_tokens").cast("double"))
+      .withColumn("avg_len",
+        length(regexp_replace(col("text"), " ", "")) / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        qualityScore(col("n_tokens"), col("stop_ratio"), col("avg_len")))
+  }
+
   /** Per-document quality score: length, stopword ratio, mean token
     * length — a deterministic analog of the heuristics used to filter web
     * corpora before LLM training.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"), col("text"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        (size(filter(col("t"), x => x === lit("a") || x === lit("the")))
-          / size(col("t")).cast("double")).as("stop_ratio"),
-        (length(regexp_replace(col("text"), " ", ""))
-          / size(col("t")).cast("double")).as("avg_len"))
+    withQuality(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_tokens"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("avg_len"), 4).as("avg_len"),
-        qualityScore(col("n_tokens"), col("stop_ratio"), col("avg_len")).as("quality"))
+        col("quality"))
       .withColumn("tier",
         when(col("quality") >= 0.8, lit("high"))
           .when(col("quality") >= 0.6, lit("mid"))
@@ -537,7 +548,64 @@ object TextOps {
       |FROM bi JOIN c2 USING (bg) JOIN c1c USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Quality gate and sample rate for [[corpusCuration]]. */
+  val CurationMinQuality = 0.6
+  val CurationSamplePct = 50
+
+  /** End-to-end curation manifest — the composition a training run
+    * actually consumes: exact-dup survivors (min doc_id per normalized
+    * text), gated at quality >= [[CurationMinQuality]] (the `mid` tier
+    * floor), then deterministically down-sampled to
+    * [[CurationSamplePct]]% by md5 residue. One window shuffle for the
+    * dedup, map-only from there — each stage is the already-verified
+    * operator, composed.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(col("text"))
+    val survivors = Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(norm).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    withQuality(survivors)
+      .filter(col("quality") >= CurationMinQuality)
+      .withColumn("hk", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .filter(col("hk") % 100 < CurationSamplePct)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCurationOracle: String =
+    s"""WITH s AS (
+      |  SELECT doc_id, text, lang FROM (
+      |    SELECT doc_id, text, lang,
+      |           row_number() OVER (PARTITION BY lower(text) ORDER BY doc_id) AS rk
+      |    FROM documents)
+      |  WHERE rk = 1),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+      |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+      |         length(replace(text, ' ', '')) * 1.0
+      |           / len(string_split(text, ' ')) AS avg_len
+      |  FROM s),
+      |q AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         round(least(n_tokens / 100.0, 1.0) * 0.4
+      |               + (1.0 - stop_ratio) * 0.3
+      |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4) AS quality
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, quality
+      |FROM q
+      |WHERE quality >= $CurationMinQuality
+      |  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 100 < $CurationSamplePct
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curation" -> (corpusCuration _),
     "sample_mixture" -> (sampleMixture _),
     "text_perplexity" -> (textPerplexity _),
     "sample_weighted" -> (sampleWeighted _),
@@ -553,6 +621,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "corpus_curation" -> corpusCurationOracle,
     "sample_mixture" -> sampleMixtureOracle,
     "text_perplexity" -> textPerplexityOracle,
     "sample_weighted" -> sampleWeightedOracle,

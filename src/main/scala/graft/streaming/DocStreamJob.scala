@@ -33,23 +33,16 @@ object DocStreamJob {
     md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(text))))
       .cast("binary"))
 
-  /** Stage 1+2 projection: score, filter, fingerprint. */
-  def cleanse(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    docs
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("stop_ratio",
-        size(filter(t, x => x === lit("a") || x === lit("the")))
-          / col("n_tokens").cast("double"))
-      .withColumn("avg_len",
-        length(regexp_replace(col("text"), " ", "")) / col("n_tokens").cast("double"))
-      .withColumn("quality",
-        TextOps.qualityScore(col("n_tokens"), col("stop_ratio"), col("avg_len")))
+  /** Stage 1+2 projection: score, filter, fingerprint — the scoring
+    * columns are TextOps.withQuality, the same expressions the batch
+    * oracle checks.
+    */
+  def cleanse(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    TextOps.withQuality(docs)
       .filter(col("quality") >= minQuality)
       .withColumn("fingerprint", fingerprint(col("text")))
       .select(col("doc_id"), col("lang"), col("ingest_ts"),
         col("n_tokens"), col("quality"), col("fingerprint"))
-  }
 
   /** Stage 2: streaming exact dedup with bounded state — a fingerprint
     * seen within the watermark horizon is dropped, state for expired
@@ -71,5 +64,30 @@ object DocStreamJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) => sinkWriter(batch, id) }
+      .start()
+
+  /** Streaming NEAR-dup screening against the static staged corpus
+    * index: every micro-batch of arriving (doc_id, text) documents runs
+    * the full batch verification ([[graft.operators.DedupOps
+    * .dedupIncremental]] — df-capped postings join + exact Jaccard) and
+    * hands matches to `sinkWriter` as (new_id, corpus_id, jaccard).
+    * This is the stream-static pattern at the micro-batch boundary: the
+    * corpus side never recomputes, the arriving side is tiny, and the
+    * verification is the exact-semantics batch operator — not an
+    * approximation bolted onto streaming state.
+    */
+  def startIncrementalDedup(docs: DataFrame, corpusDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sinkWriter(
+          graft.operators.DedupOps.dedupIncremental(
+            batch.sparkSession, corpusDir, batch), id)
+      }
       .start()
 }

@@ -57,4 +57,36 @@ class DocStreamSpec extends AnyFunSuite {
     // fingerprints of survivors are distinct by construction
     assert(sunk.select("fingerprint").distinct().count() == 2)
   }
+
+  test("streaming incremental dedup: an arriving corpus duplicate is " +
+      "flagged against the static staged index with exact jaccard") {
+    import org.apache.spark.sql.functions.col
+    // a corpus doc with a known batch-verified near-dup partner
+    val pairs = graft.operators.DedupOps
+      .dedupNgramJaccard(spark, TestSpark.sfDir).collect()
+    assert(pairs.nonEmpty)
+    val (da, db) = (pairs.head.getLong(0), pairs.head.getLong(1))
+    val dbText = Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") === db).select("text").as[String].head()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = Files.createTempDirectory("incdedup_sink").toString
+    val ckpt = Files.createTempDirectory("incdedup_ckpt").toString
+    val q = DocStreamJob.startIncrementalDedup(docs, TestSpark.sfDir, ckpt)(
+      (batch, _) => batch.write.mode("append").parquet(out))
+    try {
+      stream.addData((900001L, dbText), (900002L, "zeta omega unseen phrase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the replayed duplicate matched its corpus original (jaccard 1.0)
+    // and db's batch partner; the unseen doc matched nothing
+    assert(hits.contains((900001L, db, 1.0)), s"exact copy not flagged: ${hits.toSeq}")
+    assert(hits.exists(h => h._1 == 900001L && h._2 == da),
+      s"batch partner $da not flagged: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 900002L), s"unseen doc falsely flagged: ${hits.toSeq}")
+  }
 }
