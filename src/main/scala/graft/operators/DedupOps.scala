@@ -32,6 +32,16 @@ object DedupOps {
   def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** THE exact-dedup survivor rule — min doc_id per normalized text —
+    * shared by [[dedupExact]] and the curation manifest
+    * ([[TextOps.corpusCuration]]) so the two can never drift.
+    */
+  private[operators] def exactSurvivors(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lower(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+
   /** Oracle-checkable exact dedup: survivor = min doc_id per normalized
     * text, with the duplicate-group size. (dropDuplicates keeps an
     * arbitrary row, so the verifiable twin pins the survivor
@@ -39,11 +49,8 @@ object DedupOps {
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val norm = lower(col("text"))
-    val w = Window.partitionBy(norm).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(norm)))
-      .filter(col("rk") === 1)
+    exactSurvivors(Tables.documents(spark, dir)
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(norm))))
       .select(col("doc_id"), md5(norm.cast("binary")).as("text_key"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
@@ -236,21 +243,21 @@ object DedupOps {
     sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h1"))).as("sset"), count(lit(1)).as("n_sh"))
 
-  /** Exact-Jaccard verification of candidate (da, db) pairs against the
-    * full shingle sets. Two joins against the doc->set table (AQE
-    * broadcasts it when small; shuffle join on doc_id at corpus scale —
-    * either way no row explosion), then a per-row fused two-pointer merge
-    * over the sorted hash sets (the native
-    * [[graft.functions.SortedIntersectCount]] expression — no per-row
-    * hash-set build, stays in whole-stage codegen).
+  /** Exact-Jaccard pair threshold for the whole near-dup family. Also
+    * interpolated into the ngram/LSH/clusters oracle SQL, so tuning it
+    * keeps both engines in lockstep.
     */
-  /** Exact-Jaccard pair threshold for the whole near-dup family. */
   val JaccardThreshold = 0.6
 
-  /** Two-sided form: candidate (aKey, bKey) pairs verified against
-    * possibly DIFFERENT per-doc set tables (incremental dedup joins a
-    * new batch against the corpus index; batch dedup passes the same
-    * table twice).
+  /** Exact-Jaccard verification of candidate (aKey, bKey) pairs against
+    * the full shingle sets — possibly DIFFERENT per-doc set tables on
+    * each side (incremental dedup joins a new batch against the corpus
+    * index; the batch form passes the same table twice). Two joins
+    * against the doc->set tables (AQE broadcasts small sides; shuffle
+    * join on the doc key at corpus scale — either way no row explosion),
+    * then a per-row fused two-pointer merge over the sorted hash sets
+    * (the native [[graft.functions.SortedIntersectCount]] expression —
+    * no per-row hash-set build, stays in whole-stage codegen).
     */
   private def verifyJaccardAgainst(cand: DataFrame, aKey: String, bKey: String,
       aSets: DataFrame, bSets: DataFrame, threshold: Double): DataFrame = {
@@ -323,33 +330,56 @@ object DedupOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     stagedNgramPairs(spark, dir).orderBy(col("da"), col("db"))
 
+  /** Corpus-side incremental-dedup index, staged once per corpus: the
+    * df-capped inverted postings and the per-doc sorted set table. Both
+    * are deterministic functions of the corpus, so repeated
+    * [[dedupIncremental]] calls (every micro-batch in the streaming
+    * form) read parquet instead of re-aggregating the corpus.
+    */
+  private def stagedPostings(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"postings:$dir")(
+      stagedShingleHashes(spark, dir).groupBy(col("h1"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= MaxShingleDf))
+
+  private def stagedCorpusSets(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"corpus-sets:$dir")(
+      shingleSets(stagedShingleHashes(spark, dir)))
+
   /** Incremental near-dedup — the daily-increment shape at corpus scale:
     * verify a (small) batch of NEW documents against the EXISTING corpus
-    * without re-shingling the corpus. The corpus side is the staged
-    * shingle index; only the new batch is shingled and hashed here. A
-    * new doc joins the index's bounded postings (df <= [[MaxShingleDf]];
-    * a single-doc posting is a valid link — unlike batch pair
-    * generation, one side is external), candidates floor at
-    * [[MinSharedRareShingles]] shared postings, and exact Jaccard >= 0.6
-    * verifies over both full shingle sets. A new doc identical to a
-    * corpus doc reports jaccard 1.0 — exact-duplicate detection falls
-    * out for free. Returns (new_id, corpus_id, jaccard).
+    * without touching the corpus: both corpus-side structures (df-capped
+    * postings, per-doc sets) are staged parquet, so per-call cost scales
+    * with the batch. Only the new batch is shingled and hashed here —
+    * once: the candidate h1s re-derive from the aggregated set table, so
+    * Spark's exchange reuse serves both branches from one shingle pass.
+    * A new doc joins the postings (df <= [[MaxShingleDf]]; a single-doc
+    * posting is a valid link — unlike batch pair generation, one side is
+    * external), candidates floor at [[MinSharedRareShingles]] shared
+    * postings, and exact Jaccard >= [[JaccardThreshold]] verifies over
+    * both full shingle sets. Returns (new_id, corpus_id, jaccard).
+    *
+    * Recall contract (same deliberate trades as the batch family): an
+    * arriving duplicate is flagged only if it shares >=
+    * [[MinSharedRareShingles]] rare shingles with its original — an
+    * exact copy of a very short doc (single shingle) or of pure
+    * boilerplate (every shingle above the df cap) is NOT reported here;
+    * the exact-dedup stage (fingerprint/[[dedupExact]], present in the
+    * streaming pipeline as `dropDuplicatesWithinWatermark`) owns literal
+    * copies.
     */
   def dedupIncremental(spark: SparkSession, dir: String,
       newDocs: DataFrame): DataFrame = {
-    val corpusSh = stagedShingleHashes(spark, dir)
-    val newSh = hexHalves(shingleMd5(newDocs))
-    val postings = corpusSh.groupBy(col("h1"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= MaxShingleDf)
-    val cand = newSh.join(postings, "h1")
+    val newSets = shingleSets(hexHalves(shingleMd5(newDocs)))
+    val cand = newSets.select(col("doc_id"), explode(col("sset")).as("h1"))
+      .join(stagedPostings(spark, dir), "h1")
       .select(col("doc_id").as("new_id"), explode(col("ds")).as("corpus_id"))
       .groupBy(col("new_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinSharedRareShingles)
       .select(col("new_id"), col("corpus_id"))
     verifyJaccardAgainst(cand, "new_id", "corpus_id",
-      shingleSets(newSh), shingleSets(corpusSh), JaccardThreshold)
+      newSets, stagedCorpusSets(spark, dir), JaccardThreshold)
   }
 
   private val shingleCte =
@@ -380,7 +410,7 @@ object DedupOps {
       |FROM inter
       |JOIN sizes sa ON da = sa.doc_id
       |JOIN sizes sb ON db = sb.doc_id
-      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
 
   /** Number of minhash functions; bands of [[BandSize]] rows each. */
@@ -457,7 +487,7 @@ object DedupOps {
       |FROM inter
       |JOIN sizes sa ON da = sa.doc_id
       |JOIN sizes sb ON db = sb.doc_id
-      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+      |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
 
   /** SimHash fingerprint width: 48 bits from the first 12 hex chars of
@@ -744,7 +774,7 @@ object DedupOps {
       |  SELECT da, db FROM inter
       |  JOIN sizes sa ON da = sa.doc_id
       |  JOIN sizes sb ON db = sb.doc_id
-      |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+      |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= $JaccardThreshold),
       |edges AS (
       |  SELECT da AS a, db AS b FROM pairs
       |  UNION ALL SELECT db, da FROM pairs),

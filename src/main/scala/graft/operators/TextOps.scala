@@ -389,6 +389,16 @@ object TextOps {
       |         - tok_offset // $CtxTokens + 1 AS BIGINT) AS n_chunks
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** 60-bit md5 hash of doc_id — the deterministic, engine-independent
+    * sampling residue every sampling operator keys on (DuckDB twin:
+    * `CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS
+    * BIGINT)`).
+    */
+  private def docHash60: Column =
+    conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Percentage of each stratum kept by [[sampleStratified]]. */
   val SamplePct = 20
 
@@ -400,9 +410,7 @@ object TextOps {
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("hk", conv(substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("hk", docHash60)
       .filter(col("hk") % 100 < SamplePct)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
@@ -425,11 +433,8 @@ object TextOps {
     * the per-key top-k plans as a map-side partial WindowGroupLimit.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val hk = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("double")
     // u in (0, 1]: (h + 1) / 2^60
-    val u = (hk + lit(1.0)) / lit(math.pow(2.0, 60))
+    val u = (docHash60.cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))
     val key = -log(u) / col("n_chars")
     Tables.documents(spark, dir)
       // zero/null-weight docs are unsampleable (and would divide by zero
@@ -479,10 +484,7 @@ object TextOps {
     val rates = counts.crossJoin(broadcast(totals))
       .select(col("lang"),
         least(lit(1.0), col("total") / (col("n_langs") * col("cnt"))).as("rate"))
-    val hk = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    docs.select(col("doc_id"), col("lang"), hk.as("hk"))
+    docs.select(col("doc_id"), col("lang"), docHash60.as("hk"))
       .join(broadcast(rates), "lang")
       .filter(col("hk") % MixtureResidues <
         floor(col("rate") * MixtureResidues).cast("long"))
@@ -560,21 +562,12 @@ object TextOps {
     * dedup, map-only from there — each stage is the already-verified
     * operator, composed.
     */
-  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    val norm = lower(col("text"))
-    val survivors = Tables.documents(spark, dir)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(norm).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1).drop("rk")
-    withQuality(survivors)
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame =
+    withQuality(DedupOps.exactSurvivors(Tables.documents(spark, dir)))
       .filter(col("quality") >= CurationMinQuality)
-      .withColumn("hk", conv(substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"))
-      .filter(col("hk") % 100 < CurationSamplePct)
+      .filter(docHash60 % 100 < CurationSamplePct)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   val corpusCurationOracle: String =
     s"""WITH s AS (
