@@ -54,6 +54,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the mechanism the " +
+      "engine relies on for pathological keys before reaching for salting)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local fixture sizes are far under the 256MB production threshold
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // skew-join only applies to shuffle joins
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 50k rows on ONE key vs 50 keys with 1k rows each
+      val skewed = spark.range(100000)
+        .select((when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50))
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(50).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = skewed.join(dim, "k")
+      // execute THIS frame (a count() plans a different query tree and
+      // would leave this one's adaptive plan unexecuted)
+      assert(joined.collect().length == 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, TestSpark.sfDir)
