@@ -183,12 +183,26 @@ object DedupOps {
       } catch { case _: Throwable => () } // best-effort cleanup
     }, "graft-stage-cleanup"))
 
+  private val stagedLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = stagedPaths.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-stage-").toString
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
+    // builds run OUTSIDE the map's computeIfAbsent: a build may stage its
+    // own inputs (pairs -> sets -> md5), and ConcurrentHashMap rejects
+    // recursive updates. A per-key lock keeps at-most-once builds; lock
+    // acquisition follows the staging dependency DAG, so no cycles.
+    var path = stagedPaths.get(key)
+    if (path == null) {
+      val lock = stagedLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        path = stagedPaths.get(key)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-stage-").toString
+          build.write.mode("overwrite").parquet(p)
+          stagedPaths.put(key, p)
+          path = p
+        }
+      }
+    }
     spark.read.parquet(path)
   }
 
@@ -324,7 +338,8 @@ object DedupOps {
   private def stagedNgramPairs(spark: SparkSession, dir: String): DataFrame =
     staged(spark, s"ngram-pairs:$dir") {
       val sh = stagedShingleHashes(spark, dir)
-      verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), JaccardThreshold)
+      verifyJaccard(candidatesFromRareShingles(sh),
+        stagedCorpusSets(spark, dir), JaccardThreshold)
     }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -459,7 +474,7 @@ object DedupOps {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, shingleSets(sh), JaccardThreshold)
+    verifyJaccard(cand, stagedCorpusSets(spark, dir), JaccardThreshold)
   }
 
   val dedupMinhashLshOracle: String =
