@@ -68,12 +68,17 @@ object RelationalOps {
         lit("1997-01-01").cast("timestamp"), lit("1997-06-30").cast("timestamp"))
         && col("l_discount") > lit(0.08) && col("l_quantity") >= lit(45.0))
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amount"))
+        // products of exact-2dp inputs frequently land on TRUE .xx5
+        // halves, where Spark (BigDecimal HALF_UP on the binary value)
+        // and DuckDB round apart; +1e-9 pushes both engines off the half
+        // the same way (same trick as TextOps.qualityScore)
+        round(col("l_extendedprice") * col("l_discount") + lit(1e-9), 2)
+          .as("disc_amount"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val qFilterPushdownOracle: String =
     """SELECT l_orderkey, l_linenumber,
-      |  round(l_extendedprice * l_discount, 2) AS disc_amount
+      |  round(l_extendedprice * l_discount + 1e-9, 2) AS disc_amount
       |FROM lineitem
       |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-06-30 00:00:00'
       |  AND l_discount > 0.08 AND l_quantity >= 45.0
