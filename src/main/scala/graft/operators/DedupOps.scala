@@ -121,7 +121,7 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("df") >= BoilerplateDf).cast("long")).as("n_common"))
       .withColumn("boiler_ratio",
-        round(col("n_common") / col("n_shingles").cast("double"), 4))
+        round(col("n_common") / col("n_shingles").cast("double") + lit(1e-9), 4))
       .orderBy(col("doc_id"))
   }
 
@@ -133,7 +133,7 @@ object DedupOps {
       |SELECT doc_id, COUNT(*) AS n_shingles,
       |       CAST(SUM(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
       |       round(SUM(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END) * 1.0
-      |             / COUNT(*), 4) AS boiler_ratio
+      |             / COUNT(*) + 1e-9, 4) AS boiler_ratio
       |FROM sh JOIN dfc USING (h1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -285,7 +285,7 @@ object DedupOps {
       .withColumn("jaccard_raw",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col(aKey), col(bKey), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col(aKey), col(bKey), round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
       .orderBy(col(aKey), col(bKey))
   }
 
@@ -421,7 +421,7 @@ object DedupOps {
       |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
       |  GROUP BY c.da, c.db)
       |SELECT da, db,
-      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) + 1e-9, 4) AS jaccard
       |FROM inter
       |JOIN sizes sa ON da = sa.doc_id
       |JOIN sizes sb ON db = sb.doc_id
@@ -498,7 +498,7 @@ object DedupOps {
       |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
       |  GROUP BY c.da, c.db)
       |SELECT da, db,
-      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) + 1e-9, 4) AS jaccard
       |FROM inter
       |JOIN sizes sa ON da = sa.doc_id
       |JOIN sizes sb ON db = sb.doc_id

@@ -283,7 +283,7 @@ object TextOps {
         size(array_distinct(col("g"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_grams") === 0, lit(0.0))
-          .otherwise(round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4)))
+          .otherwise(round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double") + lit(1e-9), 4)))
       .withColumn("is_repetitive", (col("rep_ratio") >= 0.2).cast("long"))
       .orderBy(col("doc_id"))
 
@@ -296,7 +296,7 @@ object TextOps {
       |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
       |         CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
       |         CASE WHEN len(g) = 0 THEN 0.0
-      |              ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) END AS rep_ratio
+      |              ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g) + 1e-9, 4) END AS rep_ratio
       |  FROM g)
       |SELECT doc_id, n_grams, n_distinct, rep_ratio,
       |       CAST(rep_ratio >= 0.2 AS BIGINT) AS is_repetitive
