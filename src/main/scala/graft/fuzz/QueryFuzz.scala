@@ -198,11 +198,17 @@ object QueryFuzz {
           p0, p1, p2)
       }
 
+    // half the projection trees add a deterministic top-k: ORDER BY every
+    // output column makes row ties interchangeable, so LIMIT is stable
+    // in both engines even with duplicate rows
+    val topK = isProjection && rnd.nextBoolean()
+
     val sql = {
       val where = if (filters.isEmpty) "" else filters.map(_._1).mkString(" WHERE ", " AND ", "")
-      if (isProjection)
-        s"SELECT ${projections.map(_._1).mkString(", ")} FROM $fromSql$where"
-      else {
+      if (isProjection) {
+        val lim = if (topK) " ORDER BY k0, p0, p1, p2 LIMIT 100" else ""
+        s"SELECT ${projections.map(_._1).mkString(", ")} FROM $fromSql$where$lim"
+      } else {
         val hav = if (having) " HAVING COUNT(*) >= 2" else ""
         s"SELECT ${keys.map(_._1).mkString(", ")}, COUNT(*) AS a_cnt" +
           s"${extraAggs.map(a => ", " + a._1).mkString}" +
@@ -222,8 +228,12 @@ object QueryFuzz {
           else df.join(right, col(lc) === col(rc))
       }
       filters.foreach { case (_, c) => df = df.filter(c) }
-      if (isProjection) df.select(projections.map(_._2): _*)
-      else {
+      if (isProjection) {
+        val proj = df.select(projections.map(_._2): _*)
+        if (topK)
+          proj.orderBy(col("k0"), col("p0"), col("p1"), col("p2")).limit(100)
+        else proj
+      } else {
         val aggCols = count(lit(1)).as("a_cnt") +: extraAggs.map(_._2)
         var out = df.groupBy(keys.map(_._2): _*)
           .agg(aggCols.head, aggCols.tail: _*)

@@ -35,9 +35,9 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("120 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("150 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
-    val failures = (0L until 120L).flatMap { seed =>
+    val failures = (0L until 150L).flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
       val sql = normalized(sqlSession.sql(g.sql))
