@@ -199,14 +199,18 @@ object QueryFuzz {
       }
 
     // half the projection trees add a deterministic top-k: ORDER BY every
-    // output column makes row ties interchangeable, so LIMIT is stable
-    // in both engines even with duplicate rows
+    // output column makes row ties interchangeable, so LIMIT is stable in
+    // both engines even with duplicate rows. NULLS FIRST is explicit —
+    // Spark defaults to it ascending but DuckDB defaults NULLS LAST, and
+    // left-filtered joins produce null projection columns
     val topK = isProjection && rnd.nextBoolean()
 
     val sql = {
       val where = if (filters.isEmpty) "" else filters.map(_._1).mkString(" WHERE ", " AND ", "")
       if (isProjection) {
-        val lim = if (topK) " ORDER BY k0, p0, p1, p2 LIMIT 100" else ""
+        val lim = if (topK)
+          " ORDER BY k0 NULLS FIRST, p0 NULLS FIRST, p1 NULLS FIRST, p2 NULLS FIRST LIMIT 100"
+        else ""
         s"SELECT ${projections.map(_._1).mkString(", ")} FROM $fromSql$where$lim"
       } else {
         val hav = if (having) " HAVING COUNT(*) >= 2" else ""
@@ -231,7 +235,8 @@ object QueryFuzz {
       if (isProjection) {
         val proj = df.select(projections.map(_._2): _*)
         if (topK)
-          proj.orderBy(col("k0"), col("p0"), col("p1"), col("p2")).limit(100)
+          proj.orderBy(col("k0").asc_nulls_first, col("p0").asc_nulls_first,
+            col("p1").asc_nulls_first, col("p2").asc_nulls_first).limit(100)
         else proj
       } else {
         val aggCols = count(lit(1)).as("a_cnt") +: extraAggs.map(_._2)

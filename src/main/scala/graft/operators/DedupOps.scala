@@ -169,9 +169,9 @@ object DedupOps {
     * (which Verify/Bench issue), unlike `.cache()`. Keyed by data dir,
     * so different scale factors stage independently.
     */
-  // ConcurrentHashMap.computeIfAbsent runs the build at most once per
-  // key even under parallel suites (TrieMap.getOrElseUpdate would let
-  // racers each run the expensive pass and leak the loser's directory);
+  // path registry + per-key build locks (see staged() below: builds run
+  // under stagedLocks, NOT inside computeIfAbsent, so at-most-once holds
+  // under parallel suites without racers leaking a loser's directory);
   // a JVM shutdown hook removes the staged directories on exit.
   private val stagedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -38,7 +38,7 @@ object RelationalOps {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1.0) + lit(1e-12)), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -49,7 +49,7 @@ object RelationalOps {
     """SELECT l_returnflag, l_linestatus,
       |  round(SUM(l_quantity), 2) AS sum_qty,
       |  round(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  round(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS sum_disc_price,
       |  round(AVG(l_quantity), 4) AS avg_qty,
       |  round(AVG(l_extendedprice), 4) AS avg_price,
       |  round(AVG(l_discount), 4) AS avg_disc,
@@ -114,13 +114,13 @@ object RelationalOps {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1.0) + lit(1e-12)), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
 
   val qShuffleJoinOracle: String =
     """SELECT o_orderpriority,
-      |  round(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
@@ -136,7 +136,7 @@ object RelationalOps {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1.0) + lit(1e-12)), 2).as("revenue"))
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -144,7 +144,7 @@ object RelationalOps {
 
   val qTopkRevenueOracle: String =
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      |  round(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
@@ -514,14 +514,14 @@ object RelationalOps {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name").isin("AMERICA", "ASIA"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1.0) + lit(1e-12)), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
   }
 
   val qLocalSupplierVolumeOracle: String =
     """SELECT r_name, n_name,
-      |  round(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -76,7 +76,6 @@ class ScaleSpec extends AnyFunSuite {
       // skew-join only applies to shuffle joins
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      import spark.implicits._
       // 50k rows on ONE key vs 50 keys with 1k rows each
       val skewed = spark.range(100000)
         .select((when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50))
