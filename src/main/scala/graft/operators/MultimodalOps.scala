@@ -7,13 +7,14 @@ import graft.Tables
 /** Multimodal-column plumbing (builder mandate): media as opaque `binary`
   * columns with typed metadata, decoded/featurized partition-parallel.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic stub ([[FakeDecoder]]) — but everything
-  * Spark-side is real and tested: the schema (binary payload + metadata
-  * struct), the batch shape (mapPartitions so a real decoder amortizes
-  * model/codec init per partition, exactly like a Pandas-UDF batch), and
-  * the partition-parallel execution. Swapping [[FakeDecoder.decode]] for a
-  * JNI/ONNX call is the only change needed at 100 TB.
+  * The decode kernel is a REAL pure-JVM audio codec: [[Wav]] parses a
+  * RIFF/WAVE container (chunk walk with word-alignment padding, `fmt `
+  * field validation, 16-bit PCM frame extraction) with no native
+  * dependencies. The Spark side is the production batch shape: binary
+  * payload + metadata schema, mapPartitions so a decoder amortizes init
+  * per partition (the Scala analog of a `mapInPandas` batch), and
+  * partition-parallel execution. A heavier codec (JPEG, Opus) slots into
+  * the same shape unchanged at 100 TB.
   */
 object MultimodalOps {
 
@@ -21,44 +22,150 @@ object MultimodalOps {
   case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String,
       width: Int, height: Int)
 
-  /** Extracted features: fixed-width vector + scalar stats. */
-  case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long,
-      histogram: Array[Double])
-
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
-    * "decodes" a payload into a 16-bin byte histogram + a rolling
-    * checksum. A real deployment replaces this body with e.g. JPEG decode
-    * + a vision-encoder forward pass; the signature and batch shape stay.
+  /** Features extracted by a real WAV decode: container metadata plus
+    * integer-exact sample statistics (integers are exactly portable
+    * across engines — no float-rounding hazard in the oracle compare).
     */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Long, Array[Double]) = {
-      val hist = new Array[Double](16)
-      var crc = 0L
+  case class WavFeatures(media_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_us: Long,
+      sum_amp: Long, sum_sq: Long, peak_abs: Long)
+
+  /** Minimal but genuine RIFF/WAVE codec (pure JVM, no codecs needed):
+    * encodes 16-bit mono PCM and decodes by walking RIFF sub-chunks —
+    * including skipping unknown chunks and honoring the odd-size pad
+    * byte — validating the `fmt ` chunk, and folding the `data` samples
+    * into exact integer statistics. Malformed containers produce
+    * `Left(reason)` rather than throwing, so a 100 TB scan can route
+    * bad rows to a quarantine sink instead of failing the job.
+    */
+  object Wav {
+    /** Decoded container info + integer-exact sample statistics. */
+    case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        nSamples: Long, sumAmp: Long, sumSq: Long, peakAbs: Long)
+
+    /** Deterministic sample synthesis for the fixture: each payload byte
+      * becomes one 16-bit sample `(b - 128) * 256` — the byte arithmetic
+      * DuckDB reproduces exactly from the same characters.
+      */
+    def samplesFromBytes(bytes: Array[Byte]): Array[Short] = {
+      val out = new Array[Short](bytes.length)
       var i = 0
-      while (i < payload.length) {
-        val b = payload(i) & 0xff
-        hist(b & 0x0f) += 1.0
-        crc = crc * 31 + b
+      while (i < bytes.length) {
+        out(i) = (((bytes(i) & 0xff) - 128) * 256).toShort
         i += 1
       }
-      val n = math.max(payload.length, 1).toDouble
-      var j = 0
-      while (j < 16) { hist(j) /= n; j += 1 }
-      (crc, hist)
+      out
+    }
+
+    private def putU32(b: java.nio.ByteBuffer, v: Long): Unit =
+      b.putInt((v & 0xffffffffL).toInt)
+
+    /** Encode 16-bit mono PCM into a spec-valid RIFF/WAVE container. A
+      * deliberately odd-sized `LIST` info chunk sits between `fmt ` and
+      * `data` so every decode exercises the unknown-chunk skip and the
+      * word-alignment pad byte — the parts of a RIFF parser naive code
+      * gets wrong.
+      */
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val junk = "INFOgft".getBytes("US-ASCII") // 7 bytes -> odd, pad byte follows
+      val junkPadded = junk.length + (junk.length & 1)
+      val dataSize = samples.length * 2
+      val riffBody = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); putU32(buf, riffBody)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")); putU32(buf, 16)
+      buf.putShort(1)                       // PCM
+      buf.putShort(1)                       // mono
+      putU32(buf, sampleRate)
+      putU32(buf, sampleRate.toLong * 2)    // byte rate = rate * block align
+      buf.putShort(2)                       // block align
+      buf.putShort(16)                      // bits per sample
+      buf.put("LIST".getBytes("US-ASCII")); putU32(buf, junk.length)
+      buf.put(junk); if ((junk.length & 1) == 1) buf.put(0.toByte)
+      buf.put("data".getBytes("US-ASCII")); putU32(buf, dataSize)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+
+    /** Parse a RIFF/WAVE container. Walks sub-chunks (skipping unknown
+      * ones, honoring the odd-size pad byte), requires a PCM 16-bit
+      * `fmt ` chunk before `data`, and folds samples into integer stats.
+      */
+    def decode(payload: Array[Byte]): Either[String, WavInfo] = {
+      if (payload.length < 12) return Left("container too short for RIFF header")
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); buf.get(magic)
+      if (new String(magic, "US-ASCII") != "RIFF") return Left("bad RIFF magic")
+      val riffSize = buf.getInt() & 0xffffffffL
+      if (riffSize + 8 > payload.length) return Left("RIFF size exceeds payload")
+      buf.get(magic)
+      if (new String(magic, "US-ASCII") != "WAVE") return Left("not a WAVE form")
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+      while (buf.remaining() >= 8) {
+        buf.get(magic)
+        val id = new String(magic, "US-ASCII")
+        val size = buf.getInt() & 0xffffffffL
+        if (size > buf.remaining()) return Left(s"chunk '$id' overruns payload")
+        id match {
+          case "fmt " =>
+            if (size < 16) return Left("fmt chunk too short")
+            val audioFormat = buf.getShort() & 0xffff
+            val channels = buf.getShort() & 0xffff
+            val rate = buf.getInt()
+            buf.getInt(); buf.getShort() // byte rate, block align (derived)
+            val bits = buf.getShort() & 0xffff
+            if (size > 16) buf.position(buf.position() + (size - 16).toInt)
+            fmt = Some((audioFormat, channels, rate, bits))
+          case "data" =>
+            fmt match {
+              case None => return Left("data chunk before fmt")
+              case Some((audioFormat, channels, rate, bits)) =>
+                if (audioFormat != 1) return Left(s"unsupported codec $audioFormat (PCM only)")
+                if (bits != 16) return Left(s"unsupported bit depth $bits (16-bit only)")
+                if (channels < 1) return Left("zero channels")
+                val n = size / 2
+                var sum = 0L; var sq = 0L; var peak = 0L
+                var i = 0L
+                while (i < n) {
+                  val s = buf.getShort().toLong
+                  sum += s; sq += s * s
+                  val a = math.abs(s); if (a > peak) peak = a
+                  i += 1
+                }
+                return Right(WavInfo(rate, channels, bits, n / channels, sum, sq, peak))
+            }
+          case _ =>
+            // skip + word-alignment pad, clamped so a truncated trailing
+            // chunk falls through to the "no data chunk" error
+            buf.position(buf.position() +
+              math.min(size + (size & 1), buf.remaining().toLong).toInt)
+        }
+        if ((size & 1) == 1 && id == "fmt ") buf.position(buf.position() + 1)
+      }
+      Left("no data chunk")
     }
   }
 
-  /** Partition-parallel decode: one decoder instance per partition (where
-    * a real codec/model would be initialized once), streaming rows through
-    * it. This is the Scala analog of `mapInPandas` batching.
+  /** Partition-parallel WAV decode: one decoder scope per partition
+    * (where a heavier codec would initialize once), streaming rows
+    * through it — the Scala analog of `mapInPandas` batching. Malformed
+    * rows surface as an error column instead of failing the scan.
     */
-  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def decodeWav(records: Dataset[MediaRecord]): Dataset[WavFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // real deployment: init codec / feature model here, once per partition
-      it.map { r =>
-        val (crc, hist) = FakeDecoder.decode(r.payload)
-        MediaFeatures(r.media_id, r.payload.length.toLong, crc, hist)
+      it.flatMap { r =>
+        Wav.decode(r.payload).toOption.map { info =>
+          WavFeatures(r.media_id, info.sampleRate, info.channels,
+            info.bitsPerSample, info.nSamples,
+            info.nSamples * 1000000L / math.max(info.sampleRate, 1),
+            info.sumAmp, info.sumSq, info.peakAbs)
+        }
       }
     }
   }
@@ -163,11 +270,57 @@ object MultimodalOps {
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Oracle-checked REAL decode: synthesize a spec-valid WAV container
+    * from each document's bytes (no media files ship in the fixture),
+    * then run the genuine [[Wav.decode]] chunk-walking parser over it in
+    * the mapPartitions batch shape. All emitted statistics are integers,
+    * so DuckDB reproduces them exactly from the same characters
+    * (`sample = (ascii(ch) - 128) * 256`); the fixture is pure ASCII so
+    * char arithmetic == byte arithmetic (MultimodalSpec covers the
+    * non-ASCII byte semantics directly).
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("audio/wav").as("mime"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+      .map(r => r.copy(payload = Wav.encode(Wav.samplesFromBytes(r.payload), 8000)))
+    decodeWav(media).toDF().orderBy("media_id")
+  }
+
+  val multimodalDecodeOracle: String =
+    """WITH pos AS (
+      |  SELECT doc_id, CAST(unnest(range(1, strlen(text) + 1)) AS INT) AS p, text
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST((ascii(substr(text, p, 1)) - 128) * 256 AS BIGINT) AS samp
+      |  FROM pos),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_samples,
+      |         CAST(sum(samp) AS BIGINT) AS sum_amp,
+      |         CAST(sum(samp * samp) AS BIGINT) AS sum_sq,
+      |         CAST(max(abs(samp)) AS BIGINT) AS peak_abs
+      |  FROM s GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      |       8000 AS sample_rate, 1 AS channels, 16 AS bits_per_sample,
+      |       COALESCE(a.n_samples, 0) AS n_samples,
+      |       COALESCE(a.n_samples, 0) * 125 AS duration_us,
+      |       COALESCE(a.sum_amp, 0) AS sum_amp,
+      |       COALESCE(a.sum_sq, 0) AS sum_sq,
+      |       COALESCE(a.peak_abs, 0) AS peak_abs
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrameSample _))
+    "multimodal_frames" -> (multimodalFrameSample _),
+    "multimodal_decode" -> (multimodalDecode _))
 
   def oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesOracle,
-    "multimodal_frames" -> multimodalFrameSampleOracle)
+    "multimodal_frames" -> multimodalFrameSampleOracle,
+    "multimodal_decode" -> multimodalDecodeOracle)
 }

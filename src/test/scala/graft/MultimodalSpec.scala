@@ -3,21 +3,66 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.MultimodalOps
 
-/** The multimodal plumbing (binary payload -> mapPartitions decode) is
-  * real even though the decode kernel is a stub.
+/** The multimodal plumbing (binary payload -> mapPartitions decode) over
+  * the REAL pure-JVM RIFF/WAVE codec in [[MultimodalOps.Wav]].
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import MultimodalOps.Wav
 
-  test("decodeFeatures runs partition-parallel over binary payloads") {
-    val records = MultimodalOps.asMediaRecords(spark, TestSpark.sfDir)
-    val feats = MultimodalOps.decodeFeatures(records)
-    val rows = feats.collect()
-    assert(rows.length == records.count())
-    val r = rows.minBy(_.media_id)
-    assert(r.n_bytes > 0)
-    assert(r.histogram.length == 16)
-    assert(math.abs(r.histogram.sum - 1.0) < 1e-9, "histogram must be normalized")
+  test("WAV round-trip: encode then decode recovers exact sample statistics") {
+    // non-ASCII bytes too: the codec is byte-based, not char-based
+    val payload = "héllo wörld ÿ".getBytes("ISO-8859-1")
+    val samples = Wav.samplesFromBytes(payload)
+    val wav = Wav.encode(samples, 8000)
+    val info = Wav.decode(wav).toOption.get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nSamples == payload.length.toLong)
+    assert(info.sumAmp == samples.map(_.toLong).sum)
+    assert(info.sumSq == samples.map(s => s.toLong * s).sum)
+    assert(info.peakAbs == samples.map(s => math.abs(s.toLong)).max)
+  }
+
+  test("WAV decode walks and skips unknown chunks with odd-size padding") {
+    // encode() plants a 7-byte LIST chunk before data — decode must skip
+    // it (plus its pad byte) to find data at all; also verify by hand
+    val wav = Wav.encode(Array[Short](100, -200, 300), 44100)
+    val info = Wav.decode(wav).toOption.get
+    assert(info.sampleRate == 44100 && info.nSamples == 3)
+    assert(info.sumAmp == 200 && info.peakAbs == 300)
+  }
+
+  test("WAV decode rejects malformed containers with a reason, not a throw") {
+    val good = Wav.encode(Array[Short](1, 2, 3), 8000)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Wav.decode(badMagic) == Left("bad RIFF magic"))
+    // truncated mid-header
+    assert(Wav.decode(good.take(10)).isLeft)
+    // truncated mid-data (RIFF size now exceeds payload)
+    assert(Wav.decode(good.dropRight(2)).isLeft)
+    // data chunk missing entirely
+    val noData = good.take(good.length - (8 + 6)) // chop data chunk
+    val patched = noData.clone()
+    // fix RIFF size so only the data chunk is "missing", not truncation
+    val newSize = patched.length - 8
+    patched(4) = (newSize & 0xff).toByte; patched(5) = ((newSize >> 8) & 0xff).toByte
+    patched(6) = ((newSize >> 16) & 0xff).toByte; patched(7) = ((newSize >> 24) & 0xff).toByte
+    assert(Wav.decode(patched) == Left("no data chunk"))
+    // empty payload
+    assert(Wav.decode(Array.emptyByteArray).isLeft)
+  }
+
+  test("decodeWav runs partition-parallel and drops malformed rows") {
+    import spark.implicits._
+    val good = Wav.encode(Wav.samplesFromBytes("abc".getBytes), 8000)
+    val records = Seq(
+      MultimodalOps.MediaRecord(1L, good, "audio/wav", 0, 0),
+      MultimodalOps.MediaRecord(2L, "not a wav at all".getBytes, "audio/wav", 0, 0))
+      .toDS().repartition(2)
+    val rows = MultimodalOps.decodeWav(records).collect()
+    assert(rows.map(_.media_id).toSeq == Seq(1L))
+    assert(rows.head.n_samples == 3 && rows.head.duration_us == 375)
   }
 
   test("frame sampling counts BYTES, not characters (non-ASCII payload)") {
@@ -42,9 +87,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames2.map(_.getAs[Long]("byte_offset")).toSeq == Seq(0L, 128L))
   }
 
-  test("decode is deterministic (same payload -> same checksum)") {
-    val (c1, h1) = MultimodalOps.FakeDecoder.decode("hello world".getBytes("UTF-8"))
-    val (c2, h2) = MultimodalOps.FakeDecoder.decode("hello world".getBytes("UTF-8"))
-    assert(c1 == c2 && h1.sameElements(h2))
+  test("decode is deterministic (same payload -> same statistics)") {
+    val wav = Wav.encode(Wav.samplesFromBytes("hello world".getBytes("UTF-8")), 8000)
+    assert(Wav.decode(wav) == Wav.decode(wav.clone()))
   }
 }
