@@ -66,4 +66,54 @@ class KMeansSpec extends AnyFunSuite {
     val r = recallVsBruteForce(SimilarityOps.simIvfTopk(spark, TestSpark.sfDir))
     assert(r >= 0.9, s"shipped IVF recall@${SimilarityOps.TopK} = $r < 0.9")
   }
+
+  /** The acceleration evidence the isotropic fixture cannot provide: on a
+    * corpus WITH cluster structure (the realistic case for model
+    * embeddings), IVF must reach high recall while probing a small cell
+    * fraction — i.e. the index earns its keep, it isn't brute force with
+    * extra steps.
+    */
+  test("clustered corpus: recall >= 0.9 at nprobe <= 0.2*nlist, scoring " +
+      "<= 25% of the brute-force pairs") {
+    import spark.implicits._
+    val d = 32; val nClusters = 50; val nVecs = 5000; val nQueries = 10
+    val rnd = new scala.util.Random(42) // seeded -> deterministic fixture
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(normalize(Array.fill(d)(rnd.nextGaussian())))
+    val corpus = (0 until nVecs).map { i =>
+      val v = normalize(centers(i % nClusters).map(_ + 0.05 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").repartition(8).cache()
+    try {
+      val queries = corpus.filter(col("vec_id") < nQueries)
+      // exact top-k ground truth (brute force over the clustered corpus)
+      graft.functions.CosineSimilarity.register(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      val bf = queries.as("q")
+        .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+          round(expr("cosine_similarity(q.embedding, c.embedding)"), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SimilarityOps.TopK)
+        .select("query_id", "vec_id").cache()
+
+      val nlist = SimilarityOps.nlistFor(nVecs)                  // 71
+      val nprobe = math.ceil(0.2 * nlist).toInt                  // 15
+      val cb = SimilarityOps.trainCodebook(corpus, nlist, iters = 5)
+      val ivf = SimilarityOps.ivfSearch(corpus, queries, cb, nprobe, SimilarityOps.TopK)
+      val hits = ivf.select("query_id", "vec_id").intersect(bf).count()
+      val recall = hits.toDouble / bf.count()
+      assert(recall >= 0.9,
+        s"clustered IVF recall@${SimilarityOps.TopK} = $recall < 0.9 at nprobe=$nprobe/$nlist")
+
+      // cost side: candidate pairs actually scored vs brute force's
+      val scoredPairs = SimilarityOps.ivfCandidates(corpus, queries, cb, nprobe).count()
+      val bfPairs = nQueries.toLong * (nVecs - 1)
+      assert(scoredPairs <= 0.25 * bfPairs,
+        s"IVF scored $scoredPairs pairs — more than 25% of brute force's $bfPairs")
+    } finally { corpus.unpersist(); () }
+  }
 }
