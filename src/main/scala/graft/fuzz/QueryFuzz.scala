@@ -69,12 +69,160 @@ object QueryFuzz {
 
   private def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
 
+  /** A single predicate over the given column inventory (int modulo class
+    * or double cut) rendered in both dialects — shared by the window /
+    * semi-join / union shapes. The classic shape keeps its own inline
+    * copy so its random stream stays byte-identical to earlier rounds.
+    */
+  private def predOn(rnd: Random, ints: Seq[String],
+      doubles: Seq[String]): (String, Column) =
+    if (doubles.nonEmpty && rnd.nextBoolean()) {
+      val c = pick(rnd, doubles)
+      val cut = pick(rnd, doubleCuts(c))
+      if (rnd.nextBoolean()) (s"$c >= $cut", col(c) >= cut)
+      else (s"$c <= $cut", col(c) <= cut)
+    } else {
+      val c = pick(rnd, ints)
+      val m = 2 + rnd.nextInt(4)
+      val r = rnd.nextInt(m)
+      (s"$c % $m = $r", col(c) % m === r)
+    }
+
+  /** A group key over the inventory (string column or int modulo class). */
+  private def keyOn(rnd: Random, ints: Seq[String], strings: Seq[String],
+      alias: String): (String, Column) =
+    if (strings.nonEmpty && rnd.nextBoolean()) {
+      val c = pick(rnd, strings)
+      (s"$c AS $alias", col(c).as(alias))
+    } else {
+      val c = pick(rnd, ints)
+      val m = 2 + rnd.nextInt(6)
+      (s"CAST($c % $m AS BIGINT) AS $alias", (col(c) % m).cast("long").as(alias))
+    }
+
+  /** Window shape: rank + lag over a generated partition, top-K rows per
+    * partition. Single table; rank determinism comes from the id
+    * tiebreak inside the OVER ordering.
+    */
+  private def genWindow(seed: Long, rnd: Random): Gen = {
+    import org.apache.spark.sql.expressions.Window
+    val t = pick(rnd, tables)
+    val id = t.ints.head
+    // bare (unaliased) partition expression: the alias belongs to the
+    // projection, not the window spec
+    val (pkSql, pkCol) =
+      if (t.strings.nonEmpty && rnd.nextBoolean()) {
+        val c = pick(rnd, t.strings); (c, col(c))
+      } else {
+        val c = pick(rnd, t.ints)
+        val m = 2 + rnd.nextInt(6)
+        (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+      }
+    val (ovSql, ovCol) =
+      if (t.doubles.nonEmpty && rnd.nextBoolean()) {
+        val c = pick(rnd, t.doubles); (c, col(c))
+      } else { val c = pick(rnd, t.ints); (c, col(c)) }
+    val k = 3 + rnd.nextInt(3)
+    val withPred = rnd.nextBoolean()
+    val (predSql, predCol) =
+      if (withPred) predOn(rnd, t.ints, t.doubles) else ("", lit(true))
+    val whereSql = if (withPred) s" WHERE $predSql" else ""
+    val over = s"OVER (PARTITION BY $pkSql ORDER BY $ovSql DESC NULLS LAST, $id)"
+    val sql =
+      s"""SELECT k0, id, rnk, lg FROM (
+         |  SELECT $pkSql AS k0, CAST($id AS BIGINT) AS id,
+         |         CAST(rank() $over AS BIGINT) AS rnk,
+         |         CAST(lag($id, 1, -1) $over AS BIGINT) AS lg
+         |  FROM ${t.name}$whereSql) sub
+         |WHERE rnk <= $k
+         |ORDER BY k0 NULLS FIRST, rnk, id""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(pkCol)
+        .orderBy(ovCol.desc_nulls_last, col(id))
+      Tables.table(spark, dir, t.name)
+        .filter(predCol)
+        .select(pkCol.as("k0"), col(id).cast("long").as("id"),
+          rank().over(w).cast("long").as("rnk"),
+          lag(col(id), 1, -1).over(w).cast("long").as("lg"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("k0").asc_nulls_first, col("rnk"), col("id"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Semi-join shape: EXISTS / IN / NOT EXISTS against a filtered child
+    * along an FK edge, aggregated on the parent. NOT IN is deliberately
+    * excluded (its null semantics are a well-known trap, and FK columns
+    * are non-null here anyway — NOT EXISTS covers the anti case).
+    */
+  private def genSemi(seed: Long, rnd: Random): Gen = {
+    val (childName, parentName, fkCol, pkCol) = pick(rnd, fks)
+    val parent = tables.find(_.name == parentName).get
+    val child = tables.find(_.name == childName).get
+    val (predSql, predCol) = predOn(rnd, child.ints, child.doubles)
+    val form = rnd.nextInt(3) // 0 = EXISTS, 1 = IN, 2 = NOT EXISTS
+    val (k0Sql, k0Col) = keyOn(rnd, parent.ints, parent.strings, "k0")
+    val sumCol = pick(rnd, parent.ints)
+    val whereSql = form match {
+      case 0 => s"EXISTS (SELECT 1 FROM $childName WHERE $fkCol = $pkCol AND $predSql)"
+      case 1 => s"$pkCol IN (SELECT $fkCol FROM $childName WHERE $predSql)"
+      case _ => s"NOT EXISTS (SELECT 1 FROM $childName WHERE $fkCol = $pkCol AND $predSql)"
+    }
+    val sql =
+      s"""SELECT $k0Sql, COUNT(*) AS a_cnt, CAST(SUM($sumCol) AS BIGINT) AS a0
+         |FROM $parentName WHERE $whereSql GROUP BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val sub = Tables.table(spark, dir, childName).filter(predCol)
+      val joinType = if (form == 2) "left_anti" else "left_semi"
+      Tables.table(spark, dir, parentName)
+        .join(sub, col(pkCol) === col(fkCol), joinType)
+        .groupBy(k0Col)
+        .agg(count(lit(1)).as("a_cnt"), sum(col(sumCol)).cast("long").as("a0"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Union shape: UNION ALL of two differently-filtered branches over the
+    * same table, aggregated on top (bag semantics — overlapping rows must
+    * count twice in both engines).
+    */
+  private def genUnion(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables)
+    val (p1Sql, p1Col) = predOn(rnd, t.ints, t.doubles)
+    val (p2Sql, p2Col) = predOn(rnd, t.ints, t.doubles)
+    val (kSqlAliased, kCol) = keyOn(rnd, t.ints, t.strings, "k0")
+    val x = pick(rnd, t.ints)
+    val sql =
+      s"""SELECT k0, COUNT(*) AS a_cnt, CAST(SUM(x) AS BIGINT) AS a0 FROM (
+         |  SELECT $kSqlAliased, $x AS x FROM ${t.name} WHERE $p1Sql
+         |  UNION ALL
+         |  SELECT $kSqlAliased, $x AS x FROM ${t.name} WHERE $p2Sql) u
+         |GROUP BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      def branch(p: Column) = Tables.table(spark, dir, t.name)
+        .filter(p).select(kCol, col(x).as("x"))
+      branch(p1Col).unionAll(branch(p2Col))
+        .groupBy(col("k0"))
+        .agg(count(lit(1)).as("a_cnt"), sum(col("x")).cast("long").as("a0"))
+    }
+    Gen(seed, sql, build)
+  }
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
+    *
+    * The shape roll uses a SEPARATE derived-seed Random so the classic
+    * aggregate/projection shapes consume exactly the same random stream
+    * as earlier rounds: 40% of seeds route to the window / semi-join /
+    * union generators, the rest to the classic path.
     */
   def generate(seed: Long): Gen = {
+    val shape = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL).nextInt(10)
     val rnd = new Random(seed)
+    if (shape <= 1) return genWindow(seed, rnd)
+    if (shape == 2) return genSemi(seed, rnd)
+    if (shape == 3) return genUnion(seed, rnd)
 
     // FROM clause: a base table plus 0-2 FK hops off the chain tail
     var joined = List(pick(rnd, tables))
@@ -151,7 +299,13 @@ object QueryFuzz {
             (s"CAST(MAX($c) AS BIGINT) AS a$i", max(col(c)).cast("long").as(s"a$i"))
         case 2 if doubles.nonEmpty =>
           val c = pick(rnd, doubles)
-          (s"ROUND(SUM($c), 2) AS a$i", round(sum(col(c)), 2).as(s"a$i"))
+          // relative nudge inside the ROUND on BOTH renderings: fuzzed
+          // doubles are exact-2dp today, but a derived expression added
+          // to the generator later would hit the Spark-vs-DuckDB
+          // half-rounding divergence without it (see README "Rounding
+          // tie-break policy")
+          (s"ROUND(SUM($c) * (1.0 + 1e-12), 2) AS a$i",
+            round(sum(col(c)) * (lit(1.0) + lit(1e-12)), 2).as(s"a$i"))
         case _ if doubles.nonEmpty =>
           val c = pick(rnd, doubles)
           if (rnd.nextBoolean())
@@ -254,7 +408,8 @@ object QueryFuzz {
     * passes; the in-Spark spec sweeps a much wider seed range).
     */
   val registeredSeeds: Seq[Long] =
-    Seq(0L, 1L, 2L, 3L, 4L, 5L, 13L, 16L, 22L, 26L, 29L, 37L)
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
+      29L, 37L, 44L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -35,9 +35,9 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("150 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("200 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
-    val failures = (0L until 150L).flatMap { seed =>
+    val failures = (0L until 200L).flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
       val sql = normalized(sqlSession.sql(g.sql))
@@ -47,7 +47,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 125, s"only $nonEmpty/150 seeds returned rows")
+    assert(nonEmpty >= 165, s"only $nonEmpty/200 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
