@@ -157,7 +157,7 @@ object DedupOps {
       conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("h1"),
       conv(substring(col("h"), 17, 15), 16, 10).cast("long").as("h2"))
 
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     hexHalves(shingleMd5(Tables.documents(spark, dir)))
 
   /** Session-scoped staged intermediates: the first query needing a
@@ -311,7 +311,7 @@ object DedupOps {
     * floor bounds what reaches verification — the properties that keep
     * candidate generation feasible at corpus scale.
     */
-  private def candidatesFromRareShingles(sh: DataFrame): DataFrame =
+  private[graft] def candidatesFromRareShingles(sh: DataFrame): DataFrame =
     sh.groupBy(col("h1")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, MaxShingleDf))
       .select(explode(expr(

@@ -94,6 +94,49 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  /** Scaling-regression tripwire: sf0.01-level correctness cannot see an
+    * accidental all-pairs/explode reintroduction — it only blows up at
+    * scale. Two guards over the UNSTAGED near-dup pipeline at 500 docs
+    * vs 5000 docs (10x):
+    *
+    * 1. CANDIDATE-COUNT ratio (deterministic): the df-capped blocking
+    *    yields 1109 -> 17207 candidate pairs (15.5x); mutation-checked
+    *    once locally — removing the MaxShingleDf cap yields 112009
+    *    (101x, the quadratic signature) and fails the <= 30x bound.
+    * 2. WALL-CLOCK ratio (<= 25x, generous for noise): catches
+    *    regressions the candidate count can't see (driver-side loops,
+    *    per-row work in verification).
+    */
+  test("near-dup candidate generation scales sub-quadratically over a " +
+      "10x document step") {
+    import graft.operators.DedupOps
+    def candidates(dir: String): Long =
+      DedupOps.candidatesFromRareShingles(
+        DedupOps.docShingleHashes(spark, dir)).count()
+    val candSmall = candidates(TestSpark.sfDirMid)
+    val candBig = candidates(TestSpark.sfDirBig)
+    val candRatio = candBig.toDouble / math.max(candSmall, 1L)
+    info(f"candidates $candSmall -> $candBig, ratio $candRatio%.1fx")
+    assert(candRatio <= 30.0,
+      f"candidate pairs scaled $candRatio%.1fx over 10x docs " +
+        f"($candSmall -> $candBig) — all-pairs regression?")
+
+    def timeIt(dir: String): Double = {
+      val t0 = System.nanoTime()
+      DedupOps.ngramPairsPlan(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeIt(TestSpark.sfDirMid) // warm-up: JIT + codegen + parquet footers
+    val small = (1 to 2).map(_ => timeIt(TestSpark.sfDirMid)).min
+    val big = (1 to 2).map(_ => timeIt(TestSpark.sfDirBig)).min
+    // floor the denominator: a sub-100ms small run is all fixed overhead
+    val ratio = big / math.max(small, 0.1)
+    info(f"small $small%.2fs, big $big%.2fs, ratio $ratio%.1fx")
+    assert(ratio <= 25.0,
+      f"near-dup pipeline scaled $ratio%.1fx over 10x docs " +
+        f"(small $small%.2fs, big $big%.2fs) — all-pairs regression?")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, TestSpark.sfDir)

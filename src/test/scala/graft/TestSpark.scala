@@ -27,4 +27,8 @@ object TestSpark {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+  // 10x document step for scaling-regression guards (sf0.001 and sf0.01
+  // share the same 500-doc documents table; sf0.1 is the 5000-doc one)
+  val sfDirMid = "/root/testdata/sf0.01"
+  val sfDirBig = "/root/testdata/sf0.1"
 }
