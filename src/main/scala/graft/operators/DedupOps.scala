@@ -185,6 +185,27 @@ object DedupOps {
 
   private val stagedLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Cheap input fingerprint (file count + total bytes + max mtime) of
+    * the corpus parquet under `dir`, folded into every stage key: if the
+    * fixture at a path is regenerated mid-session (a test rewriting
+    * testdata), dependent queries re-stage instead of silently serving
+    * stale shingles/postings/pairs.
+    */
+  private def stageKey(spark: SparkSession, prefix: String, dir: String): String = {
+    val fp = try {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L; var sz = 0L; var mt = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        n += 1; sz += s.getLen; mt = math.max(mt, s.getModificationTime)
+      }
+      s"$n-$sz-$mt"
+    } catch { case _: Throwable => "na" }
+    s"$prefix:$dir:$fp"
+  }
+
   private def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // builds run OUTSIDE the map's computeIfAbsent: a build may stage its
     // own inputs (pairs -> sets -> md5), and ConcurrentHashMap rejects
@@ -214,7 +235,7 @@ object DedupOps {
     * pipeline's shared shingle index.
     */
   private def stagedShingleMd5(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"sh-md5:$dir")(shingleMd5(Tables.documents(spark, dir)))
+    staged(spark, stageKey(spark, "sh-md5", dir))(shingleMd5(Tables.documents(spark, dir)))
 
   /** Staged twin of [[docShingleHashes]] — the substrate shared by the
     * ngram/minhash/contamination/clusters queries. The hex→long
@@ -336,7 +357,7 @@ object DedupOps {
     * not run twice in a session (round-2 verdict item 7).
     */
   private def stagedNgramPairs(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"ngram-pairs:$dir") {
+    staged(spark, stageKey(spark, "ngram-pairs", dir)) {
       val sh = stagedShingleHashes(spark, dir)
       verifyJaccard(candidatesFromRareShingles(sh),
         stagedCorpusSets(spark, dir), JaccardThreshold)
@@ -352,13 +373,13 @@ object DedupOps {
     * form) read parquet instead of re-aggregating the corpus.
     */
   private def stagedPostings(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"postings:$dir")(
+    staged(spark, stageKey(spark, "postings", dir))(
       stagedShingleHashes(spark, dir).groupBy(col("h1"))
         .agg(collect_list(col("doc_id")).as("ds"))
         .filter(size(col("ds")) <= MaxShingleDf))
 
   private def stagedCorpusSets(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"corpus-sets:$dir")(
+    staged(spark, stageKey(spark, "corpus-sets", dir))(
       shingleSets(stagedShingleHashes(spark, dir)))
 
   /** Incremental near-dedup — the daily-increment shape at corpus scale:
@@ -569,7 +590,7 @@ object DedupOps {
     * the staged md5 pass shared with the Jaccard family.
     */
   private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, s"simhash-fp:$dir")(
+    staged(spark, stageKey(spark, "simhash-fp", dir))(
       simhashFromHashes(stagedShingleMd5(spark, dir)))
 
   /** Oracle-facing fingerprint table (deterministic order). */

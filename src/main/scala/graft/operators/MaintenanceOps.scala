@@ -44,11 +44,16 @@ object MaintenanceOps {
     // recursive: partitioned datasets keep their files in key=value
     // subdirectories, which a flat listing would sum to zero bytes
     var bytes = 0L
+    val base = fs.makeQualified(path).toString
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val s = it.next()
-      val n = s.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) bytes += s.getLen
+      // skip EVERY component under the base starting with '_' or '.' —
+      // a part file under a stale _temporary/ dir (aborted prior write)
+      // has an ordinary leaf name but must not count toward the total
+      val rel = s.getPath.toString.stripPrefix(base)
+      if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+        bytes += s.getLen
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
     val current = df.rdd.getNumPartitions

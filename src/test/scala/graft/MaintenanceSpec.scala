@@ -27,6 +27,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(compacted).exceptAll(src).isEmpty)
   }
 
+  test("compact ignores stale _temporary dirs from aborted writes") {
+    val dir = Files.createTempDirectory("frag_tmp").toString
+    val out = Files.createTempDirectory("compacted_tmp").toString
+    spark.range(1000).toDF("id").write.mode("overwrite").parquet(dir)
+    // simulate an aborted prior write: a large orphan part file with an
+    // ordinary leaf name under _temporary/ — only the directory component
+    // marks it as dead
+    new java.io.File(s"$dir/_temporary/0").mkdirs()
+    val junk = new java.io.FileOutputStream(s"$dir/_temporary/0/part-junk")
+    junk.write(new Array[Byte](8 << 20)); junk.close()
+    // 8 MB of junk vs ~KB of live data: counting the junk would force
+    // multiple output files at a 4 MB target
+    val written = MaintenanceOps.compact(spark, dir, out, targetFileBytes = 4L << 20)
+    assert(written == 1, s"stale _temporary bytes inflated the file count: $written")
+  }
+
   test("compact splits oversized files via repartition fallback " +
       "(coalesce cannot raise partition count)") {
     val big = Files.createTempDirectory("big").toString
