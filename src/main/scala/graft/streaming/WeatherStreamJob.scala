@@ -179,41 +179,89 @@ object WeatherStreamJob {
     */
   def jdbcUpsertSink(url: String, table: String): (DataFrame, Long) => Unit =
     (batch, _) => {
-      val cleaned = batch.select(
-          col("event_time").cast("timestamp").as("ts"),
-          col("lat"), col("lon"), col("hourly_precipitation"))
-        // exactly-once per key requires each (ts, lat, lon) to land in ONE
-        // partition: two partitions holding the same key could race their
-        // UPDATE-then-INSERT and write duplicates
-        .repartition(col("ts"), col("lat"), col("lon"))
-      cleaned.foreachPartition { (rows: Iterator[Row]) =>
+      keyPartitioned(batch).foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(url)
           try {
             conn.setAutoCommit(false)
-            val upd = conn.prepareStatement(
-              s"""UPDATE $table SET "hourly_precipitation" = ?
-                 | WHERE "timestamp" = ? AND "lat" = ? AND "lon" = ?""".stripMargin)
-            val ins = conn.prepareStatement(
-              s"""INSERT INTO $table ("timestamp", "lat", "lon", "hourly_precipitation")
-                 | VALUES (?, ?, ?, ?)""".stripMargin)
-            rows.foreach { r =>
-              val ts = r.getTimestamp(0)
-              val lat = r.getDouble(1); val lon = r.getDouble(2)
-              val precip = r.getDouble(3)
-              upd.setDouble(1, precip); upd.setTimestamp(2, ts)
-              upd.setDouble(3, lat); upd.setDouble(4, lon)
-              if (upd.executeUpdate() == 0) {
-                ins.setTimestamp(1, ts); ins.setDouble(2, lat)
-                ins.setDouble(3, lon); ins.setDouble(4, precip)
-                ins.executeUpdate()
-              }
-            }
+            upsertRows(conn, table, rows)
             conn.commit()
           } finally conn.close()
         }
       }
     }
+
+  /** Exactly-once delivery on top of the upsert: every partition writes
+    * its rows AND a `(batch_id, partition_id)` ledger entry in the SAME
+    * JDBC transaction, and skips itself if its entry already exists.
+    * foreachBatch is at-least-once — after a crash between a partition's
+    * commit and the checkpoint's, Spark REPLAYS the whole micro-batch
+    * (same batch_id, same deterministic content and partitioning), and
+    * each already-committed partition no-ops: the rows and the ledger
+    * mark landed atomically, so no replay ordering can duplicate rows or
+    * half-apply a partition. Fully executor-parallel — the ledger is
+    * written by the same per-partition connections, no driver
+    * coordination beyond the batch id Spark already supplies.
+    */
+  def jdbcExactlyOnceSink(url: String, table: String,
+      ledger: String = "batch_commits"): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      keyPartitioned(batch).foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val chk = conn.prepareStatement(
+              s"""SELECT 1 FROM $ledger WHERE "batch_id" = ? AND "partition_id" = ?""")
+            chk.setLong(1, batchId); chk.setInt(2, pid)
+            if (!chk.executeQuery().next()) {
+              upsertRows(conn, table, rows)
+              val mark = conn.prepareStatement(
+                s"""INSERT INTO $ledger ("batch_id", "partition_id") VALUES (?, ?)""")
+              mark.setLong(1, batchId); mark.setInt(2, pid)
+              mark.executeUpdate()
+              conn.commit() // rows + ledger mark are atomic
+            } else conn.rollback() // end the SELECT's read transaction
+          } finally conn.close()
+        }
+      }
+    }
+
+  /** Shared by the JDBC upsert sinks: exactly-once per key requires each
+    * (ts, lat, lon) to land in ONE partition — two partitions holding
+    * the same key could race their UPDATE-then-INSERT and write
+    * duplicates. The hash partitioning is deterministic, so a replayed
+    * batch reproduces the same partition contents and ids.
+    */
+  private def keyPartitioned(batch: DataFrame): DataFrame =
+    batch.select(
+        col("event_time").cast("timestamp").as("ts"),
+        col("lat"), col("lon"), col("hourly_precipitation"))
+      .repartition(col("ts"), col("lat"), col("lon"))
+
+  /** One connection's worth of key upserts (UPDATE, INSERT on miss). */
+  private def upsertRows(conn: java.sql.Connection, table: String,
+      rows: Iterator[Row]): Unit = {
+    val upd = conn.prepareStatement(
+      s"""UPDATE $table SET "hourly_precipitation" = ?
+         | WHERE "timestamp" = ? AND "lat" = ? AND "lon" = ?""".stripMargin)
+    val ins = conn.prepareStatement(
+      s"""INSERT INTO $table ("timestamp", "lat", "lon", "hourly_precipitation")
+         | VALUES (?, ?, ?, ?)""".stripMargin)
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0)
+      val lat = r.getDouble(1); val lon = r.getDouble(2)
+      val precip = r.getDouble(3)
+      upd.setDouble(1, precip); upd.setTimestamp(2, ts)
+      upd.setDouble(3, lat); upd.setDouble(4, lon)
+      if (upd.executeUpdate() == 0) {
+        ins.setTimestamp(1, ts); ins.setDouble(2, lat)
+        ins.setDouble(3, lon); ins.setDouble(4, precip)
+        ins.executeUpdate()
+      }
+    }
+  }
 
   /** Kafka sink (producer side, reference S2): message value built by
     * WeatherOps.kafkaShapedMessages (P9), delivery semantics surfaced as

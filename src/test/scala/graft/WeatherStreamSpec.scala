@@ -176,6 +176,58 @@ class WeatherStreamSpec extends AnyFunSuite {
       s"expected single upserted row, got ${vals.toSeq}")
   }
 
+  test("exactly-once JDBC sink: a checkpoint-replayed batch neither " +
+      "duplicates rows nor re-marks the ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:weatherxo;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE weather_data (
+          |"id" INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |"timestamp" TIMESTAMP, "lat" DOUBLE, "lon" DOUBLE,
+          |"hourly_precipitation" DOUBLE)""".stripMargin)
+      st.execute(
+        """CREATE TABLE batch_commits (
+          |"batch_id" BIGINT, "partition_id" INT,
+          |PRIMARY KEY ("batch_id", "partition_id"))""".stripMargin)
+    } finally conn.close()
+
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("weather_xo_ckpt").toString
+    val agg = WeatherStreamJob.aggregate(stream.toDF())
+    def run() = WeatherStreamJob.start(agg, ckpt, Trigger.ProcessingTime(0))(
+      WeatherStreamJob.jdbcExactlyOnceSink(url, "weather_data"))
+
+    val q = run()
+    try {
+      stream.addData(msg(1736532000L, 0.5, 52.0, 5.1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // force a genuine at-least-once replay: drop the checkpoint's commit
+    // marker for the last batch, so the restarted query re-executes it
+    // from the offset log with the SAME batch id and content
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.map(_.getName.toLong).max
+    assert(new java.io.File(s"$ckpt/commits/$last").delete())
+    new java.io.File(s"$ckpt/commits/.$last.crc").delete() // checksum twin
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "weather_data").load()
+    val vals = back.select("hourly_precipitation").as[Double].collect()
+    assert(vals.toSeq == Seq(0.5),
+      s"replayed batch duplicated or altered rows: ${vals.toSeq}")
+    val ledger = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "batch_commits").load()
+    assert(ledger.count() == 1,
+      s"replay re-marked the ledger: ${ledger.collect().toSeq}")
+  }
+
   test("Kafka message contract (S3): consumer plan runs over the exact " +
       "Kafka scan schema, binary value decoded as UTF-8") {
     // the 7 columns a kafka streaming scan produces; producer messages
