@@ -53,10 +53,17 @@ object EventOps {
     * Streaming twin: `session_window($"ts", "4 hours")` in
     * graft.streaming.SessionStreamJob.
     */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionsFrom(withMicros(Tables.events(spark, dir)))
+
+  /** The session build shared by [[eventsSessionize]] and
+    * [[eventsSessionizeLate]]: lag + cumulative-sum ids over a
+    * (user_id, event_id, us, value) frame, then per-session rollup.
+    */
+  private def sessionsFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withMicros(Tables.events(spark, dir))
+    events
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -84,6 +91,78 @@ object EventOps {
       |                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
       |                   > ${SessionGapMicros} THEN 1 ELSE 0 END AS new_sess
       |  FROM e),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |       MIN(us) AS start_us, MAX(us) AS end_us,
+      |       (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+      |       round(SUM(value), 5) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Simulated micro-batch count and allowed lateness for
+    * [[eventsSessionizeLate]]. The 7-day delay is sized to the 30-day
+    * fixture span so both the keep and the drop path carry real rows.
+    */
+  val LateChunks = 10
+  val LateDelayMicros: Long = 7L * 24 * 3600 * 1000000
+
+  /** Batch twin of the STREAMING sessionize's watermark semantics
+    * (SessionStreamJob.sessionize): rows older than
+    * `watermark = max(event time of prior micro-batches) - delay` are
+    * DROPPED before sessionization — Spark updates the watermark at
+    * micro-batch boundaries, so the twin chunks arrival into
+    * [[LateChunks]] pseudo-batches and takes the running max over prior
+    * chunks. The fixture arrives almost perfectly time-ordered (which
+    * never exercises the drop path), so arrival order is simulated by a
+    * deterministic md5 permutation of the ingestion id — reproduced
+    * value-for-value by the oracle.
+    *
+    * Scale shape: the chunk-max table is [[LateChunks]] rows, so the
+    * running-max window is trivial and the watermark joins back as a
+    * broadcast — the corpus side stays map-only until the one session
+    * shuffle on user_id.
+    */
+  def eventsSessionizeLate(spark: SparkSession, dir: String): DataFrame = {
+    val e = withMicros(Tables.events(spark, dir))
+      .withColumn("chunk",
+        expr(s"conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)")
+          .cast("long") % LateChunks)
+    val cm = e.groupBy(col("chunk")).agg(max(col("us")).as("cmax"))
+    val prior = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = cm.select(col("chunk"),
+      (max(col("cmax")).over(prior) - LateDelayMicros).as("wm"))
+    val kept = e.join(broadcast(wm), Seq("chunk"))
+      .filter(col("wm").isNull || col("us") >= col("wm"))
+      .drop("chunk", "wm")
+    sessionsFrom(kept)
+  }
+
+  val eventsSessionizeLateOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % ${LateChunks} AS chunk
+      |  FROM events),
+      |cm AS (SELECT chunk, MAX(us) AS cmax FROM e GROUP BY chunk),
+      |wm AS (
+      |  SELECT chunk, MAX(cmax) OVER (ORDER BY chunk
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         - ${LateDelayMicros} AS wm
+      |  FROM cm),
+      |kept AS (
+      |  SELECT e.user_id, e.event_id, e.value, e.us
+      |  FROM e JOIN wm USING (chunk) WHERE wm IS NULL OR us >= wm),
+      |flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                   > ${SessionGapMicros} THEN 1 ELSE 0 END AS new_sess
+      |  FROM kept),
       |sessions AS (
       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
@@ -278,6 +357,7 @@ object EventOps {
     "events_sample_bottomk" -> (eventsSampleBottomK _),
     "events_json_props" -> (eventsJsonProps _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_sessionize_late" -> (eventsSessionizeLate _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
@@ -287,5 +367,6 @@ object EventOps {
     "events_sample_bottomk" -> eventsSampleBottomKOracle,
     "events_json_props" -> eventsJsonPropsOracle,
     "events_sessionize" -> eventsSessionizeOracle,
+    "events_sessionize_late" -> eventsSessionizeLateOracle,
     "events_hourly_pivot" -> eventsHourlyPivotOracle)
 }
