@@ -306,6 +306,8 @@ object DedupOps {
       .withColumn("jaccard_raw",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard_raw") >= threshold)
+      // +1e-9 steps exact .00005 halves off the Spark/DuckDB rounding
+      // divergence (README "Rounding tie-break policy")
       .select(col(aKey), col(bKey), round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
       .orderBy(col(aKey), col(bKey))
   }

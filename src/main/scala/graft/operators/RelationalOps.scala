@@ -71,7 +71,8 @@ object RelationalOps {
         // products of exact-2dp inputs frequently land on TRUE .xx5
         // halves, where Spark (BigDecimal HALF_UP on the binary value)
         // and DuckDB round apart; +1e-9 pushes both engines off the half
-        // the same way (same trick as TextOps.qualityScore)
+        // the same way (README "Rounding tie-break policy"; same trick as
+        // TextOps.qualityScore)
         round(col("l_extendedprice") * col("l_discount") + lit(1e-9), 2)
           .as("disc_amount"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -88,7 +88,7 @@ object TextOps {
     * batch query and the streaming document pipeline
     * (graft.streaming.DocStreamJob). +1e-9 nudges exact .00005 boundaries
     * off the half so Spark's decimal-string HALF_UP and DuckDB's
-    * binary-value round agree.
+    * binary-value round agree (README "Rounding tie-break policy").
     */
   def qualityScore(nTokens: Column, stopRatio: Column, avgLen: Column): Column =
     round(least(nTokens / lit(100.0), lit(1.0)) * 0.4
