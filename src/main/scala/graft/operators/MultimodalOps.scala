@@ -150,6 +150,92 @@ object MultimodalOps {
     }
   }
 
+  /** Features extracted by a real PPM (P6) image decode: header
+    * geometry plus integer-exact per-channel statistics.
+    */
+  case class PpmFeatures(media_id: Long, width: Int, height: Int,
+      maxval: Int, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      peak: Int)
+
+  /** Minimal but genuine binary-PPM (P6) codec — the image-shaped twin
+    * of [[Wav]]: encodes RGB rasters and decodes with the real netpbm
+    * header tokenizer (whitespace-delimited tokens, `#` comment lines —
+    * the part naive parsers skip), validating geometry and maxval and
+    * folding the raster into exact integer channel statistics.
+    */
+  object Ppm {
+    case class PpmInfo(width: Int, height: Int, maxval: Int, nPixels: Long,
+        sumR: Long, sumG: Long, sumB: Long, peak: Int)
+
+    /** Fixture raster width: bytes fill rows of 16 RGB pixels; the last
+      * row is zero-padded (deterministically reproduced by the oracle).
+      */
+    val RowWidth = 16
+
+    def encode(bytes: Array[Byte]): Array[Byte] = {
+      val h = math.ceil(bytes.length / (RowWidth * 3.0)).toInt
+      // the comment line makes every decode exercise the skip path
+      val header = s"P6\n# graft synthetic raster\n$RowWidth $h\n255\n"
+        .getBytes("US-ASCII")
+      val data = new Array[Byte](RowWidth * h * 3)
+      System.arraycopy(bytes, 0, data, 0, bytes.length)
+      header ++ data
+    }
+
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+    /** netpbm header token: skip whitespace and `#`-to-newline comments,
+      * return (token, position after token).
+      */
+    private def token(buf: Array[Byte], from: Int): Either[String, (String, Int)] = {
+      var i = from
+      while (i < buf.length && (isWs(buf(i)) || buf(i) == '#')) {
+        if (buf(i) == '#') while (i < buf.length && buf(i) != '\n') i += 1
+        else i += 1
+      }
+      if (i >= buf.length) return Left("truncated header")
+      val s = i
+      while (i < buf.length && !isWs(buf(i))) i += 1
+      Right((new String(buf, s, i - s, "US-ASCII"), i))
+    }
+
+    def decode(payload: Array[Byte]): Either[String, PpmInfo] = {
+      def num(t: (String, Int)): Either[String, (Int, Int)] =
+        try Right((t._1.toInt, t._2))
+        catch { case _: NumberFormatException => Left(s"non-numeric header token '${t._1}'") }
+      for {
+        magic <- token(payload, 0)
+        _ <- if (magic._1 == "P6") Right(()) else Left(s"bad magic '${magic._1}' (P6 only)")
+        w <- token(payload, magic._2).flatMap(num)
+        h <- token(payload, w._2).flatMap(num)
+        mv <- token(payload, h._2).flatMap(num)
+        _ <- if (w._1 >= 0 && h._1 >= 0) Right(()) else Left("negative dimensions")
+        _ <- if (mv._1 >= 1 && mv._1 <= 255) Right(())
+             else Left(s"unsupported maxval ${mv._1} (1..255 only)")
+        // exactly ONE whitespace byte separates maxval from the raster
+        start = mv._2 + 1
+        n = w._1.toLong * h._1 * 3
+        _ <- if (payload.length - start >= n) Right(())
+             else Left("truncated pixel data")
+      } yield {
+        var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+        var i = 0L
+        while (i < n) {
+          val v = payload((start + i).toInt) & 0xff
+          (i % 3) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          if (v > peak) peak = v
+          i += 1
+        }
+        PpmInfo(w._1, h._1, mv._1, w._1.toLong * h._1, sr, sg, sb, peak)
+      }
+    }
+  }
+
   /** Partition-parallel WAV decode: one decoder scope per partition
     * (where a heavier codec would initialize once), streaming rows
     * through it — the Scala analog of `mapInPandas` batching. Malformed
@@ -314,13 +400,65 @@ object MultimodalOps {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** Oracle-checked image decode — the raster twin of
+    * [[multimodalDecode]]: synthesize a P6 raster from each document's
+    * bytes (rows of 16 RGB pixels, zero-padded tail), run the genuine
+    * [[Ppm.decode]] header tokenizer + channel fold over it, and emit
+    * integer statistics DuckDB reproduces from the same characters
+    * (channel = 0-based byte position mod 3; padding bytes are zero so
+    * they change no sum and no peak).
+    */
+  def multimodalImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real deployment: init image codec here, once per partition
+        it.flatMap { case (id, bytes) =>
+          Ppm.decode(Ppm.encode(bytes)).toOption.map { p =>
+            PpmFeatures(id, p.width, p.height, p.maxval, p.nPixels,
+              p.sumR, p.sumG, p.sumB, p.peak)
+          }
+        }
+      }.toDF().orderBy("media_id")
+  }
+
+  val multimodalImageOracle: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, CAST(unnest(range(1, strlen(text) + 1)) AS INT) AS p, text
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, ascii(substr(text, p, 1)) AS v, (p - 1) % 3 AS ch
+      |  FROM pos),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+      |         CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+      |         CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+      |         MAX(v) AS peak
+      |  FROM b GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      |       ${Ppm.RowWidth} AS width,
+      |       CAST(ceil(strlen(d.text) / ${Ppm.RowWidth * 3}.0) AS INT) AS height,
+      |       255 AS maxval,
+      |       ${Ppm.RowWidth} * CAST(ceil(strlen(d.text) / ${Ppm.RowWidth * 3}.0) AS BIGINT) AS n_pixels,
+      |       COALESCE(a.sum_r, 0) AS sum_r,
+      |       COALESCE(a.sum_g, 0) AS sum_g,
+      |       COALESCE(a.sum_b, 0) AS sum_b,
+      |       COALESCE(a.peak, 0) AS peak
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrameSample _),
-    "multimodal_decode" -> (multimodalDecode _))
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_image" -> (multimodalImage _))
 
   def oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" -> multimodalFrameSampleOracle,
-    "multimodal_decode" -> multimodalDecodeOracle)
+    "multimodal_decode" -> multimodalDecodeOracle,
+    "multimodal_image" -> multimodalImageOracle)
 }

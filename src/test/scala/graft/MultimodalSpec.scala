@@ -87,6 +87,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames2.map(_.getAs[Long]("byte_offset")).toSeq == Seq(0L, 128L))
   }
 
+  test("PPM round-trip: encode then decode recovers geometry and exact " +
+      "channel sums through the comment-bearing header") {
+    import MultimodalOps.Ppm
+    val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val info = Ppm.decode(Ppm.encode(bytes)).toOption.get
+    assert(info.width == Ppm.RowWidth && info.maxval == 255)
+    assert(info.height == math.ceil(bytes.length / 48.0).toInt)
+    assert(info.nPixels == info.width.toLong * info.height)
+    def chSum(c: Int) = bytes.zipWithIndex.collect {
+      case (b, i) if i % 3 == c => (b & 0xff).toLong
+    }.sum
+    assert(info.sumR == chSum(0) && info.sumG == chSum(1) && info.sumB == chSum(2))
+    assert(info.peak == bytes.map(_ & 0xff).max)
+  }
+
+  test("PPM decode rejects malformed rasters with a reason, not a throw") {
+    import MultimodalOps.Ppm
+    val good = Ppm.encode("some pixel bytes here".getBytes)
+    assert(Ppm.decode("P5\n1 1\n255\n ".getBytes).isLeft)  // grayscale magic
+    assert(Ppm.decode(good.dropRight(3)).isLeft)            // truncated raster
+    assert(Ppm.decode("P6\n# only a comment".getBytes).isLeft) // truncated header
+    assert(Ppm.decode("P6\n16 abc\n255\n".getBytes).isLeft) // non-numeric dim
+    assert(Ppm.decode("P6\n1 1\n70000\n".getBytes).isLeft)  // maxval > 255
+    assert(Ppm.decode(Array.emptyByteArray).isLeft)
+  }
+
   test("decode is deterministic (same payload -> same statistics)") {
     val wav = Wav.encode(Wav.samplesFromBytes("hello world".getBytes("UTF-8")), 8000)
     assert(Wav.decode(wav) == Wav.decode(wav.clone()))
