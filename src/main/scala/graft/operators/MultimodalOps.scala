@@ -144,7 +144,11 @@ object MultimodalOps {
             buf.position(buf.position() +
               math.min(size + (size & 1), buf.remaining().toLong).toInt)
         }
-        if ((size & 1) == 1 && id == "fmt ") buf.position(buf.position() + 1)
+        // fmt pad byte sits OUTSIDE the declared chunk size — clamp like
+        // the unknown-chunk skip so a pad-less trailing fmt chunk falls
+        // through to "no data chunk" instead of throwing
+        if ((size & 1) == 1 && id == "fmt ")
+          buf.position(math.min(buf.position() + 1, buf.limit()))
       }
       Left("no data chunk")
     }
@@ -239,7 +243,9 @@ object MultimodalOps {
   /** Partition-parallel WAV decode: one decoder scope per partition
     * (where a heavier codec would initialize once), streaming rows
     * through it — the Scala analog of `mapInPandas` batching. Malformed
-    * rows surface as an error column instead of failing the scan.
+    * rows are DROPPED here (never fail the scan); a pipeline that wants
+    * a quarantine sink calls [[Wav.decode]] directly and routes on the
+    * Left(reason).
     */
   def decodeWav(records: Dataset[MediaRecord]): Dataset[WavFeatures] = {
     import records.sparkSession.implicits._

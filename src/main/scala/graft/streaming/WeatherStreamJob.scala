@@ -191,17 +191,32 @@ object WeatherStreamJob {
       }
     }
 
+  /** Fixed partition count for [[jdbcExactlyOnceSink]]: the ledger keys
+    * on partition id, so partition boundaries MUST be identical across a
+    * crash/restart. An explicit count makes the hash partitioning a pure
+    * function of the data — independent of `spark.sql.shuffle.partitions`
+    * changes or AQE coalescing decisions between runs.
+    */
+  val ExactlyOncePartitions = 16
+
   /** Exactly-once delivery on top of the upsert: every partition writes
-    * its rows AND a `(batch_id, partition_id)` ledger entry in the SAME
-    * JDBC transaction, and skips itself if its entry already exists.
-    * foreachBatch is at-least-once — after a crash between a partition's
-    * commit and the checkpoint's, Spark REPLAYS the whole micro-batch
-    * (same batch_id, same deterministic content and partitioning), and
-    * each already-committed partition no-ops: the rows and the ledger
-    * mark landed atomically, so no replay ordering can duplicate rows or
-    * half-apply a partition. Fully executor-parallel — the ledger is
-    * written by the same per-partition connections, no driver
-    * coordination beyond the batch id Spark already supplies.
+    * its rows AND a `(sink, batch_id, partition_id)` ledger entry in the
+    * SAME JDBC transaction, and skips itself if its entry already
+    * exists. foreachBatch is at-least-once — after a crash between a
+    * partition's commit and the checkpoint's, Spark REPLAYS the whole
+    * micro-batch (same batch_id; same content and partitioning, pinned
+    * by [[ExactlyOncePartitions]]), and each already-committed partition
+    * no-ops: the rows and the ledger mark landed atomically, so no
+    * replay ordering can duplicate rows or half-apply a partition.
+    * Fully executor-parallel — the ledger is written by the same
+    * per-partition connections, no driver coordination beyond the batch
+    * id Spark already supplies.
+    *
+    * The `sink` column scopes entries to this target table, so multiple
+    * queries may share one ledger table. Batch ids are scoped to a
+    * CHECKPOINT: re-pointing a query at a fresh checkpoint restarts them
+    * at 0, so delete the sink's ledger rows (and its data) when doing
+    * that — same operational rule as every batch-id-based sink.
     */
   def jdbcExactlyOnceSink(url: String, table: String,
       ledger: String = "batch_commits"): (DataFrame, Long) => Unit =
@@ -213,13 +228,13 @@ object WeatherStreamJob {
           try {
             conn.setAutoCommit(false)
             val chk = conn.prepareStatement(
-              s"""SELECT 1 FROM $ledger WHERE "batch_id" = ? AND "partition_id" = ?""")
-            chk.setLong(1, batchId); chk.setInt(2, pid)
+              s"""SELECT 1 FROM $ledger WHERE "sink" = ? AND "batch_id" = ? AND "partition_id" = ?""")
+            chk.setString(1, table); chk.setLong(2, batchId); chk.setInt(3, pid)
             if (!chk.executeQuery().next()) {
               upsertRows(conn, table, rows)
               val mark = conn.prepareStatement(
-                s"""INSERT INTO $ledger ("batch_id", "partition_id") VALUES (?, ?)""")
-              mark.setLong(1, batchId); mark.setInt(2, pid)
+                s"""INSERT INTO $ledger ("sink", "batch_id", "partition_id") VALUES (?, ?, ?)""")
+              mark.setString(1, table); mark.setLong(2, batchId); mark.setInt(3, pid)
               mark.executeUpdate()
               conn.commit() // rows + ledger mark are atomic
             } else conn.rollback() // end the SELECT's read transaction
@@ -231,14 +246,15 @@ object WeatherStreamJob {
   /** Shared by the JDBC upsert sinks: exactly-once per key requires each
     * (ts, lat, lon) to land in ONE partition — two partitions holding
     * the same key could race their UPDATE-then-INSERT and write
-    * duplicates. The hash partitioning is deterministic, so a replayed
-    * batch reproduces the same partition contents and ids.
+    * duplicates. The explicit partition count keeps the hash
+    * partitioning deterministic across restarts (see
+    * [[ExactlyOncePartitions]]).
     */
   private def keyPartitioned(batch: DataFrame): DataFrame =
     batch.select(
         col("event_time").cast("timestamp").as("ts"),
         col("lat"), col("lon"), col("hourly_precipitation"))
-      .repartition(col("ts"), col("lat"), col("lon"))
+      .repartition(ExactlyOncePartitions, col("ts"), col("lat"), col("lon"))
 
   /** One connection's worth of key upserts (UPDATE, INSERT on miss). */
   private def upsertRows(conn: java.sql.Connection, table: String,

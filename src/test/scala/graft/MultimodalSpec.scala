@@ -51,6 +51,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Wav.decode(patched) == Left("no data chunk"))
     // empty payload
     assert(Wav.decode(Array.emptyByteArray).isLeft)
+    // odd-size fmt chunk ending exactly at the payload, no pad byte and
+    // no data chunk: the clamped pad skip must yield Left, not throw
+    val b = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 17)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(4 + 8 + 17)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(17)
+    b.putShort(1); b.putShort(1); b.putInt(8000); b.putInt(16000)
+    b.putShort(2); b.putShort(16); b.put(0.toByte)
+    assert(Wav.decode(b.array()) == Left("no data chunk"))
   }
 
   test("decodeWav runs partition-parallel and drops malformed rows") {

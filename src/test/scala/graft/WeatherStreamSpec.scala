@@ -190,8 +190,8 @@ class WeatherStreamSpec extends AnyFunSuite {
           |"hourly_precipitation" DOUBLE)""".stripMargin)
       st.execute(
         """CREATE TABLE batch_commits (
-          |"batch_id" BIGINT, "partition_id" INT,
-          |PRIMARY KEY ("batch_id", "partition_id"))""".stripMargin)
+          |"sink" VARCHAR(128), "batch_id" BIGINT, "partition_id" INT,
+          |PRIMARY KEY ("sink", "batch_id", "partition_id"))""".stripMargin)
     } finally conn.close()
 
     val stream = MemoryStream[String]
