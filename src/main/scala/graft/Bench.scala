@@ -41,10 +41,15 @@ object Bench {
     }
     val p1 = onePass(); val p2 = onePass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the (ever-growing) one-line JSON short enough
+    // that log-capture truncation can't cut it mid-object (locale-safe:
+    // no String.format, whose decimal separator varies)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

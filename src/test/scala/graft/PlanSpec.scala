@@ -113,6 +113,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("late-sessionize watermark join broadcasts the chunk-max side; " +
+      "the corpus shuffles only on user_id") {
+    val plan = finalPlan(graft.operators.EventOps.eventsSessionizeLate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"watermark table should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the watermark join:\n$plan")
+  }
+
   test("simhash fingerprints aggregate in a single groupBy (no bit explode)") {
     // the query path reads staged parquet; assert on the unstaged builder
     val plan = finalPlan(graft.operators.DedupOps.simhashPlan(spark, dir))
