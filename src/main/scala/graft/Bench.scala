@@ -49,7 +49,11 @@ object Bench {
       .map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the total appears BOTH at the head ("value") and again as the
+    // trailing key: driver log capture has head-truncated this line three
+    // rounds running, and a tail-anchored duplicate keeps the headline
+    // number machine-readable either way
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }

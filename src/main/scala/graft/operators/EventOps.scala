@@ -175,6 +175,89 @@ object EventOps {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Attribution lookback for [[eventsAttribution]]: a click joins the
+    * views by the same user within the preceding 4 hours (sized so the
+    * fixture's post-watermark survivors still produce matches).
+    */
+  val AttributionWindowMicros: Long = 4L * 3600 * 1000000
+
+  /** Batch twin of the STREAM-STREAM interval join
+    * (SessionStreamJob.attributeClicks): view->click attribution where
+    * BOTH input streams are watermarked. Semantics reproduced here:
+    * (1) each stream's watermark is the max event time seen in PRIOR
+    * micro-batches minus the delay; (2) the query's global watermark is
+    * the MIN across the two streams (Spark's default
+    * multipleWatermarkPolicy); (3) rows older than the global watermark
+    * are dropped from either side before joining; (4) survivors join on
+    * user equality bounded by [[AttributionWindowMicros]]. Arrival order
+    * is the same deterministic md5 permutation as
+    * [[eventsSessionizeLate]], chunked into [[LateChunks]] pseudo-batches.
+    *
+    * Scale shape: the per-chunk max table is [[LateChunks]] rows
+    * (broadcast back), the corpus side stays map-only until the one
+    * equality-shuffle on user_id; the interval predicate evaluates
+    * post-join with per-user fan-out bounded by the lookback window.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = withMicros(Tables.events(spark, dir))
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("chunk",
+        expr(s"conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)")
+          .cast("long") % LateChunks)
+    val cm = e.groupBy(col("chunk")).agg(
+      max(when(col("event_type") === "view", col("us"))).as("vmax"),
+      max(when(col("event_type") === "click", col("us"))).as("cmax"))
+    val prior = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = cm.select(col("chunk"),
+      (least(max(col("vmax")).over(prior), max(col("cmax")).over(prior))
+        - LateDelayMicros).as("wm"))
+    val kept = e.join(broadcast(wm), Seq("chunk"))
+      .filter(col("wm").isNull || col("us") >= col("wm"))
+    val v = kept.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("vus"))
+    val c = kept.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("us").as("cus"))
+    v.join(c, col("user_id") === col("c_uid") &&
+        col("cus") >= col("vus") &&
+        col("cus") <= col("vus") + AttributionWindowMicros)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        expr("(cus - vus) div 1000000").as("lag_sec"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val eventsAttributionOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % ${LateChunks} AS chunk
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |cm AS (
+      |  SELECT chunk,
+      |         MAX(CASE WHEN event_type = 'view' THEN us END) AS vmax,
+      |         MAX(CASE WHEN event_type = 'click' THEN us END) AS cmax
+      |  FROM e GROUP BY chunk),
+      |wm AS (
+      |  SELECT chunk,
+      |         least(MAX(vmax) OVER (ORDER BY chunk
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               MAX(cmax) OVER (ORDER BY chunk
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |         - ${LateDelayMicros} AS wm
+      |  FROM cm),
+      |kept AS (
+      |  SELECT e.user_id, e.event_id, e.event_type, e.us
+      |  FROM e JOIN wm USING (chunk) WHERE wm IS NULL OR us >= wm),
+      |v AS (SELECT user_id, event_id AS view_id, us AS vus
+      |      FROM kept WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, us AS cus
+      |      FROM kept WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id, (cus - vus) // 1000000 AS lag_sec
+      |FROM v JOIN c ON v.user_id = c.user_id
+      | AND cus >= vus AND cus <= vus + ${AttributionWindowMicros}
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   /** Hour-of-day x event-type pivot via conditional aggregation (the
     * shuffle-once form of PIVOT).
     */
@@ -358,6 +441,7 @@ object EventOps {
     "events_json_props" -> (eventsJsonProps _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_late" -> (eventsSessionizeLate _),
+    "events_attribution" -> (eventsAttribution _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
@@ -368,5 +452,6 @@ object EventOps {
     "events_json_props" -> eventsJsonPropsOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_sessionize_late" -> eventsSessionizeLateOracle,
+    "events_attribution" -> eventsAttributionOracle,
     "events_hourly_pivot" -> eventsHourlyPivotOracle)
 }

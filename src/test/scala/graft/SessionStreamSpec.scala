@@ -64,6 +64,48 @@ class SessionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeClicks agrees with the batch interval join on in-order " +
+      "arrival (the events_attribution twin's join semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewRows = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:07:00")),
+      (2L, t("2024-01-01 11:00:00")), (3L, t("2024-01-01 12:00:00")))
+    val clickRows = Seq(
+      (1L, t("2024-01-01 10:05:00")),  // matches BOTH of user 1's views? no: first only (10:07 > 10:05)
+      (1L, t("2024-01-01 10:09:00")),  // within 10 min of both user-1 views
+      (2L, t("2024-01-01 11:09:59")),  // inside window edge
+      (2L, t("2024-01-01 11:10:01")),  // just outside
+      (4L, t("2024-01-01 12:00:00")))  // no view
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = SessionStreamJob.attributeClicks(
+      views.toDF().toDF("user_id", "view_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_parity_out").start()
+    try {
+      views.addData(viewRows: _*); clicks.addData(clickRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks so every in-window pair is emitted
+      views.addData((9L, t("2024-01-02 00:00:00")))
+      clicks.addData((9L, t("2024-01-02 00:00:01")))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_parity_out")
+        .filter(col("user_id") =!= 9L)
+        .select("user_id", "view_ts", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      val batch = viewRows.toDF("user_id", "view_ts").as("v")
+        .join(clickRows.toDF("user_id", "click_ts").as("c"),
+          expr("""v.user_id = c.user_id AND c.click_ts >= v.view_ts
+                 | AND c.click_ts <= v.view_ts + interval 10 minutes""".stripMargin))
+        .select(col("v.user_id"), col("view_ts"), col("click_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: stream=$streamed batch=$batch")
+      assert(batch.size == 4, s"fixture should produce 4 attributed pairs, got $batch")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each key once within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
