@@ -105,11 +105,16 @@ object MultimodalOps {
       buf.get(magic)
       if (new String(magic, "US-ASCII") != "WAVE") return Left("not a WAVE form")
       var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
-      while (buf.remaining() >= 8) {
+      // chunks are walked only to the end of the DECLARED RIFF body
+      // (8 + riffSize), never to the end of the payload: stray trailing
+      // bytes after the form (e.g. an appended 'data' chunk outside it)
+      // are ignored, matching the container spec
+      val end = (8 + riffSize).toInt
+      while (end - buf.position() >= 8) {
         buf.get(magic)
         val id = new String(magic, "US-ASCII")
         val size = buf.getInt() & 0xffffffffL
-        if (size > buf.remaining()) return Left(s"chunk '$id' overruns payload")
+        if (size > end - buf.position()) return Left(s"chunk '$id' overruns payload")
         id match {
           case "fmt " =>
             if (size < 16) return Left("fmt chunk too short")
@@ -139,16 +144,16 @@ object MultimodalOps {
                 return Right(WavInfo(rate, channels, bits, n / channels, sum, sq, peak))
             }
           case _ =>
-            // skip + word-alignment pad, clamped so a truncated trailing
-            // chunk falls through to the "no data chunk" error
+            // skip + word-alignment pad, clamped to the RIFF body so a
+            // truncated trailing chunk falls through to "no data chunk"
             buf.position(buf.position() +
-              math.min(size + (size & 1), buf.remaining().toLong).toInt)
+              math.min(size + (size & 1), (end - buf.position()).toLong).toInt)
         }
         // fmt pad byte sits OUTSIDE the declared chunk size — clamp like
         // the unknown-chunk skip so a pad-less trailing fmt chunk falls
         // through to "no data chunk" instead of throwing
         if ((size & 1) == 1 && id == "fmt ")
-          buf.position(math.min(buf.position() + 1, buf.limit()))
+          buf.position(math.min(buf.position() + 1, end))
       }
       Left("no data chunk")
     }
@@ -368,8 +373,11 @@ object MultimodalOps {
     * the mapPartitions batch shape. All emitted statistics are integers,
     * so DuckDB reproduces them exactly from the same characters
     * (`sample = (ascii(ch) - 128) * 256`); the fixture is pure ASCII so
-    * char arithmetic == byte arithmetic (MultimodalSpec covers the
-    * non-ASCII byte semantics directly).
+    * char arithmetic == byte arithmetic — an invariant ENFORCED by a
+    * MultimodalSpec guard over every fixture scale (DuckDB has no blob
+    * substring, so the oracle cannot go byte-based; the guard makes a
+    * non-ASCII fixture fail with a cause instead of a silent hash
+    * mismatch). MultimodalSpec covers non-ASCII byte semantics directly.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -182,11 +182,19 @@ object WeatherStreamJob {
       keyPartitioned(batch).foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(url)
+          var done = false
           try {
             conn.setAutoCommit(false)
             upsertRows(conn, table, rows)
             conn.commit()
-          } finally conn.close()
+            done = true
+          } finally {
+            // a failed partition must leave nothing behind: roll back the
+            // open transaction before close (embedded drivers like Derby
+            // refuse to close a connection with an active transaction)
+            if (!done) { try conn.rollback() catch { case _: Throwable => () } }
+            conn.close()
+          }
         }
       }
     }
@@ -217,16 +225,38 @@ object WeatherStreamJob {
     * CHECKPOINT: re-pointing a query at a fresh checkpoint restarts them
     * at 0, so delete the sink's ledger rows (and its data) when doing
     * that — same operational rule as every batch-id-based sink.
+    *
+    * LEDGER CONTRACT: the ledger table MUST carry a PRIMARY KEY (or
+    * unique constraint) on ("sink", "batch_id", "partition_id") — it is
+    * verified once per JVM at first use and the sink refuses to run
+    * without it. The SELECT-then-INSERT check alone is not atomic: under
+    * speculative execution (or a zombie task racing its retry) two
+    * attempts for the same partition can both pass the check, and only
+    * the key constraint makes the second mark's INSERT abort its whole
+    * transaction instead of double-applying the upserts. Prefer
+    * `spark.speculation=false` (the default) for JDBC sinks regardless.
+    *
+    * Crash atomicity: any failure between the upsert and the ledger mark
+    * rolls the open transaction back before the connection closes, so a
+    * half-applied partition can never become visible (asserted under an
+    * injected crash in WeatherStreamSpec).
+    *
+    * `connect` is the connection factory (a test seam for fault
+    * injection; production uses the DriverManager default).
     */
   def jdbcExactlyOnceSink(url: String, table: String,
-      ledger: String = "batch_commits"): (DataFrame, Long) => Unit =
+      ledger: String = "batch_commits",
+      connect: String => java.sql.Connection =
+        java.sql.DriverManager.getConnection(_)): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       keyPartitioned(batch).foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val conn = java.sql.DriverManager.getConnection(url)
+          val conn = connect(url)
+          var done = false
           try {
             conn.setAutoCommit(false)
+            requireLedgerKey(conn, url, ledger)
             val chk = conn.prepareStatement(
               s"""SELECT 1 FROM $ledger WHERE "sink" = ? AND "batch_id" = ? AND "partition_id" = ?""")
             chk.setString(1, table); chk.setLong(2, batchId); chk.setInt(3, pid)
@@ -238,10 +268,56 @@ object WeatherStreamJob {
               mark.executeUpdate()
               conn.commit() // rows + ledger mark are atomic
             } else conn.rollback() // end the SELECT's read transaction
-          } finally conn.close()
+            done = true
+          } finally {
+            // crash window (post-upsert, pre-mark): leave NOTHING behind
+            if (!done) { try conn.rollback() catch { case _: Throwable => () } }
+            conn.close()
+          }
         }
       }
     }
+
+  // one verification per (url, ledger) per JVM; a failed check is not
+  // cached so every task re-checks and re-throws until the DDL is fixed
+  private val ledgerVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Enforce the exactly-once ledger contract: a UNIQUE index (PK) on
+    * exactly ("sink", "batch_id", "partition_id"). Without it, two racing
+    * attempts for one partition could both pass the existence check and
+    * both commit — the constraint is what turns the second mark into a
+    * transaction abort.
+    */
+  private def requireLedgerKey(conn: java.sql.Connection, url: String,
+      ledger: String): Unit = {
+    val key = s"$url#$ledger"
+    if (!ledgerVerified.contains(key)) {
+      val md = conn.getMetaData
+      val need = Set("sink", "batch_id", "partition_id")
+      // identifier case differs per store (Derby/Postgres fold unquoted
+      // names differently), so probe the spellings
+      val ok = Seq(ledger, ledger.toUpperCase, ledger.toLowerCase).distinct
+        .exists { t =>
+          val rs = md.getIndexInfo(null, null, t, true, false)
+          val idxCols = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.Set[String]]
+          while (rs.next()) {
+            val idx = rs.getString("INDEX_NAME")
+            val c = rs.getString("COLUMN_NAME")
+            if (idx != null && c != null)
+              idxCols.getOrElseUpdate(idx,
+                scala.collection.mutable.Set.empty) += c.toLowerCase
+          }
+          idxCols.values.exists(_ == need)
+        }
+      if (!ok) throw new IllegalStateException(
+        s"exactly-once ledger '$ledger' lacks a unique key on " +
+          """("sink", "batch_id", "partition_id") — required to make """ +
+          "racing partition attempts abort instead of double-applying")
+      ledgerVerified.add(key)
+    }
+  }
 
   /** Shared by the JDBC upsert sinks: exactly-once per key requires each
     * (ts, lat, lon) to land in ONE partition — two partitions holding

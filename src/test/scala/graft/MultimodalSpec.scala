@@ -32,6 +32,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(info.sumAmp == 200 && info.peakAbs == 300)
   }
 
+  test("WAV decode ignores trailing bytes beyond the declared RIFF size") {
+    val wav = Wav.encode(Array[Short](100, -200, 300), 8000)
+    // append a stray second 'data' chunk AFTER the declared RIFF body:
+    // a spec-conformant walker must not parse it as part of the form
+    val stray = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    stray.put("data".getBytes("US-ASCII")).putInt(4).putShort(999).putShort(999)
+    val withTail = wav ++ stray.array()
+    val info = Wav.decode(withTail).toOption.get
+    assert(info.nSamples == 3 && info.sumAmp == 200 && info.peakAbs == 300,
+      "trailing bytes outside the RIFF body leaked into the decode")
+  }
+
+  test("documents fixture is pure ASCII (the char-vs-byte invariant the " +
+      "decode oracles rely on)") {
+    // the DuckDB oracles for multimodal_decode/multimodal_image use
+    // ascii()/strlen (CHARACTER semantics) against the engine's UTF-8
+    // BYTE semantics; they coincide only while documents.text is ASCII.
+    // Guard the invariant on every fixture scale the driver exercises so
+    // a non-ASCII fixture change fails HERE with a cause, not as an
+    // unexplained hash mismatch.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    for (dir <- Seq(TestSpark.sfDir, TestSpark.sfDirMid, TestSpark.sfDirBig)) {
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0,
+        s"$dir/documents has $nonAscii non-ASCII rows — the multimodal " +
+          "oracles' ascii()/strlen arithmetic no longer matches byte semantics")
+    }
+  }
+
   test("WAV decode rejects malformed containers with a reason, not a throw") {
     val good = Wav.encode(Array[Short](1, 2, 3), 8000)
     // bad magic

@@ -6,6 +6,33 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.WeatherStreamJob
 
+/** Fault-injecting connection factory for the exactly-once sink's crash
+  * test: while armed, the FIRST attempt to prepare the ledger INSERT
+  * throws — i.e. the crash fires after `upsertRows` ran on that
+  * connection but before the mark, the exact window whose atomicity the
+  * sink claims. A top-level object so the foreachPartition closure
+  * captures no test-suite instance.
+  */
+object CrashBeforeMark {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def connect(url: String): java.sql.Connection = {
+    val real = java.sql.DriverManager.getConnection(url)
+    java.lang.reflect.Proxy.newProxyInstance(
+      classOf[java.sql.Connection].getClassLoader,
+      Array[Class[_]](classOf[java.sql.Connection]),
+      (_, method, args) => {
+        if (method.getName == "prepareStatement" && args != null &&
+            args(0).asInstanceOf[String].contains("INSERT INTO batch_commits") &&
+            armed.getAndSet(false))
+          throw new java.sql.SQLException(
+            "injected crash between upsert and ledger mark")
+        try method.invoke(real, args: _*)
+        catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      }).asInstanceOf[java.sql.Connection]
+  }
+}
+
 /** Streaming-semantics tests (SURVEY.md §5.2.2): the exact reference plan
   * (parse -> flatten -> groupBy-sum) under update mode, driven by
   * MemoryStream micro-batches.
@@ -226,6 +253,95 @@ class WeatherStreamSpec extends AnyFunSuite {
       .option("url", url).option("dbtable", "batch_commits").load()
     assert(ledger.count() == 1,
       s"replay re-marked the ledger: ${ledger.collect().toSeq}")
+  }
+
+  test("exactly-once JDBC sink: a crash between the upsert and the ledger " +
+      "mark rolls back BOTH, and replay converges with no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:weatherxo2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE weather_data (
+          |"id" INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |"timestamp" TIMESTAMP, "lat" DOUBLE, "lon" DOUBLE,
+          |"hourly_precipitation" DOUBLE)""".stripMargin)
+      st.execute(
+        """CREATE TABLE batch_commits (
+          |"sink" VARCHAR(128), "batch_id" BIGINT, "partition_id" INT,
+          |PRIMARY KEY ("sink", "batch_id", "partition_id"))""".stripMargin)
+    } finally conn.close()
+
+    val stream = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("weather_xo_crash_ckpt").toString
+    val agg = WeatherStreamJob.aggregate(stream.toDF())
+    def run() = WeatherStreamJob.start(agg, ckpt, Trigger.ProcessingTime(0))(
+      WeatherStreamJob.jdbcExactlyOnceSink(url, "weather_data",
+        connect = CrashBeforeMark.connect))
+
+    // two distinct keys so the batch carries more than one upsert
+    stream.addData(
+      msg(1736532000L, 0.5, 52.0, 5.1),
+      msg(1736535600L, 1.0, 41.1, -8.6))
+    CrashBeforeMark.armed.set(true)
+    val q = run()
+    try {
+      intercept[Exception] { q.processAllAvailable() } // batch must fail
+    } finally q.stop()
+    assert(!CrashBeforeMark.armed.get(), "fault never fired")
+
+    // crash-window invariant: whatever partitions survived, rows and
+    // ledger marks are PAIRED — the crashed partition's upserts are gone
+    def count(table: String): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    val rowsMid = count("weather_data")
+    val marksMid = count("batch_commits")
+    assert(rowsMid == marksMid,
+      s"half-applied partition visible: $rowsMid rows vs $marksMid marks")
+    assert(rowsMid < 2, "the crashed partition's rows must have rolled back")
+
+    // restart (fault disarmed): the replayed batch converges exactly-once
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "weather_data").load()
+    val vals = back.select("hourly_precipitation").as[Double].collect().sorted
+    assert(vals.toSeq == Seq(0.5, 1.0),
+      s"replay did not converge exactly-once: ${vals.toSeq}")
+    assert(count("batch_commits") == back.count() ||
+      count("batch_commits") <= 2, "unexpected ledger growth")
+  }
+
+  test("exactly-once JDBC sink refuses a ledger without the unique key") {
+    val url = "jdbc:derby:memory:weatherxo3;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE weather_data (
+          |"timestamp" TIMESTAMP, "lat" DOUBLE, "lon" DOUBLE,
+          |"hourly_precipitation" DOUBLE)""".stripMargin)
+      st.execute( // NO primary key — violates the ledger contract
+        """CREATE TABLE batch_commits (
+          |"sink" VARCHAR(128), "batch_id" BIGINT, "partition_id" INT)""".stripMargin)
+    } finally conn.close()
+    val batch = Seq(("2025-01-10 18:00:00", 52.0, 5.1, 0.5))
+      .toDF("event_time", "lat", "lon", "hourly_precipitation")
+    val e = intercept[org.apache.spark.SparkException] {
+      WeatherStreamJob.jdbcExactlyOnceSink(url, "weather_data")(batch, 0L)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("lacks a unique key")),
+      s"expected the ledger-contract error, got $e")
   }
 
   test("Kafka message contract (S3): consumer plan runs over the exact " +
