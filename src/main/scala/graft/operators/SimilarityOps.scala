@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -219,6 +219,172 @@ object SimilarityOps {
       |FROM r WHERE rk <= $TopK
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Shortlist width multiplier for [[quantizedRescoreSearch]]: the int8
+    * stage keeps `RescoreMultiple * k` candidates per query before the
+    * exact float rerank — wide enough that quantization error inside the
+    * shortlist boundary cannot evict a true top-k neighbor in practice
+    * (KMeansSpec measures recall parity with the float path).
+    */
+  val RescoreMultiple = 3
+
+  private def maxAbs(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 codes (q_i = round(127 * x_i / max|x|), zero vector →
+    * zero codes) — the same quantizer [[simQuantize]] reports stats for,
+    * as an array column.
+    */
+  private def q8(v: Column, scale: Column): Column =
+    when(scale > 0,
+      transform(v, x => round(lit(127.0) * x.cast("double") / scale).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+
+  /** IVF + int8-rescore retrieval — the memory-bandwidth play quantization
+    * exists for at 100 TB: after cell assignment the corpus side carries
+    * ONLY its int8 code arrays (4x smaller than float32) through the
+    * probe join, candidates are shortlisted per query by the DEQUANTIZED
+    * dot product — the integer-exact code dot (max |dot| = 127^2 * dim
+    * ≈ 1M, reproduced bit-for-bit by every engine) rescaled by the two
+    * per-vector scales, which restores rank fidelity across candidates
+    * with different dynamic ranges — and only the `RescoreMultiple * k`
+    * shortlist rows fetch their float vectors back for the exact cosine
+    * rerank. The float fetch is a broadcast-able
+    * join (shortlist is queries x 3k rows) against the corpus — at scale
+    * the full-precision vectors are touched for a vanishing fraction of
+    * the candidates scored.
+    */
+  def quantizedRescoreSearch(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    // corpus side: cell + codes + the one scale scalar — no float payload
+    // in the join
+    val codes = assignCells(corpus, codebook)
+      .withColumn("sb", maxAbs(col("embedding")))
+      .select(col("cell"), col("vec_id"), col("sb"),
+        q8(col("embedding"), col("sb")).as("qb"))
+    val probes = queries.crossJoin(broadcast(codebook))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell"),
+        round(expr("cosine_similarity(embedding, centroid)"), 6).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .withColumn("sa", maxAbs(col("q_emb")))
+      .select(col("query_id"), col("cell"), col("sa"),
+        q8(col("q_emb"), col("sa")).as("qa"))
+    // shortlist rank uses the DEQUANTIZED dot (int_score * sa * sb): the
+    // raw integer dot ranks by a_i.b_i / (sa*sb), and the per-vector
+    // scale in the denominator scrambles near-tie candidates. The
+    // product is the same IEEE double expression in both engines
+    // (exact BIGINT * exact max-abs scalars, left-associated), so the
+    // shortlist membership stays cross-engine deterministic.
+    val shortlist = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("int_score",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("dq", col("int_score").cast("double") * col("sa") * col("sb"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dq").desc, col("vec_id"))))
+      .filter(col("srk") <= RescoreMultiple * k)
+      .select(col("query_id"), col("vec_id"), col("int_score"))
+    // exact float rerank over the shortlist only
+    val qf = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val reranked = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .select(col("query_id"), col("vec_id"), col("int_score"),
+        round(expr("cosine_similarity(q_emb, embedding)"), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("sim"), col("int_score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Oracle-checked quantized retrieval over the hash-seeded codebook
+    * (the production twin trains the codebook with [[trainCodebook]]).
+    */
+  def simIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val nlist = nlistFor(e.count())
+    quantizedRescoreSearch(e, e.filter(col("vec_id") < NumQueries),
+      seedCodebook(e, nlist), nprobeFor(nlist), TopK)
+  }
+
+  lazy val simIvfQuantizedOracle: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+      |         CAST(ceil(0.9 * GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS BIGINT) AS nprobe
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, v.embedding, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id, cell, s AS sb,
+      |         CASE WHEN s > 0
+      |           THEN list_transform(v, x -> CAST(round(127.0 * x / s) AS BIGINT))
+      |           ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qb
+      |  FROM (SELECT vec_id, cell, CAST(embedding AS DOUBLE[]) AS v,
+      |               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                             x -> abs(x)), 'max') AS s
+      |        FROM assigned)),
+      |probes AS (
+      |  SELECT query_id, cell, q_emb FROM (
+      |    SELECT vec_id AS query_id, embedding AS q_emb, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim WHERE vec_id < $NumQueries)
+      |  WHERE rn <= (SELECT nprobe FROM params)),
+      |qcodes AS (
+      |  SELECT query_id, cell, s AS sa,
+      |         CASE WHEN s > 0
+      |           THEN list_transform(v, x -> CAST(round(127.0 * x / s) AS BIGINT))
+      |           ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qa
+      |  FROM (SELECT query_id, cell, CAST(q_emb AS DOUBLE[]) AS v,
+      |               list_aggregate(list_transform(CAST(q_emb AS DOUBLE[]),
+      |                                             x -> abs(x)), 'max') AS s
+      |        FROM probes)),
+      |shortlist AS (
+      |  SELECT query_id, vec_id, int_score FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           CAST(list_inner_product(p.qa, a.qb) AS BIGINT) AS int_score,
+      |           row_number() OVER (PARTITION BY p.query_id
+      |             ORDER BY CAST(CAST(list_inner_product(p.qa, a.qb) AS BIGINT)
+      |                           AS DOUBLE) * p.sa * a.sb DESC,
+      |                      a.vec_id) AS srk
+      |    FROM qcodes p JOIN codes a ON p.cell = a.cell AND a.vec_id <> p.query_id)
+      |  WHERE srk <= ${RescoreMultiple * TopK}),
+      |rr AS (
+      |  SELECT s.query_id, s.vec_id, s.int_score,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM shortlist s
+      |  JOIN embeddings c ON s.vec_id = c.vec_id
+      |  JOIN embeddings q ON s.query_id = q.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY sim DESC, vec_id) AS rk
+      |  FROM rr)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim, int_score
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Spherical k-means codebook refinement (Lloyd iterations): assign via
     * [[assignCells]], recompute each cell's centroid as the L2-normalized
     * element-wise mean of its members, repeat. The per-iteration centroid
@@ -311,10 +477,12 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
+    "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_quantize" -> simQuantizeOracle)
 }

@@ -114,6 +114,16 @@ class KMeansSpec extends AnyFunSuite {
       val bfPairs = nQueries.toLong * (nVecs - 1)
       assert(scoredPairs <= 0.25 * bfPairs,
         s"IVF scored $scoredPairs pairs — more than 25% of brute force's $bfPairs")
+
+      // quantized-rescore parity: shortlisting by int8 dot product then
+      // float-reranking must not cost recall vs the float IVF path on the
+      // same codebook/nprobe (the 3k shortlist absorbs quantization error)
+      val quant = SimilarityOps.quantizedRescoreSearch(
+        corpus, queries, cb, nprobe, SimilarityOps.TopK)
+      val qHits = quant.select("query_id", "vec_id").intersect(bf).count()
+      val qRecall = qHits.toDouble / bf.count()
+      assert(qRecall >= recall - 1e-9,
+        s"int8 rescore lost recall: float=$recall quantized=$qRecall")
     } finally { corpus.unpersist(); () }
   }
 }
