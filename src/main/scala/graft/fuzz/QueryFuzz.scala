@@ -208,6 +208,131 @@ object QueryFuzz {
     Gen(seed, sql, build)
   }
 
+  /** ROLLUP/CUBE shape: hierarchical aggregation over two generated keys,
+    * exercising the NULL-producing grouping branches and GROUPING()
+    * disambiguation — the null-semantics family most likely to drift
+    * between engines. Keys are computed in a subquery so both renderings
+    * group the same expressions; output is fully ordered with explicit
+    * NULLS FIRST (the grouping branches emit NULL keys by construction).
+    */
+  private def genRollup(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables)
+    val (k0Sql, k0Col) = keyOn(rnd, t.ints, t.strings, "k0")
+    val (k1Sql, k1Col) = keyOn(rnd, t.ints, t.strings, "k1")
+    val x = pick(rnd, t.ints)
+    val withPred = rnd.nextBoolean()
+    val (predSql, predCol) =
+      if (withPred) predOn(rnd, t.ints, t.doubles) else ("", lit(true))
+    val whereSql = if (withPred) s" WHERE $predSql" else ""
+    val cube = rnd.nextBoolean()
+    val form = if (cube) "CUBE" else "ROLLUP"
+    val sql =
+      s"""SELECT k0, k1, CAST(GROUPING(k0) AS BIGINT) AS g0,
+         |       CAST(GROUPING(k1) AS BIGINT) AS g1,
+         |       COUNT(*) AS a_cnt, CAST(SUM(x) AS BIGINT) AS a0
+         |FROM (SELECT $k0Sql, $k1Sql, $x AS x FROM ${t.name}$whereSql) s
+         |GROUP BY $form (k0, k1)
+         |ORDER BY g0, g1, k0 NULLS FIRST, k1 NULLS FIRST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base = Tables.table(spark, dir, t.name).filter(predCol)
+        .select(k0Col, k1Col, col(x).as("x"))
+      val grouped = if (cube) base.cube(col("k0"), col("k1"))
+                    else base.rollup(col("k0"), col("k1"))
+      grouped
+        .agg(grouping(col("k0")).cast("long").as("g0"),
+          grouping(col("k1")).cast("long").as("g1"),
+          count(lit(1)).as("a_cnt"), sum(col("x")).cast("long").as("a0"))
+        .select(col("k0"), col("k1"), col("g0"), col("g1"),
+          col("a_cnt"), col("a0"))
+        .orderBy(col("g0"), col("g1"),
+          col("k0").asc_nulls_first, col("k1").asc_nulls_first)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Outer-join-feeding-aggregates shape: LEFT or FULL join along an FK
+    * with the nullable side HALVED by a filter (FK edges always match, so
+    * the filter is what manufactures unmatched rows), grouped on a key
+    * from the NULL-producing side with COUNT(*) vs null-skipping
+    * COUNT(col) and SUM over a nullable column — the aggregate/NULL
+    * interactions engines most often disagree on.
+    */
+  private def genOuterAgg(seed: Long, rnd: Random): Gen = {
+    val (childName, parentName, fkCol, pkCol) = pick(rnd, fks)
+    val parent = tables.find(_.name == parentName).get
+    val full = rnd.nextInt(3) == 0
+    val joinSql = if (full) "FULL JOIN" else "LEFT JOIN"
+    val joinType = if (full) "full" else "left"
+    // group key over the NULLABLE parent side: unmatched child rows fall
+    // in the NULL group (string key) or propagate NULL through the modulo
+    val (k0Sql, k0Col) = keyOn(rnd, parent.ints, parent.strings, "k0")
+    val sumCol = pick(rnd, parent.ints)
+    val sql =
+      s"""SELECT $k0Sql, COUNT(*) AS a_cnt,
+         |       COUNT($pkCol) AS a_nn,
+         |       CAST(SUM($sumCol) AS BIGINT) AS a0
+         |FROM $childName $joinSql
+         |  (SELECT * FROM $parentName WHERE $pkCol % 2 = 0) $parentName
+         |  ON $fkCol = $pkCol
+         |GROUP BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val right = Tables.table(spark, dir, parentName)
+        .filter(col(pkCol) % 2 === 0)
+      Tables.table(spark, dir, childName)
+        .join(right, col(fkCol) === col(pkCol), joinType)
+        .groupBy(k0Col)
+        .agg(count(lit(1)).as("a_cnt"), count(col(pkCol)).as("a_nn"),
+          sum(col(sumCol)).cast("long").as("a0"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Explicit NULLS FIRST/LAST under LIMIT: a left join manufactures a
+    * nullable sort column, the ORDER BY direction and null placement are
+    * both generated and rendered EXPLICITLY in both dialects (Spark and
+    * DuckDB have opposite defaults), and ordering covers every output
+    * column so duplicate rows are interchangeable under the LIMIT.
+    */
+  private def genNullsLimit(seed: Long, rnd: Random): Gen = {
+    val (childName, parentName, fkCol, pkCol) = pick(rnd, fks)
+    val child = tables.find(_.name == childName).get
+    val baseKey = child.ints.head
+    val desc = rnd.nextBoolean()
+    val nullsFirst = rnd.nextBoolean()
+    val dirSql = (if (desc) "DESC" else "ASC") +
+      (if (nullsFirst) " NULLS FIRST" else " NULLS LAST")
+    val sql =
+      s"""SELECT CAST($baseKey AS BIGINT) AS k0, CAST($pkCol AS BIGINT) AS v
+         |FROM $childName LEFT JOIN
+         |  (SELECT * FROM $parentName WHERE $pkCol % 2 = 0) $parentName
+         |  ON $fkCol = $pkCol
+         |ORDER BY v $dirSql, k0 LIMIT 50""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val vSort = (desc, nullsFirst) match {
+        case (true, true) => col("v").desc_nulls_first
+        case (true, false) => col("v").desc_nulls_last
+        case (false, true) => col("v").asc_nulls_first
+        case (false, false) => col("v").asc_nulls_last
+      }
+      val right = Tables.table(spark, dir, parentName)
+        .filter(col(pkCol) % 2 === 0)
+      Tables.table(spark, dir, childName)
+        .join(right, col(fkCol) === col(pkCol), "left")
+        .select(col(baseKey).cast("long").as("k0"),
+          col(pkCol).cast("long").as("v"))
+        .orderBy(vSort, col("k0"))
+        .limit(50)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the null-semantics shapes: seeds below it render
+    * byte-identically to earlier rounds (their random streams are
+    * untouched), seeds at or above it route to the rollup/outer-agg/
+    * nulls-limit generators.
+    */
+  val NullShapeSeedFloor = 1000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -215,11 +340,23 @@ object QueryFuzz {
     * The shape roll uses a SEPARATE derived-seed Random so the classic
     * aggregate/projection shapes consume exactly the same random stream
     * as earlier rounds: 40% of seeds route to the window / semi-join /
-    * union generators, the rest to the classic path.
+    * union generators, the rest to the classic path. Seeds >=
+    * [[NullShapeSeedFloor]] route to the r5 null-semantics generators
+    * instead (a disjoint seed range so no earlier seed's rendering
+    * changes).
     */
   def generate(seed: Long): Gen = {
+    val rnd0 = new Random(seed)
+    if (seed >= NullShapeSeedFloor) {
+      return new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+        .nextInt(3) match {
+        case 0 => genRollup(seed, rnd0)
+        case 1 => genOuterAgg(seed, rnd0)
+        case _ => genNullsLimit(seed, rnd0)
+      }
+    }
     val shape = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL).nextInt(10)
-    val rnd = new Random(seed)
+    val rnd = rnd0
     if (shape <= 1) return genWindow(seed, rnd)
     if (shape == 2) return genSemi(seed, rnd)
     if (shape == 3) return genUnion(seed, rnd)
@@ -405,11 +542,14 @@ object QueryFuzz {
 
   /** Fixed seeds registered in SparkEntry for the DuckDB differential
     * check (chosen to return rows at sf0.001 so the driver smoke-check
-    * passes; the in-Spark spec sweeps a much wider seed range).
+    * passes; the in-Spark spec sweeps a much wider seed range). Seeds
+    * 1000+ are the r5 null-semantics shapes: 1001/1003 rollup-cube,
+    * 1004/1015 outer-join aggregates, 1000/1002 explicit NULLS
+    * FIRST/LAST under LIMIT.
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
-      29L, 37L, 44L)
+      29L, 37L, 44L, 1000L, 1001L, 1002L, 1003L, 1004L, 1015L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

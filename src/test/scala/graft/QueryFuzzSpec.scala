@@ -35,9 +35,14 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("200 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("250 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
-    val failures = (0L until 200L).flatMap { seed =>
+    // 0..199: the classic/window/semi/union shapes; 1000..1049: the r5
+    // null-semantics shapes (rollup/cube, outer-join aggregates,
+    // explicit NULLS FIRST/LAST under LIMIT)
+    val seeds = (0L until 200L) ++
+      (QueryFuzz.NullShapeSeedFloor until QueryFuzz.NullShapeSeedFloor + 50L)
+    val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
       val sql = normalized(sqlSession.sql(g.sql))
@@ -47,7 +52,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 165, s"only $nonEmpty/200 seeds returned rows")
+    assert(nonEmpty >= 210, s"only $nonEmpty/250 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
