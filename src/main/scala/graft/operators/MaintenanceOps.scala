@@ -25,6 +25,27 @@ object MaintenanceOps {
         min(col("n_rows")).as("min_rows_per_file"),
         max(col("n_rows")).as("max_rows_per_file"))
 
+  /** Write the curation manifest in the production handoff layout a
+    * training-data pipeline emits at 100 TB: PARTITIONED by lang
+    * (directory-level pruning for per-language consumers) and manually
+    * BUCKETED by doc_id — `repartition(nBuckets, doc_id)` is the
+    * DataFrame form of DISTRIBUTE BY, so every doc_id lands in exactly
+    * one task = one file per lang directory, and two datasets written
+    * with the same bucket count co-locate their doc_id joins without a
+    * shuffle. Rows are sorted within partitions (lang, doc_id) so each
+    * file is internally ordered (run-length-friendly encoding, readers
+    * can merge-join). Plain `.parquet` bucketing-by-hand is used instead
+    * of `bucketBy` because the latter requires a metastore table; the
+    * layout contract (hash(doc_id) % nBuckets constant per file) is
+    * asserted in MaintenanceSpec.
+    */
+  def writeCurationLayout(spark: SparkSession, dir: String, outDir: String,
+      nBuckets: Int = 4): Unit =
+    TextOps.corpusCuration(spark, dir)
+      .repartition(nBuckets, col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+
   /** Rewrite a parquet directory into ~`targetFileBytes` output files.
     * The file count comes from the ACTUAL on-disk byte total (filesystem
     * listing) — the optimizer's `stats.sizeInBytes` is an in-memory /

@@ -83,4 +83,57 @@ class MaintenanceSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"compaction plan shuffles:\n$plan")
   }
+
+  test("curation layout: lang-partitioned, doc_id-bucketed, read-back " +
+      "identical (the production handoff shape)") {
+    import org.apache.spark.sql.functions._
+    val nBuckets = 4
+    val out = Files.createTempDirectory("curated_layout").toString
+    MaintenanceOps.writeCurationLayout(spark, TestSpark.sfDirMid, out, nBuckets)
+
+    // declared layout on disk: one lang=... directory per language
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val langDirs = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("lang="))
+    assert(langDirs.nonEmpty, "no lang partitions written")
+    // each lang dir holds at most nBuckets files (one per bucket task)
+    langDirs.foreach { d =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/$d"))
+        .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      assert(files.nonEmpty && files.length <= nBuckets,
+        s"$d has ${files.length} files, expected 1..$nBuckets")
+    }
+
+    // bucket contract: within every file, hash(doc_id) % nBuckets is
+    // CONSTANT (repartition's HashPartitioning is pmod(murmur3, n), the
+    // same function as SQL hash()) — the property co-located joins need
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(countDistinct(pmod(hash(col("doc_id")), lit(nBuckets))).as("n_buckets"))
+    assert(perFile.filter(col("n_buckets") =!= 1).count() == 0,
+      "a file mixes doc_id buckets — layout not bucketed")
+
+    // partition pruning: a lang filter SCANS only that lang's directory
+    // (inputFiles is pre-filter, so inspect the scan's selected
+    // partitions instead)
+    val l0 = langDirs.head.stripPrefix("lang=")
+    val prunedDf = spark.read.parquet(out).filter(col("lang") === l0)
+    prunedDf.collect()
+    val scan = prunedDf.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    val scanned = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"lang=$l0")),
+      s"lang=$l0 filter scanned outside its partition: ${scanned.toSeq}")
+
+    // read-back equals the manifest the curation query computes
+    val back = spark.read.parquet(out)
+      .select("doc_id", "lang", "n_tokens", "quality")
+    val direct = graft.operators.TextOps.corpusCuration(spark, TestSpark.sfDirMid)
+      .select("doc_id", "lang", "n_tokens", "quality")
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty,
+      "layout round-trip changed the manifest")
+  }
 }
