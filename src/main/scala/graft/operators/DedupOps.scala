@@ -191,9 +191,10 @@ object DedupOps {
     * testdata), dependent queries re-stage instead of silently serving
     * stale shingles/postings/pairs.
     */
-  private def stageKey(spark: SparkSession, prefix: String, dir: String): String = {
+  private[operators] def stageKey(spark: SparkSession, prefix: String,
+      dir: String, table: String = "documents"): String = {
     val fp = try {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(path, true)
       var n = 0L; var sz = 0L; var mt = 0L
@@ -206,7 +207,7 @@ object DedupOps {
     s"$prefix:$dir:$fp"
   }
 
-  private def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  private[operators] def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // builds run OUTSIDE the map's computeIfAbsent: a build may stage its
     // own inputs (pairs -> sets -> md5), and ConcurrentHashMap rejects
     // recursive updates. A per-key lock keeps at-most-once builds; lock

@@ -137,8 +137,14 @@ object SimilarityOps {
     * exact scoring + per-query top-k.
     */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
-    val scored = ivfCandidates(corpus, queries, codebook, nprobe)
+      nprobe: Int, k: Int): DataFrame =
+    ivfSearchAssigned(assignCells(corpus, codebook), queries, codebook,
+      nprobe, k)
+
+  /** [[ivfSearch]] over an already-built (possibly staged) assignment. */
+  def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame,
+      codebook: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val scored = ivfCandidatesAssigned(assigned, queries, codebook, nprobe)
       .select(col("query_id"), col("vec_id"),
         round(expr("cosine_similarity(q_emb, embedding)"), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -156,8 +162,18 @@ object SimilarityOps {
     * queries x (corpus - 1)) on a clustered fixture.
     */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, nprobe: Int): DataFrame =
+    ivfCandidatesAssigned(assignCells(corpus, codebook), queries, codebook,
+      nprobe)
+
+  /** [[ivfCandidates]] over an already-built (possibly staged)
+    * assignment.
+    */
+  def ivfCandidatesAssigned(assigned: DataFrame, queries: DataFrame,
       codebook: DataFrame, nprobe: Int): DataFrame = {
-    val assigned = assignCells(corpus, codebook)
+    // register here too: a staged assignment skips assignCells (and its
+    // registration) in later sessions
+    CosineSimilarity.register(assigned.sparkSession)
     val probes = queries.crossJoin(broadcast(codebook))
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), col("cell"),
@@ -171,13 +187,28 @@ object SimilarityOps {
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
   }
 
+  /** Seed-codebook cell assignment, staged once per corpus (parquet,
+    * via the same registry the dedup substrates use, keyed on the
+    * embeddings fixture): the n x nlist assignment crossJoin is the
+    * dominant IVF cost and is shared verbatim by [[simIvfTopk]] and
+    * [[simIvfQuantized]] — like a production system's persisted index,
+    * it is built once and probed by every query.
+    */
+  private def stagedSeedAssignment(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.staged(spark,
+      DedupOps.stageKey(spark, "ivf-assigned", dir, "embeddings")) {
+      val e = Tables.embeddings(spark, dir)
+      assignCells(e, seedCodebook(e, nlistFor(e.count())))
+    }
+
   /** IVF ANN with the sqrt(n) hash-seeded codebook — the oracle-checked
     * scale path (brute force is the exactness baseline).
     */
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val nlist = nlistFor(e.count())
-    ivfSearch(e, e.filter(col("vec_id") < NumQueries),
+    ivfSearchAssigned(stagedSeedAssignment(spark, dir),
+      e.filter(col("vec_id") < NumQueries),
       seedCodebook(e, nlist), nprobeFor(nlist), TopK)
   }
 
@@ -254,11 +285,20 @@ object SimilarityOps {
     * the candidates scored.
     */
   def quantizedRescoreSearch(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, nprobe: Int, k: Int): DataFrame =
+    quantizedRescoreAssigned(assignCells(corpus, codebook), queries,
+      codebook, nprobe, k)
+
+  /** [[quantizedRescoreSearch]] over an already-built (possibly staged)
+    * assignment; the rerank's float vectors also come from the
+    * assignment table, so the corpus is scanned once per session.
+    */
+  def quantizedRescoreAssigned(assigned: DataFrame, queries: DataFrame,
       codebook: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    CosineSimilarity.register(corpus.sparkSession)
+    CosineSimilarity.register(assigned.sparkSession)
     // corpus side: cell + codes + the one scale scalar — no float payload
     // in the join
-    val codes = assignCells(corpus, codebook)
+    val codes = assigned
       .withColumn("sb", maxAbs(col("embedding")))
       .select(col("cell"), col("vec_id"), col("sb"),
         q8(col("embedding"), col("sb")).as("qb"))
@@ -293,7 +333,7 @@ object SimilarityOps {
     val qf = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     val reranked = shortlist
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(assigned.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(qf), "query_id")
       .select(col("query_id"), col("vec_id"), col("int_score"),
         round(expr("cosine_similarity(q_emb, embedding)"), 6).as("sim"))
@@ -312,7 +352,8 @@ object SimilarityOps {
   def simIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val nlist = nlistFor(e.count())
-    quantizedRescoreSearch(e, e.filter(col("vec_id") < NumQueries),
+    quantizedRescoreAssigned(stagedSeedAssignment(spark, dir),
+      e.filter(col("vec_id") < NumQueries),
       seedCodebook(e, nlist), nprobeFor(nlist), TopK)
   }
 
