@@ -47,6 +47,53 @@ class StatefulSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fixture parity: flatMapGroupsWithState sessions equal the " +
+      "oracle-checked batch sessionization on the events table") {
+    // the custom-state job claims the SAME gap semantics as
+    // EventOps.eventsSessionize (whose results DuckDB verifies) — prove
+    // it on the real fixture, not a toy: stream every sf0.001 event
+    // through the stateful job, close the tails with a far-future
+    // sentinel, and reconcile every session against the batch operator.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val gapMs = graft.operators.EventOps.SessionGapMicros / 1000
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => KeyedEvent(r.getLong(0),
+        new Timestamp(r.getLong(1) / 1000000L), r.getDouble(2)))
+    val stream = MemoryStream[KeyedEvent]
+    val q = StatefulSessionJob.sessionize(stream.toDS(), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_fixture").start()
+    try {
+      stream.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(KeyedEvent(-1L, t("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("fmgws_fixture")
+        .filter(col("key") =!= -1L).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(3), r.getTimestamp(2).getTime, r.getDouble(4)))
+        .toMap
+      val batch = graft.operators.EventOps
+        .eventsSessionize(spark, TestSpark.sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(3) / 1000L) ->
+          (r.getLong(2), r.getLong(4) / 1000L, r.getDouble(6)))
+        .toMap
+      assert(streamed.size == batch.size,
+        s"session count mismatch: stream ${streamed.size} vs batch ${batch.size}")
+      batch.foreach { case (k @ (user, startMs), (n, endMs, sum)) =>
+        val s = streamed.getOrElse(k,
+          fail(s"batch session (user=$user, start=$startMs) missing from stream"))
+        assert(s._1 == n && s._2 == endMs,
+          s"session shape diverged at $k: stream $s vs batch ($n, $endMs, $sum)")
+        // batch sum_value is rounded to 5dp; addition order differs
+        assert(math.abs(s._3 - sum) < 1e-4,
+          s"session sum diverged at $k: stream ${s._3} vs batch $sum")
+      }
+    } finally q.stop()
+  }
+
   test("events split across micro-batches merge into one session") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[KeyedEvent]
