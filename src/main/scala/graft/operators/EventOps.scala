@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -110,6 +110,19 @@ object EventOps {
   val LateChunks = 10
   val LateDelayMicros: Long = 7L * 24 * 3600 * 1000000
 
+  /** Deterministic pseudo-arrival chunk (md5 permutation of the
+    * ingestion id) — the simulated micro-batch assignment shared by BOTH
+    * late-data twins ([[eventsSessionizeLate]], [[eventsAttribution]])
+    * and mirrored verbatim by [[arrivalChunkSql]] in their oracles, so
+    * the chunking definition cannot drift between the twins.
+    */
+  private def arrivalChunk: Column =
+    expr("conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)")
+      .cast("long") % LateChunks
+
+  private val arrivalChunkSql =
+    s"CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % $LateChunks"
+
   /** Batch twin of the STREAMING sessionize's watermark semantics
     * (SessionStreamJob.sessionize): rows older than
     * `watermark = max(event time of prior micro-batches) - delay` are
@@ -128,9 +141,7 @@ object EventOps {
     */
   def eventsSessionizeLate(spark: SparkSession, dir: String): DataFrame = {
     val e = withMicros(Tables.events(spark, dir))
-      .withColumn("chunk",
-        expr(s"conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)")
-          .cast("long") % LateChunks)
+      .withColumn("chunk", arrivalChunk)
     val cm = e.groupBy(col("chunk")).agg(max(col("us")).as("cmax"))
     val prior = Window.orderBy(col("chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -146,7 +157,7 @@ object EventOps {
     s"""WITH e AS (
       |  SELECT user_id, event_id, value,
       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-      |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % ${LateChunks} AS chunk
+      |         $arrivalChunkSql AS chunk
       |  FROM events),
       |cm AS (SELECT chunk, MAX(us) AS cmax FROM e GROUP BY chunk),
       |wm AS (
@@ -201,17 +212,22 @@ object EventOps {
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
     val e = withMicros(Tables.events(spark, dir))
       .filter(col("event_type").isin("view", "click"))
-      .withColumn("chunk",
-        expr(s"conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)")
-          .cast("long") % LateChunks)
+      .withColumn("chunk", arrivalChunk)
     val cm = e.groupBy(col("chunk")).agg(
       max(when(col("event_type") === "view", col("us"))).as("vmax"),
       max(when(col("event_type") === "click", col("us"))).as("cmax"))
     val prior = Window.orderBy(col("chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // STRICT min of the two stream watermarks: if EITHER stream has seen
+    // no prior data its watermark hasn't started, so the global watermark
+    // is undefined and nothing drops — Spark's least() skips NULLs, which
+    // would wrongly advance the global watermark on the other stream
+    // alone (min-of-streams policy violation on skewed arrivals)
+    val vrun = max(col("vmax")).over(prior)
+    val crun = max(col("cmax")).over(prior)
     val wm = cm.select(col("chunk"),
-      (least(max(col("vmax")).over(prior), max(col("cmax")).over(prior))
-        - LateDelayMicros).as("wm"))
+      (when(vrun.isNull || crun.isNull, lit(null).cast("long"))
+        .otherwise(least(vrun, crun)) - LateDelayMicros).as("wm"))
     val kept = e.join(broadcast(wm), Seq("chunk"))
       .filter(col("wm").isNull || col("us") >= col("wm"))
     val v = kept.filter(col("event_type") === "view")
@@ -231,7 +247,7 @@ object EventOps {
     s"""WITH e AS (
       |  SELECT user_id, event_id, event_type,
       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-      |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % ${LateChunks} AS chunk
+      |         $arrivalChunkSql AS chunk
       |  FROM events WHERE event_type IN ('view', 'click')),
       |cm AS (
       |  SELECT chunk,
@@ -240,12 +256,15 @@ object EventOps {
       |  FROM e GROUP BY chunk),
       |wm AS (
       |  SELECT chunk,
-      |         least(MAX(vmax) OVER (ORDER BY chunk
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |               MAX(cmax) OVER (ORDER BY chunk
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-      |         - ${LateDelayMicros} AS wm
-      |  FROM cm),
+      |         CASE WHEN vr IS NULL OR cr IS NULL THEN NULL
+      |              ELSE least(vr, cr) - ${LateDelayMicros} END AS wm
+      |  FROM (
+      |    SELECT chunk,
+      |           MAX(vmax) OVER (ORDER BY chunk
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vr,
+      |           MAX(cmax) OVER (ORDER BY chunk
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cr
+      |    FROM cm)),
       |kept AS (
       |  SELECT e.user_id, e.event_id, e.event_type, e.us
       |  FROM e JOIN wm USING (chunk) WHERE wm IS NULL OR us >= wm),

@@ -30,9 +30,11 @@ object MaintenanceOps {
     * (directory-level pruning for per-language consumers) and manually
     * BUCKETED by doc_id — `repartition(nBuckets, doc_id)` is the
     * DataFrame form of DISTRIBUTE BY, so every doc_id lands in exactly
-    * one task = one file per lang directory, and two datasets written
-    * with the same bucket count co-locate their doc_id joins without a
-    * shuffle. Rows are sorted within partitions (lang, doc_id) so each
+    * one task = one file per lang directory. NOTE plain parquet carries
+    * no bucketing metadata: readers get the co-located-join benefit only
+    * by re-declaring the layout (external-table DDL with bucket spec, or
+    * re-hashing on read) — Spark will NOT infer it from the files.
+    * Rows are sorted within partitions (lang, doc_id) so each
     * file is internally ordered (run-length-friendly encoding, readers
     * can merge-join). Plain `.parquet` bucketing-by-hand is used instead
     * of `bucketBy` because the latter requires a metastore table; the

@@ -198,15 +198,24 @@ object SimilarityOps {
     DedupOps.staged(spark,
       DedupOps.stageKey(spark, "ivf-assigned", dir, "embeddings")) {
       val e = Tables.embeddings(spark, dir)
-      assignCells(e, seedCodebook(e, nlistFor(e.count())))
+      assignCells(e, seedCodebook(e, nlistFor(corpusCount(spark, dir))))
     }
+
+  // corpus row count memoized per fixture dir: nlist/nprobe derive from
+  // it in every IVF entry point, and without the cache each invocation
+  // pays a full-scan count() before any search work
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir,
+      _ => Tables.embeddings(spark, dir).count())
 
   /** IVF ANN with the sqrt(n) hash-seeded codebook — the oracle-checked
     * scale path (brute force is the exactness baseline).
     */
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val nlist = nlistFor(e.count())
+    val nlist = nlistFor(corpusCount(spark, dir))
     ivfSearchAssigned(stagedSeedAssignment(spark, dir),
       e.filter(col("vec_id") < NumQueries),
       seedCodebook(e, nlist), nprobeFor(nlist), TopK)
@@ -351,7 +360,7 @@ object SimilarityOps {
     */
   def simIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val nlist = nlistFor(e.count())
+    val nlist = nlistFor(corpusCount(spark, dir))
     quantizedRescoreAssigned(stagedSeedAssignment(spark, dir),
       e.filter(col("vec_id") < NumQueries),
       seedCodebook(e, nlist), nprobeFor(nlist), TopK)

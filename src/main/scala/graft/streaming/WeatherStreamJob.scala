@@ -191,9 +191,14 @@ object WeatherStreamJob {
           } finally {
             // a failed partition must leave nothing behind: roll back the
             // open transaction before close (embedded drivers like Derby
-            // refuse to close a connection with an active transaction)
-            if (!done) { try conn.rollback() catch { case _: Throwable => () } }
-            conn.close()
+            // refuse to close a connection with an active transaction).
+            // On the failure path BOTH cleanup calls are guarded so the
+            // ORIGINAL task exception propagates, not a broken
+            // connection's rollback/close error masking it.
+            if (!done) {
+              try conn.rollback() catch { case _: Exception => () }
+              try conn.close() catch { case _: Exception => () }
+            } else conn.close()
           }
         }
       }
@@ -270,9 +275,12 @@ object WeatherStreamJob {
             } else conn.rollback() // end the SELECT's read transaction
             done = true
           } finally {
-            // crash window (post-upsert, pre-mark): leave NOTHING behind
-            if (!done) { try conn.rollback() catch { case _: Throwable => () } }
-            conn.close()
+            // crash window (post-upsert, pre-mark): leave NOTHING behind;
+            // cleanup guarded so the original failure propagates
+            if (!done) {
+              try conn.rollback() catch { case _: Exception => () }
+              try conn.close() catch { case _: Exception => () }
+            } else conn.close()
           }
         }
       }
@@ -288,6 +296,12 @@ object WeatherStreamJob {
     * attempts for one partition could both pass the existence check and
     * both commit — the constraint is what turns the second mark into a
     * transaction abort.
+    *
+    * The metadata probe passes a null schema (searches the connection's
+    * default/search-path scope): if the target store resolves the ledger
+    * through a search path AND another schema holds a same-named keyed
+    * table, the probe could validate the wrong one — qualify the ledger
+    * name (`schema.table`) in such deployments.
     */
   private def requireLedgerKey(conn: java.sql.Connection, url: String,
       ledger: String): Unit = {
