@@ -554,6 +554,76 @@ object TextOps {
   val CurationMinQuality = 0.6
   val CurationSamplePct = 50
 
+  /** Oracle fragments for the quality components and score — the SQL
+    * twins of [[withQuality]]/[[qualityScore]], shared by every oracle
+    * that reproduces the quality formula so it exists in ONE place.
+    * `qualityComponentsSql` expects (doc_id, text, ...) in scope;
+    * `qualityExprSql` expects the component aliases.
+    */
+  private[graft] val qualityComponentsSql =
+    """CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+      |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+      |         length(replace(text, ' ', '')) * 1.0
+      |           / len(string_split(text, ' ')) AS avg_len""".stripMargin
+
+  private[graft] val qualityExprSql =
+    """round(least(n_tokens / 100.0, 1.0) * 0.4
+      |               + (1.0 - stop_ratio) * 0.3
+      |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4)""".stripMargin
+
+  /** Per-source curation scorecard — the rollup a curation team reads to
+    * set source sampling weights or blocklists: how many documents each
+    * ingestion source contributed, how many were exact-duplicate
+    * casualties (non-survivors of the min-doc_id rule), the mean quality
+    * score, the token mass, and how many rows actually made it through
+    * the full [[corpusCuration]] gate (survivor AND quality AND sample
+    * residue — the SAME predicates, so the scorecard's n_kept column
+    * sums exactly to the manifest's row count). One window shuffle for
+    * the survivor flag, one source-keyed aggregation — source
+    * cardinality is tiny, so the final shuffle is trivially bounded at
+    * any corpus scale.
+    */
+  def curationSourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(lower(col("text"))).orderBy(col("doc_id"))
+    val d = withQuality(Tables.documents(spark, dir)
+        .withColumn("rk", row_number().over(w)))
+      .withColumn("is_survivor", (col("rk") === 1).cast("long"))
+      .withColumn("is_kept",
+        ((col("rk") === 1) && col("quality") >= CurationMinQuality &&
+          docHash60 % 100 < CurationSamplePct).cast("long"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - sum(col("is_survivor"))).cast("long").as("n_dups"),
+        round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        sum(col("is_kept")).cast("long").as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  lazy val curationSourceStatsOracle: String =
+    s"""WITH s AS (
+      |  SELECT doc_id, text, source,
+      |         row_number() OVER (PARTITION BY lower(text) ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, rk,
+      |         $qualityComponentsSql
+      |  FROM s),
+      |q AS (
+      |  SELECT doc_id, source, rk, n_tokens,
+      |         $qualityExprSql AS quality
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |       round(AVG(quality) + 1e-9, 4) AS avg_quality,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(SUM(CASE WHEN rk = 1 AND quality >= $CurationMinQuality
+      |                 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |                     % 100 < $CurationSamplePct
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   /** End-to-end curation manifest — the composition a training run
     * actually consumes: exact-dup survivors (min doc_id per normalized
     * text), gated at quality >= [[CurationMinQuality]] (the `mid` tier
@@ -578,17 +648,11 @@ object TextOps {
       |  WHERE rk = 1),
       |d AS (
       |  SELECT doc_id, lang,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
-      |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
-      |         length(replace(text, ' ', '')) * 1.0
-      |           / len(string_split(text, ' ')) AS avg_len
+      |         $qualityComponentsSql
       |  FROM s),
       |q AS (
       |  SELECT doc_id, lang, n_tokens,
-      |         round(least(n_tokens / 100.0, 1.0) * 0.4
-      |               + (1.0 - stop_ratio) * 0.3
-      |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4) AS quality
+      |         $qualityExprSql AS quality
       |  FROM d)
       |SELECT doc_id, lang, n_tokens, quality
       |FROM q
@@ -598,6 +662,7 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_source_stats" -> (curationSourceStats _),
     "corpus_curation" -> (corpusCuration _),
     "sample_mixture" -> (sampleMixture _),
     "text_perplexity" -> (textPerplexity _),
@@ -614,6 +679,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "curation_source_stats" -> curationSourceStatsOracle,
     "corpus_curation" -> corpusCurationOracle,
     "sample_mixture" -> sampleMixtureOracle,
     "text_perplexity" -> textPerplexityOracle,

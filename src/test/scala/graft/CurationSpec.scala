@@ -67,4 +67,23 @@ class CurationSpec extends AnyFunSuite {
       assert(ratio >= 0.0 && ratio <= 1.0)
     }
   }
+
+  test("source scorecard reconciles with the manifest and the corpus") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val stats = TextOps.curationSourceStats(spark, TestSpark.sfDirMid)
+    val totals = stats.agg(
+      sum(col("n_docs")), sum(col("n_dups")), sum(col("n_kept"))).head()
+    val corpus = Tables.documents(spark, TestSpark.sfDirMid).count()
+    val manifest = TextOps.corpusCuration(spark, TestSpark.sfDirMid).count()
+    // every document is attributed to exactly one source
+    assert(totals.getLong(0) == corpus,
+      s"scorecard covers ${totals.getLong(0)} of $corpus docs")
+    // kept rows are EXACTLY the manifest (same predicates, so the
+    // scorecard can't drift from what curation actually emits)
+    assert(totals.getLong(2) == manifest,
+      s"scorecard n_kept ${totals.getLong(2)} != manifest rows $manifest")
+    // duplicates are non-survivors: kept <= survivors <= docs per source
+    val bad = stats.filter(col("n_kept") > col("n_docs") - col("n_dups")).count()
+    assert(bad == 0, "a source keeps more rows than it has survivors")
+  }
 }
