@@ -122,6 +122,34 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must not shuffle for the watermark join:\n$plan")
   }
 
+  test("attribution twin broadcasts the chunk-watermark side like the " +
+      "late-sessionize guard") {
+    val plan = finalPlan(graft.operators.EventOps.eventsAttribution(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the O(LateChunks) watermark table should broadcast:\n$plan")
+  }
+
+  test("quantized rescore's probe join carries int8 codes, not float " +
+      "embeddings, on the corpus side") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, dir)
+    val nlist = graft.operators.SimilarityOps.nlistFor(e.count())
+    val df = graft.operators.SimilarityOps.quantizedRescoreSearch(
+      e, e.filter(col("vec_id") < 10),
+      graft.operators.SimilarityOps.seedCodebook(e, nlist), nlist, 5)
+    // the memory-bandwidth contract: the side of the candidate join that
+    // ships the code arrays must NOT also ship the float vectors (floats
+    // are fetched later, for the shortlist only)
+    val ok = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .exists(j => Seq(j.left, j.right).exists { side =>
+        val names = side.output.map(_.name)
+        names.contains("qb") && !names.contains("embedding")
+      })
+    assert(ok, "no join side carries codes without the float embedding — " +
+      "the quantized path is shipping full-precision vectors")
+  }
+
   test("simhash fingerprints aggregate in a single groupBy (no bit explode)") {
     // the query path reads staged parquet; assert on the unstaged builder
     val plan = finalPlan(graft.operators.DedupOps.simhashPlan(spark, dir))
