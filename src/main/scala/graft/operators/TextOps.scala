@@ -421,6 +421,56 @@ object TextOps {
       |      % 100 < $SamplePct
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-language token budget for [[sampleTokenBudget]] — sized so the
+    * budget BITES at every fixture scale (each lang shard holds more
+    * tokens than this) while still keeping rows at sf0.001.
+    */
+  val LangTokenBudget = 400L
+
+  /** Token-budget sampling — pretraining mixes are sized in TOKENS, not
+    * documents: fill each language's [[LangTokenBudget]] by walking that
+    * language's documents in deterministic md5 order and keeping a
+    * document iff the tokens accumulated BEFORE it are still under
+    * budget (greedy fill; the boundary document may overshoot — the
+    * standard packing rule, and exclusive-prefix semantics make the
+    * kept set independent of how the boundary doc itself is sized).
+    * One shuffle on lang; the running sum is partition-parallel per
+    * shard exactly like [[textPacking]]'s offsets. For finer
+    * parallelism at corpus scale, split the budget over (lang,
+    * hash-bucket) sub-shards — same shape, more partitions.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+    val before = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .filter(col("tokens_before") < LangTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tokens_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleTokenBudgetOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+      |           ORDER BY hk, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS tokens_before
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, tokens_before
+      |FROM r WHERE tokens_before < $LangTokenBudget
+      |ORDER BY doc_id""".stripMargin
+
   /** Samples kept per stratum by [[sampleWeighted]]. */
   val WeightedSampleK = 10
 
@@ -663,6 +713,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_source_stats" -> (curationSourceStats _),
+    "sample_token_budget" -> (sampleTokenBudget _),
     "corpus_curation" -> (corpusCuration _),
     "sample_mixture" -> (sampleMixture _),
     "text_perplexity" -> (textPerplexity _),
@@ -680,6 +731,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "curation_source_stats" -> curationSourceStatsOracle,
+    "sample_token_budget" -> sampleTokenBudgetOracle,
     "corpus_curation" -> corpusCurationOracle,
     "sample_mixture" -> sampleMixtureOracle,
     "text_perplexity" -> textPerplexityOracle,
