@@ -377,22 +377,111 @@ object DedupOps {
     verifyJaccard(candidatesFromRareShingles(sh), shingleSets(sh), JaccardThreshold)
   }
 
-  /** Verified near-dup pairs, staged once per corpus: `dedup_clusters`
-    * consumes the same pairs, so the shingle/posting/verify pipeline must
-    * not run twice in a session (round-2 verdict item 7).
+  /** Candidate pairs with their exact overlap counts
+    * `(da, db, n_inter, n_a, n_b)`, staged once per corpus: ONE
+    * two-pointer-intersect pass (the expensive verification step) now
+    * serves BOTH the symmetric Jaccard query (and through it
+    * `dedup_clusters`) and the asymmetric containment query — the
+    * thresholds are cheap projections over this table, so adding a new
+    * overlap-derived similarity measure costs zero extra corpus passes.
+    * Candidates derive from the staged rare postings (which in turn
+    * derive from the staged df table) — the corpus is never re-aggregated
+    * for pair generation (round-2 verdict item 7).
+    */
+  private def stagedCandidateOverlap(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, stageKey(spark, "cand-overlap", dir)) {
+      graft.functions.SortedIntersectCount.register(spark)
+      val sets = stagedCorpusSets(spark, dir)
+      pairsFromPostings(stagedPostings(spark, dir).filter(size(col("ds")) >= 2))
+        .join(sets.select(col("doc_id").as("da"), col("sset").as("set_a"),
+          col("n_sh").as("n_a")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sset").as("set_b"),
+          col("n_sh").as("n_b")), "db")
+        .select(col("da"), col("db"),
+          expr("sorted_intersect_count(set_a, set_b)").as("n_inter"),
+          col("n_a"), col("n_b"))
+    }
+
+  /** Verified near-dup pairs — a threshold projection over the staged
+    * overlap table ([[stagedCandidateOverlap]] holds the one intersect
+    * pass; `dedup_clusters` consumes the same pairs).
     */
   private def stagedNgramPairs(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, stageKey(spark, "ngram-pairs", dir)) {
-      // candidates derive from the staged rare postings (which in turn
-      // derive from the staged df table) — the corpus is never
-      // re-aggregated for pair generation
-      verifyJaccard(
-        pairsFromPostings(stagedPostings(spark, dir).filter(size(col("ds")) >= 2)),
-        stagedCorpusSets(spark, dir), JaccardThreshold)
-    }
+    stagedCandidateOverlap(spark, dir)
+      .withColumn("jaccard_raw",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      // +1e-9 steps exact .00005 halves off the Spark/DuckDB rounding
+      // divergence (README "Rounding tie-break policy")
+      .select(col("da"), col("db"),
+        round(col("jaccard_raw") + lit(1e-9), 4).as("jaccard"))
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     stagedNgramPairs(spark, dir).orderBy(col("da"), col("db"))
+
+  /** Containment threshold for the asymmetric near-dup check. */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric shingle containment — the "document inclusion" twin of
+    * Jaccard near-dup: `C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)|`,
+    * flagging documents whose shingle set is >= [[ContainmentThreshold]]
+    * covered by another document (quotations, page-in-page templates,
+    * superset re-crawls). Jaccard structurally misses these when the
+    * container is much larger — `J <= |S(src)|/|S(dst)|` no matter how
+    * complete the inclusion — so containment is the standard complement
+    * (Broder's resemblance vs. containment distinction).
+    *
+    * Candidates reuse the staged rare-postings pipeline (df cap +
+    * [[MinSharedRareShingles]] co-occurrence floor — the same deliberate
+    * recall trade as the Jaccard family, mirrored in the oracle), and the
+    * overlap counts come from the SAME staged intersect pass
+    * ([[stagedCandidateOverlap]]) the Jaccard query reads: this query
+    * adds no corpus pass and no shuffle, only a x2 map-side direction
+    * fan-out and a filter.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    stagedCandidateOverlap(spark, dir)
+      .select(explode(array(
+        struct(col("da").as("src_id"), col("db").as("dst_id"),
+          (col("n_inter") / col("n_a")).as("c_raw")),
+        struct(col("db").as("src_id"), col("da").as("dst_id"),
+          (col("n_inter") / col("n_b")).as("c_raw")))).as("r"))
+      .select(col("r.src_id").as("src_id"), col("r.dst_id").as("dst_id"),
+        col("r.c_raw").as("c_raw"))
+      .filter(col("c_raw") >= ContainmentThreshold)
+      .select(col("src_id"), col("dst_id"),
+        round(col("c_raw") + lit(1e-9), 4).as("containment"))
+      .orderBy(col("src_id"), col("dst_id"))
+
+  val dedupContainmentOracle: String =
+    s"""WITH $hashedShingleCte,
+      |rare AS (
+      |  SELECT doc_id, h1 FROM (
+      |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
+      |  WHERE df <= $MaxShingleDf),
+      |cand AS (
+      |  SELECT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |    FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  WHERE n_shared >= $MinSharedRareShingles),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh x ON c.da = x.doc_id
+      |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
+      |  GROUP BY c.da, c.db),
+      |directed AS (
+      |  SELECT da AS src_id, db AS dst_id, n_inter, sa.n_sh AS n_src
+      |  FROM inter JOIN sizes sa ON da = sa.doc_id
+      |  UNION ALL
+      |  SELECT db, da, n_inter, sb.n_sh
+      |  FROM inter JOIN sizes sb ON db = sb.doc_id)
+      |SELECT src_id, dst_id,
+      |       round(n_inter * 1.0 / n_src + 1e-9, 4) AS containment
+      |FROM directed
+      |WHERE n_inter * 1.0 / n_src >= $ContainmentThreshold
+      |ORDER BY src_id, dst_id""".stripMargin
 
   /** Corpus-side incremental-dedup index, staged once per corpus: the
     * df-capped inverted postings and the per-doc sorted set table. Both
@@ -904,6 +993,7 @@ object DedupOps {
     "dedup_source_priority" -> (dedupSourcePriority _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -916,6 +1006,7 @@ object DedupOps {
     "dedup_source_priority" -> dedupSourcePriorityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_simhash_pairs" -> dedupSimhashPairsOracle,

@@ -524,15 +524,176 @@ object SimilarityOps {
       |       ELSE 0.0 END AS mse
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Random-hyperplane (SRP) LSH bucketed ANN — the hash-bucket
+  // alternative to IVF's learned space partition (Charikar '02 SimHash
+  // for real vectors). Where IVF routes a query to its nprobe nearest
+  // codebook cells, SRP-LSH buckets both sides by sign-pattern bands:
+  // no codebook, no training, purely data-independent — the right
+  // choice when the corpus drifts faster than a codebook can be
+  // retrained.
+  // -------------------------------------------------------------------
+
+  /** [[RpPlanes]] random hyperplanes, banded into [[RpBands]] bands of
+    * [[RpBandBits]] sign bits: two vectors at angle theta collide in one
+    * band with prob (1 - theta/pi)^RpBandBits, in >= 1 of the bands with
+    * 1-(1-p^bits)^bands — the classic band-OR amplification. 6-bit bands
+    * keep the random-pair collision rate at 4*(1/64) ~ 6% (measured 7%
+    * on the isotropic fixture) while near-dup pairs collide with
+    * near-certainty.
+    */
+  val RpPlanes = 24
+  val RpBandBits = 6
+  val RpBands = RpPlanes / RpBandBits
+
+  /** Deterministic Rademacher (+-1) hyperplane coefficients from md5
+    * hex-digit parity — chosen over gaussian planes because BOTH engines
+    * derive the identical matrix from the same strings (`rp_<p>_<d>`),
+    * and +-1 projections carry the same SRP/JL guarantees
+    * (Achlioptas '03). Driver-side constant: O(planes x dim) literals,
+    * no data dependence.
+    */
+  private def rpCoef(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp_${p}_$d".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Per-vector band columns (`band0..band{RpBands-1}`) — a MAP-ONLY
+    * projection: the coefficient matrix is a literal, each of the
+    * [[RpPlanes]] dot products is one fused aggregate(zip_with) loop, and
+    * the two projection layers deliberately stay un-collapsed (the dots
+    * array is referenced [[RpPlanes]] times; CollapseProject keeps
+    * non-cheap aliases single-evaluation) so the corpus is never
+    * shuffled or exploded to be signed. The sign test rounds the double
+    * dot to 6 dp first so float summation-order differences between
+    * engines can never flip a bit.
+    */
+  private[graft] def rpSignature(e: DataFrame, dim: Int): DataFrame = {
+    val coefMat = array((0 until RpPlanes).map(p =>
+      array((0 until dim).map(d => lit(rpCoef(p, d))): _*)): _*)
+    val dots = transform(coefMat, cs =>
+      aggregate(zip_with(col("embedding"), cs, (x, c) => x.cast("double") * c),
+        lit(0.0), (a, x) => a + x))
+    val bits = transform(dots, dt => when(round(dt, 6) >= 0, 1).otherwise(0))
+    val bandCols = (0 until RpBands).map { b =>
+      (0 until RpBandBits).map(i =>
+        element_at(col("bits"), b * RpBandBits + i + 1) * lit(1 << i))
+        .reduce(_ + _).as(s"band$b")
+    }
+    e.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id") +: bandCols: _*)
+  }
+
+  /** (vec_id, band, bv) — signatures unpivoted for the bucket join. */
+  private def rpBands(sig: DataFrame): DataFrame =
+    sig.select(col("vec_id"), explode(array((0 until RpBands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("bv"))): _*)).as("sb"))
+      .select(col("vec_id"), col("sb.band").as("band"), col("sb.bv").as("bv"))
+
+  /** Candidate (query_id, vec_id) pairs sharing >= 1 signature band.
+    * Scale shape: corpus signatures are map-only; the exploded QUERY
+    * bands are broadcast (queries are always small), so the corpus never
+    * shuffles to be bucketed — only the matched candidates reach the
+    * distinct.
+    */
+  private[graft] def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      dim: Int): DataFrame =
+    rpBands(rpSignature(corpus, dim))
+      .join(broadcast(rpBands(rpSignature(queries, dim))
+        .select(col("vec_id").as("query_id"), col("band"), col("bv"))),
+        Seq("band", "bv"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+
+  /** SRP-LSH top-k: exact cosine rescoring + rank over the band
+    * candidates. Same output contract as [[simTopkBruteforce]]; recall
+    * is the band-OR collision probability (measured on a clustered
+    * fixture in LshSpec — the isotropic sf fixture is the documented
+    * worst case for ANY space-partitioning ANN, see [[nprobeFor]]).
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame, dim: Int,
+      k: Int): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    val qe = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scoredCand = lshCandidates(corpus, queries, dim)
+      .join(qe, "query_id")
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_emb")), "vec_id")
+      .withColumn("sim", round(expr("cosine_similarity(q_emb, c_emb)"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scoredCand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(dir, _ =>
+      Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0))
+
+  def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    lshSearch(e, e.filter(col("vec_id") < NumQueries),
+      embeddingDim(spark, dir), TopK)
+  }
+
+  /** The oracle derives the IDENTICAL plane matrix from md5 hex parity
+    * (strpos over the even hex digits == the engine's nibble-parity
+    * test). dim is pinned to the fixture's 64 — the engine probes it at
+    * runtime, but SQL text is static; all three sf fixtures are dim-64.
+    */
+  val simLshTopkOracle: String =
+    s"""WITH planes AS (
+      |  SELECT p, d,
+      |         CASE WHEN strpos('02468ace', substr(md5('rp_' || p || '_' || d), 1, 1)) > 0
+      |              THEN 1.0 ELSE -1.0 END AS c
+      |  FROM range($RpPlanes) t(p) CROSS JOIN range(64) t2(d)),
+      |bits AS (
+      |  SELECT e.vec_id, pl.p,
+      |         CASE WHEN round(sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.c), 6) >= 0
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id, pl.p),
+      |sig AS (
+      |  SELECT vec_id, p // $RpBandBits AS band,
+      |         sum(b * (CASE p % $RpBandBits WHEN 0 THEN 1 WHEN 1 THEN 2
+      |                       WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+      |                       ELSE 32 END)) AS bv
+      |  FROM bits GROUP BY vec_id, p // $RpBandBits),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      |  FROM sig q JOIN sig c ON q.band = c.band AND q.bv = c.bv
+      |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+      |s AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                      CAST(ce.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM cand cd
+      |  JOIN embeddings qe ON cd.query_id = qe.vec_id
+      |  JOIN embeddings ce ON cd.vec_id = ce.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY sim DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
+    "sim_lsh_topk" -> (simLshTopk _),
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
+    "sim_lsh_topk" -> simLshTopkOracle,
     "sim_quantize" -> simQuantizeOracle)
 }

@@ -100,4 +100,54 @@ class DedupSpec extends AnyFunSuite {
     assert(stats.getInt(0) <= 15, s"near-dup pair at hamming ${stats.getInt(0)} (random ~24)")
     assert(stats.getDouble(1) <= 8.0, s"mean near-dup hamming ${stats.getDouble(1)} too high")
   }
+
+  test("containment dominates jaccard on every verified pair (C >= J in " +
+      "both directions) and stays in (0, 1]") {
+    // math law: C(a->b) = i/|a| >= i/(|a|+|b|-i) = J, so every Jaccard
+    // pair must appear in the containment output in BOTH directions when
+    // the thresholds align (0.8 fixture pairs are near-identical twins)
+    val jac = DedupOps.dedupNgramJaccard(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cont = DedupOps.dedupContainment(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.nonEmpty, "containment found no pairs on the fixture")
+    cont.values.foreach(c => assert(c > 0.0 && c <= 1.0001, s"containment $c out of range"))
+    jac.foreach { case ((a, b), j) =>
+      if (j >= DedupOps.ContainmentThreshold) {
+        for (dir <- Seq((a, b), (b, a))) {
+          assert(cont.contains(dir), s"jaccard pair $dir (j=$j) missing from containment")
+          assert(cont(dir) >= j - 1e-4,
+            s"containment ${cont(dir)} below jaccard $j for $dir — violates C >= J")
+        }
+      }
+    }
+  }
+
+  test("containment is asymmetric where set sizes differ: a short doc " +
+      "inside a long one is flagged in one direction only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    // doc 2 = a verbatim chunk of doc 1 plus nothing else; doc 1 has 4x
+    // the shingles, so C(2->1) = 1.0 but C(1->2) = |S2|/|S1| ~ 0.26 and
+    // J ~ 0.26 — under BOTH thresholds. Words are globally unique so
+    // every shingle is rare (df <= cap) and the pair clears the
+    // MinSharedRareShingles floor.
+    val longText = (0 until 80).map(i => s"w$i").mkString(" ")
+    val shortText = (20 until 40).map(i => s"w$i").mkString(" ")
+    Seq((1L, longText, "en", "s0", longText.length.toLong),
+        (2L, shortText, "en", "s1", shortText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.dedupContainment(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((2L, 1L)), s"contained doc not flagged: $out")
+    assert(math.abs(out((2L, 1L)) - 1.0) < 1e-6,
+      s"full inclusion should score 1.0, got ${out((2L, 1L))}")
+    assert(!out.contains((1L, 2L)),
+      s"container doc wrongly flagged as contained: $out")
+    // and the symmetric jaccard query must MISS this pair entirely —
+    // the gap containment exists to close
+    val j = DedupOps.dedupNgramJaccard(spark, dir).count()
+    assert(j == 0, s"jaccard unexpectedly caught the small-in-big pair ($j rows)")
+  }
 }

@@ -220,4 +220,24 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.spread(already) eq already,
       "spread repartitioned an input that already had enough splits")
   }
+
+  test("srp-lsh: query bands broadcast; the corpus reaches the band join " +
+      "map-only (no corpus shuffle, no cartesian)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, dir)
+    val df = graft.operators.SimilarityOps.lshCandidates(
+      e, e.filter(col("vec_id") < 10), 64)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query band table should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"srp-lsh plans an all-pairs join:\n$plan")
+    // exactly ONE shuffle exchange is legitimate (the candidate
+    // distinct); a second would mean the corpus was shuffled to be
+    // signed or bucketed, which breaks the map-only scale contract
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"expected only the distinct's shuffle, found $shuffles:\n$plan")
+  }
 }
