@@ -158,4 +158,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"),
       s"no partition pruning in:\n$plan")
   }
+
+  /** Same class of tripwire for the SRP-LSH ANN: for a FIXED query set,
+    * band-bucket candidates must grow ~linearly with the corpus (each
+    * band is a fixed random partition of the sphere, so a corpus vector
+    * collides with a query at a size-independent rate). A super-linear
+    * jump means the banding stopped pruning (e.g. a band-key bug
+    * bucketing everything together) — which correctness tests cannot
+    * see, because the exact rerank hides candidate-set bloat.
+    */
+  test("srp-lsh candidates scale linearly in the corpus for a fixed " +
+      "query set (bands keep pruning)") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions.col
+    def cands(dir: String): (Long, Long) = {
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+      (SimilarityOps.lshCandidates(e, q, 64).count(), e.count())
+    }
+    val (candSmall, nSmall) = cands(TestSpark.sfDirMid) // 500 vecs
+    val (candBig, nBig) = cands(TestSpark.sfDirBig)     // 2000 vecs
+    val corpusRatio = nBig.toDouble / nSmall
+    val candRatio = candBig.toDouble / math.max(candSmall, 1L)
+    info(f"corpus ${nSmall} -> ${nBig} (${corpusRatio}%.1fx), " +
+      f"candidates $candSmall -> $candBig ($candRatio%.1fx)")
+    // linear-with-slack: 2x headroom over the corpus growth; a
+    // quadratic regression would show ~corpusRatio^2 (16x here)
+    assert(candRatio <= 2.0 * corpusRatio,
+      f"LSH candidates scaled $candRatio%.1fx over a $corpusRatio%.1fx " +
+        "corpus step — banding stopped pruning?")
+    // and the bands must actually prune: candidates well under the
+    // brute-force pair count at the bigger scale
+    val bfPairs = SimilarityOps.NumQueries * (nBig - 1)
+    assert(candBig <= bfPairs / 2,
+      s"LSH scored $candBig of $bfPairs brute-force pairs — no pruning")
+  }
 }
