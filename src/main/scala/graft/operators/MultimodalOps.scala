@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -243,6 +244,56 @@ object MultimodalOps {
         PpmInfo(w._1, h._1, mv._1, w._1.toLong * h._1, sr, sg, sb, peak)
       }
     }
+
+    /** Average-hash over the decoded raster: split the raster's bytes
+      * into `nCells` equal ranges, set bit c when cell c's byte sum is
+      * >= the global mean (integer-exact: `sum_c * nCells >= total`, no
+      * division). The standard aHash perceptual fingerprint, byte-range
+      * cells instead of a 2-D grid because the fixture rasters are a
+      * fixed [[RowWidth]] wide (a byte range IS a row band). Reuses the
+      * real header tokenizer — a malformed container fails here exactly
+      * like [[decode]].
+      */
+    def ahash(payload: Array[Byte], nCells: Int): Either[String, Long] =
+      for {
+        magic <- token(payload, 0)
+        _ <- if (magic._1 == "P6") Right(()) else Left(s"bad magic '${magic._1}' (P6 only)")
+        w <- token(payload, magic._2).flatMap(num)
+        h <- token(payload, w._2).flatMap(num)
+        mv <- token(payload, h._2).flatMap(num)
+        _ <- if (w._1 >= 0 && h._1 >= 0) Right(()) else Left("negative dimensions")
+        _ <- if (mv._1 >= 1 && mv._1 <= 255) Right(())
+             else Left(s"unsupported maxval ${mv._1} (1..255 only)")
+        start = mv._2 + 1
+        n = w._1.toLong * h._1 * 3
+        _ <- if (payload.length - start >= n) Right(())
+             else Left("truncated pixel data")
+      } yield {
+        val cellSize = n / nCells
+        if (cellSize == 0) 0L
+        else {
+          val sums = new Array[Long](nCells)
+          var tot = 0L
+          var i = 0L
+          while (i < n) {
+            val v = payload((start + i).toInt) & 0xff
+            sums(math.min((i / cellSize).toInt, nCells - 1)) += v
+            tot += v
+            i += 1
+          }
+          var hash = 0L
+          var c = 0
+          while (c < nCells) {
+            if (sums(c) * nCells >= tot && tot > 0) hash |= 1L << c
+            c += 1
+          }
+          hash
+        }
+      }
+
+    private def num(t: (String, Int)): Either[String, (Int, Int)] =
+      try Right((t._1.toInt, t._2))
+      catch { case _: NumberFormatException => Left(s"non-numeric header token '${t._1}'") }
   }
 
   /** Partition-parallel WAV decode: one decoder scope per partition
@@ -464,15 +515,94 @@ object MultimodalOps {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** Cells in the [[Ppm.ahash]] fingerprint (16 bits here; a production
+    * pipeline over real images uses an 8x8 grid = 64 bits — the knob is
+    * the hash width, the plumbing is identical).
+    */
+  val AhashCells = 16
+
+  /** Perceptual-hash image dedup — the media twin of the text exact-dup
+    * stage: synthesize each document's P6 raster, run the REAL
+    * [[Ppm.ahash]] (header tokenizer + cell fold) in the mapPartitions
+    * batch shape, then group identical fingerprints into duplicate sets
+    * (canonical = min media_id, like `dedup_exact`). Average-hash is
+    * deliberately integer-exact (`cell_sum * nCells >= total`, no
+    * float means), so DuckDB reproduces the fingerprint bit-for-bit
+    * from the same characters.
+    *
+    * Scale: hashing is map-only; the group step is ONE window shuffle
+    * on the hash key. A 16-bit key space would skew at corpus scale —
+    * the production knob is [[AhashCells]] = 64 (8x8 grid), which is
+    * also what makes banded hamming search (as in `dedup_simhash_pairs`)
+    * meaningful; the fixture keeps 16 so the whole key space is
+    * exercised.
+    */
+  def multimodalImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real deployment: init image codec here, once per partition
+        it.flatMap { case (id, bytes) =>
+          Ppm.ahash(Ppm.encode(bytes), AhashCells).toOption.map(h => (id, h))
+        }
+      }.toDF("media_id", "ahash")
+    val w = Window.partitionBy(col("ahash"))
+    hashes
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("media_id"), col("ahash"), col("canonical_id"), col("n_same"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The oracle rebuilds the fingerprint from the raster geometry: a
+    * doc's raster is its text bytes zero-padded to 16-pixel rows
+    * (3*RowWidth = 48 bytes/row), cells are equal byte ranges of size
+    * 3h, and padding bytes are zero so they change no cell sum — only
+    * the geometry (h, hence cell boundaries) matters, which the SQL
+    * derives the same way [[Ppm.encode]] does.
+    */
+  val multimodalImageDedupOracle: String = {
+    val rowBytes = Ppm.RowWidth * 3
+    s"""WITH geom AS (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |         CAST(ceil(strlen(text) / $rowBytes.0) AS BIGINT) AS h
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, h, CAST(unnest(range(1, len + 1)) AS INT) AS p, text
+      |  FROM geom WHERE len > 0 AND h > 0),
+      |cells AS (
+      |  SELECT doc_id, (p - 1) // (3 * h) AS cell,
+      |         SUM(ascii(substr(text, p, 1))) AS cs
+      |  FROM pos GROUP BY doc_id, (p - 1) // (3 * h)),
+      |tot AS (SELECT doc_id, SUM(cs) AS t FROM cells GROUP BY doc_id),
+      |hs AS (
+      |  SELECT c.doc_id,
+      |         SUM(CASE WHEN cs * $AhashCells >= t AND t > 0
+      |                  THEN CAST(1 AS BIGINT) << CAST(cell AS INT)
+      |                  ELSE 0 END) AS ahash
+      |  FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id),
+      |fp AS (
+      |  SELECT d.doc_id AS media_id, COALESCE(hs.ahash, 0) AS ahash
+      |  FROM documents d LEFT JOIN hs ON d.doc_id = hs.doc_id)
+      |SELECT media_id, ahash,
+      |       MIN(media_id) OVER (PARTITION BY ahash) AS canonical_id,
+      |       COUNT(*) OVER (PARTITION BY ahash) AS n_same
+      |FROM fp ORDER BY media_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrameSample _),
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_image" -> (multimodalImage _))
+    "multimodal_image" -> (multimodalImage _),
+    "multimodal_image_dedup" -> (multimodalImageDedup _))
 
   def oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" -> multimodalFrameSampleOracle,
     "multimodal_decode" -> multimodalDecodeOracle,
-    "multimodal_image" -> multimodalImageOracle)
+    "multimodal_image" -> multimodalImageOracle,
+    "multimodal_image_dedup" -> multimodalImageDedupOracle)
 }

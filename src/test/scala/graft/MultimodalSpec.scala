@@ -158,4 +158,41 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = Wav.encode(Wav.samplesFromBytes("hello world".getBytes("UTF-8")), 8000)
     assert(Wav.decode(wav) == Wav.decode(wav.clone()))
   }
+
+  test("ahash is invariant under uniform brightness shift (the property " +
+      "that makes it perceptual, not cryptographic)") {
+    import MultimodalOps.Ppm
+    // +k on every byte moves each cell sum by k*cellSize and the total
+    // by k*n; since 16*cellSize == n the comparison is exactly unchanged
+    val base = Array.tabulate(96)(i => (i % 150 + 10).toByte)
+    val brighter = base.map(b => (b + 40).toByte) // stays < 256, no wrap
+    val h1 = Ppm.ahash(Ppm.encode(base), MultimodalOps.AhashCells)
+    val h2 = Ppm.ahash(Ppm.encode(brighter), MultimodalOps.AhashCells)
+    assert(h1.isRight && h1 == h2,
+      s"brightness shift changed the fingerprint: $h1 vs $h2")
+    // and identical payloads trivially collide
+    assert(h1 == Ppm.ahash(Ppm.encode(base.clone()), MultimodalOps.AhashCells))
+  }
+
+  test("ahash separates structurally different rasters and rejects " +
+      "malformed containers") {
+    import MultimodalOps.Ppm
+    // bright-then-dark vs dark-then-bright: every cell flips sides of
+    // the global mean, so the fingerprints must differ (in fact invert)
+    val n = 96
+    val brightFirst = Array.tabulate(n)(i => if (i < n / 2) 200.toByte else 10.toByte)
+    val darkFirst = Array.tabulate(n)(i => if (i < n / 2) 10.toByte else 200.toByte)
+    val h1 = Ppm.ahash(Ppm.encode(brightFirst), MultimodalOps.AhashCells)
+    val h2 = Ppm.ahash(Ppm.encode(darkFirst), MultimodalOps.AhashCells)
+    assert(h1.isRight && h2.isRight && h1 != h2,
+      s"structurally different rasters collided: $h1")
+    assert(Ppm.ahash("P5\n1 1\n255\n".getBytes, 16).isLeft)  // wrong magic
+    assert(Ppm.ahash("P6\n16 abc\n255\n".getBytes, 16).isLeft)
+    assert(Ppm.ahash(Array.emptyByteArray, 16).isLeft)
+    // hand-checked tiny case: 48 bytes = 1 row = raster of exactly one
+    // cell-per-3-bytes; first half zero, second half 255 -> high 8 bits
+    val half = Array.tabulate(48)(i => if (i < 24) 0.toByte else 255.toByte)
+    val h = Ppm.ahash(Ppm.encode(half), 16)
+    assert(h == Right(0xFF00L), s"expected 0xFF00, got $h")
+  }
 }
