@@ -711,7 +711,43 @@ object TextOps {
       |      % 100 < $CurationSamplePct
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document word-distribution entropy — the information-density
+    * quality signal next to [[textRepetition]]'s n-gram ratio: templated
+    * or spam-generated text reuses few words and scores near 0, natural
+    * prose approaches ln(n_distinct). Computed with the one-pass
+    * identity `H = ln(n) - (sum c*ln c)/n` (exact algebra for
+    * `-sum (c/n) ln(c/n)`), so the plan is two keyed aggregations — a
+    * map-side-combined (doc, word) count then a per-doc fold — with no
+    * second join for the total.
+    */
+  def textWordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        // +1e-9 steps exact .00005 halves off the Spark/DuckDB rounding
+        // divergence (README "Rounding tie-break policy")
+        round(log(col("n_words")) - col("clc") / col("n_words") + lit(1e-9), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textWordEntropyOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+      |SELECT doc_id,
+      |       CAST(SUM(c) AS BIGINT) AS n_words,
+      |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |       round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) + 1e-9, 4) AS entropy
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_word_entropy" -> (textWordEntropy _),
     "curation_source_stats" -> (curationSourceStats _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "corpus_curation" -> (corpusCuration _),
@@ -730,6 +766,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_word_entropy" -> textWordEntropyOracle,
     "curation_source_stats" -> curationSourceStatsOracle,
     "sample_token_budget" -> sampleTokenBudgetOracle,
     "corpus_curation" -> corpusCurationOracle,

@@ -86,4 +86,28 @@ class CurationSpec extends AnyFunSuite {
     val bad = stats.filter(col("n_kept") > col("n_docs") - col("n_dups")).count()
     assert(bad == 0, "a source keeps more rows than it has survivors")
   }
+
+  test("word entropy obeys its information bounds: 0 <= H <= ln(distinct), " +
+      "and a one-word doc scores exactly 0") {
+    import org.apache.spark.sql.functions.{col, log => ln}
+    import spark.implicits._
+    val ent = TextOps.textWordEntropy(spark, TestSpark.sfDir)
+    // the 1e-9 rounding nudge can lift a bound by at most 1e-4
+    val bad = ent.filter(col("entropy") < -1e-4 ||
+      col("entropy") > ln(col("n_distinct")) + 1e-4).count()
+    assert(bad == 0, s"$bad docs violate 0 <= H <= ln(n_distinct)")
+    assert(ent.count() == Tables.documents(spark, TestSpark.sfDir).count())
+
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((1L, "spam spam spam spam spam", "en", "s0", 24L),
+        (2L, "one two three four five", "en", "s0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextOps.textWordEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L)._2 == 0.0, s"degenerate doc entropy ${m(1L)._2} != 0")
+    // uniform distribution hits the ln(n_distinct) ceiling exactly
+    assert(math.abs(m(2L)._2 - math.log(5)) < 1e-3,
+      s"uniform doc entropy ${m(2L)._2} != ln(5)")
+  }
 }
