@@ -326,12 +326,57 @@ object QueryFuzz {
     Gen(seed, sql, build)
   }
 
+  /** Conditional-aggregation shape: COUNT(DISTINCT) next to CASE-gated
+    * SUM/COUNT aggregates under a HAVING floor — the
+    * distinct-vs-conditional-vs-null-skipping aggregate triangle, plus
+    * HAVING's evaluation order (a post-aggregate filter must not push
+    * below the aggregate). Predicate, key, columns, and the HAVING
+    * threshold are all generated; the DataFrame side carries the row
+    * count as a temporary column and drops it after the filter — the
+    * plan Spark compiles HAVING to.
+    */
+  private def genCondAgg(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables)
+    val (k0Sql, k0Col) = keyOn(rnd, t.ints, t.strings, "k0")
+    val x = pick(rnd, t.ints)
+    val d = pick(rnd, t.ints)
+    val (predSql, predCol) = predOn(rnd, t.ints, t.doubles)
+    val minRows = 1 + rnd.nextInt(3)
+    val sql =
+      s"""SELECT k0,
+         |       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_d,
+         |       CAST(SUM(CASE WHEN p THEN x ELSE 0 END) AS BIGINT) AS s_cond,
+         |       CAST(COUNT(CASE WHEN p THEN 1 END) AS BIGINT) AS n_cond
+         |FROM (SELECT $k0Sql, $x AS x, $d AS d, ($predSql) AS p FROM ${t.name}) s
+         |GROUP BY k0 HAVING COUNT(*) >= $minRows
+         |ORDER BY k0 NULLS LAST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      Tables.table(spark, dir, t.name)
+        .select(k0Col, col(x).as("x"), col(d).as("d"), predCol.as("p"))
+        .groupBy(col("k0"))
+        .agg(countDistinct(col("d")).cast("long").as("n_d"),
+          sum(when(col("p"), col("x")).otherwise(0)).cast("long").as("s_cond"),
+          count(when(col("p"), lit(1))).as("n_cond"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") >= minRows)
+        .select(col("k0"), col("n_d"), col("s_cond"), col("n_cond"))
+        .orderBy(col("k0").asc_nulls_last)
+    }
+    Gen(seed, sql, build)
+  }
+
   /** Seed floor for the null-semantics shapes: seeds below it render
     * byte-identically to earlier rounds (their random streams are
     * untouched), seeds at or above it route to the rollup/outer-agg/
     * nulls-limit generators.
     */
   val NullShapeSeedFloor = 1000L
+
+  /** Seed floor for the r5 conditional-aggregation shape — its own
+    * disjoint range for the same reason as [[NullShapeSeedFloor]]: no
+    * earlier seed's rendering may change.
+    */
+  val CondAggSeedFloor = 2000L
 
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
@@ -347,6 +392,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= CondAggSeedFloor) return genCondAgg(seed, rnd0)
     if (seed >= NullShapeSeedFloor) {
       return new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
         .nextInt(3) match {
@@ -545,11 +591,13 @@ object QueryFuzz {
     * passes; the in-Spark spec sweeps a much wider seed range). Seeds
     * 1000+ are the r5 null-semantics shapes: 1001/1003 rollup-cube,
     * 1004/1015 outer-join aggregates, 1000/1002 explicit NULLS
-    * FIRST/LAST under LIMIT.
+    * FIRST/LAST under LIMIT. Seeds 2000+ are the conditional-aggregation
+    * shape (COUNT DISTINCT + CASE aggregates under a HAVING floor).
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
-      29L, 37L, 44L, 1000L, 1001L, 1002L, 1003L, 1004L, 1015L)
+      29L, 37L, 44L, 1000L, 1001L, 1002L, 1003L, 1004L, 1015L,
+      2000L, 2001L, 2002L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
