@@ -84,4 +84,48 @@ object MaintenanceOps {
     sized.write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Persist the IVF vector index as a CELL-PARTITIONED parquet layout —
+    * the on-disk form a vector store takes at 100 TB: one directory per
+    * codebook cell (`cell=K/`), vectors for a cell grouped into one file
+    * (`repartition(col("cell"))` routes each cell to exactly one task,
+    * so the dynamic-partition write emits one file per directory, and
+    * cells are ~n/nlist rows — file sizes stay uniform as the corpus
+    * grows). A probe query then READS only its nprobe directories:
+    * the nprobe/nlist scan reduction the in-session IVF search does in
+    * memory happens at the file-listing level instead, which is the
+    * entire point of persisting an index. Returns nlist.
+    */
+  def writeAnnLayout(spark: SparkSession, dir: String, outDir: String): Int = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val nlist = SimilarityOps.nlistFor(e.count())
+    SimilarityOps.assignCells(e, SimilarityOps.seedCodebook(e, nlist))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    nlist
+  }
+
+  /** IVF top-k served FROM the persisted layout: the probe join keys on
+    * the PARTITION column, so Spark's dynamic partition pruning can
+    * drop unprobed cell directories at runtime (the broadcast probe
+    * side carries the nprobe cells); with a pre-computed cell list use
+    * [[readAnnCells]] for plan-time static pruning instead. Results are
+    * identical to the in-session `sim_ivf_topk` over the same codebook —
+    * asserted in MaintenanceSpec.
+    */
+  def probeAnnLayout(spark: SparkSession, layoutDir: String,
+      queries: DataFrame, codebook: DataFrame, nprobe: Int, k: Int): DataFrame =
+    SimilarityOps.ivfSearchAssigned(spark.read.parquet(layoutDir),
+      queries, codebook, nprobe, k)
+
+  /** Static-pruned scan of an explicit cell list — the "index lookup"
+    * client shape: the cell filter is literal, so pruning happens at
+    * PLANNING time (PartitionFilters on the scan; only the listed
+    * directories are ever touched by the file listing).
+    */
+  def readAnnCells(spark: SparkSession, layoutDir: String,
+      cells: Seq[Int]): DataFrame =
+    spark.read.parquet(layoutDir).filter(col("cell").isin(cells: _*))
 }

@@ -136,4 +136,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty,
       "layout round-trip changed the manifest")
   }
+
+  test("ANN layout: one file per cell directory, probe search equals the " +
+      "in-session IVF, static cell reads prune at planning time") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilarityOps
+    val out = Files.createTempDirectory("ann_layout").toString
+    val dir = TestSpark.sfDir
+    val nlist = MaintenanceOps.writeAnnLayout(spark, dir, out)
+
+    // layout contract: exactly nlist cell=K directories, one file each
+    val cellDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == nlist,
+      s"expected $nlist cell dirs, found ${cellDirs.length}")
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"${d.getName} has ${parts.length} files (want 1 per cell)")
+    }
+
+    // the persisted assignment is exactly the in-memory one
+    val e = graft.Tables.embeddings(spark, dir)
+    val mem = SimilarityOps.assignCells(e, SimilarityOps.seedCodebook(e, nlist))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val disk = spark.read.parquet(out)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    assert(disk.exceptAll(mem).isEmpty && mem.exceptAll(disk).isEmpty,
+      "persisted cell assignment differs from assignCells")
+
+    // probe search over the layout returns the same top-k as the
+    // in-session staged-assignment path (same codebook, same nprobe)
+    val cb = SimilarityOps.seedCodebook(e, nlist)
+    val queries = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+    val fromDisk = MaintenanceOps.probeAnnLayout(spark, out, queries, cb,
+      SimilarityOps.nprobeFor(nlist), SimilarityOps.TopK)
+    val inMem = SimilarityOps.queries("sim_ivf_topk")(spark, dir)
+    assert(fromDisk.exceptAll(inMem).isEmpty && inMem.exceptAll(fromDisk).isEmpty,
+      "layout-served IVF differs from the in-session search")
+
+    // static cell list: planning-time partition pruning on the scan
+    val pruned = MaintenanceOps.readAnnCells(spark, out, Seq(0, 1))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"no partition pruning on the cell scan:\n$plan")
+    val scanned = pruned.select(
+      org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"cell filter scanned outside its directories: ${scanned.toSeq}")
+  }
 }
