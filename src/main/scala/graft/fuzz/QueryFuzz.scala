@@ -378,6 +378,51 @@ object QueryFuzz {
     */
   val CondAggSeedFloor = 2000L
 
+  /** Calendar-bucketing shape: GROUP BY date_trunc at a generated
+    * granularity (year/quarter/month/week/day) under an optional
+    * timestamp-literal range predicate — calendar arithmetic (week
+    * start, quarter boundaries, month lengths) is where engines
+    * classically drift, and the bucket key is rendered as a formatted
+    * STRING in both dialects so the comparison is text-exact rather
+    * than at the mercy of timestamp binary encodings.
+    */
+  private def genDateTrunc(seed: Long, rnd: Random): Gen = {
+    val g = pick(rnd, Seq("year", "quarter", "month", "week", "day"))
+    val year = 1995 + rnd.nextInt(6)
+    val withPred = rnd.nextBoolean()
+    val whereSql =
+      if (withPred) s"\nWHERE o_orderdate >= TIMESTAMP '$year-01-01 00:00:00'" else ""
+    // the bucket renders as CAST(CAST(.. AS DATE) AS STRING) — the
+    // date->ISO-string spelling BOTH dialects share (strftime is
+    // DuckDB-only, date_format is Spark-only, bare VARCHAR needs a
+    // length in Spark's parser, and DuckDB aliases STRING to VARCHAR;
+    // the in-Spark sweep runs this text too)
+    val sql =
+      s"""SELECT CAST(CAST(date_trunc('$g', o_orderdate) AS DATE) AS STRING) AS k0,
+         |       COUNT(*) AS a_cnt, CAST(SUM(o_custkey) AS BIGINT) AS a0
+         |FROM orders$whereSql
+         |GROUP BY k0 ORDER BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, "orders")
+      val base = if (withPred)
+        base0.filter(col("o_orderdate") >=
+          to_timestamp(lit(s"$year-01-01 00:00:00")))
+      else base0
+      base
+        .groupBy(date_trunc(g, col("o_orderdate")).cast("date").cast("string")
+          .as("k0"))
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("o_custkey")).cast("long").as("a0"))
+        .orderBy(col("k0"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the calendar-bucketing shape (disjoint range, same
+    * rendering-stability contract as the other floors).
+    */
+  val DateTruncSeedFloor = 3000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -392,6 +437,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= DateTruncSeedFloor) return genDateTrunc(seed, rnd0)
     if (seed >= CondAggSeedFloor) return genCondAgg(seed, rnd0)
     if (seed >= NullShapeSeedFloor) {
       return new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
@@ -592,12 +638,18 @@ object QueryFuzz {
     * 1000+ are the r5 null-semantics shapes: 1001/1003 rollup-cube,
     * 1004/1015 outer-join aggregates, 1000/1002 explicit NULLS
     * FIRST/LAST under LIMIT. Seeds 2000+ are the conditional-aggregation
-    * shape (COUNT DISTINCT + CASE aggregates under a HAVING floor).
+    * shape (COUNT DISTINCT + CASE aggregates under a HAVING floor);
+    * seeds 3000+ the calendar-bucketing shape (date_trunc granularities
+    * under timestamp-literal ranges).
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
       29L, 37L, 44L, 1000L, 1001L, 1002L, 1003L, 1004L, 1015L,
-      2000L, 2001L, 2002L)
+      2000L, 2001L, 2002L,
+      // calendar shapes chosen to cover every granularity: 3000 month,
+      // 3002 quarter, 3004 day, 3005 year, 3006 week (all five verified
+      // against DuckDB at registration time)
+      3000L, 3002L, 3004L, 3005L, 3006L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

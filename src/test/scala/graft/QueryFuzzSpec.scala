@@ -35,15 +35,17 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("280 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("300 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
     // 0..199: the classic/window/semi/union shapes; 1000..1049: the r5
     // null-semantics shapes (rollup/cube, outer-join aggregates,
     // explicit NULLS FIRST/LAST under LIMIT); 2000..2029: conditional
-    // aggregation (COUNT DISTINCT + CASE aggregates under HAVING)
+    // aggregation (COUNT DISTINCT + CASE aggregates under HAVING);
+    // 3000..3019: calendar bucketing (date_trunc granularities)
     val seeds = (0L until 200L) ++
       (QueryFuzz.NullShapeSeedFloor until QueryFuzz.NullShapeSeedFloor + 50L) ++
-      (QueryFuzz.CondAggSeedFloor until QueryFuzz.CondAggSeedFloor + 30L)
+      (QueryFuzz.CondAggSeedFloor until QueryFuzz.CondAggSeedFloor + 30L) ++
+      (QueryFuzz.DateTruncSeedFloor until QueryFuzz.DateTruncSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -54,7 +56,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 235, s"only $nonEmpty/280 seeds returned rows")
+    assert(nonEmpty >= 255, s"only $nonEmpty/300 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
