@@ -746,7 +746,52 @@ object TextOps {
       |       round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) + 1e-9, 4) AS entropy
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** NTILE bucket count and the kept-tier ceiling for the percentile
+    * gate.
+    */
+  val QualityTierCount = 10
+  val QualityTierKeep = 3
+
+  /** Percentile-based quality gate — the "keep the top 30% per language"
+    * curation step: NTILE([[QualityTierCount]]) deciles over the SHARED
+    * quality score ([[withQuality]]), partitioned by lang, keep tiers
+    * <= [[QualityTierKeep]]. Unlike [[corpusCuration]]'s absolute
+    * threshold, a percentile gate self-calibrates per language — the
+    * standard way to hold a fixed token budget when per-lang quality
+    * distributions differ. One window shuffle on lang (the same key the
+    * mixture/packing family shuffles on); ties broken (quality desc,
+    * doc_id) so tier assignment is engine-independent.
+    */
+  def sampleQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    withQuality(spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .withColumn("tier", ntile(QualityTierCount).over(w).cast("long"))
+      .filter(col("tier") <= QualityTierKeep)
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleQualityPercentileOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         $qualityComponentsSql
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang,
+      |         $qualityExprSql AS quality
+      |  FROM d),
+      |t AS (
+      |  SELECT doc_id, lang, quality,
+      |         CAST(NTILE($QualityTierCount) OVER (PARTITION BY lang
+      |              ORDER BY quality DESC, doc_id) AS BIGINT) AS tier
+      |  FROM q)
+      |SELECT doc_id, lang, quality, tier
+      |FROM t WHERE tier <= $QualityTierKeep
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quality_percentile" -> (sampleQualityPercentile _),
     "text_word_entropy" -> (textWordEntropy _),
     "curation_source_stats" -> (curationSourceStats _),
     "sample_token_budget" -> (sampleTokenBudget _),
@@ -766,6 +811,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "sample_quality_percentile" -> sampleQualityPercentileOracle,
     "text_word_entropy" -> textWordEntropyOracle,
     "curation_source_stats" -> curationSourceStatsOracle,
     "sample_token_budget" -> sampleTokenBudgetOracle,

@@ -110,4 +110,35 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(m(2L)._2 - math.log(5)) < 1e-3,
       s"uniform doc entropy ${m(2L)._2} != ln(5)")
   }
+
+  test("quality percentile gate keeps exactly the NTILE arithmetic per " +
+      "language, and never keeps a worse doc than it drops") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDirMid
+    val kept = TextOps.sampleQualityPercentile(spark, dir)
+    val all = TextOps.withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val perLang = all.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      // NTILE gives the first (n mod 10) tiers one extra row; tiers
+      // 1..3 therefore hold exactly this many
+      val expect = TextOps.QualityTierKeep * (n / TextOps.QualityTierCount) +
+        math.min(n % TextOps.QualityTierCount, TextOps.QualityTierKeep)
+      assert(keptPerLang.getOrElse(lang, 0L) == expect,
+        s"$lang: kept ${keptPerLang.getOrElse(lang, 0L)}, NTILE says $expect of $n")
+    }
+    // order soundness: per lang, the worst kept quality >= best dropped
+    // (equality allowed — ties at the boundary break on doc_id)
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keptMin = kept.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.min("quality").as("kmin"))
+    val dropMax = dropped.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.max("quality").as("dmax"))
+    val bad = keptMin.join(dropMax, "lang")
+      .filter(col("dmax") > col("kmin") + 1e-9).count()
+    assert(bad == 0, "a dropped doc outranks a kept one in the same lang")
+  }
 }
