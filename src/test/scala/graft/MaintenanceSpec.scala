@@ -188,4 +188,46 @@ class MaintenanceSpec extends AnyFunSuite {
       scanned.forall(f => f.contains("cell=0") || f.contains("cell=1")),
       s"cell filter scanned outside its directories: ${scanned.toSeq}")
   }
+
+  test("z-order layout narrows per-file min/max spans on BOTH columns; " +
+      "a single-column sort leaves the second column unskippable") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = Files.createTempDirectory("zorder").toString
+    val sDir = Files.createTempDirectory("sorted").toString
+    val nFiles = 16
+
+    MaintenanceOps.writeZOrdered(spark, src, zDir, "l_orderkey", "l_partkey", nFiles)
+    // baseline: perfect single-column clustering on l_orderkey
+    src.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sDir)
+
+    def meanSpan(dir: String, c: String): Double =
+      MaintenanceOps.fileSpanStats(spark, dir, c)
+        .agg(avg(col("span"))).head().getDouble(0)
+
+    val zK = meanSpan(zDir, "l_orderkey"); val zP = meanSpan(zDir, "l_partkey")
+    val sK = meanSpan(sDir, "l_orderkey"); val sP = meanSpan(sDir, "l_partkey")
+    info(f"z-order spans: orderkey $zK%.2f partkey $zP%.2f; " +
+      f"sorted: orderkey $sK%.2f partkey $sP%.2f")
+    // the sorted baseline: near-perfect on the sort column, useless on
+    // the other (every file spans ~the whole partkey domain)
+    assert(sP >= 0.8, f"baseline partkey span $sP%.2f — fixture too clustered to test")
+    // z-order: BOTH columns skippable — each file covers a bounded cell
+    // of the 2-D domain (4x4 grid at 16 files => ~0.25 ideal; generous
+    // bounds absorb bucket-boundary straddle and data skew)
+    assert(zK <= 0.6 && zP <= 0.6,
+      f"z-order spans not bounded in both dims: orderkey $zK%.2f, partkey $zP%.2f")
+    // and it must beat the baseline's unsorted dimension by a wide margin
+    assert(zP <= 0.7 * sP,
+      f"z-order partkey span $zP%.2f not better than unclustered $sP%.2f")
+
+    // rewrite is a permutation: no rows gained or lost
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == src.count() &&
+      back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "z-order rewrite changed the data")
+  }
 }
