@@ -452,7 +452,44 @@ object EventOps {
       |            ELSE round((n_hours * sxy - sx * sy) / sqrt(varx * vary), 4) END AS pearson
       |FROM d ORDER BY ua, ub""".stripMargin
 
+  /** Cohort-retention matrix — the product-analytics staple next to the
+    * funnel: cohort = a user's first-seen DAY, activity = distinct
+    * (user, day), cell (cohort_date, day_offset) counts users from that
+    * cohort active offset days later. Plan shape: the first-seen
+    * aggregate and the activity distinct both shuffle on user_id (one
+    * exchange reused for both branches), the join is user-keyed with NO
+    * broadcast hint (both sides grow with the user population — AQE
+    * decides), and the final aggregate's key space is bounded by
+    * days x days regardless of corpus size.
+    */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), to_date(timestamp_micros(col("us"))).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    val activity = ev.distinct()
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort_d").cast("string").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  val eventsCohortRetentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, d FROM e)
+      |SELECT CAST(cohort_d AS STRING) AS cohort_date,
+      |       CAST(d - cohort_d AS BIGINT) AS day_offset,
+      |       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY cohort_d, d - cohort_d
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_retention" -> (eventsCohortRetention _),
     "events_series_corr" -> (eventsSeriesCorr _),
     "events_funnel" -> (eventsFunnel _),
     "events_redact" -> (eventsRedact _),
@@ -464,6 +501,7 @@ object EventOps {
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_cohort_retention" -> eventsCohortRetentionOracle,
     "events_series_corr" -> eventsSeriesCorrOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_redact" -> eventsRedactOracle,
