@@ -570,8 +570,11 @@ object SimilarityOps {
     * engines can never flip a bit.
     */
   private[graft] def rpSignature(e: DataFrame, dim: Int): DataFrame = {
-    val coefMat = array((0 until RpPlanes).map(p =>
-      array((0 until dim).map(d => lit(rpCoef(p, d))): _*)): _*)
+    // typedlit, NOT array(array(lit..)): the nested-array constructor
+    // would re-build the 24x64 matrix for every row; typedlit embeds it
+    // as one Literal evaluated once
+    val coefMat = typedlit((0 until RpPlanes).map(p =>
+      (0 until dim).map(d => rpCoef(p, d))))
     val dots = transform(coefMat, cs =>
       aggregate(zip_with(col("embedding"), cs, (x, c) => x.cast("double") * c),
         lit(0.0), (a, x) => a + x))
@@ -630,6 +633,9 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // dim probe: a single-row head() (O(1) driver fetch like corpusCount's
+  // count), memoized per fixture dir — the coefficient matrix is a plan
+  // LITERAL, so the dimension must be known at plan-build time
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def embeddingDim(spark: SparkSession, dir: String): Int =
     dimCache.computeIfAbsent(dir, _ =>
