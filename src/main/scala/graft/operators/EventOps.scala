@@ -453,28 +453,31 @@ object EventOps {
       |FROM d ORDER BY ua, ub""".stripMargin
 
   /** Cohort-retention matrix — the product-analytics staple next to the
-    * funnel: cohort = a user's first-seen DAY, activity = distinct
-    * (user, day), cell (cohort_date, day_offset) counts users from that
-    * cohort active offset days later. Plan shape: the first-seen
-    * aggregate and the activity distinct both shuffle on user_id (one
-    * exchange reused for both branches), the join is user-keyed with NO
-    * broadcast hint (both sides grow with the user population — AQE
-    * decides), and the final aggregate's key space is bounded by
-    * days x days regardless of corpus size.
+    * funnel: cohort = a user's first-seen DAY, cell
+    * (cohort_date, day_offset) counts users from that cohort active
+    * offset days later. Plan shape: ONE user_id shuffle computes the
+    * first-seen day AND the distinct active-day set together
+    * (`min` + `collect_set` share the exchange, both with map-side
+    * partials), so there is no self-join and no second exchange — the
+    * naive first-seen ⋈ distinct-activity formulation shuffles the
+    * events scan twice on different keys. Per-user state is bounded by
+    * the distinct-day horizon (the retention window), and post-explode
+    * (user, day) pairs are unique by set-ness so the final count needs
+    * no distinct. The final key space is days x days regardless of
+    * event volume.
     */
-  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = withMicros(Tables.events(spark, dir))
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    withMicros(Tables.events(spark, dir))
       .select(col("user_id"), to_date(timestamp_micros(col("us"))).as("d"))
-    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
-    val activity = ev.distinct()
-    activity.join(firstSeen, "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_d"), collect_set(col("d")).as("days"))
+      .select(col("cohort_d"), explode(col("days")).as("d"))
       .groupBy(col("cohort_d"),
         datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .select(col("cohort_d").cast("string").as("cohort_date"),
         col("day_offset"), col("n_users"))
       .orderBy(col("cohort_date"), col("day_offset"))
-  }
 
   val eventsCohortRetentionOracle: String =
     """WITH e AS (

@@ -221,6 +221,21 @@ class PlanSpec extends AnyFunSuite {
       "spread repartitioned an input that already had enough splits")
   }
 
+  test("cohort retention: first-seen day and activity set share ONE " +
+      "user_id exchange — no self-join, no second events shuffle") {
+    val plan = finalPlan(
+      graft.operators.EventOps.queries("events_cohort_retention")(spark, dir))
+    assert(!plan.contains("Join"), s"cohort plan joins the events scan " +
+      s"against itself — min+collect_set should fuse the branches:\n$plan")
+    // formatted mode puts the partitioning in an Arguments: line, not
+    // on the Exchange node itself
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userShuffles >= 1,
+      s"no user_id exchange found — key changed?:\n$plan")
+    assert(userShuffles <= 2, // the exchange + its ShuffleQueryStage echo
+      s"events scan shuffles on user_id more than once:\n$plan")
+  }
+
   test("srp-lsh: query bands broadcast; the corpus reaches the band join " +
       "map-only (no corpus shuffle, no cartesian)") {
     import org.apache.spark.sql.functions.col
