@@ -790,7 +790,43 @@ object TextOps {
       |FROM t WHERE tier <= $QualityTierKeep
       |ORDER BY doc_id""".stripMargin
 
+  /** Split fractions: residues < 80 train, < 90 validation, else test. */
+  val SplitTrainPct = 80
+  val SplitValPct = 90
+
+  /** Deterministic train/validation/test split — the assignment every
+    * training run needs, as a map-only hash-residue projection: a
+    * document's split is a pure function of its id (md5 residue, the
+    * same family as [[sampleStratified]]/[[sampleMixture]]), so the
+    * split is stable across runs, engines, and corpus growth (new docs
+    * never move old docs between splits — the property random
+    * shuffling-based splits lose on every refresh). No shuffle at all;
+    * the per-split counts concentrate around 80/10/10 by hash
+    * uniformity.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(spark, dir))
+      .withColumn("hk", docHash60 % 100)
+      .withColumn("split",
+        when(col("hk") < SplitTrainPct, lit("train"))
+          .when(col("hk") < SplitValPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val sampleSplitOracle: String =
+    s"""SELECT doc_id, lang,
+      |       CASE WHEN r < $SplitTrainPct THEN 'train'
+      |            WHEN r < $SplitValPct THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |        % 100 AS r
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> (sampleSplit _),
     "sample_quality_percentile" -> (sampleQualityPercentile _),
     "text_word_entropy" -> (textWordEntropy _),
     "curation_source_stats" -> (curationSourceStats _),
@@ -811,6 +847,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "sample_split" -> sampleSplitOracle,
     "sample_quality_percentile" -> sampleQualityPercentileOracle,
     "text_word_entropy" -> textWordEntropyOracle,
     "curation_source_stats" -> curationSourceStatsOracle,

@@ -111,6 +111,31 @@ class CurationSpec extends AnyFunSuite {
       s"uniform doc entropy ${m(2L)._2} != ln(5)")
   }
 
+  test("train/val/test split partitions the corpus near 80/10/10 and a " +
+      "doc's split never depends on what else is in the corpus") {
+    import org.apache.spark.sql.functions.col
+    val full = TextOps.sampleSplit(spark, TestSpark.sfDirMid)
+    val n = full.count()
+    assert(n == Tables.documents(spark, TestSpark.sfDirMid).count(),
+      "split dropped or duplicated documents")
+    val frac = full.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08 &&
+      math.abs(frac("val") - 0.1) < 0.05 && math.abs(frac("test") - 0.1) < 0.05,
+      s"split fractions far from 80/10/10: $frac")
+    // growth-stability: recompute over HALF the corpus — every shared
+    // doc keeps its split (hash of the id, not of the population)
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    Tables.documents(spark, TestSpark.sfDirMid)
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val half = TextOps.sampleSplit(spark, dir)
+    val moved = half.as("h")
+      .join(full.as("f"), Seq("doc_id"))
+      .filter(col("h.split") =!= col("f.split")).count()
+    assert(moved == 0, s"$moved docs changed split when the corpus shrank")
+  }
+
   test("quality percentile gate keeps exactly the NTILE arithmetic per " +
       "language, and never keeps a worse doc than it drops") {
     import org.apache.spark.sql.functions.col
