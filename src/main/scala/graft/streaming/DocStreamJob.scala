@@ -66,6 +66,42 @@ object DocStreamJob {
       .foreachBatch { (batch: DataFrame, id: Long) => sinkWriter(batch, id) }
       .start()
 
+  /** Arriving media record: opaque container bytes + event time. */
+  case class MediaIngest(media_id: Long, payload: Array[Byte],
+      ingest_ts: java.sql.Timestamp)
+  case class MediaHashed(media_id: Long, ahash: Long,
+      ingest_ts: java.sql.Timestamp)
+
+  /** Perceptual fingerprinting of an arriving media stream: the REAL
+    * PPM decode + [[graft.operators.MultimodalOps.Ppm.ahash]] runs
+    * per-partition (codec init once per partition, the multimodal batch
+    * shape); malformed containers are dropped here — a quarantine
+    * pipeline calls `Ppm.ahash` directly and routes the Left.
+    */
+  def hashedMedia(media: org.apache.spark.sql.Dataset[MediaIngest]):
+      org.apache.spark.sql.Dataset[MediaHashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        graft.operators.MultimodalOps.Ppm
+          .ahash(m.payload, graft.operators.MultimodalOps.AhashCells)
+          .toOption.map(h => MediaHashed(m.media_id, h, m.ingest_ts))
+      }
+    }
+  }
+
+  /** Streaming media dedup — the streaming twin of
+    * `multimodal_image_dedup`: perceptually identical rasters (same
+    * aHash — byte-identical OR brightness-shifted re-encodes) collapse
+    * to the first arrival within the watermark horizon, with state
+    * bounded exactly like the text path's fingerprint dedup.
+    */
+  def dedupedMedia(media: org.apache.spark.sql.Dataset[MediaIngest],
+      delayThreshold: String = "1 hour"): DataFrame =
+    hashedMedia(media).toDF()
+      .withWatermark("ingest_ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("ahash")
+
   /** Streaming NEAR-dup screening against the static staged corpus
     * index: every micro-batch of arriving (doc_id, text) documents runs
     * the full batch verification ([[graft.operators.DedupOps

@@ -89,4 +89,36 @@ class DocStreamSpec extends AnyFunSuite {
       s"batch partner $da not flagged: ${hits.toSeq}")
     assert(!hits.exists(_._1 == 900002L), s"unseen doc falsely flagged: ${hits.toSeq}")
   }
+
+  test("streaming media dedup: brightness-shifted re-encode collapses to " +
+      "the first arrival, different raster survives, malformed dropped") {
+    import graft.operators.MultimodalOps.Ppm
+    import graft.streaming.DocStreamJob.MediaIngest
+    val base = Array.tabulate(96)(i => (i % 150 + 10).toByte)
+    val shifted = base.map(b => (b + 30).toByte)      // same aHash
+    val n = 96
+    val different = Array.tabulate(n)(i => if (i < n / 2) 200.toByte else 10.toByte)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[MediaIngest]
+    val out = Files.createTempDirectory("media_sink").toString
+    val ckpt = Files.createTempDirectory("media_ckpt").toString
+    val q = DocStreamJob.dedupedMedia(stream.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); () }
+      .start()
+    try {
+      stream.addData(
+        MediaIngest(1L, Ppm.encode(base), ts(1000)),
+        MediaIngest(2L, Ppm.encode(shifted), ts(1001)),   // perceptual dup
+        MediaIngest(3L, Ppm.encode(different), ts(1002)),
+        MediaIngest(4L, "not a ppm".getBytes, ts(1003)))  // malformed
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.select("media_id").as[Long].collect().toSet == Set(1L, 3L),
+      "expected the first arrival of each perceptual group, nothing else")
+  }
 }
