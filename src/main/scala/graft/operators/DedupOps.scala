@@ -987,7 +987,64 @@ object DedupOps {
       |HAVING COUNT(*) >= $ContaminationMinOverlap
       |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Generic snapshot diff: full-outer join of two corpus versions on
+    * the document key, change class by md5(text) comparison. One
+    * doc_id-keyed shuffle join; both sides grow with the corpus, so no
+    * broadcast hint (AQE decides). The incremental-pipeline primitive:
+    * its `added` rows are what [[dedupIncremental]] screens and the
+    * curation manifest re-gates — nothing downstream rescans the
+    * unchanged mass.
+    */
+  def diffSnapshots(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text").cast("binary")).as("h_prev"))
+    val c = cur.select(col("doc_id"), md5(col("text").cast("binary")).as("h_cur"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_cur"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("doc_id"), col("change"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checked form of [[diffSnapshots]]: the "previous snapshot"
+    * derives deterministically from the current corpus (docs with
+    * doc_id % 7 == 0 did not exist yet; docs with doc_id % 5 == 0
+    * carried an extra trailing token), so BOTH engines reconstruct the
+    * identical pair of versions and the diff classes are exact:
+    * % 7 == 0 -> added, % 5 == 0 (and not new) -> changed.
+    */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.documents(spark, dir)
+    val prev = cur.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" prevtail")))
+          .otherwise(col("text")))
+    diffSnapshots(prev, cur)
+  }
+
+  val corpusSnapshotDiffOracle: String =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN text || ' prevtail' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |p AS (SELECT doc_id, md5(text) AS h_prev FROM prev),
+      |c AS (SELECT doc_id, md5(text) AS h_cur FROM documents),
+      |d AS (
+      |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |         CASE WHEN p.doc_id IS NULL THEN 'added'
+      |              WHEN c.doc_id IS NULL THEN 'removed'
+      |              WHEN h_prev <> h_cur THEN 'changed'
+      |              ELSE 'unchanged' END AS change
+      |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+      |SELECT doc_id, change FROM d
+      |WHERE change <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "text_contamination" -> (textContamination _),
     "text_boilerplate" -> (textBoilerplate _),
     "dedup_source_priority" -> (dedupSourcePriority _),
@@ -1001,6 +1058,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "corpus_snapshot_diff" -> corpusSnapshotDiffOracle,
     "text_contamination" -> textContaminationOracle,
     "text_boilerplate" -> textBoilerplateOracle,
     "dedup_source_priority" -> dedupSourcePriorityOracle,

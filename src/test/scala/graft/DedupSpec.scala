@@ -123,6 +123,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff classifies added/removed/changed exactly and stays " +
+      "silent on unchanged docs") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val d = DedupOps.diffSnapshots(prev, cur)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"unexpected diff: $d")
+  }
+
   test("containment is asymmetric where set sizes differ: a short doc " +
       "inside a long one is flagged in one direction only") {
     import spark.implicits._
