@@ -790,6 +790,44 @@ object TextOps {
       |FROM t WHERE tier <= $QualityTierKeep
       |ORDER BY doc_id""".stripMargin
 
+  /** DEFLATE-compression-ratio quality signal — the model-free
+    * repetitiveness detector (low compressed/raw ratio = templated or
+    * looped text; natural prose sits near its entropy ceiling). No SQL
+    * twin exists (the byte stream depends on the DEFLATE implementation),
+    * so this is a LIBRARY op: the deflater initializes once per
+    * partition (the codec batch shape) and the ratio is deterministic
+    * for a given JVM zlib. Pipelines gate on ratio bands the same way
+    * they gate on [[textWordEntropy]]; DocStreamJob-style streaming use
+    * is a stateless projection.
+    */
+  def withCompressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withRatio = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // one deflater per partition, reset per row — init-once like the
+        // multimodal codecs, BEST_COMPRESSION for a stable signal
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else compressed.toDouble / raw.length
+          (id, raw.length.toLong, compressed, math.round(ratio * 10000) / 10000.0)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
+    withRatio
+  }
+
   /** Split fractions: residues < 80 train, < 90 validation, else test. */
   val SplitTrainPct = 80
   val SplitValPct = 90

@@ -111,6 +111,26 @@ class CurationSpec extends AnyFunSuite {
       s"uniform doc entropy ${m(2L)._2} != ln(5)")
   }
 
+  test("compression ratio separates looped text from diverse text, " +
+      "deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val looped = Seq.fill(200)("spam").mkString(" ")
+    val diverse = Seq.tabulate(200)(i =>
+      f"w${(i * 2654435761L) % 99991}%x").mkString(" ")
+    val df = Seq((1L, looped), (2L, diverse)).toDF("doc_id", "text")
+    val out = TextOps.withCompressionRatio(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < 0.1, s"looped text ratio ${out(1L)} not tiny")
+    assert(out(2L) > 3 * out(1L),
+      s"diverse ${out(2L)} vs looped ${out(1L)} — no separation")
+    out.values.foreach(r => assert(r > 0.0 && r <= 1.2, s"ratio $r out of band"))
+    // deterministic across invocations (per-partition deflater reset)
+    val again = TextOps.withCompressionRatio(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == again, "compression ratio not deterministic")
+  }
+
   test("train/val/test split partitions the corpus near 80/10/10 and a " +
       "doc's split never depends on what else is in the corpus") {
     import org.apache.spark.sql.functions.col
