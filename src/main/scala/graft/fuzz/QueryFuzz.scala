@@ -423,6 +423,47 @@ object QueryFuzz {
     */
   val DateTruncSeedFloor = 3000L
 
+  /** String-function shape: a generated case/substr/reverse transform as
+    * the group key under an optional LIKE predicate — collation,
+    * 1-based substring indexing, and pattern-match semantics are the
+    * string-layer divergences engines accumulate; every function used
+    * (lower/upper/substr/reverse/length/LIKE) has identical spelling in
+    * both dialects.
+    */
+  private def genString(seed: Long, rnd: Random): Gen = {
+    val withStrings = tables.filter(_.strings.nonEmpty)
+    val t = pick(rnd, withStrings)
+    val s = pick(rnd, t.strings)
+    val (keySql, keyCol) = rnd.nextInt(4) match {
+      case 0 => (s"lower($s)", lower(col(s)))
+      case 1 => (s"upper($s)", upper(col(s)))
+      case 2 =>
+        val m = 1 + rnd.nextInt(4)
+        (s"substr($s, 1, $m)", substring(col(s), 1, m))
+      case _ => (s"reverse($s)", reverse(col(s)))
+    }
+    val withPred = rnd.nextBoolean()
+    val ch = ('a' + rnd.nextInt(5)).toChar
+    val whereSql = if (withPred) s"\nWHERE $s LIKE '%$ch%'" else ""
+    val sql =
+      s"""SELECT $keySql AS k0, COUNT(*) AS a_cnt,
+         |       CAST(SUM(length($s)) AS BIGINT) AS a0
+         |FROM ${t.name}$whereSql
+         |GROUP BY k0 ORDER BY k0 NULLS LAST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, t.name)
+      val base = if (withPred) base0.filter(col(s).like(s"%$ch%")) else base0
+      base.groupBy(keyCol.as("k0"))
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(length(col(s))).cast("long").as("a0"))
+        .orderBy(col("k0").asc_nulls_last)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the string-function shape. */
+  val StringSeedFloor = 4000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -437,6 +478,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= StringSeedFloor) return genString(seed, rnd0)
     if (seed >= DateTruncSeedFloor) return genDateTrunc(seed, rnd0)
     if (seed >= CondAggSeedFloor) return genCondAgg(seed, rnd0)
     if (seed >= NullShapeSeedFloor) {
@@ -649,7 +691,10 @@ object QueryFuzz {
       // calendar shapes chosen to cover every granularity: 3000 month,
       // 3002 quarter, 3004 day, 3005 year, 3006 week (all five verified
       // against DuckDB at registration time)
-      3000L, 3002L, 3004L, 3005L, 3006L)
+      3000L, 3002L, 3004L, 3005L, 3006L,
+      // string shapes covering each key transform (non-vacuous at
+      // sf0.001): 4000 reverse, 4003 substr, 4006 lower, 4014 upper
+      4000L, 4003L, 4006L, 4014L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

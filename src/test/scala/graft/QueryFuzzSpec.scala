@@ -35,7 +35,7 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("300 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("320 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
     // 0..199: the classic/window/semi/union shapes; 1000..1049: the r5
     // null-semantics shapes (rollup/cube, outer-join aggregates,
@@ -45,7 +45,8 @@ class QueryFuzzSpec extends AnyFunSuite {
     val seeds = (0L until 200L) ++
       (QueryFuzz.NullShapeSeedFloor until QueryFuzz.NullShapeSeedFloor + 50L) ++
       (QueryFuzz.CondAggSeedFloor until QueryFuzz.CondAggSeedFloor + 30L) ++
-      (QueryFuzz.DateTruncSeedFloor until QueryFuzz.DateTruncSeedFloor + 20L)
+      (QueryFuzz.DateTruncSeedFloor until QueryFuzz.DateTruncSeedFloor + 20L) ++
+      (QueryFuzz.StringSeedFloor until QueryFuzz.StringSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -56,7 +57,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 255, s"only $nonEmpty/300 seeds returned rows")
+    assert(nonEmpty >= 270, s"only $nonEmpty/320 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
