@@ -172,6 +172,28 @@ object MaintenanceOps {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** MERGE-style change application — the batch CDC primitive that
+    * complements [[graft.operators.DedupOps.diffSnapshots]] (diff
+    * detects, this applies): `changes` carries (key, op, payload...)
+    * with op in {upsert, delete}; surviving base rows are found with an
+    * ANTI join on the change keys (one key shuffle, no wide full-outer
+    * row construction), upserts are unioned in, and the result is
+    * written as the next table version. Last-writer-wins within a
+    * change batch is the caller's contract (dedupe the batch first if
+    * ops can conflict). Returns the new version's row count.
+    */
+  def applyChanges(spark: SparkSession, baseDir: String, changes: DataFrame,
+      outDir: String, key: String = "doc_id"): Long = {
+    val base = spark.read.parquet(baseDir)
+    val survivors = base.join(
+      changes.select(col(key)).distinct(), Seq(key), "left_anti")
+    val upserts = changes.filter(col("op") === "upsert")
+      .select(base.columns.map(col): _*)
+    val next = survivors.unionByName(upserts)
+    next.write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Per-file (min, max) spans of a column, as a fraction of the
     * column's global domain — the data-skipping scorecard for a layout:
     * a predicate on the column prunes a file whose span misses it, so

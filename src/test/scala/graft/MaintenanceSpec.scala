@@ -189,6 +189,39 @@ class MaintenanceSpec extends AnyFunSuite {
       s"cell filter scanned outside its directories: ${scanned.toSeq}")
   }
 
+  test("applyChanges merges upserts and deletes into the next table " +
+      "version, and diffSnapshots over the two versions reports exactly " +
+      "the applied change set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val baseDir = Files.createTempDirectory("cdc_base").toString
+    val nextDir = Files.createTempDirectory("cdc_next").toString
+    Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(baseDir)
+    val changes = Seq(
+      (2L, "upsert", "beta v2", "en"),   // update
+      (3L, "delete", null: String, null: String),
+      (4L, "upsert", "delta", "fr"))     // insert
+      .toDF("doc_id", "op", "text", "lang")
+    val n = MaintenanceOps.applyChanges(spark, baseDir, changes, nextDir)
+    assert(n == 3, s"next version has $n rows, want 3")
+    val next = spark.read.parquet(nextDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(1L -> "alpha", 2L -> "beta v2", 4L -> "delta"),
+      s"unexpected merge result: $next")
+    // round-trip: diffing the two versions recovers the change set
+    val d = graft.operators.DedupOps.diffSnapshots(
+        spark.read.parquet(baseDir), spark.read.parquet(nextDir))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"diff does not recover the applied changes: $d")
+    // the survivor scan is an anti join, never a cartesian
+    val plan = spark.read.parquet(baseDir)
+      .join(changes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("z-order layout narrows per-file min/max spans on BOTH columns; " +
       "a single-column sort leaves the second column unskippable") {
     import org.apache.spark.sql.functions.{avg, col}
