@@ -863,7 +863,136 @@ object TextOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Stop-word list for the Gopher stop-word rule: the published 8-word
+    * set (the/be/to/of/and/that/have/with) plus the fixture's other
+    * function word 'a' — the synthetic vocabulary contains only
+    * {'the','a'} of the canonical list, and without 'a' the rule would be
+    * constant-false here (vacuous on this corpus, wrong signal in a
+    * regression diff).
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, §A1.1 — public
+    * rule set used to filter MassiveWeb): per document,
+    *   r_wordcount  50 <= words <= 100000
+    *   r_wordlen    3 <= mean word length <= 10
+    *   r_alpha      >= 80% of words contain an alphabetic character
+    *   r_stop       >= 2 distinct stop words present ([[GopherStopWords]])
+    *   r_top2       chars in the most frequent word 2-gram <= 20% of text
+    *   r_rep3       duplicate 3-gram occurrence fraction <= 0.2
+    * keep = every rule passes. All measures are per-row array/string math
+    * (the top-2-gram argmax is an O(distinct^2) in-row fold over <=100
+    * grams, ties broken max-count-then-lexicographic-min) — the whole
+    * battery is ONE map-only scan projection: at 100 TB it runs at
+    * parquet-read speed with zero shuffles, which is exactly why these
+    * cheap heuristics run before any model-based scorer in production
+    * curation stacks.
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val g2 = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        j => concat_ws(" ", element_at(t, j + 1), element_at(t, j + 2))))
+      .otherwise(array().cast("array<string>"))
+    val g3 = shingles3(t)
+    val stopHits = size(filter(
+      array(GopherStopWords.map(lit): _*), s => array_contains(t, s)))
+    spread(Tables.documents(spark, dir))
+      .withColumn("n_words", size(t).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("text"), " ", ""))
+          / col("n_words").cast("double") + lit(1e-9), 4))
+      .withColumn("alpha_frac",
+        round(size(filter(t, x => x.rlike("[a-zA-Z]")))
+          / col("n_words").cast("double") + lit(1e-9), 4))
+      .withColumn("stop_hits", stopHits.cast("long"))
+      .withColumn("g2", g2)
+      .withColumn("dg", array_distinct(col("g2")))
+      // max occurrence count over distinct 2-grams, then the
+      // lexicographically smallest gram attaining it (deterministic
+      // cross-engine tie-break; integer counts, no float compare)
+      .withColumn("top2_cnt", coalesce(array_max(
+        transform(col("dg"), x => size(filter(col("g2"), y => y === x)))), lit(0)))
+      .withColumn("top2_gram", array_min(filter(col("dg"),
+        x => size(filter(col("g2"), y => y === x)) === col("top2_cnt"))))
+      .withColumn("top2_frac",
+        when(col("top2_cnt") === 0, lit(0.0))
+          .otherwise(round(col("top2_cnt") * length(col("top2_gram"))
+            / length(col("text")).cast("double") + lit(1e-9), 4)))
+      .withColumn("rep3_frac",
+        when(size(g3) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - size(array_distinct(g3)) / size(g3).cast("double")
+            + lit(1e-9), 4)))
+      .withColumn("r_wordcount",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("long"))
+      .withColumn("r_wordlen",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("long"))
+      .withColumn("r_alpha", (col("alpha_frac") >= 0.8).cast("long"))
+      .withColumn("r_stop", (col("stop_hits") >= 2).cast("long"))
+      .withColumn("r_top2", (col("top2_frac") <= 0.2).cast("long"))
+      .withColumn("r_rep3", (col("rep3_frac") <= 0.2).cast("long"))
+      .withColumn("keep",
+        (col("r_wordcount") + col("r_wordlen") + col("r_alpha")
+          + col("r_stop") + col("r_top2") + col("r_rep3") === 6).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("stop_hits"), col("top2_frac"), col("rep3_frac"),
+        col("r_wordcount"), col("r_wordlen"), col("r_alpha"), col("r_stop"),
+        col("r_top2"), col("r_rep3"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textGopherRulesOracle: String = {
+    val stops = GopherStopWords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, text,
+      |         CAST(len(t) AS BIGINT) AS n_words,
+      |         round(length(replace(text, ' ', '')) * 1.0 / len(t) + 1e-9, 4)
+      |           AS mean_word_len,
+      |         round(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+      |           * 1.0 / len(t) + 1e-9, 4) AS alpha_frac,
+      |         CAST(len(list_filter($stops, s -> list_contains(t, s)))
+      |           AS BIGINT) AS stop_hits,
+      |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+      |         list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      |  FROM t),
+      |top2 AS (
+      |  SELECT doc_id, g, c FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM (SELECT doc_id, unnest(g2) AS g FROM base)
+      |    GROUP BY doc_id, g) WHERE rn = 1),
+      |m AS (
+      |  SELECT b.doc_id, b.n_words, b.mean_word_len, b.alpha_frac, b.stop_hits,
+      |         CASE WHEN p.c IS NULL THEN 0.0
+      |              ELSE round(p.c * length(p.g) * 1.0 / length(b.text) + 1e-9, 4)
+      |         END AS top2_frac,
+      |         CASE WHEN len(b.g3) = 0 THEN 0.0
+      |              ELSE round(1.0 - len(list_distinct(b.g3)) * 1.0 / len(b.g3)
+      |                         + 1e-9, 4) END AS rep3_frac
+      |  FROM base b LEFT JOIN top2 p USING (doc_id)),
+      |r AS (
+      |  SELECT *,
+      |         CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_wordcount,
+      |         CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT) AS r_wordlen,
+      |         CAST(alpha_frac >= 0.8 AS BIGINT) AS r_alpha,
+      |         CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+      |         CAST(top2_frac <= 0.2 AS BIGINT) AS r_top2,
+      |         CAST(rep3_frac <= 0.2 AS BIGINT) AS r_rep3
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, top2_frac,
+      |       rep3_frac, r_wordcount, r_wordlen, r_alpha, r_stop, r_top2, r_rep3,
+      |       CAST(r_wordcount + r_wordlen + r_alpha + r_stop + r_top2 + r_rep3 = 6
+      |            AS BIGINT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> (textGopherRules _),
     "sample_split" -> (sampleSplit _),
     "sample_quality_percentile" -> (sampleQualityPercentile _),
     "text_word_entropy" -> (textWordEntropy _),
@@ -885,6 +1014,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_gopher_rules" -> textGopherRulesOracle,
     "sample_split" -> sampleSplitOracle,
     "sample_quality_percentile" -> sampleQualityPercentileOracle,
     "text_word_entropy" -> textWordEntropyOracle,
