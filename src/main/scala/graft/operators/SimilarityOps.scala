@@ -689,7 +689,85 @@ object SimilarityOps {
       |FROM r WHERE rk <= $TopK
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Cosine threshold for [[dedupSemantic]]: chosen against the isotropic
+    * synthetic embeddings (pairwise p99 ~0.29, max ~0.45) so both keep
+    * decisions occur; real corpora run this at ~0.95+.
+    */
+  val SemDedupThreshold = 0.25
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): cluster the embedding space first, then look for near-
+    * duplicate pairs ONLY inside each cluster — the clustering is what
+    * makes semantic dedup tractable at scale, bounding the pairwise
+    * stage to sum(cell^2) ~ n^1.5 with the sqrt(n) codebook instead of
+    * the n^2 all-pairs scan. Reuses the STAGED IVF cell assignment
+    * (built once per corpus, shared with `sim_ivf_topk` /
+    * `sim_ivf_quantized` — the persisted-index pattern). A vector is
+    * dropped when some LOWER-id vector in its cell has cosine >=
+    * [[SemDedupThreshold]] (deterministic survivor rule, same shape as
+    * the exact-dedup twin); every vector reports its max lower-id
+    * in-cell cosine so the output exercises the full scoring math even
+    * where no pair crosses the threshold. The in-cell self-join
+    * deliberately carries NO broadcast hint — both sides are the corpus.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val assigned = stagedSeedAssignment(spark, dir)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val lower = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id").as("vec_id"),
+        round(expr("cosine_similarity(a_emb, b_emb)"), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cs")).as("max_lower_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(lower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(coalesce(col("max_lower_cos"), lit(0.0)), 6).as("max_lower_cos"),
+        (coalesce(col("max_lower_cos"), lit(-1.0)) < SemDedupThreshold)
+          .cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticOracle: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, v.embedding, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |lower AS (
+      |  SELECT b.vec_id AS vec_id,
+      |         max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                          CAST(b.embedding AS DOUBLE[])), 6))
+      |           AS max_lower_cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  GROUP BY b.vec_id)
+      |SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
+      |       round(COALESCE(l.max_lower_cos, 0.0), 6) AS max_lower_cos,
+      |       CAST(COALESCE(l.max_lower_cos, -1.0) < $SemDedupThreshold AS BIGINT)
+      |         AS keep
+      |FROM assigned v LEFT JOIN lower l ON v.vec_id = l.vec_id
+      |ORDER BY v.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
@@ -697,6 +775,7 @@ object SimilarityOps {
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
