@@ -1043,7 +1043,98 @@ object DedupOps {
       |WHERE change <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** Expected chunk length for [[dedupCdcChunks]]: a token ends a chunk
+    * when its 60-bit md5 hash is 0 mod this, so chunks average ~8 tokens.
+    */
+  val CdcBoundaryMod = 8
+
+  /** Content-defined-chunking dedup (the rolling-hash boundary idea
+    * behind rsync/LBFS/backup dedup, applied at token granularity):
+    * a chunk boundary falls after every token whose content hash is
+    * 0 mod [[CdcBoundaryMod]], so boundaries are CONTENT-anchored —
+    * insert a sentence into a document and only the chunk containing
+    * the edit changes its hash, where fixed-width chunking would shift
+    * every later boundary and destroy all downstream matches. Chunking
+    * itself is one per-row array fold (map-only, no window, no
+    * doc_id shuffle); the cross-document duplicate detection is then a
+    * (doc, chunk-hash) aggregation + one hash-keyed window — shuffles
+    * bounded by the chunk table, never all-pairs. Emits per-document
+    * chunk counts and the shared-chunk fraction: the signal for
+    * partially-copied documents that whole-document hashing misses.
+    */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val isBoundary = (x: Column) =>
+      (conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
+        % CdcBoundaryMod) === 0
+    val joinTok = (cur: Column, x: Column) =>
+      when(cur === "", x).otherwise(concat(cur, lit(" "), x))
+    // fold tokens into chunks in-row: state = (finished chunks, current)
+    val chunks = aggregate(
+      TextOps.tokens(col("text")),
+      struct(array().cast("array<string>").as("done"), lit("").as("cur")),
+      (acc, x) => {
+        val cur2 = joinTok(acc.getField("cur"), x)
+        when(isBoundary(x),
+          struct(concat(acc.getField("done"), array(cur2)).as("done"),
+            lit("").as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    val occ = TextOps.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+    // one (doc,hash) aggregation; df-per-hash via a window over the
+    // already-aggregated table (same exchange-reuse shape as textTfidf)
+    val perDocHash = occ.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("occs"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+    perDocHash.groupBy(col("doc_id"))
+      .agg(sum(col("occs")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum((col("n_docs") >= 2).cast("long")).as("n_shared_chunks"))
+      .withColumn("shared_frac",
+        round(col("n_shared_chunks") / col("n_distinct_chunks").cast("double")
+          + lit(1e-9), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCdcChunksOracle: String =
+    s"""WITH t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS INT) AS p, t
+      |  FROM t1),
+      |b AS (
+      |  SELECT doc_id, p, t[p] AS tok,
+      |         CASE WHEN CAST('0x' || substr(md5(t[p]), 1, 15) AS BIGINT)
+      |                   % $CdcBoundaryMod = 0 THEN 1 ELSE 0 END AS eb
+      |  FROM tok),
+      |cid AS (
+      |  SELECT *, COALESCE(SUM(eb) OVER (PARTITION BY doc_id ORDER BY p
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM b),
+      |ch AS (
+      |  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY p)) AS h
+      |  FROM cid GROUP BY doc_id, chunk),
+      |pdh AS (
+      |  SELECT doc_id, h, COUNT(*) AS occs FROM ch GROUP BY doc_id, h),
+      |nd AS (
+      |  SELECT doc_id, h, occs, COUNT(*) OVER (PARTITION BY h) AS n_docs
+      |  FROM pdh),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(occs) AS BIGINT) AS n_chunks,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+      |         CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_shared_chunks
+      |  FROM nd GROUP BY doc_id)
+      |SELECT doc_id, n_chunks, n_distinct_chunks, n_shared_chunks,
+      |       round(n_shared_chunks * 1.0 / n_distinct_chunks + 1e-9, 4)
+      |         AS shared_frac
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "text_contamination" -> (textContamination _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -1058,6 +1149,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> dedupCdcChunksOracle,
     "corpus_snapshot_diff" -> corpusSnapshotDiffOracle,
     "text_contamination" -> textContaminationOracle,
     "text_boilerplate" -> textBoilerplateOracle,
