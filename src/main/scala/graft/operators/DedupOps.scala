@@ -1062,7 +1062,12 @@ object DedupOps {
     * chunk counts and the shared-chunk fraction: the signal for
     * partially-copied documents that whole-document hashing misses.
     */
-  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunker as a library op: each (doc_id, text) row explodes to
+    * its content-defined chunks, entirely in-row (one array fold — no
+    * window, no shuffle). Exposed so tests can assert the boundary-
+    * stability law directly on crafted edits.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
     val isBoundary = (x: Column) =>
       (conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
         % CdcBoundaryMod) === 0
@@ -1081,8 +1086,11 @@ object DedupOps {
       },
       acc => when(acc.getField("cur") === "", acc.getField("done"))
         .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
-    val occ = TextOps.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(chunks).as("chunk"))
+    docs.select(col("doc_id"), explode(chunks).as("chunk"))
+  }
+
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val occ = cdcChunks(TextOps.spread(Tables.documents(spark, dir)))
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
     // one (doc,hash) aggregation; df-per-hash via a window over the
     // already-aggregated table (same exchange-reuse shape as textTfidf)

@@ -710,9 +710,15 @@ object SimilarityOps {
     * where no pair crosses the threshold. The in-cell self-join
     * deliberately carries NO broadcast hint — both sides are the corpus.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    CosineSimilarity.register(spark)
-    val assigned = stagedSeedAssignment(spark, dir)
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticAssigned(stagedSeedAssignment(spark, dir), SemDedupThreshold)
+
+  /** [[dedupSemantic]] as a library op over any (vec_id, embedding, cell)
+    * assignment (e.g. a [[trainCodebook]]-refined one) at a caller-chosen
+    * threshold.
+    */
+  def dedupSemanticAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
+    CosineSimilarity.register(assigned.sparkSession)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -727,7 +733,7 @@ object SimilarityOps {
       .join(lower, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         round(coalesce(col("max_lower_cos"), lit(0.0)), 6).as("max_lower_cos"),
-        (coalesce(col("max_lower_cos"), lit(-1.0)) < SemDedupThreshold)
+        (coalesce(col("max_lower_cos"), lit(-1.0)) < threshold)
           .cast("long").as("keep"))
       .orderBy(col("vec_id"))
   }

@@ -889,7 +889,18 @@ object TextOps {
     * cheap heuristics run before any model-based scorer in production
     * curation stacks.
     */
-  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame =
+    withGopherRules(spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("stop_hits"), col("top2_frac"), col("rep3_frac"),
+        col("r_wordcount"), col("r_wordlen"), col("r_alpha"), col("r_stop"),
+        col("r_top2"), col("r_rep3"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** [[textGopherRules]] as a library op over any frame with a `text`
+    * column: appends the six measures, their rule flags, and `keep`.
+    */
+  def withGopherRules(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val g2 = when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
@@ -898,7 +909,7 @@ object TextOps {
     val g3 = shingles3(t)
     val stopHits = size(filter(
       array(GopherStopWords.map(lit): _*), s => array_contains(t, s)))
-    spread(Tables.documents(spark, dir))
+    docs
       .withColumn("n_words", size(t).cast("long"))
       .withColumn("mean_word_len",
         round(length(regexp_replace(col("text"), " ", ""))
@@ -935,11 +946,7 @@ object TextOps {
       .withColumn("keep",
         (col("r_wordcount") + col("r_wordlen") + col("r_alpha")
           + col("r_stop") + col("r_top2") + col("r_rep3") === 6).cast("long"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("alpha_frac"), col("stop_hits"), col("top2_frac"), col("rep3_frac"),
-        col("r_wordcount"), col("r_wordlen"), col("r_alpha"), col("r_stop"),
-        col("r_top2"), col("r_rep3"), col("keep"))
-      .orderBy(col("doc_id"))
+      .drop("g2", "dg", "top2_cnt", "top2_gram")
   }
 
   val textGopherRulesOracle: String = {

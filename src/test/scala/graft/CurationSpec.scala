@@ -186,4 +186,32 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("dmax") > col("kmin") + 1e-9).count()
     assert(bad == 0, "a dropped doc outranks a kept one in the same lang")
   }
+
+  test("gopher rules: each failure mode trips exactly its own rule") {
+    import spark.implicits._
+    // distinct words -> rep3/top2 stay clean unless deliberately looped
+    val good = ((0 until 60).map(i => s"word$i") ++ Seq("the", "a"))
+      .mkString(" ")                                  // passes everything
+    val short = ((0 until 20).map(i => s"word$i") ++ Seq("the", "a"))
+      .mkString(" ")                                  // fails r_wordcount only
+    val looped = ("the a " + "spark " * 58).trim      // 60 words, one looped
+    val nostop = (0 until 60).map(i => s"word$i").mkString(" ")
+    val rows = TextOps.withGopherRules(
+      Seq((1L, good), (2L, short), (3L, looped), (4L, nostop))
+        .toDF("doc_id", "text"))
+      .select("doc_id", "r_wordcount", "r_wordlen", "r_alpha", "r_stop",
+        "r_top2", "r_rep3", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (1 until 8).map(r.getLong).toList).toMap
+    assert(rows(1L) == List(1, 1, 1, 1, 1, 1, 1), s"good doc: ${rows(1L)}")
+    // short doc: word count fails, nothing else
+    assert(rows(2L) == List(0, 1, 1, 1, 1, 1, 0), s"short doc: ${rows(2L)}")
+    // looped doc: the repetition rules fail (top-2-gram share + dup
+    // 3-grams); word count and stop rule are fine
+    assert(rows(3L).head == 1 && rows(3L)(3) == 1, s"looped doc: ${rows(3L)}")
+    assert(rows(3L)(4) == 0 && rows(3L)(5) == 0 && rows(3L).last == 0,
+      s"looped doc should fail r_top2 + r_rep3: ${rows(3L)}")
+    // no-stopword doc: only the stop rule fails
+    assert(rows(4L) == List(1, 1, 1, 0, 1, 1, 0), s"nostop doc: ${rows(4L)}")
+  }
 }

@@ -163,4 +163,34 @@ class DedupSpec extends AnyFunSuite {
     val j = DedupOps.dedupNgramJaccard(spark, dir).count()
     assert(j == 0, s"jaccard unexpectedly caught the small-in-big pair ($j rows)")
   }
+
+  test("cdc chunking is edit-local: inserting one token preserves every " +
+      "chunk except the edited one") {
+    import spark.implicits._
+    // 200 tokens from a 31-word-ish vocabulary (repeats matter: boundary
+    // tokens recur, giving many chunks) — then insert ONE token mid-doc
+    val words = Array("join", "hash", "row", "batch", "scan", "filter",
+      "merge", "order", "the", "a", "table", "key", "data", "group")
+    val toks = (0 until 200).map(i => words(i * 7 % words.length))
+    val edited = (toks.take(100) :+ "INSERTED") ++ toks.drop(100)
+    val docs = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val c1 = ch.filter(_._1 == 1L).map(_._2)
+    val c2 = ch.filter(_._1 == 2L).map(_._2)
+    assert(c1.length >= 10, s"expected many chunks, got ${c1.length}")
+    // chunks re-join to the exact original text (lossless chunking)
+    assert(c1.mkString(" ") == toks.mkString(" "), "chunking lost content")
+    // the edit may split or extend the chunk it lands in, but every other
+    // chunk occurrence is hash-identical: at most 1 original chunk is
+    // missing from the edited doc's multiset, and at most 2 new chunks
+    // appear (the edited chunk's two halves if INSERTED is a boundary)
+    def multiset(a: Seq[String]) = a.groupBy(identity).map { case (k, v) => k -> v.size }
+    val m1 = multiset(c1); val m2 = multiset(c2)
+    val lost = m1.map { case (k, v) => math.max(0, v - m2.getOrElse(k, 0)) }.sum
+    val gained = m2.map { case (k, v) => math.max(0, v - m1.getOrElse(k, 0)) }.sum
+    assert(lost <= 1, s"edit changed $lost original chunks (expected <= 1)")
+    assert(gained <= 2, s"edit introduced $gained new chunks (expected <= 2)")
+  }
 }

@@ -126,4 +126,65 @@ class KMeansSpec extends AnyFunSuite {
         s"int8 rescore lost recall: float=$recall quantized=$qRecall")
     } finally { corpus.unpersist(); () }
   }
+
+  test("semantic dedup on a near-dup corpus: one survivor per duplicate " +
+      "group, singletons untouched, drops justified by their cosine") {
+    import spark.implicits._
+    val d = 16; val nGroups = 40; val groupSize = 3; val nSingles = 80
+    val rnd = new scala.util.Random(7) // seeded -> deterministic fixture
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // ids 0..119: 40 groups of 3 near-identical vectors (0.01 noise);
+    // ids 120..199: unrelated singletons
+    val centers = Array.fill(nGroups)(normalize(Array.fill(d)(rnd.nextGaussian())))
+    val grouped = (0 until nGroups * groupSize).map { i =>
+      val v = normalize(centers(i / groupSize).map(_ + 0.01 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val singles = (0 until nSingles).map { i =>
+      ((nGroups * groupSize + i).toLong,
+        normalize(Array.fill(d)(rnd.nextGaussian())).map(_.toFloat).toSeq)
+    }
+    val corpus = (grouped ++ singles).toDF("vec_id", "embedding")
+      .repartition(8).cache()
+    try {
+      val n = nGroups * groupSize + nSingles
+      val assigned = SimilarityOps.assignCells(corpus,
+        SimilarityOps.seedCodebook(corpus, SimilarityOps.nlistFor(n)))
+      val out = SimilarityOps.dedupSemanticAssigned(assigned, 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+      // SemDeDup's documented miss class is the cluster boundary: a group
+      // member can land one cell over and escape its group's pairwise
+      // stage. Assert the vast majority of groups co-locate (the method's
+      // value proposition) and the boundary-split is rare, rather than
+      // pretending the miss class doesn't exist.
+      val cellOf = out.map(t => t._1 -> t._2).toMap
+      val colocated = (0 until nGroups).filter { g =>
+        (0 until groupSize).map(j => cellOf((g * groupSize + j).toLong))
+          .distinct.size == 1
+      }
+      assert(colocated.size >= (0.9 * nGroups).toInt,
+        s"only ${colocated.size}/$nGroups near-dup groups co-located")
+      // within every cell-cohabiting subgroup, exactly the lowest id
+      // survives (deterministic survivor rule)
+      val kept = out.filter(_._4 == 1L).map(_._1).toSet
+      (0 until nGroups).foreach { g =>
+        val ids = (0 until groupSize).map(j => (g * groupSize + j).toLong)
+        ids.groupBy(cellOf).values.foreach { cohab =>
+          assert(cohab.filter(kept) == Seq(cohab.min),
+            s"group $g cell-subgroup $cohab survivors: ${cohab.filter(kept)}")
+        }
+      }
+      // singletons all survive
+      val singleIds = (nGroups * groupSize until n).map(_.toLong).toSet
+      assert(singleIds.subsetOf(kept),
+        s"singletons dropped: ${singleIds.diff(kept)}")
+      // and every drop is justified: max lower-id in-cell cosine >= 0.95
+      out.filter(_._4 == 0L).foreach { case (id, _, mc, _) =>
+        assert(mc >= 0.95, s"vec $id dropped on cosine $mc < threshold")
+      }
+    } finally { corpus.unpersist(); () }
+  }
 }

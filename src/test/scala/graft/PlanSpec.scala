@@ -255,4 +255,25 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 1,
       s"expected only the distinct's shuffle, found $shuffles:\n$plan")
   }
+
+  test("gopher rule battery is map-only: zero exchanges, zero joins") {
+    val plan = finalPlan(graft.operators.TextOps.withGopherRules(
+      graft.Tables.documents(spark, dir)))
+    assert(!plan.contains("Exchange"),
+      s"gopher rules shuffled — the scan-speed contract is broken:\n$plan")
+    assert(!plan.contains("Join"), s"gopher rules planned a join:\n$plan")
+  }
+
+  test("cdc chunking dedup: chunker itself plans no exchange; the " +
+      "cross-doc stage never goes all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val chunkPlan = finalPlan(graft.operators.DedupOps.cdcChunks(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+    assert(!chunkPlan.contains("Exchange"),
+      s"per-doc chunking shuffled:\n$chunkPlan")
+    val plan = finalPlan(graft.operators.DedupOps.dedupCdcChunks(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cdc dedup plans an all-pairs join:\n$plan")
+  }
 }
