@@ -264,6 +264,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"gopher rules planned a join:\n$plan")
   }
 
+  test("semantic dedup: the in-cell self-join shuffles on cell — no " +
+      "cartesian, no forced broadcast of a corpus-growing side") {
+    val plan = finalPlan(
+      graft.operators.SimilarityOps.dedupSemantic(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup plans an all-pairs join:\n$plan")
+    // both self-join sides grow with the corpus: a hint-forced broadcast
+    // would OOM at scale (AQE may still choose one at this fixture size,
+    // so assert the LOGICAL plan carries no hint rather than the
+    // physical choice)
+    val logical = graft.operators.SimilarityOps.dedupSemantic(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"corpus side hint-forced into broadcast:\n$logical")
+  }
+
   test("cdc chunking dedup: chunker itself plans no exchange; the " +
       "cross-doc stage never goes all-pairs") {
     import org.apache.spark.sql.functions.col
