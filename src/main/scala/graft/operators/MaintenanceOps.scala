@@ -194,6 +194,45 @@ object MaintenanceOps {
     spark.read.parquet(outDir).count()
   }
 
+  /** Incremental view maintenance for a distributive per-key rollup —
+    * the primitive that keeps a 100 TB corpus's summary tables current
+    * without rescanning the corpus: given the previous rollup
+    * (key, n_docs, total_tokens) and a change batch of signed row
+    * images (`op` = add/remove; a changed doc is remove(old image) +
+    * add(new image), exactly what [[graft.operators.DedupOps.diffSnapshots]]
+    * classifies), the new rollup is prev + the batch's per-key deltas.
+    * Cost scales with the CHANGE BATCH, never the corpus: one
+    * key-bounded delta aggregation and a full-outer join against a
+    * rollup whose row count is the key cardinality (AQE broadcasts it).
+    * Keys whose count reaches zero drop out, new keys appear — the
+    * full-outer join covers both edges. Works for any distributive
+    * aggregate (counts, sums); avg/percentiles need their
+    * sum+count/sketch forms.
+    */
+  def maintainRollup(prev: DataFrame, changes: DataFrame,
+      key: String = "lang"): DataFrame = {
+    val sign = when(col("op") === "add", lit(1L)).otherwise(lit(-1L))
+    val delta = changes.groupBy(col(key))
+      .agg(sum(sign).as("d_docs"),
+        sum(sign * col("n_tokens")).as("d_tokens"))
+    prev.join(delta, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("total_tokens"), lit(0L))
+          + coalesce(col("d_tokens"), lit(0L))).as("total_tokens"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** The rollup [[maintainRollup]] maintains, computed from scratch —
+    * the parity baseline and the bootstrap for a fresh table.
+    */
+  def buildRollup(docs: DataFrame, key: String = "lang"): DataFrame =
+    docs.select(col(key),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
   /** Per-file (min, max) spans of a column, as a fraction of the
     * column's global domain — the data-skipping scorecard for a layout:
     * a predicate on the column prunes a file whose span misses it, so

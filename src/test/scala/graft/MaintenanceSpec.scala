@@ -263,4 +263,41 @@ class MaintenanceSpec extends AnyFunSuite {
       back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
       "z-order rewrite changed the data")
   }
+
+  test("incremental rollup maintenance equals a from-scratch rebuild " +
+      "across adds, removes, and changes") {
+    import org.apache.spark.sql.functions._
+    val cur = Tables.documents(spark, TestSpark.sfDir)
+    // the same deterministic previous-snapshot derivation the
+    // corpus_snapshot_diff oracle uses: %7 docs are new since prev,
+    // %5 docs changed (prev carried an extra trailing token)
+    val prev = cur.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" prevtail")))
+          .otherwise(col("text")))
+    // change batch of signed row images: adds carry the new text,
+    // removes the old; a changed doc contributes one of each
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val adds = cur.join(prev.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("lang"), nTok.as("n_tokens"), lit("add").as("op"))
+    val chgOld = prev.filter(col("doc_id") % 5 === 0)
+      .select(col("lang"), nTok.as("n_tokens"), lit("remove").as("op"))
+    val chgNew = cur.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+      .select(col("lang"), nTok.as("n_tokens"), lit("add").as("op"))
+    val changes = adds.unionByName(chgOld).unionByName(chgNew)
+    val maintained = MaintenanceOps.maintainRollup(
+      MaintenanceOps.buildRollup(prev), changes)
+    val rebuilt = MaintenanceOps.buildRollup(cur)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      s"maintained rollup diverged from rebuild:\n" +
+        s"maintained ${maintained.collect().toSeq}\n" +
+        s"rebuilt ${rebuilt.collect().toSeq}")
+    // a batch that empties a key drops the key from the rollup
+    import spark.implicits._
+    val tiny = Seq(("xx", 1L, 10L)).toDF("lang", "n_docs", "total_tokens")
+    val wipe = Seq(("xx", 10L, "remove")).toDF("lang", "n_tokens", "op")
+    assert(MaintenanceOps.maintainRollup(tiny, wipe).count() == 0,
+      "emptied key not dropped")
+  }
 }
