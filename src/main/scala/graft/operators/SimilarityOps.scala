@@ -772,6 +772,39 @@ object SimilarityOps {
       |FROM assigned v LEFT JOIN lower l ON v.vec_id = l.vec_id
       |ORDER BY v.vec_id""".stripMargin
 
+  /** Screen a small arriving batch of vectors against a static corpus
+    * assignment — the incremental form of [[dedupSemanticAssigned]],
+    * mirroring `DedupOps.dedupIncremental`'s stream-static shape: each
+    * arrival is assigned to its cell (broadcast codebook — cost scales
+    * with the BATCH, the corpus is untouched), then compared only
+    * against the corpus vectors already in that cell. The arriving side
+    * is broadcast by contract (it is a micro-batch); the corpus side
+    * stays a map-only filtered scan of the staged assignment. Emits
+    * (new_id, corpus_id, cos) for every match at or above `threshold`.
+    */
+  def semanticScreen(newVecs: DataFrame, assigned: DataFrame,
+      codebook: DataFrame, threshold: Double): DataFrame = {
+    CosineSimilarity.register(newVecs.sparkSession)
+    val arriving = assignCells(newVecs, codebook)
+      .select(col("cell"), col("vec_id").as("new_id"),
+        col("embedding").as("n_emb"))
+    assigned.join(broadcast(arriving), Seq("cell"))
+      .filter(col("vec_id") =!= col("new_id"))
+      .select(col("new_id"), col("vec_id").as("corpus_id"),
+        round(expr("cosine_similarity(n_emb, embedding)"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[semanticScreen]] against the staged fixture-corpus index (the
+    * entry point the streaming wrapper uses per micro-batch).
+    */
+  def semanticScreenAgainstCorpus(spark: SparkSession, dir: String,
+      newVecs: DataFrame, threshold: Double): DataFrame = {
+    val nlist = nlistFor(corpusCount(spark, dir))
+    semanticScreen(newVecs, stagedSeedAssignment(spark, dir),
+      seedCodebook(Tables.embeddings(spark, dir), nlist), threshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),

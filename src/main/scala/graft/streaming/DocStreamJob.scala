@@ -126,4 +126,27 @@ object DocStreamJob {
             batch.sparkSession, corpusDir, batch), id)
       }
       .start()
+
+  /** Streaming SEMANTIC screening of arriving embeddings against the
+    * static staged cell index — the embedding-space twin of
+    * [[startIncrementalDedup]]: each micro-batch of (vec_id, embedding)
+    * rows is cell-assigned (broadcast codebook, cost scales with the
+    * batch) and compared only within its cells
+    * ([[graft.operators.SimilarityOps.semanticScreen]]); matches at or
+    * above `threshold` reach `sinkWriter` as (new_id, corpus_id, cos).
+    */
+  def startSemanticScreen(vecs: DataFrame, corpusDir: String,
+      checkpointDir: String, threshold: Double,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sinkWriter(
+          graft.operators.SimilarityOps.semanticScreenAgainstCorpus(
+            batch.sparkSession, corpusDir, batch, threshold), id)
+      }
+      .start()
 }

@@ -90,6 +90,36 @@ class DocStreamSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 900002L), s"unseen doc falsely flagged: ${hits.toSeq}")
   }
 
+  test("streaming semantic screen: an arriving exact-copy embedding is " +
+      "flagged against the staged cell index; a far vector is not") {
+    import org.apache.spark.sql.functions.col
+    val corpusVec = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id") === 42L).select("embedding")
+      .as[Seq[Float]].head()
+    // cosine(x, -v) = -cosine(x, v); fixture pairwise |cos| <= ~0.48,
+    // so the negated vector clears 0.95 against NOTHING
+    val farVec = corpusVec.map(x => -x)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val vecs = stream.toDF().toDF("vec_id", "embedding")
+    val out = Files.createTempDirectory("semscreen_sink").toString
+    val ckpt = Files.createTempDirectory("semscreen_ckpt").toString
+    val q = DocStreamJob.startSemanticScreen(
+      vecs, TestSpark.sfDir, ckpt, threshold = 0.95)(
+      (batch, _) => batch.write.mode("append").parquet(out))
+    try {
+      stream.addData((900001L, corpusVec), (900002L, farVec))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.contains((900001L, 42L, 1.0)),
+      s"exact copy not flagged against its corpus original: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 900002L),
+      s"far vector falsely flagged: ${hits.toSeq}")
+  }
+
   test("streaming media dedup: brightness-shifted re-encode collapses to " +
       "the first arrival, different raster survives, malformed dropped") {
     import graft.operators.MultimodalOps.Ppm
