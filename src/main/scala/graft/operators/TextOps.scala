@@ -998,7 +998,57 @@ object TextOps {
       |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Counter budget / reported-top-N for [[textHeavyHitters]]. */
+  val HeavyHitterCapacity = 16
+  val HeavyHitterTopN = 5
+
+  /** Approximate heavy hitters via the mergeable Misra–Gries sketch
+    * ([[graft.functions.MgSketch]]): ONE bounded-memory aggregation whose
+    * partial buffers are m counters each — at 100 TB the vocabulary
+    * never shuffles, m counters per partition do. Because MG counter
+    * values legally vary with merge order, the query emits what is
+    * order-INdependent: the exact top-N tokens (from a second, exact
+    * aggregation), the sketch's total-count n (exact by construction),
+    * and the theorem guarantees — c(x) <= true(x) <= c(x) + err for
+    * every item, stored or not — evaluated in-engine as booleans the
+    * SQL oracle asserts constant-true. A violated bound = a real sketch
+    * bug = a hash mismatch. The fixture's near-uniform token counts are
+    * the sketch's documented worst case (no guaranteed-heavy items
+    * exist); the bound checks stay non-vacuous because err and the
+    * stored counters are genuinely exercised.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MgSketch.register(spark)
+    val toks = spread(Tables.documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sk = toks.agg(
+      expr(s"mg_sketch(tok, $HeavyHitterCapacity)").as("sk"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok")).limit(HeavyHitterTopN)
+    exact.crossJoin(broadcast(sk))
+      .withColumn("c", coalesce(element_at(col("sk.items"), col("tok")), lit(0L)))
+      .select(col("tok"), col("exact_count"),
+        (col("c") <= col("exact_count") &&
+          col("exact_count") - col("c") <= col("sk.err"))
+          .cast("long").as("bounds_ok"),
+        col("sk.n").as("n_stream"))
+      .orderBy(col("exact_count").desc, col("tok"))
+  }
+
+  val textHeavyHittersOracle: String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stream FROM tok),
+      |top AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+      |  FROM tok GROUP BY tok
+      |  ORDER BY exact_count DESC, tok LIMIT $HeavyHitterTopN)
+      |SELECT tok, exact_count, CAST(1 AS BIGINT) AS bounds_ok, n_stream
+      |FROM top CROSS JOIN tot
+      |ORDER BY exact_count DESC, tok""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_gopher_rules" -> (textGopherRules _),
     "sample_split" -> (sampleSplit _),
     "sample_quality_percentile" -> (sampleQualityPercentile _),
@@ -1021,6 +1071,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> textHeavyHittersOracle,
     "text_gopher_rules" -> textGopherRulesOracle,
     "sample_split" -> sampleSplitOracle,
     "sample_quality_percentile" -> sampleQualityPercentileOracle,
