@@ -281,6 +281,16 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side hint-forced into broadcast:\n$logical")
   }
 
+  test("heavy-hitter sketch aggregates map-side: an ObjectHashAggregate " +
+      "partial runs before the single-row exchange") {
+    val plan = finalPlan(graft.operators.TextOps.textHeavyHitters(spark, dir))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"mg_sketch did not plan as an object hash aggregate:\n$plan")
+    assert(plan.contains("partial_mg_sketch"),
+      s"no partial (map-side) sketch stage — every token row would " +
+        s"reach the final aggregate's single reducer:\n$plan")
+  }
+
   test("cdc chunking dedup: chunker itself plans no exchange; the " +
       "cross-doc stage never goes all-pairs") {
     import org.apache.spark.sql.functions.col
