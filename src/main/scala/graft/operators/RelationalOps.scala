@@ -694,7 +694,85 @@ object RelationalOps {
       |  INTO NAME metric VALUE value)
       |ORDER BY nationkey, metric""".stripMargin
 
+  /** One-pass table profiler — the Deequ-style data-quality summary an
+    * ingestion pipeline runs before trusting a new drop: per column,
+    * filled/null counts and type-appropriate min/max, ALL computed in a
+    * single scan whose 4x|columns| aggregates fuse into one partial+final
+    * hash aggregate (one job, one single-row exchange — never a
+    * scan-per-column loop). The aggregate list derives from the schema,
+    * so any table profiles without per-table code; numeric extremes stay
+    * numeric (no float-to-string formatting to diverge cross-engine),
+    * timestamps format explicitly, strings compare lexically.
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType, TimestampNTZType, TimestampType}
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (numMin, numMax) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast("double"), max(c).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      val (strMin, strMax) = f.dataType match {
+        case StringType => (min(c), max(c))
+        // parquet TIMESTAMP lands as NTZ (isAdjustedToUTC=false) or
+        // TimestampType depending on writer metadata — format either
+        case TimestampNTZType | _: TimestampType =>
+          (date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      Seq(count(c).as(s"${f.name}__n"),
+        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        numMin.as(s"${f.name}__nmin"), numMax.as(s"${f.name}__nmax"),
+        strMin.as(s"${f.name}__smin"), strMax.as(s"${f.name}__smax"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = fields.map { f =>
+      struct(lit(f.name).as("col_name"),
+        col(s"${f.name}__n").as("n_filled"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__nmin").as("num_min"),
+        col(s"${f.name}__nmax").as("num_max"),
+        col(s"${f.name}__smin").as("str_min"),
+        col(s"${f.name}__smax").as("str_max"))
+    }
+    row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  def qTableProfile(spark: SparkSession, dir: String): DataFrame =
+    profileTable(Tables.lineitem(spark, dir))
+
+  val qTableProfileOracle: String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    cols.map { case (c, kind) =>
+      val (nmin, nmax) = kind match {
+        case "num" => (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (smin, smax) = kind match {
+        case "str" => (s"MIN($c)", s"MAX($c)")
+        case "ts" => (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n_filled,
+         |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+         |  $nmin AS num_min, $nmax AS num_max,
+         |  $smin AS str_min, $smax AS str_max
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_profile" -> (qTableProfile _),
     "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),
     "q_lateral_topn" -> (qLateralTopn _),
@@ -748,5 +826,6 @@ object RelationalOps {
     "q_cube" -> qCubeOracle,
     "q_above_nation_avg" -> qAboveNationAvgOracle,
     "q_scalar_funcs" -> qScalarFuncsOracle,
-    "q_date_funcs" -> qDateFuncsOracle)
+    "q_date_funcs" -> qDateFuncsOracle,
+    "q_table_profile" -> qTableProfileOracle)
 }
