@@ -148,6 +148,33 @@ class ScaleSpec extends AnyFunSuite {
         "per-candidate cost regression?")
   }
 
+  /** Semantic dedup's scale contract is the sqrt(n) codebook bounding
+    * the in-cell pairwise stage to ~n^1.5: a 10x corpus step should
+    * multiply scored pairs by ~10^1.5 ~ 32x (cell-size imbalance adds
+    * slack), while a FIXED codebook — the regression this guards
+    * against — would go quadratic at 100x.
+    */
+  test("semantic dedup's in-cell pair count scales ~n^1.5, not n^2, " +
+      "over a 10x embedding step") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions._
+    def inCellPairs(dir: String): Long = {
+      val e = Tables.embeddings(spark, dir)
+      val nlist = SimilarityOps.nlistFor(e.count())
+      SimilarityOps.assignCells(e, SimilarityOps.seedCodebook(e, nlist))
+        .groupBy(col("cell")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+    }
+    val small = inCellPairs(TestSpark.sfDirMid)
+    val big = inCellPairs(TestSpark.sfDirBig)
+    val ratio = big.toDouble / math.max(small, 1L)
+    info(f"in-cell pairs $small -> $big, ratio $ratio%.1fx")
+    assert(ratio <= 60.0,
+      f"semantic dedup pairs scaled $ratio%.1fx over 10x vectors " +
+        f"($small -> $big) — codebook no longer tracking sqrt(n)?")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, TestSpark.sfDir)
