@@ -294,6 +294,54 @@ object MultimodalOps {
     private def num(t: (String, Int)): Either[String, (Int, Int)] =
       try Right((t._1.toInt, t._2))
       catch { case _: NumberFormatException => Left(s"non-numeric header token '${t._1}'") }
+
+    /** Decoded raster with its raw interleaved RGB bytes — the form the
+      * pixel-transforming ops (resize, crop) consume; [[decode]] is the
+      * stats-only fold that never materializes the raster.
+      */
+    case class Raster(width: Int, height: Int, maxval: Int, data: Array[Byte])
+
+    def decodeRaster(payload: Array[Byte]): Either[String, Raster] =
+      for {
+        magic <- token(payload, 0)
+        _ <- if (magic._1 == "P6") Right(()) else Left(s"bad magic '${magic._1}' (P6 only)")
+        w <- token(payload, magic._2).flatMap(num)
+        h <- token(payload, w._2).flatMap(num)
+        mv <- token(payload, h._2).flatMap(num)
+        _ <- if (w._1 >= 0 && h._1 >= 0) Right(()) else Left("negative dimensions")
+        _ <- if (mv._1 >= 1 && mv._1 <= 255) Right(())
+             else Left(s"unsupported maxval ${mv._1} (1..255 only)")
+        start = mv._2 + 1
+        n = w._1.toLong * h._1 * 3
+        _ <- if (payload.length - start >= n) Right(())
+             else Left("truncated pixel data")
+      } yield Raster(w._1, h._1, mv._1,
+        java.util.Arrays.copyOfRange(payload, start, start + n.toInt))
+
+    /** Nearest-neighbor resample to (w2, h2): output pixel (x, y) copies
+      * source pixel (x*w/w2, y*h/h2) — the standard integer-exact
+      * nearest-neighbor mapping (floor), so every engine reproduces the
+      * resized raster bit-for-bit from the same source.
+      */
+    def resizeNearest(r: Raster, w2: Int, h2: Int): Raster = {
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val sy = y * r.height / h2
+        var x = 0
+        while (x < w2) {
+          val sx = x * r.width / w2
+          val src = (sy * r.width + sx) * 3
+          val dst = (y * w2 + x) * 3
+          out(dst) = r.data(src)
+          out(dst + 1) = r.data(src + 1)
+          out(dst + 2) = r.data(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Raster(w2, h2, r.maxval, out)
+    }
   }
 
   /** Partition-parallel WAV decode: one decoder scope per partition
@@ -592,7 +640,80 @@ object MultimodalOps {
       |FROM fp ORDER BY media_id""".stripMargin
   }
 
+  /** Output grid for [[multimodalResize]]. */
+  val ResizeW = 4
+  val ResizeH = 4
+
+  case class ResizedFeatures(media_id: Long, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, peak: Int)
+
+  /** Nearest-neighbor thumbnail pass — the decode → transform →
+    * featurize shape a multimodal pipeline runs per image, here with the
+    * REAL netpbm decode ([[Ppm.decodeRaster]]) and an integer-exact
+    * resample ([[Ppm.resizeNearest]]) in the partition-parallel batch
+    * shape. Integer-exact end to end, so the oracle reproduces the
+    * resized raster's statistics by indexing the same source characters
+    * at the nearest-neighbor grid positions (source pixel (x*w//W2,
+    * y*h//H2); zero padding beyond the text). At 100 TB the transform is
+    * embarrassingly parallel; the raster never leaves its partition —
+    * only the fixed-size feature row does.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Ppm.decodeRaster(Ppm.encode(bytes)).toOption.map { r =>
+            val s = Ppm.resizeNearest(r, ResizeW, ResizeH)
+            var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+            var i = 0
+            while (i < s.data.length) {
+              val v = s.data(i) & 0xff
+              (i % 3) match {
+                case 0 => sr += v
+                case 1 => sg += v
+                case _ => sb += v
+              }
+              if (v > peak) peak = v
+              i += 1
+            }
+            ResizedFeatures(id, s.width, s.height, sr, sg, sb, peak)
+          }
+        }
+      }.toDF().orderBy("media_id")
+  }
+
+  val multimodalResizeOracle: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, text,
+      |         CAST(ceil(strlen(text) / ${Ppm.RowWidth * 3}.0) AS INT) AS h
+      |  FROM documents),
+      |py AS (SELECT doc_id, text, h, CAST(unnest(range(0, $ResizeH)) AS INT) AS y FROM g),
+      |px AS (SELECT doc_id, text, h, y, CAST(unnest(range(0, $ResizeW)) AS INT) AS x FROM py),
+      |pc AS (SELECT doc_id, text, h, y, x, CAST(unnest(range(0, 3)) AS INT) AS ch FROM px),
+      |v AS (
+      |  SELECT doc_id, ch,
+      |         CASE WHEN pos <= strlen(text) THEN ascii(substr(text, pos, 1))
+      |              ELSE 0 END AS v
+      |  FROM (SELECT *,
+      |          (((y * h) // $ResizeH) * ${Ppm.RowWidth}
+      |            + ((x * ${Ppm.RowWidth}) // $ResizeW)) * 3 + ch + 1 AS pos
+      |        FROM pc)),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+      |         CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+      |         CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+      |         MAX(v) AS peak
+      |  FROM v GROUP BY doc_id)
+      |SELECT doc_id AS media_id, $ResizeW AS out_w, $ResizeH AS out_h,
+      |       sum_r, sum_g, sum_b, peak
+      |FROM agg ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrameSample _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -600,6 +721,7 @@ object MultimodalOps {
     "multimodal_image_dedup" -> (multimodalImageDedup _))
 
   def oracles: Map[String, String] = Map(
+    "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" -> multimodalFrameSampleOracle,
     "multimodal_decode" -> multimodalDecodeOracle,

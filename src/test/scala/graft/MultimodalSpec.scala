@@ -195,4 +195,25 @@ class MultimodalSpec extends AnyFunSuite {
     val h = Ppm.ahash(Ppm.encode(half), 16)
     assert(h == Right(0xFF00L), s"expected 0xFF00, got $h")
   }
+
+  test("nearest-neighbor resize: identity at same dims, exact pixel " +
+      "selection on a downsample, malformed rejected") {
+    import graft.operators.MultimodalOps.Ppm
+    // 4x4 raster whose pixel (x, y) carries value y*4+x in all channels
+    val data = Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte)
+    val r = Ppm.Raster(4, 4, 255, data)
+    // same dims -> bit-identical raster
+    val same = Ppm.resizeNearest(r, 4, 4)
+    assert(java.util.Arrays.equals(same.data, data), "identity resize changed pixels")
+    // 2x2 -> floor mapping picks source pixels (0,0) (2,0) (0,2) (2,2)
+    val small = Ppm.resizeNearest(r, 2, 2)
+    val picked = small.data.grouped(3).map(_(0).toInt).toSeq
+    assert(picked == Seq(0, 2, 8, 10), s"wrong pixels selected: $picked")
+    // upsample replicates: 4x4 -> 8x8 has each source pixel 4 times
+    val big = Ppm.resizeNearest(r, 8, 8)
+    assert(big.data.length == 8 * 8 * 3)
+    assert(big.data.grouped(3).map(_(0).toInt).toSeq.count(_ == 0) == 4)
+    // decodeRaster refuses garbage like the stats decoder does
+    assert(Ppm.decodeRaster("not a ppm".getBytes).isLeft)
+  }
 }
