@@ -58,4 +58,34 @@ class MgSketchSpec extends AnyFunSuite {
       assert(t - c <= err, s"$k: true $t, stored $c, bound $err violated")
     }
   }
+
+  test("the sketch aggregates across streaming micro-batches: state stays " +
+      "m counters and the bounds hold over the accumulated stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.MgSketch.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("v")
+      .agg(expr("mg_sketch(v, 4)").as("sk"))
+      .select(col("sk.items").as("items"), col("sk.n").as("n"),
+        col("sk.err").as("err"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    try {
+      stream.addData(Seq.fill(300)("HEAVY") ++ (0 until 200).map(i => s"n${i % 40}"): _*)
+      q.processAllAvailable()
+      stream.addData(Seq.fill(300)("HEAVY") ++ (0 until 200).map(i => s"m${i % 40}"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.sql("SELECT * FROM hh_stream").head()
+    val items = row.getMap[String, Long](0).toMap
+    val (n, err) = (row.getLong(1), row.getLong(2))
+    assert(n == 1000, s"stream total miscounted: $n")
+    assert(items.size <= 4, s"state exceeded m counters: $items")
+    // true(HEAVY) = 600 > n/(m+1) = 200 >= err -> guaranteed stored
+    val c = items.getOrElse("HEAVY", 0L)
+    assert(c > 0 && c <= 600 && 600 - c <= err,
+      s"HEAVY count $c outside bounds (err $err): $items")
+  }
 }
