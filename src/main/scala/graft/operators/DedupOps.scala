@@ -1141,7 +1141,86 @@ object DedupOps {
       |         AS shared_frac
       |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Multi-signal duplicate manifest — the union a production curation
+    * run actually consumes: TEXT near-dup pairs (staged shingle Jaccard)
+    * and SEMANTIC near-dup pairs (within staged IVF cells) in one
+    * (da, db, signal, score) table, each signal catching what the other
+    * structurally misses (paraphrases share no shingles; translations
+    * share no embedding cell with their source only if the encoder says
+    * so). Both sides read STAGED substrates (shingle pairs, cell
+    * assignment) — composing the signals costs two staged-table scans,
+    * never a corpus recompute. Scores keep each signal's native
+    * precision (jaccard 4 dp, cosine 6 dp).
+    */
+  def dedupMultiSignal(spark: SparkSession, dir: String): DataFrame = {
+    val text = stagedNgramPairs(spark, dir)
+      .select(col("da"), col("db"), lit("text").as("signal"),
+        col("jaccard").as("score"))
+    val sem = SimilarityOps.semanticPairsAgainstCorpus(spark, dir)
+      .select(col("da"), col("db"), lit("semantic").as("signal"),
+        col("cos").as("score"))
+    text.unionByName(sem).orderBy(col("da"), col("db"), col("signal"))
+  }
+
+  lazy val dedupMultiSignalOracle: String =
+    s"""WITH $hashedShingleCte,
+      |rare AS (
+      |  SELECT doc_id, h1 FROM (
+      |    SELECT doc_id, h1, COUNT(*) OVER (PARTITION BY h1) AS df FROM sh)
+      |  WHERE df <= $MaxShingleDf),
+      |cand AS (
+      |  SELECT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |    FROM rare a JOIN rare b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  WHERE n_shared >= $MinSharedRareShingles),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh x ON c.da = x.doc_id
+      |  JOIN sh y ON c.db = y.doc_id AND x.h1 = y.h1
+      |  GROUP BY c.da, c.db),
+      |text_pairs AS (
+      |  SELECT da, db, 'text' AS signal,
+      |         round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) + 1e-9, 4) AS score
+      |  FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id
+      |  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= $JaccardThreshold),
+      |params AS (
+      |  SELECT GREATEST(${SimilarityOps.CoarseMinCells},
+      |                  CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, v.embedding, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |sem_pairs AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db, 'semantic' AS signal,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS score
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])), 6)
+      |        >= ${SimilarityOps.SemDedupThreshold})
+      |SELECT * FROM text_pairs
+      |UNION ALL SELECT * FROM sem_pairs
+      |ORDER BY da, db, signal""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_multi_signal" -> (dedupMultiSignal _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "text_contamination" -> (textContamination _),
@@ -1157,6 +1236,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_multi_signal" -> dedupMultiSignalOracle,
     "dedup_cdc_chunks" -> dedupCdcChunksOracle,
     "corpus_snapshot_diff" -> corpusSnapshotDiffOracle,
     "text_contamination" -> textContaminationOracle,

@@ -717,16 +717,35 @@ object SimilarityOps {
     * assignment (e.g. a [[trainCodebook]]-refined one) at a caller-chosen
     * threshold.
     */
+  /** The within-cell near-dup pairs themselves — (da, db, cos) with
+    * da < db and cos >= threshold — the form downstream consumers
+    * (multi-signal manifests, cluster builders) join on.
+    */
+  def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    CosineSimilarity.register(assigned.sparkSession)
+    val a = assigned.select(col("cell"), col("vec_id").as("da"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("db"),
+      col("embedding").as("b_emb"))
+    a.join(b, "cell")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(expr("cosine_similarity(a_emb, b_emb)"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[semanticPairs]] over the staged fixture-corpus assignment at the
+    * shipped threshold.
+    */
+  def semanticPairsAgainstCorpus(spark: SparkSession, dir: String): DataFrame =
+    semanticPairs(stagedSeedAssignment(spark, dir), SemDedupThreshold)
+
   def dedupSemanticAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     CosineSimilarity.register(assigned.sparkSession)
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
-    val lower = a.join(b, "cell")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("b_id").as("vec_id"),
-        round(expr("cosine_similarity(a_emb, b_emb)"), 6).as("cs"))
+    // all lower-id cosines (unthresholded: the survivor rule needs the
+    // max even when no pair crosses the dedup threshold)
+    val lower = semanticPairs(assigned, Double.MinValue)
+      .select(col("db").as("vec_id"), col("cos").as("cs"))
       .groupBy(col("vec_id"))
       .agg(max(col("cs")).as("max_lower_cos"))
     assigned.select(col("vec_id"), col("cell"))
