@@ -1219,7 +1219,70 @@ object DedupOps {
       |UNION ALL SELECT * FROM sem_pairs
       |ORDER BY da, db, signal""".stripMargin
 
+  /** Window width (tokens) for exact-substring dedup. The canonical
+    * training-data setting is ~50 tokens (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"); the fixture documents
+    * run 20–130 tokens, so 15 keeps the op non-vacuous at test scale
+    * while the algorithm is width-independent.
+    */
+  val SubstrW = 15
+
+  /** Exact-substring (span-level) dedup — the suffix-array dedup family
+    * re-expressed as a distributed plan: every [[SubstrW]]-token window
+    * of every document is hashed, and a span is DUPLICATED when its text
+    * occurs in >= 2 distinct documents. Per doc we report total spans,
+    * duplicated spans, and the duplicated fraction — the signal a
+    * curation pipeline thresholds to excise verbatim-repeated passages
+    * that whole-document dedup (exact or near) cannot see.
+    *
+    * Scale design: windows are generated map-side (one span per token,
+    * so span volume is O(corpus tokens)); the plan is three key-bounded
+    * shuffles — groupBy (h, doc) collapses within-doc repeats first, the
+    * per-h window then sees at most n_docs rows per key (never raw
+    * occurrence counts, so a hot span cannot blow a partition), and the
+    * final per-doc rollup is a plain hash agg. No joins, no all-pairs.
+    * Suffix arrays answer the same question on one node; at 100 TB the
+    * fixed-width rolling window is the shape that shards.
+    */
+  def dedupExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val w = SubstrW
+    val toks = TextOps.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+    val spans = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("t")) - w),
+        j => md5(array_join(slice(col("t"), j + lit(1), lit(w)), " ")
+          .cast("binary")))).as("h"))
+    val per = spans.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val flagged = per.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    flagged.groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_spans"),
+        coalesce(sum(when(col("n_docs") >= 2, col("n_occ"))), lit(0L))
+          .as("dup_spans"))
+      .withColumn("dup_frac",
+        round(col("dup_spans").cast("double") / col("n_spans") + lit(1e-9), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactSubstrOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, md5(array_to_string(t[i:i+${SubstrW - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-${SubstrW - 2})) AS i
+       |        FROM d WHERE len(t) >= $SubstrW)),
+       |per AS (SELECT h, doc_id, COUNT(*) AS n_occ FROM spans GROUP BY h, doc_id),
+       |flag AS (SELECT h, doc_id, n_occ,
+       |                COUNT(*) OVER (PARTITION BY h) AS n_docs FROM per)
+       |SELECT doc_id, SUM(n_occ) AS n_spans,
+       |       COALESCE(SUM(n_occ) FILTER (WHERE n_docs >= 2), 0) AS dup_spans,
+       |       ROUND(COALESCE(SUM(n_occ) FILTER (WHERE n_docs >= 2), 0)::DOUBLE
+       |             / SUM(n_occ) + 1e-9, 4) AS dup_frac
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_substr" -> (dedupExactSubstr _),
     "dedup_multi_signal" -> (dedupMultiSignal _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
@@ -1236,6 +1299,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_exact_substr" -> dedupExactSubstrOracle,
     "dedup_multi_signal" -> dedupMultiSignalOracle,
     "dedup_cdc_chunks" -> dedupCdcChunksOracle,
     "corpus_snapshot_diff" -> corpusSnapshotDiffOracle,

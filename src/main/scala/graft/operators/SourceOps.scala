@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Queries exercising the custom `graft-jsonl` DataSource V2 connector
+  * ([[graft.sources.JsonLinesSource]]) end-to-end: the documents table is
+  * staged once per corpus as JSON-Lines text, read back through the
+  * connector with a filter + projection that Catalyst pushes into the
+  * scan, and the result is oracle-checked against DuckDB over the
+  * original parquet — proving the connector's pruning, pushdown, and
+  * split-ownership logic returns exactly the rows the declarative plan
+  * promises.
+  */
+object SourceOps {
+
+  private val stagedJsonlPaths = new ConcurrentHashMap[String, String]()
+
+  /** documents as JSONL text files, staged once per corpus per session
+    * (same lifecycle as DedupOps' parquet substrates). Multiple output
+    * files so the scan genuinely exercises multi-file planning; a small
+    * split.bytes in the query exercises multi-split files too.
+    */
+  private def stagedJsonl(spark: SparkSession, dir: String): String = {
+    val key = DedupOps.stageKey(spark, "jsonl", dir)
+    var path = stagedJsonlPaths.get(key)
+    if (path == null) {
+      stagedJsonlPaths.synchronized {
+        path = stagedJsonlPaths.get(key)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+          Tables.documents(spark, dir)
+            .select(to_json(struct(
+              col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))).as("value"))
+            .repartition(4, col("value"))
+            .write.mode("overwrite").text(p)
+          stagedJsonlPaths.put(key, p)
+          path = p
+        }
+      }
+    }
+    path
+  }
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Filter + project through the DSv2 connector. split.bytes is set far
+    * below file size so every file fans out into multiple byte-range
+    * splits — the line-ownership rule is on the hot path, not just the
+    * happy single-split case. The filter and the 3-column projection are
+    * pushed into the scan (PlanSpec asserts both appear in the scan's
+    * description).
+    */
+  def sourceJsonlScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-jsonl")
+      .schema(documentsSchema)
+      .option("split.bytes", 4096)
+      .load(stagedJsonl(spark, dir))
+      .filter(col("n_chars") >= 200 && col("lang").isin("en", "de"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val sourceJsonlScanOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE n_chars >= 200 AND lang IN ('en', 'de')
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_jsonl_scan" -> (sourceJsonlScan _))
+
+  def oracles: Map[String, String] = Map(
+    "source_jsonl_scan" -> sourceJsonlScanOracle)
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SourceOps
+import graft.sources.JsonLinesSource
+
+/** The custom DataSource V2 connector's contracts: schema inference,
+  * exact byte-range split ownership (no dropped / duplicated lines at any
+  * split size), filter pushdown + column pruning reaching the scan, and
+  * PERMISSIVE degradation on dirty records.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeLines(lines: Seq[String]): Path = {
+    val dir = Files.createTempDirectory("jsonl_spec")
+    Files.write(dir.resolve("part-000.jsonl"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+
+  private val rows = (0 until 97).map(i =>
+    s"""{"id":$i,"name":"doc$i","score":${i * 0.5},"live":${i % 2 == 0}}""")
+
+  test("schema inference: integral->long, fractional->double, bool, string") {
+    val dir = writeLines(rows)
+    val schema = new JsonLinesSource().inferSchema(
+      new CaseInsensitiveStringMap(java.util.Map.of("path", dir.toString)))
+    assert(schema === StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("live", BooleanType))))
+  }
+
+  test("byte-range splits own every line exactly once, at any split size") {
+    val dir = writeLines(rows)
+    val whole = spark.read.format("graft-jsonl").load(dir.toString)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(whole.toSeq === (0L until 97L), "single-split read is the baseline")
+    // tiny splits: line boundaries land mid-split everywhere
+    for (split <- Seq(7, 64, 1000)) {
+      val got = spark.read.format("graft-jsonl")
+        .option("split.bytes", split).load(dir.toString)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (0L until 97L),
+        s"split.bytes=$split dropped or duplicated lines")
+    }
+  }
+
+  test("pushed filters and pruned columns appear in the scan; result is exact") {
+    val dir = writeLines(rows)
+    val df = spark.read.format("graft-jsonl").load(dir.toString)
+      .filter("id >= 10 AND live = true").select("name")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,10)"),
+      s"filter not pushed into graft-jsonl scan:\n$plan")
+    // pruning: the full-row fields the query never uses are absent from
+    // the advertised ReadSchema (filters may still read them pre-projection)
+    assert(plan.contains("ReadSchema: struct<name:string>"),
+      s"projection not pruned in scan description:\n$plan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      (10 until 97 by 2).map(i => s"doc$i").sorted)
+  }
+
+  test("ScanBuilder contract: supported filters accepted, the rest returned") {
+    val schema = SourceOps.documentsSchema
+    val dir = writeLines(rows)
+    val table = new JsonLinesSource().getTable(schema, Array.empty,
+      java.util.Map.of("path", dir.toString))
+    val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+    val supported: Array[Filter] =
+      Array(EqualTo("lang", "en"), GreaterThan("n_chars", 100L), IsNotNull("doc_id"))
+    val unsupported: Array[Filter] =
+      Array(StringContains("text", "spark"), EqualTo("missing_col", 1))
+    val rest = sb.pushFilters(supported ++ unsupported)
+    assert(rest.toSet === unsupported.toSet, "unsupported filters must stay with Spark")
+    assert(sb.pushedFilters().toSet === supported.toSet)
+  }
+
+  test("PERMISSIVE degradation: malformed lines skipped, wrong types null") {
+    val dir = writeLines(Seq(
+      """{"id":1,"name":"ok","score":1.5,"live":true}""",
+      """not json at all""",
+      """{"id":"not-a-number","name":"typed","score":2.5,"live":false}""",
+      "",
+      """{"id":4,"name":null,"score":3.5,"live":true}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("live", BooleanType)))
+    val got = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).collect().sortBy(r => Option(r.get(2)).map(_.toString).getOrElse(""))
+    assert(got.length === 3, "malformed/blank lines must be skipped, typed rows kept")
+    assert(got(0).getDouble(2) === 1.5 && got(0).getLong(0) === 1L)
+    assert(got(1).isNullAt(0) && got(1).getString(1) === "typed",
+      "wrong-typed field degrades to null, row survives")
+    assert(got(2).isNullAt(1) && got(2).getLong(0) === 4L)
+  }
+
+  test("end-to-end oracle query: connector result equals parquet ground truth") {
+    val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
+    val viaParquet = Tables.documents(spark, TestSpark.sfDir)
+      .filter("n_chars >= 200 AND lang IN ('en','de')")
+      .selectExpr("doc_id", "lang", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.toString.toLong)
+    val viaJsonl = df.collect().map(_.toSeq).sortBy(_.head.toString.toLong)
+    assert(viaJsonl.length > 0, "filter must keep some fixture rows")
+    assert(viaJsonl.toSeq === viaParquet.toSeq)
+  }
+}
