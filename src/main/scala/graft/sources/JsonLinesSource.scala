@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,6 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (start, end], plus offset 0 for the first split), so a single
   *    100 GB file parallelizes across executors instead of pinning one
   *    task.
+  *
+  * Also readable as a micro-batch STREAM (`spark.readStream.format
+  * ("graft-jsonl")`) over an append-only staging directory — see
+  * [[JsonLinesMicroBatchStream]] for the exactly-once file-log contract.
   *
   * Registered as `graft-jsonl` via `DataSourceRegister` (META-INF
   * services). Types supported: BIGINT / DOUBLE / STRING / BOOLEAN at the
@@ -125,7 +130,7 @@ private[sources] class JsonLinesTable(tableSchema: StructType, paths: Seq[String
   override def name(): String = s"graft-jsonl ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(tableSchema, paths, options)
 }
@@ -174,18 +179,17 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JsonLinesMicroBatchStream(tableSchema, required, pushed, paths,
+      splitBytes, checkpointLocation)
+
   /** Byte-range splits: ceil(len / splitBytes) partitions per file. The
     * reader aligns to line starts, so split boundaries never duplicate
     * or drop a record.
     */
   override def planInputPartitions(): Array[InputPartition] =
     JsonLines.listFiles(paths).flatMap { st =>
-      val len = st.getLen
-      if (len == 0) Seq.empty
-      else (0L until len by splitBytes).map { start =>
-        JsonLinesPartition(st.getPath.toString, start,
-          math.min(start + splitBytes, len), len)
-      }
+      JsonLinesScan.splitFile(st.getPath.toString, st.getLen, splitBytes)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -198,8 +202,122 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
   }
 }
 
+private[sources] object JsonLinesScan {
+  def splitFile(path: String, len: Long, splitBytes: Long): Seq[InputPartition] =
+    if (len == 0) Seq.empty
+    else (0L until len by splitBytes).map { start =>
+      JsonLinesPartition(path, start, math.min(start + splitBytes, len), len)
+    }
+}
+
 private[sources] case class JsonLinesPartition(path: String, start: Long,
     end: Long, fileLen: Long) extends InputPartition
+
+/** Streaming offset = how many files of the discovery log have been
+  * consumed. The log itself (ordered (length, path) snapshots) carries
+  * the actual file identity, so the scalar offset is unambiguous.
+  */
+private[sources] case class JsonLinesOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch streaming over an append-only JSONL directory — the
+  * DSv2 twin of the file-source contract [[graft.streaming.PollingSource]]
+  * stages for: files are immutable once visible (tmp-then-atomic-rename),
+  * and each visible file is read EXACTLY once.
+  *
+  * Discovery keeps an ordered append-log of (length, path) in the query
+  * checkpoint (one numbered log file per discovery round, highest wins —
+  * the same recovery shape as Spark's own file source metadata log).
+  * Offsets index into that log, and the log snapshots each file's LENGTH
+  * at discovery time, so a replayed batch re-plans byte-identical splits
+  * even if the filesystem has since grown. Filter pushdown and column
+  * pruning apply per micro-batch exactly as in the batch scan — the
+  * reader factory is shared.
+  */
+private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
+    required: StructType, pushed: Array[Filter], paths: Seq[String],
+    splitBytes: Long, checkpointLocation: String) extends MicroBatchStream {
+
+  private val logDir = new Path(checkpointLocation, "graft-jsonl-file-log")
+  private val logFs = JsonLines.fs(logDir)
+
+  // ordered discovery log: (length-at-discovery, path)
+  private val known = new ArrayBuffer[(Long, String)]()
+  private val knownPaths = new scala.collection.mutable.HashSet[String]()
+
+  // recover the log from the latest persisted round
+  locally {
+    if (logFs.exists(logDir)) {
+      val rounds = logFs.listStatus(logDir).toSeq
+        .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+      if (rounds.nonEmpty) {
+        val latest = new Path(logDir, rounds.max.toString)
+        val in = logFs.open(latest)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          Iterator.continually(br.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).foreach { line =>
+              val i = line.indexOf('\t')
+              val entry = (line.substring(0, i).toLong, line.substring(i + 1))
+              known += entry
+              knownPaths += entry._2
+            }
+        } finally in.close()
+      }
+    }
+  }
+
+  /** List the directory; append unseen files (with their current length)
+    * to the log and persist the new snapshot. Listing order is
+    * name-sorted for determinism; ARRIVAL order (which discovery round
+    * first saw a file) is what fixes a file's position, so producers may
+    * use any naming scheme as long as files are immutable once visible.
+    */
+  private def discover(): Unit = synchronized {
+    val fresh = JsonLines.listFiles(paths)
+      .filter(st => !knownPaths.contains(st.getPath.toString))
+    if (fresh.nonEmpty) {
+      fresh.foreach { st =>
+        known += ((st.getLen, st.getPath.toString))
+        knownPaths += st.getPath.toString
+      }
+      val tmp = new Path(logDir, s".${known.size}.tmp")
+      val dst = new Path(logDir, known.size.toString)
+      val out = logFs.create(tmp, true)
+      try out.write(known.map { case (len, p) => s"$len\t$p" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      logFs.rename(tmp, dst)
+    }
+  }
+
+  override def initialOffset(): Offset = JsonLinesOffset(0L)
+
+  override def latestOffset(): Offset = {
+    discover()
+    JsonLinesOffset(known.size.toLong)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    JsonLinesOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[JsonLinesOffset].n.toInt
+    val e = end.asInstanceOf[JsonLinesOffset].n.toInt
+    known.slice(s, e).flatMap { case (len, p) =>
+      JsonLinesScan.splitFile(p, len, splitBytes)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonLinesReaderFactory(tableSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class JsonLinesReaderFactory(tableSchema: StructType,
     required: StructType, pushed: Array[Filter])

@@ -105,6 +105,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1) && got(2).getLong(0) === 4L)
   }
 
+  test("micro-batch streaming: each staged file read exactly once, " +
+      "appends picked up, filter applied") {
+    val dir = Files.createTempDirectory("jsonl_stream")
+    def stage(name: String, lines: Seq[String]): Unit = {
+      // tmp-then-atomic-rename, the immutability contract the stream requires
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    stage("batch-0.jsonl", (0 until 10).map(i => s"""{"id":$i,"name":"d$i"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val q = spark.readStream.format("graft-jsonl").schema(schema)
+      .option("split.bytes", 64).load(dir.toString)
+      .filter("id >= 2")
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("jsonl_stream_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() === 8)
+      stage("batch-1.jsonl", (10 until 15).map(i => s"""{"id":$i,"name":"d$i"}"""))
+      q.processAllAvailable()
+      val ids = spark.table("jsonl_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === (2L until 15L), "second batch must add ONLY the new file")
+    } finally q.stop()
+  }
+
+  test("streaming file log recovers across restart with identical splits") {
+    val dir = Files.createTempDirectory("jsonl_recover")
+    Files.write(dir.resolve("a.jsonl"),
+      (0 until 20).map(i => s"""{"id":$i}""").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val ckpt = Files.createTempDirectory("jsonl_recover_ckpt").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def mkStream() = new graft.sources.JsonLinesSource()
+      .getTable(schema, Array.empty, java.util.Map.of("path", dir.toString))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Map.of("split.bytes", "32")))
+      .build().toMicroBatchStream(ckpt)
+    val s1 = mkStream()
+    val end1 = s1.latestOffset()
+    val parts1 = s1.planInputPartitions(s1.initialOffset(), end1)
+    // the file grows AFTER discovery: a replayed batch must NOT see the
+    // appended bytes — the log snapshotted the length
+    Files.write(dir.resolve("a.jsonl"),
+      "\n{\"id\":99}".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    val s2 = mkStream() // fresh instance, same checkpoint = restart
+    val parts2 = s2.planInputPartitions(
+      s2.deserializeOffset("0"), s2.deserializeOffset(end1.json()))
+    assert(parts1.toSeq === parts2.toSeq,
+      "replayed batch must re-plan byte-identical splits from the recovered log")
+  }
+
   test("end-to-end oracle query: connector result equals parquet ground truth") {
     val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
     val viaParquet = Tables.documents(spark, TestSpark.sfDir)
