@@ -9,10 +9,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,10 +97,23 @@ private[sources] object JsonLines {
   /** Schema inference from the first non-empty line of the first file:
     * integral JSON numbers -> BIGINT, fractional -> DOUBLE, booleans ->
     * BOOLEAN, everything else -> STRING. Field order = first-line order.
+    * A missing or empty target infers an EMPTY schema rather than
+    * throwing: `DataFrameWriter.save` infers before writing, and a
+    * first-ever write must not fail on its own destination (the write
+    * path takes its real schema from `LogicalWriteInfo`, never from
+    * here).
     */
   def inferSchema(paths: Seq[String]): StructType = {
-    val first = listFiles(paths).headOption.getOrElse(
-      throw new IllegalArgumentException("graft-jsonl: no input files"))
+    val first = try listFiles(paths).headOption catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    first match {
+      case None => StructType(Seq.empty)
+      case Some(f) => inferFromFile(f)
+    }
+  }
+
+  private def inferFromFile(first: FileStatus): StructType = {
     val in = fs(first.getPath).open(first.getPath)
     val line = try {
       val br = new java.io.BufferedReader(
@@ -126,13 +140,19 @@ private[sources] object JsonLines {
 }
 
 private[sources] class JsonLinesTable(tableSchema: StructType, paths: Seq[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(tableSchema, paths, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, "graft-jsonl: write target must be a single directory")
+    new JsonLinesWriteBuilder(paths.head, info)
+  }
 }
 
 private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
@@ -317,6 +337,125 @@ private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Batch write with the classic two-phase commit: every task writes a
+  * DOT-PREFIXED temp file (invisible to the reader's listing filter and
+  * to the streaming discovery log), task commit hands the temp path to
+  * the driver, and ONLY the driver's job-level `commit` renames temps to
+  * their final names — so a job that dies mid-write leaves nothing
+  * visible, a speculative duplicate task is discarded by Spark before
+  * its message reaches commit, and `abort` just deletes temps. Truncate
+  * (SaveMode.Overwrite) removes prior visible files inside the same
+  * job commit, after the new temps are all in place.
+  */
+private[sources] class JsonLinesWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new JsonLinesBatchWrite(dir, info.schema(), doTruncate)
+  }
+}
+
+private[sources] case class JsonLinesCommitMessage(tempPath: String,
+    finalName: String) extends WriterCommitMessage
+
+private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
+    doTruncate: Boolean) extends BatchWrite {
+
+  // job-unique suffix baked into every final file name: an overwrite of
+  // a directory this connector wrote earlier must never rename onto an
+  // existing name (Hadoop rename-onto-existing returns false, which
+  // would silently drop the partition)
+  private val jobId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonLinesWriterFactory(dir, schema, jobId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val filesys = JsonLines.fs(d)
+    val previous =
+      if (doTruncate && filesys.exists(d))
+        filesys.listStatus(d).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath)
+      else Seq.empty
+    // finalize new data first: a crash between the two loops leaves the
+    // union visible (never a window with NO data)
+    messages.foreach { case JsonLinesCommitMessage(tempPath, finalName) =>
+      val tmp = new Path(tempPath)
+      val dst = new Path(d, finalName)
+      if (filesys.exists(tmp) && !filesys.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"graft-jsonl commit: rename $tmp -> $dst failed")
+    }
+    previous.foreach(filesys.delete(_, false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val filesys = JsonLines.fs(new Path(dir))
+    messages.foreach {
+      case JsonLinesCommitMessage(tempPath, _) =>
+        filesys.delete(new Path(tempPath), false)
+      case _ => ()
+    }
+  }
+}
+
+private[graft] class JsonLinesWriterFactory(dir: String, schema: StructType,
+    jobId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonLinesDataWriter(dir, schema, jobId, partitionId, taskId)
+}
+
+/** Serializes rows back to JSON lines via Jackson (proper string
+  * escaping — the reader must round-trip anything it wrote). The temp
+  * name embeds partitionId AND taskId, so a speculative attempt never
+  * collides with the original's file.
+  */
+private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
+    jobId: String, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val tempPath =
+    new Path(dir, f".tmp-part-$partitionId%05d-$jobId-attempt-$taskId.jsonl")
+  private val finalName = f"part-$partitionId%05d-$jobId.jsonl"
+  private val out = {
+    val filesys = JsonLines.fs(tempPath)
+    new java.io.BufferedOutputStream(filesys.create(tempPath, true), 64 * 1024)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new UnsupportedOperationException(
+          s"graft-jsonl write: unsupported type $dt for field ${f.name}")
+      }
+    }
+    out.write(mapper.writeValueAsBytes(node))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonLinesCommitMessage(tempPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    JsonLines.fs(tempPath).delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class JsonLinesReaderFactory(tableSchema: StructType,

@@ -162,6 +162,65 @@ class SourcesSpec extends AnyFunSuite {
       "replayed batch must re-plan byte-identical splits from the recovered log")
   }
 
+  test("write path: round-trip, overwrite replaces, no temp files leak") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_write").resolve("out").toString
+    val df = (0 until 50).map(i => (i.toLong, s"row$i", i * 1.5, i % 3 == 0))
+      .toDF("id", "name", "score", "live").repartition(4)
+    df.write.format("graft-jsonl").mode("append").save(dir)
+    val back = spark.read.format("graft-jsonl").load(dir)
+    assert(back.schema.fieldNames.sorted.toSeq === Seq("id", "live", "name", "score"))
+    assert(back.count() === 50)
+    assert(back.selectExpr("sum(id)", "sum(score)").collect()(0).toSeq ===
+      df.selectExpr("sum(id)", "sum(score)").collect()(0).toSeq)
+    // overwrite with different content: old files must be gone
+    val df2 = (100 until 110).map(i => (i.toLong, s"row$i", 0.0, false))
+      .toDF("id", "name", "score", "live")
+    df2.write.format("graft-jsonl").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-jsonl").load(dir)
+    assert(after.count() === 10)
+    assert(after.agg(org.apache.spark.sql.functions.min("id")).collect()(0).getLong(0) === 100L)
+    // two-phase commit leaves no temp litter (checksum .crc siblings from
+    // the local filesystem are fine; task temps are not)
+    val leftover = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains(".tmp-"))
+    assert(leftover.isEmpty, s"temp files leaked: ${leftover.mkString(",")}")
+  }
+
+  test("write path: JSON escaping round-trips hostile strings") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_escape").resolve("out").toString
+    val hostile = Seq("quote\"backslash\\", "tab\tnewline\n", "unicode é中",
+      "{looks:\"like json\"}", "")
+    hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .write.format("graft-jsonl").mode("append").save(dir)
+    val back = spark.read.format("graft-jsonl").load(dir)
+      .collect().sortBy(_.getLong(0)).map(_.getString(1))
+    assert(back.toSeq === hostile, "writer escaping must round-trip through the reader")
+  }
+
+  test("write abort deletes the task temp file") {
+    val dir = Files.createTempDirectory("jsonl_abort").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val factory = new graft.sources.JsonLinesWriterFactory(dir, schema, "testjob")
+    val writer = factory.createWriter(0, 7L)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    // task attempt fails -> abort: its temp must vanish, nothing visible
+    writer.abort()
+    assert(new java.io.File(dir).listFiles().forall(f => !f.getName.contains("tmp")),
+      "aborted attempt left its temp file")
+    // a second attempt (new taskId) succeeds and commits cleanly
+    val retry = factory.createWriter(0, 8L)
+    retry.write(org.apache.spark.sql.catalyst.InternalRow(2L))
+    val msg = retry.commit()
+    new graft.sources.JsonLinesBatchWrite(dir, schema, false)
+      .commit(Array(msg))
+    val rows = spark.read.format("graft-jsonl")
+      .schema(schema).load(dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L),
+      "only the committed attempt's rows may be visible")
+  }
+
   test("end-to-end oracle query: connector result equals parquet ground truth") {
     val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
     val viaParquet = Tables.documents(spark, TestSpark.sfDir)
