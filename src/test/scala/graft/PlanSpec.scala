@@ -291,6 +291,18 @@ class PlanSpec extends AnyFunSuite {
         s"reach the final aggregate's single reducer:\n$plan")
   }
 
+  test("exact-substring dedup: joinless — window generation is map-side, " +
+      "then only key-bounded aggregations") {
+    val plan = finalPlan(graft.operators.DedupOps.dedupExactSubstr(spark, dir))
+    // the whole pipeline is generate -> agg -> window -> agg: any Join
+    // node means a corpus-sized equi-join snuck in; all-pairs shapes
+    // doubly so
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"exact-substring dedup should be joinless:\n$plan")
+    assert(plan.contains("Generate"),
+      s"span windows must explode map-side (Generate):\n$plan")
+  }
+
   test("cdc chunking dedup: chunker itself plans no exchange; the " +
       "cross-doc stage never goes all-pairs") {
     import org.apache.spark.sql.functions.col
