@@ -73,9 +73,56 @@ object SourceOps {
       |WHERE n_chars >= 200 AND lang IN ('en', 'de')
       |ORDER BY doc_id""".stripMargin
 
+  private val writtenPaths = new ConcurrentHashMap[String, String]()
+
+  /** The WRITE path oracle: the documents table is written through the
+    * connector's two-phase-commit writer (4 tasks), read back through
+    * the connector, and summarized per language. Any dropped partition,
+    * unrenamed temp, double-committed attempt, or broken string escape
+    * changes a count or checksum and the DuckDB twin (which never saw
+    * the JSONL) catches it. The md5-of-text sum is the content check —
+    * it covers every byte of every document through the
+    * serialize/escape/parse cycle.
+    */
+  def sourceJsonlWrite(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "jsonl-write", dir)
+    var out = writtenPaths.get(key)
+    if (out == null) {
+      writtenPaths.synchronized {
+        out = writtenPaths.get(key)
+        if (out == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-jsonl-w-")
+            .resolve("docs").toString
+          Tables.documents(spark, dir)
+            .repartition(4, col("doc_id"))
+            .write.format("graft-jsonl").mode("overwrite").save(p)
+          writtenPaths.put(key, p)
+          out = p
+        }
+      }
+    }
+    spark.read.format("graft-jsonl").schema(documentsSchema).load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        // 48-bit hash fold: sum of each text's md5 head, an
+        // order-independent corpus checksum both engines compute
+        // exactly (decimal sum so no scale factor can overflow it)
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).as("text_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val sourceJsonlWriteOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "source_jsonl_scan" -> (sourceJsonlScan _))
+    "source_jsonl_scan" -> (sourceJsonlScan _),
+    "source_jsonl_write" -> (sourceJsonlWrite _))
 
   def oracles: Map[String, String] = Map(
-    "source_jsonl_scan" -> sourceJsonlScanOracle)
+    "source_jsonl_scan" -> sourceJsonlScanOracle,
+    "source_jsonl_write" -> sourceJsonlWriteOracle)
 }
