@@ -310,7 +310,12 @@ private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      logFs.rename(tmp, dst)
+      // the log IS the offset->file mapping committed batches rely on: a
+      // silently failed persist would let a restart re-discover these
+      // files in a different order than the checkpoint replays
+      if (!logFs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"graft-jsonl stream: failed to persist file log $dst")
     }
   }
 
