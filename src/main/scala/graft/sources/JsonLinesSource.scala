@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
@@ -220,7 +221,28 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+
+  /** PERMISSIVE degradation must never be silent: the SQL metrics
+    * surface how many lines each scan dropped as malformed and how many
+    * rows the pushed filters removed — the difference between "the scan
+    * was selective" and "the scan was eating corrupt data" at 100 TB.
+    */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new MalformedLinesMetric, new FilteredLinesMetric)
 }
+
+private[sources] class MalformedLinesMetric extends CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String = "lines dropped as malformed JSON"
+}
+
+private[sources] class FilteredLinesMetric extends CustomSumMetric {
+  override def name(): String = "filteredLines"
+  override def description(): String = "rows removed by pushed filters"
+}
+
+private[sources] case class JsonLinesTaskMetric(name: String, value: Long)
+    extends CustomTaskMetric
 
 private[sources] object JsonLinesScan {
   def splitFile(path: String, len: Long, splitBytes: Long): Seq[InputPartition] =
@@ -546,13 +568,18 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
     }
   }
 
+  private var malformedLines = 0L
+  private var filteredLines = 0L
+
   override def next(): Boolean = {
     var line = nextLine()
     while (line != null) {
       if (line.trim.nonEmpty) {
         val full = parse(line)
-        if (full != null &&
-            pushed.forall(JsonLinesFilters.eval(_, fieldIndex, full))) {
+        if (full == null) malformedLines += 1
+        else if (!pushed.forall(JsonLinesFilters.eval(_, fieldIndex, full)))
+          filteredLines += 1
+        else {
           val projected = required.fields.map { f =>
             full(fieldIndex(f.name)) match {
               case s: String => UTF8String.fromString(s)
@@ -567,6 +594,10 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
     }
     false
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(JsonLinesTaskMetric("malformedLines", malformedLines),
+      JsonLinesTaskMetric("filteredLines", filteredLines))
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -221,6 +221,31 @@ class SourcesSpec extends AnyFunSuite {
       "only the committed attempt's rows may be visible")
   }
 
+  test("scan metrics surface malformed-line drops and pushdown filtering") {
+    val dir = writeLines(Seq(
+      """{"id":1,"name":"a"}""",
+      """broken line one""",
+      """{"id":2,"name":"b"}""",
+      """broken line two""",
+      """{"id":3,"name":"c"}""",
+      """{"id":4,"name":"d"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).filter("id >= 3")
+    // execute THIS QueryExecution (count() would plan a separate one
+    // whose metrics the assertions below never see)
+    assert(df.collect().length === 2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    // metrics accumulate on the executed plan after the action
+    assert(scan.metrics("malformedLines").value === 2,
+      s"malformed-line drops must be visible, got ${scan.metrics}")
+    assert(scan.metrics("filteredLines").value === 2,
+      s"pushed-filter removals must be visible, got ${scan.metrics}")
+  }
+
   test("end-to-end oracle query: connector result equals parquet ground truth") {
     val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
     val viaParquet = Tables.documents(spark, TestSpark.sfDir)
