@@ -1281,7 +1281,43 @@ object DedupOps {
        |             / SUM(n_occ) + 1e-9, 4) AS dup_frac
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The corpus-level companion report to [[dedupExactSubstr]]: the 20
+    * most-repeated cross-document [[SubstrW]]-token passages, with their
+    * occurrence and document counts — what a curation team reads to
+    * decide WHICH boilerplate to excise (license headers, navigation
+    * chrome, templated intros). One shuffle on the span text (map-side
+    * partial counts absorb hot spans), count-distinct docs is Spark's
+    * standard two-phase expand, and the top-20 plans as TakeOrdered —
+    * never a global sort of the span vocabulary.
+    */
+  def dedupTopSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = SubstrW
+    val toks = TextOps.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+    toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - w),
+          j => array_join(slice(col("t"), j + lit(1), lit(w)), " "))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .limit(20)
+  }
+
+  val dedupTopSpansOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t)-${SubstrW - 2}),
+       |                               i -> array_to_string(t[i:i+${SubstrW - 1}], ' '))) AS span
+       |  FROM d WHERE len(t) >= $SubstrW)
+       |SELECT span, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_occ DESC, n_docs DESC, span LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_top_spans" -> (dedupTopSpans _),
     "dedup_exact_substr" -> (dedupExactSubstr _),
     "dedup_multi_signal" -> (dedupMultiSignal _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
@@ -1299,6 +1335,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_top_spans" -> dedupTopSpansOracle,
     "dedup_exact_substr" -> dedupExactSubstrOracle,
     "dedup_multi_signal" -> dedupMultiSignalOracle,
     "dedup_cdc_chunks" -> dedupCdcChunksOracle,
