@@ -303,6 +303,15 @@ class PlanSpec extends AnyFunSuite {
       s"span windows must explode map-side (Generate):\n$plan")
   }
 
+  test("top duplicated-passages report: top-20 plans as TakeOrdered, " +
+      "never a global sort of the span vocabulary") {
+    val plan = finalPlan(graft.operators.DedupOps.dedupTopSpans(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the top-20:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"span report should be joinless:\n$plan")
+  }
+
   test("cdc chunking dedup: chunker itself plans no exchange; the " +
       "cross-doc stage never goes all-pairs") {
     import org.apache.spark.sql.functions.col
