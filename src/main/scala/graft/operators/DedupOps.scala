@@ -1281,6 +1281,56 @@ object DedupOps {
        |             / SUM(n_occ) + 1e-9, 4) AS dup_frac
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Distinct [[SubstrW]]-token window hashes per doc — the span-level
+    * analog of the shingle substrate, shared by the incremental screen.
+    */
+  private def spanHashes(docs: DataFrame): DataFrame =
+    TextOps.spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= SubstrW)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - SubstrW),
+          j => md5(array_join(slice(col("t"), j + lit(1), lit(SubstrW)), " ")
+            .cast("binary"))))).as("h"))
+
+  /** Document-frequency cap for span postings: a span shared by more
+    * docs than this is boilerplate (navigation chrome, license text),
+    * not a copy signal, and would only widen the screen's join fan-out.
+    * Same principle as [[MaxShingleDf]].
+    */
+  val MaxSpanDf = 10
+
+  /** Minimum shared distinct spans before the screen reports a match —
+    * one shared window can be coincidence-adjacent boilerplate below the
+    * df cap; three spans (>= SubstrW + 2 contiguous tokens if adjacent)
+    * is a copied passage.
+    */
+  val MinSharedSpans = 3
+
+  private def stagedSpanPostings(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, stageKey(spark, "spanpost", dir)) {
+      spanHashes(Tables.documents(spark, dir))
+        .groupBy(col("h")).agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= MaxSpanDf)
+    }
+
+  /** Incremental exact-substring screen: which corpus documents share
+    * copied passages with the ARRIVING documents. The corpus is span-
+    * indexed once per session (staged postings, df-capped); each call
+    * costs one hash pass over the new batch plus a postings join bounded
+    * by [[MaxSpanDf]] — the span-level sibling of [[dedupIncremental]],
+    * and the batch core of the streaming screen
+    * ([[graft.streaming.DocStreamJob.startSubstrScreen]]).
+    */
+  def substrScreen(spark: SparkSession, dir: String,
+      newDocs: DataFrame): DataFrame =
+    spanHashes(newDocs)
+      .join(stagedSpanPostings(spark, dir), "h")
+      .select(col("doc_id").as("new_id"), explode(col("ds")).as("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= MinSharedSpans)
+
   /** The corpus-level companion report to [[dedupExactSubstr]]: the 20
     * most-repeated cross-document [[SubstrW]]-token passages, with their
     * occurrence and document counts — what a curation team reads to

@@ -127,6 +127,30 @@ object DocStreamJob {
       }
       .start()
 
+  /** Streaming EXACT-SUBSTRING screening against the static staged span
+    * index — the span-level sibling of [[startIncrementalDedup]]: each
+    * micro-batch of (doc_id, text) documents is window-hashed (cost
+    * scales with the batch) and joined against the df-capped corpus span
+    * postings ([[graft.operators.DedupOps.substrScreen]]); documents
+    * sharing >= MinSharedSpans distinct spans with a corpus document
+    * reach `sinkWriter` as (new_id, corpus_id, n_shared_spans) — copied
+    * passages caught at ingest, before they enter the corpus.
+    */
+  def startSubstrScreen(docs: DataFrame, corpusDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sinkWriter: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sinkWriter(
+          graft.operators.DedupOps.substrScreen(
+            batch.sparkSession, corpusDir, batch), id)
+      }
+      .start()
+
   /** Streaming SEMANTIC screening of arriving embeddings against the
     * static staged cell index — the embedding-space twin of
     * [[startIncrementalDedup]]: each micro-batch of (vec_id, embedding)

@@ -90,6 +90,43 @@ class DocStreamSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 900002L), s"unseen doc falsely flagged: ${hits.toSeq}")
   }
 
+  test("streaming substring screen: an arriving doc with a copied " +
+      "passage is flagged against the staged span index") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    import graft.operators.DedupOps
+    // a corpus doc long enough to carry MinSharedSpans+SubstrW-1 windows
+    val victim = Tables.documents(spark, TestSpark.sfDir)
+      .filter(asize(org.apache.spark.sql.functions.split(col("text"), " "))
+        >= DedupOps.SubstrW + DedupOps.MinSharedSpans + 5)
+      .orderBy(col("doc_id")).select("doc_id", "text").head()
+    val (vid, vtext) = (victim.getLong(0), victim.getString(1))
+    // the "plagiarist": a fresh preamble + the victim's opening passage
+    // (enough tokens for >= MinSharedSpans shared windows)
+    val passage = vtext.split(" ")
+      .take(DedupOps.SubstrW + DedupOps.MinSharedSpans + 2).mkString(" ")
+    val copied = "totally novel preamble words " + passage
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = Files.createTempDirectory("substr_sink").toString
+    val ckpt = Files.createTempDirectory("substr_ckpt").toString
+    val q = DocStreamJob.startSubstrScreen(docs, TestSpark.sfDir, ckpt)(
+      (batch, _) => batch.write.mode("append").parquet(out))
+    try {
+      stream.addData((910001L, copied),
+        (910002L, Seq.fill(DedupOps.SubstrW + 5)("unseen").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.exists(h => h._1 == 910001L && h._2 == vid &&
+      h._3 >= DedupOps.MinSharedSpans),
+      s"copied passage not flagged against doc $vid: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 910002L),
+      s"fresh doc falsely flagged: ${hits.toSeq}")
+  }
+
   test("streaming semantic screen: an arriving exact-copy embedding is " +
       "flagged against the staged cell index; a far vector is not") {
     import org.apache.spark.sql.functions.col
