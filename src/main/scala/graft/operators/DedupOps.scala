@@ -1335,24 +1335,39 @@ object DedupOps {
     * most-repeated cross-document [[SubstrW]]-token passages, with their
     * occurrence and document counts — what a curation team reads to
     * decide WHICH boilerplate to excise (license headers, navigation
-    * chrome, templated intros). One shuffle on the span text (map-side
-    * partial counts absorb hot spans), count-distinct docs is Spark's
-    * standard two-phase expand, and the top-20 plans as TakeOrdered —
-    * never a global sort of the span vocabulary.
+    * chrome, templated intros).
+    *
+    * The span TEXT never shuffles: ranking runs entirely over md5
+    * hashes (one hash shuffle with map-side partials, count-distinct
+    * docs as the standard two-phase expand, top-20 as TakeOrdered), and
+    * only then does a second map-only pass recover the 20 winning texts
+    * via a broadcast join of the 20-row top list. At 100 TB that is the
+    * difference between shuffling 32-char keys and shuffling the corpus
+    * re-rendered as 15-token strings. The rank tiebreak is the hash in
+    * BOTH engines, so the boundary row at rank 20 is pinned identically.
     */
   def dedupTopSpans(spark: SparkSession, dir: String): DataFrame = {
     val w = SubstrW
-    val toks = TextOps.spread(Tables.documents(spark, dir))
+    val windows = TextOps.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
-    toks.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - w),
-          j => array_join(slice(col("t"), j + lit(1), lit(w)), " "))).as("span"))
-      .groupBy(col("span"))
+    val hashed = windows.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("t")) - w),
+        j => md5(array_join(slice(col("t"), j + lit(1), lit(w)), " ")
+          .cast("binary")))).as("h"))
+    val top = hashed.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("h"))
       .limit(20)
+    val spanTexts = windows.select(
+      explode(transform(sequence(lit(0), size(col("t")) - w),
+        j => array_join(slice(col("t"), j + lit(1), lit(w)), " "))).as("span"))
+      .select(md5(col("span").cast("binary")).as("h"), col("span"))
+    spanTexts.join(broadcast(top), "h")
+      .select(col("span"), col("n_occ"), col("n_docs"))
+      .distinct()
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
   }
 
   val dedupTopSpansOracle: String =
@@ -1364,7 +1379,7 @@ object DedupOps {
        |  FROM d WHERE len(t) >= $SubstrW)
        |SELECT span, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
        |FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
-       |ORDER BY n_occ DESC, n_docs DESC, span LIMIT 20""".stripMargin
+       |ORDER BY n_occ DESC, n_docs DESC, md5(span) LIMIT 20""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_top_spans" -> (dedupTopSpans _),

@@ -303,13 +303,18 @@ class PlanSpec extends AnyFunSuite {
       s"span windows must explode map-side (Generate):\n$plan")
   }
 
-  test("top duplicated-passages report: top-20 plans as TakeOrdered, " +
-      "never a global sort of the span vocabulary") {
+  test("top duplicated-passages report: ranking shuffles hashes only " +
+      "(TakeOrdered), span text recovered via broadcast of the top-20") {
     val plan = finalPlan(graft.operators.DedupOps.dedupTopSpans(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
-      s"expected TakeOrdered for the top-20:\n$plan")
-    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
-      s"span report should be joinless:\n$plan")
+      s"expected TakeOrdered for the hash ranking:\n$plan")
+    // text recovery must be the broadcast of the 20-row top list into a
+    // map-side scan — a sort-merge join here means the corpus's span
+    // TEXT got shuffled, the exact cost the two-pass design avoids
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-20 text recovery should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"span text must never shuffle:\n$plan")
   }
 
   test("cdc chunking dedup: chunker itself plans no exchange; the " +
