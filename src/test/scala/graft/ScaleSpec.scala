@@ -220,4 +220,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(candBig <= bfPairs / 2,
       s"LSH scored $candBig of $bfPairs brute-force pairs — no pruning")
   }
+
+  /** The substring screen's scale contract: the MaxSpanDf cap bounds
+    * each arriving span's postings fan-out, so TOTAL hits for a batch
+    * can never exceed (batch's distinct spans) x MaxSpanDf — the
+    * invariant that keeps per-batch screening cost proportional to the
+    * batch, not to how duplicated the corpus is. Asserted on the 5000-doc
+    * corpus with a batch drawn FROM that corpus (self-matches also make
+    * the lower bound non-vacuous); dropping the df cap breaks the upper
+    * bound as soon as any batch passage is corpus-hot.
+    */
+  test("substring screen hit volume is bounded by batch spans x MaxSpanDf") {
+    import graft.operators.DedupOps
+    val batch = graft.Tables.documents(spark, TestSpark.sfDirBig)
+      .orderBy(col("doc_id")).limit(20).select(col("doc_id"), col("text"))
+    val batchSpans = batch
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= DedupOps.SubstrW)
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), size(col("t")) - DedupOps.SubstrW),
+        j => concat_ws(" ", slice(col("t"),
+          j + lit(1), lit(DedupOps.SubstrW)))))).as("s"))
+      .count()
+    val hits = DedupOps.substrScreen(spark, TestSpark.sfDirBig, batch).count()
+    val eligible = batch
+      .filter(size(split(col("text"), " ")) >=
+        DedupOps.SubstrW + DedupOps.MinSharedSpans - 1).count()
+    info(s"batch spans $batchSpans, screen hits $hits, " +
+      s"self-match-eligible docs $eligible")
+    assert(hits >= eligible,
+      s"batch docs drawn from the corpus must at least match themselves " +
+        s"($hits hits < $eligible eligible)")
+    assert(hits <= batchSpans * DedupOps.MaxSpanDf,
+      s"$hits hits exceed the df-cap bound (${batchSpans * DedupOps.MaxSpanDf}) " +
+        "— postings fan-out no longer bounded?")
+  }
 }
