@@ -293,6 +293,37 @@ object RelationalOps {
   /** Distinct aggregation: exact distinct counts per group (expand +
     * two-phase aggregate under the hood).
     */
+  /** Exact percentiles per group — Spark's `percentile` (linear
+    * interpolation over the sorted group, SQL PERCENTILE_CONT
+    * semantics) vs DuckDB `quantile_cont`. l_quantity is integral, so
+    * quarter-point quantiles land on exact multiples of 0.25 —
+    * binary-exact doubles in both engines, no rounding policy needed.
+    * Exact percentiles need the full group sorted (one shuffle on the
+    * group key); at 100 TB the approx twin (`q_approx_agg`'s GK sketch)
+    * is the scale path, this is the small-group exact path.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.95)").as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesOracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.95) AS p95,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -793,6 +824,7 @@ object RelationalOps {
     "q_window_running" -> (qWindowRunning _),
     "q_sort_limit" -> (qSortLimit _),
     "q_set_ops" -> (qSetOps _),
+    "q_percentiles" -> (qPercentiles _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -821,6 +853,7 @@ object RelationalOps {
     "q_window_running" -> qWindowRunningOracle,
     "q_sort_limit" -> qSortLimitOracle,
     "q_set_ops" -> qSetOpsOracle,
+    "q_percentiles" -> qPercentilesOracle,
     "q_distinct_agg" -> qDistinctAggOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,
