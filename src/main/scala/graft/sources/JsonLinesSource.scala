@@ -204,14 +204,32 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     new JsonLinesMicroBatchStream(tableSchema, required, pushed, paths,
       splitBytes, checkpointLocation)
 
+  private var filesSkipped = 0L
+
   /** Byte-range splits: ceil(len / splitBytes) partitions per file. The
     * reader aligns to line starts, so split boundaries never duplicate
-    * or drop a record.
+    * or drop a record. Files whose `_stats.jsonl` zone (per-field
+    * min/max, written by this connector's writer at job commit) PROVES
+    * the pushed filters match nothing are skipped whole — the parquet
+    * footer min/max trick for a line format. Files without a stats
+    * entry are never skipped (conservative: an external producer's
+    * files always scan).
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    JsonLines.listFiles(paths).flatMap { st =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val zones = if (pushed.isEmpty) Map.empty[String, JsonLinesZone]
+      else paths.flatMap(p => JsonLinesStats.read(new Path(p))).toMap
+    val (skipped, kept) = JsonLines.listFiles(paths).partition { st =>
+      zones.get(st.getPath.getName)
+        .exists(z => pushed.exists(JsonLinesStats.provesEmpty(_, z)))
+    }
+    filesSkipped = skipped.size.toLong
+    kept.flatMap { st =>
       JsonLinesScan.splitFile(st.getPath.toString, st.getLen, splitBytes)
     }.toArray
+  }
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    Array(JsonLinesTaskMetric("skippedFiles", filesSkipped))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonLinesReaderFactory(tableSchema, required, pushed)
@@ -228,7 +246,13 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     * was selective" and "the scan was eating corrupt data" at 100 TB.
     */
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new MalformedLinesMetric, new FilteredLinesMetric)
+    Array(new MalformedLinesMetric, new FilteredLinesMetric,
+      new SkippedFilesMetric)
+}
+
+private[sources] class SkippedFilesMetric extends CustomSumMetric {
+  override def name(): String = "skippedFiles"
+  override def description(): String = "files skipped by zone-map stats"
 }
 
 private[sources] class MalformedLinesMetric extends CustomSumMetric {
@@ -254,6 +278,144 @@ private[sources] object JsonLinesScan {
 
 private[sources] case class JsonLinesPartition(path: String, start: Long,
     end: Long, fileLen: Long) extends InputPartition
+
+/** Per-file zone: for each field, (min, max) over non-null parsed
+  * values plus a had-nulls flag. Values are Long / Double / String /
+  * Boolean — the connector's type surface.
+  */
+private[graft] case class JsonLinesZone(
+    fields: Map[String, (Any, Any)], nullFields: Set[String])
+
+/** The `_stats.jsonl` sidecar: one line per data file,
+  * `{"file":name,"fields":{f:{"min":…,"max":…,"nulls":bool}}}`.
+  * Underscore-prefixed, so readers and the streaming discovery log
+  * never see it as data.
+  */
+private[graft] object JsonLinesStats {
+  val FileName = "_stats.jsonl"
+
+  def write(filesys: FileSystem, dir: Path,
+      zones: Seq[(String, JsonLinesZone)]): Unit = {
+    if (zones.isEmpty) return
+    val mapper = new ObjectMapper()
+    val sb = new StringBuilder
+    zones.foreach { case (file, z) =>
+      val node = mapper.createObjectNode()
+      node.put("file", file)
+      val fs = node.putObject("fields")
+      z.fields.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val fn = fs.putObject(f)
+        putVal(fn, "min", lo); putVal(fn, "max", hi)
+        fn.put("nulls", z.nullFields.contains(f))
+      }
+      sb.append(mapper.writeValueAsString(node)).append('\n')
+    }
+    val tmp = new Path(dir, s".$FileName.tmp")
+    val out = filesys.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, FileName)
+    filesys.delete(dst, false)
+    if (!filesys.rename(tmp, dst))
+      throw new java.io.IOException(s"graft-jsonl: failed to persist $dst")
+  }
+
+  private def putVal(n: com.fasterxml.jackson.databind.node.ObjectNode,
+      k: String, v: Any): Unit = v match {
+    case l: Long => n.put(k, l)
+    case d: Double => n.put(k, d)
+    case b: Boolean => n.put(k, b)
+    case s: String => n.put(k, s)
+    case _ => ()
+  }
+
+  private def readVal(v: JsonNode): Any =
+    if (v.isIntegralNumber) v.asLong()
+    else if (v.isNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else v.asText()
+
+  /** file-name -> zone map for a data directory; empty when the sidecar
+    * is absent or unreadable (stats are an optimization, never a
+    * correctness dependency).
+    */
+  def read(dir: Path): Map[String, JsonLinesZone] = try {
+    val filesys = JsonLines.fs(dir)
+    val p = new Path(dir, FileName)
+    if (!filesys.exists(p)) return Map.empty
+    val mapper = new ObjectMapper()
+    val in = filesys.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).flatMap { line =>
+          val node = mapper.readTree(line)
+          val fields = scala.collection.mutable.Map[String, (Any, Any)]()
+          val nulls = scala.collection.mutable.Set[String]()
+          val fs = node.get("fields")
+          if (fs != null) {
+            val it = fs.fieldNames()
+            while (it.hasNext) {
+              val f = it.next(); val fn = fs.get(f)
+              fields += f -> (readVal(fn.get("min")), readVal(fn.get("max")))
+              if (fn.get("nulls").asBoolean()) nulls += f
+            }
+          }
+          Some(node.get("file").asText() ->
+            JsonLinesZone(fields.toMap, nulls.toSet))
+        }.toMap
+    } finally in.close()
+  } catch { case _: Exception => Map.empty }
+
+  /** True when the zone PROVES the filter matches no row of the file.
+    * Conservative: unknown fields / shapes never prove emptiness.
+    */
+  def provesEmpty(f: Filter, z: JsonLinesZone): Boolean = {
+    def zone(a: String): Option[(Any, Any)] = z.fields.get(a)
+    def nan(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case f: Float => f.isNaN
+      case _ => false
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case _ if nan(a) || nan(b) => None // NaN proves nothing
+      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+      case (x: Number, y: Long) => Some(java.lang.Long.compare(x.longValue(), y))
+      case (x: Number, y: Double) => Some(java.lang.Double.compare(x.doubleValue(), y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+    // a field that appeared ONLY as null has no (min,max) zone but a
+    // nulls flag: every comparison against it is false for every row
+    def allNull(a: String): Boolean =
+      !z.fields.contains(a) && z.nullFields.contains(a)
+    f match {
+      case EqualTo(a, v) => allNull(a) || zone(a).exists { case (lo, hi) =>
+        cmp(v, lo).exists(_ < 0) || cmp(v, hi).exists(_ > 0) }
+      case GreaterThan(a, v) => allNull(a) || zone(a).exists { case (_, hi) =>
+        cmp(hi, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(a, v) => allNull(a) || zone(a).exists { case (_, hi) =>
+        cmp(hi, v).exists(_ < 0) }
+      case LessThan(a, v) => allNull(a) || zone(a).exists { case (lo, _) =>
+        cmp(lo, v).exists(_ >= 0) }
+      case LessThanOrEqual(a, v) => allNull(a) || zone(a).exists { case (lo, _) =>
+        cmp(lo, v).exists(_ > 0) }
+      case In(a, vs) => allNull(a) || (vs.nonEmpty && zone(a).exists { case (lo, hi) =>
+        vs.forall(v => cmp(v, lo).exists(_ < 0) || cmp(v, hi).exists(_ > 0)) })
+      case IsNull(a) =>
+        // provably no nulls only if the field has a zone (saw values)
+        // and recorded none missing
+        z.fields.contains(a) && !z.nullFields.contains(a)
+      case IsNotNull(a) => allNull(a)
+      case And(l, r) => provesEmpty(l, z) || provesEmpty(r, z)
+      case Or(l, r) => provesEmpty(l, z) && provesEmpty(r, z)
+      case _ => false
+    }
+  }
+}
 
 /** Streaming offset = how many files of the discovery log have been
   * consumed. The log itself (ordered (length, path) snapshots) carries
@@ -387,7 +549,7 @@ private[sources] class JsonLinesWriteBuilder(dir: String, info: LogicalWriteInfo
 }
 
 private[sources] case class JsonLinesCommitMessage(tempPath: String,
-    finalName: String) extends WriterCommitMessage
+    finalName: String, zone: JsonLinesZone) extends WriterCommitMessage
 
 private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
     doTruncate: Boolean) extends BatchWrite {
@@ -412,7 +574,7 @@ private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
       else Seq.empty
     // finalize new data first: a crash between the two loops leaves the
     // union visible (never a window with NO data)
-    messages.foreach { case JsonLinesCommitMessage(tempPath, finalName) =>
+    messages.foreach { case JsonLinesCommitMessage(tempPath, finalName, _) =>
       val tmp = new Path(tempPath)
       val dst = new Path(d, finalName)
       if (filesys.exists(tmp) && !filesys.rename(tmp, dst))
@@ -420,12 +582,20 @@ private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
           s"graft-jsonl commit: rename $tmp -> $dst failed")
     }
     previous.foreach(filesys.delete(_, false))
+    // zone-map sidecar: overwrite starts fresh (the old files are gone);
+    // append merges the previous sidecar so skipping stays complete
+    val kept = if (doTruncate) Seq.empty
+      else JsonLinesStats.read(d).toSeq
+    val fresh = messages.toSeq.map {
+      case JsonLinesCommitMessage(_, finalName, zone) => finalName -> zone
+    }
+    JsonLinesStats.write(filesys, d, kept ++ fresh)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val filesys = JsonLines.fs(new Path(dir))
     messages.foreach {
-      case JsonLinesCommitMessage(tempPath, _) =>
+      case JsonLinesCommitMessage(tempPath, _, _) =>
         filesys.delete(new Path(tempPath), false)
       case _ => ()
     }
@@ -455,15 +625,43 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
     new java.io.BufferedOutputStream(filesys.create(tempPath, true), 64 * 1024)
   }
 
+  // zone-map accumulation: per-field running min/max over non-null
+  // values, plus which fields ever saw a null
+  private val mins = scala.collection.mutable.Map[String, Any]()
+  private val maxs = scala.collection.mutable.Map[String, Any]()
+  private val sawNull = scala.collection.mutable.Set[String]()
+  // NaN breaks ordering proofs: any field that ever saw one carries NO
+  // zone at all (not even its null flag — an all-null-plus-NaN zone
+  // would wrongly prove comparisons empty)
+  private val poisoned = scala.collection.mutable.Set[String]()
+
+  private def track(name: String, v: Any): Unit = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case (x: Boolean, y: Boolean) => !x && y
+      case _ => false
+    }
+    if (!mins.contains(name) || lt(v, mins(name))) mins(name) = v
+    if (!maxs.contains(name) || lt(maxs(name), v)) maxs(name) = v
+  }
+
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) node.putNull(f.name)
+      if (row.isNullAt(i)) { node.putNull(f.name); sawNull += f.name }
       else f.dataType match {
-        case LongType => node.put(f.name, row.getLong(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
-        case BooleanType => node.put(f.name, row.getBoolean(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case LongType =>
+          val v = row.getLong(i); node.put(f.name, v); track(f.name, v)
+        case DoubleType =>
+          val v = row.getDouble(i); node.put(f.name, v)
+          if (v.isNaN) poisoned += f.name else track(f.name, v)
+        case BooleanType =>
+          val v = row.getBoolean(i); node.put(f.name, v); track(f.name, v)
+        case StringType =>
+          val v = row.getUTF8String(i).toString
+          node.put(f.name, v); track(f.name, v)
         case dt => throw new UnsupportedOperationException(
           s"graft-jsonl write: unsupported type $dt for field ${f.name}")
       }
@@ -474,7 +672,10 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    JsonLinesCommitMessage(tempPath.toString, finalName)
+    JsonLinesCommitMessage(tempPath.toString, finalName,
+      JsonLinesZone(
+        (mins.keySet -- poisoned).map(k => k -> ((mins(k), maxs(k)))).toMap,
+        (sawNull -- poisoned).toSet))
   }
 
   override def abort(): Unit = {

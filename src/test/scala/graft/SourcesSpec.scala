@@ -246,6 +246,50 @@ class SourcesSpec extends AnyFunSuite {
       s"pushed-filter removals must be visible, got ${scan.metrics}")
   }
 
+  test("zone-map stats skip whole files for provably-empty filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_zonemap").resolve("out").toString
+    // range partitioning gives the 4 files disjoint id ranges, the
+    // layout zone maps reward
+    (0 until 400).map(i => (i.toLong, s"row$i")).toDF("id", "name")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .write.format("graft-jsonl").mode("overwrite").save(dir)
+    assert(new java.io.File(dir, "_stats.jsonl").exists(), "stats sidecar missing")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    def planned(filters: Array[Filter]): Int = {
+      val sb = new graft.sources.JsonLinesSource()
+        .getTable(schema, Array.empty, java.util.Map.of("path", dir))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of()))
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      sb.pushFilters(filters)
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.ScanBuilder]
+        .build().toBatch.planInputPartitions().length
+    }
+    val all = planned(Array.empty)
+    assert(all === 4, s"expected 4 single-split files, got $all")
+    // one id -> exactly one file's zone can contain it
+    assert(planned(Array(EqualTo("id", 5L))) === 1, "point lookup should prune to 1 file")
+    // a range crossing one boundary -> 2 files
+    assert(planned(Array(GreaterThanOrEqual("id", 350L))) <= 2,
+      "tail range should prune the low files")
+    // an impossible predicate -> zero files
+    assert(planned(Array(GreaterThan("id", 10000L))) === 0,
+      "out-of-domain filter should prune everything")
+    // and the pruned read is still exact
+    val got = spark.read.format("graft-jsonl").schema(schema).load(dir)
+      .filter("id = 5").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("row5"))
+    // appends MERGE the sidecar: new file's zone joins the old ones
+    Seq((10000L, "late")).toDF("id", "name")
+      .write.format("graft-jsonl").mode("append").save(dir)
+    assert(planned(Array(EqualTo("id", 10000L))) === 1,
+      "append must extend the stats sidecar, not orphan it")
+    assert(planned(Array(EqualTo("id", 5L))) === 1,
+      "old zones must survive the append merge")
+  }
+
   test("end-to-end oracle query: connector result equals parquet ground truth") {
     val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
     val viaParquet = Tables.documents(spark, TestSpark.sfDir)
