@@ -290,6 +290,53 @@ class SourcesSpec extends AnyFunSuite {
       "old zones must survive the append merge")
   }
 
+  test("connector feeds the streaming ingest pipeline: jsonl tail -> " +
+      "cleanse -> bounded-state dedup") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val dir = Files.createTempDirectory("jsonl_ingest")
+    def stage(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val lines = rows.map { case (id, text, lang, ts) =>
+        s"""{"doc_id":$id,"text":"$text","lang":"$lang","ingest_s":$ts}"""
+      }
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") // high quality
+    stage("b0.jsonl", Seq(
+      (1L, good, "en", 1000L),
+      (2L, "a a a a a a a a a a a a a a a a a a a a", "en", 1001L), // junk
+      (3L, good, "en", 1002L))) // duplicate fingerprint of doc 1
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("ingest_s", LongType)))
+    val stream = spark.readStream.format("graft-jsonl").schema(schema)
+      .load(dir.toString)
+      .withColumn("ingest_ts", timestamp_seconds(col("ingest_s")))
+      .drop("ingest_s")
+    val q = graft.streaming.DocStreamJob.deduped(stream)
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("jsonl_ingest_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("jsonl_ingest").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      // junk rejected by quality, duplicate dropped by fingerprint state
+      assert(ids.toSeq === Seq(1L),
+        s"expected only doc 1 to survive cleanse+dedup, got ${ids.toSeq}")
+      stage("b1.jsonl", Seq((4L, (40 to 70).map(i => s"tok$i").mkString(" "), "de", 1003L)))
+      q.processAllAvailable()
+      val after = spark.table("jsonl_ingest").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(after.toSeq === Seq(1L, 4L),
+        s"appended file must flow through the same pipeline, got ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("end-to-end oracle query: connector result equals parquet ground truth") {
     val df = SourceOps.sourceJsonlScan(spark, TestSpark.sfDir)
     val viaParquet = Tables.documents(spark, TestSpark.sfDir)
