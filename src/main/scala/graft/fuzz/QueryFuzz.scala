@@ -694,7 +694,9 @@ object QueryFuzz {
       3000L, 3002L, 3004L, 3005L, 3006L,
       // string shapes covering each key transform (non-vacuous at
       // sf0.001): 4000 reverse, 4003 substr, 4006 lower, 4014 upper
-      4000L, 4003L, 4006L, 4014L)
+      4000L, 4003L, 4006L, 4014L,
+      // widened r5: more draws from the verified families
+      1005L, 2003L, 3001L, 3003L, 4001L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
