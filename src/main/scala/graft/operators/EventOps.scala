@@ -372,6 +372,106 @@ object EventOps {
       |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
       |ORDER BY step_no""".stripMargin
 
+  /** Markov next-event transition matrix: per-user event sequences
+    * (lead over one user-keyed window — the only corpus-sized shuffle)
+    * collapse into (prev, next) pair counts, a map-side-combinable
+    * aggregate whose key space is |event types|² regardless of corpus
+    * size, then per-prev transition probabilities over that tiny table.
+    * The product-analytics "what happens after X" primitive; at 100 TB
+    * the reduce side stays a few dozen rows.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wp = Window.partitionBy(col("prev_type"))
+    withMicros(Tables.events(spark, dir))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wp) + lit(1e-9), 4))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val eventsTransitionsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS prev_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |           AS next_type
+      |  FROM e),
+      |c AS (
+      |  SELECT prev_type, next_type, COUNT(*) AS n
+      |  FROM pairs WHERE next_type IS NOT NULL
+      |  GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |       round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type) + 1e-9, 4) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** Modified-z-score cut for [[eventsOutliers]]: 3.5 / 0.6745 rendered
+    * as ONE literal so both engines multiply the same double.
+    */
+  val OutlierCut = 5.1891
+
+  /** Robust per-type outlier detection — median / MAD (the
+    * telemetry-cleaning primitive that survives the skew that wrecks
+    * mean/stddev): exact discrete medians (percentile_disc picks an
+    * actual data value, so both engines agree bit-for-bit — no
+    * interpolation arithmetic to align), deviations against a broadcast
+    * per-type table, outlier = |v - med| > 5.1891·MAD. Three scans, but
+    * the joined side is |event types| rows (broadcast) and each pass is
+    * map-only around one tiny aggregate; at 100 TB swap the GK sketch in
+    * for the medians (q_approx_agg) — the flag logic is unchanged.
+    */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"),
+        count(lit(1)).as("n_rows"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("adev") > lit(OutlierCut) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(mad, "event_type")
+      .select(col("event_type"), col("n_rows"), col("med"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n_rows").cast("double") + lit(1e-9), 4)
+          .as("outlier_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsOutliersOracle: String =
+    s"""WITH v AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS med,
+      |         COUNT(*) AS n_rows
+      |  FROM v GROUP BY event_type),
+      |d AS (
+      |  SELECT v.event_type, abs(v.value - m.med) AS adev
+      |  FROM v JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+      |  FROM d GROUP BY event_type),
+      |o AS (
+      |  SELECT d.event_type,
+      |         SUM(CASE WHEN d.adev > $OutlierCut * md.mad THEN 1 ELSE 0 END)
+      |           AS n_outliers
+      |  FROM d JOIN md USING (event_type) GROUP BY d.event_type)
+      |SELECT m.event_type, m.n_rows, m.med, md.mad,
+      |       CAST(o.n_outliers AS BIGINT) AS n_outliers,
+      |       round(o.n_outliers * 1.0 / m.n_rows + 1e-9, 4) AS outlier_frac
+      |FROM m JOIN md USING (event_type) JOIN o USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
+
   /** PII-style redaction over the props payload: mask every digit run,
     * count masked runs. Pure map-side regexp — the redaction pass a
     * training pipeline runs over every document, shaped to scan-project
@@ -495,6 +595,8 @@ object EventOps {
     "events_cohort_retention" -> (eventsCohortRetention _),
     "events_series_corr" -> (eventsSeriesCorr _),
     "events_funnel" -> (eventsFunnel _),
+    "events_transitions" -> (eventsTransitions _),
+    "events_outliers" -> (eventsOutliers _),
     "events_redact" -> (eventsRedact _),
     "events_sample_bottomk" -> (eventsSampleBottomK _),
     "events_json_props" -> (eventsJsonProps _),
@@ -507,6 +609,8 @@ object EventOps {
     "events_cohort_retention" -> eventsCohortRetentionOracle,
     "events_series_corr" -> eventsSeriesCorrOracle,
     "events_funnel" -> eventsFunnelOracle,
+    "events_transitions" -> eventsTransitionsOracle,
+    "events_outliers" -> eventsOutliersOracle,
     "events_redact" -> eventsRedactOracle,
     "events_sample_bottomk" -> eventsSampleBottomKOracle,
     "events_json_props" -> eventsJsonPropsOracle,

@@ -152,6 +152,78 @@ object TextOps {
       |            ELSE 'low' END AS tier
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Buckets in the hashed-classifier feature space (the model size —
+    * fixed regardless of vocabulary).
+    */
+  val ClassifierBuckets = 4096L
+
+  /** Keep threshold for [[textClassifierScore]]'s gate, applied to the
+    * rounded score so both engines compare the same double.
+    */
+  val ClassifierKeepAt = 0.0
+
+  /** Weight of one token under the hashed linear classifier: the token's
+    * 60-bit md5 hash picks a bucket (hashing trick — the model is a
+    * fixed-size weight vector, never a vocabulary), and the bucket id
+    * maps to an integer weight in [-100, 100]. A trained model would
+    * broadcast a literal weight array here; the closed-form weight keeps
+    * the oracle engine-independent while exercising the same scoring
+    * machinery (hash -> bucket -> weight -> mean). Integer weights make
+    * the per-doc sum exact in any fold order.
+    */
+  private def tokenWeight(tok: Column): Column = {
+    val bucket =
+      conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long") %
+        lit(ClassifierBuckets)
+    (bucket * lit(37L) + lit(11L)) % lit(201L) - lit(100L)
+  }
+
+  /** Adds `n_tokens`, `w_sum`, and the rounded mean-weight `cls_score`
+    * in [-1, 1]. Map-only: the fold runs inside `aggregate` per row —
+    * no shuffle, no vocabulary state, whole-stage codegen. Shared by the
+    * oracle query and CurationSpec's law tests.
+    */
+  def withClassifierScore(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    df.withColumn("w_sum",
+        aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t)))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("cls_score",
+        round(col("w_sum") / (lit(100.0) * col("n_tokens")) + lit(1e-9), 4))
+  }
+
+  /** Model-based quality gate — the fastText-shape linear classifier
+    * used to screen pretraining corpora (wiki-ref style), as distinct
+    * from the heuristic battery ([[withGopherRules]]) and the bigram LM
+    * ([[textPerplexity]]): score = mean hashed-bucket weight of the
+    * doc's tokens, gate = threshold on the score. At 100 TB this is the
+    * cheapest possible shape — one map-only scan, the model broadcast is
+    * the entire distribution cost, and the gate composes with the
+    * curation manifest exactly like the heuristic quality floor.
+    */
+  def textClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    withClassifierScore(spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("cls_score"),
+        (col("cls_score") >= ClassifierKeepAt).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val textClassifierScoreOracle: String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(list_sum(list_transform(string_split(text, ' '),
+      |           x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+      |                    % $ClassifierBuckets) * 37 + 11) % 201 - 100))
+      |           AS BIGINT) AS w_sum
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |         round(w_sum / (100.0 * n_tokens) + 1e-9, 4) AS cls_score
+      |  FROM s)
+      |SELECT doc_id, n_tokens, cls_score,
+      |       cls_score >= $ClassifierKeepAt AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Self-trained unigram language classifier: the top-10 most frequent
     * tokens per language (ties broken by token) form each language's
     * profile; a document is classified as the language whose profile
@@ -1063,6 +1135,7 @@ object TextOps {
     "text_packing" -> (textPacking _),
     "sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (textRepetition _),
+    "text_classifier_score" -> (textClassifierScore _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
@@ -1086,6 +1159,7 @@ object TextOps {
     "text_packing" -> textPackingOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> textRepetitionOracle,
+    "text_classifier_score" -> textClassifierScoreOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
     "text_quality" -> textQualityOracle,

@@ -214,4 +214,29 @@ class CurationSpec extends AnyFunSuite {
     // no-stopword doc: only the stop rule fails
     assert(rows(4L) == List(1, 1, 1, 0, 1, 1, 0), s"nostop doc: ${rows(4L)}")
   }
+
+  test("hashed classifier: score is the mean token weight — repetition-" +
+      "invariant, averages across tokens, bounded in [-1, 1]") {
+    import spark.implicits._
+    def scores(docs: Seq[(Long, String)]): Map[Long, Double] =
+      TextOps.withClassifierScore(docs.toDF("doc_id", "text"))
+        .select("doc_id", "cls_score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s = scores(Seq(
+      (1L, "alpha"), (2L, "alpha alpha alpha"),      // same mean weight
+      (3L, "beta"), (4L, "alpha beta")))             // mean of 1 and 3
+    // repeating a token cannot move a mean-of-weights score
+    assert(math.abs(s(1L) - s(2L)) < 1e-9, s"repetition moved score: $s")
+    // two-token doc averages its tokens' single-token scores (same
+    // +1e-9-then-round policy applied to the averaged raw value)
+    val expected = BigDecimal((s(1L) - 1e-9 + (s(3L) - 1e-9)) / 2 + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(s(4L) - expected) < 2e-4,
+      s"mixed doc not the mean: ${s(4L)} vs $expected")
+    // corpus-wide bound: integer weights in [-100, 100] over any doc
+    val all = TextOps.textClassifierScore(spark, dir)
+      .select("cls_score").collect().map(_.getDouble(0))
+    assert(all.forall(v => v >= -1.0 && v <= 1.0),
+      "score escaped [-1, 1]")
+  }
 }
