@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.streaming.{KeyedEvent, StatefulSessionJob}
 
 /** Event-stream analytics over the `events` table: JSON property
   * extraction, sessionization, and time-bucketed pivots — the batch twins
@@ -186,11 +187,166 @@ object EventOps {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
-  /** Attribution lookback for [[eventsAttribution]]: a click joins the
-    * views by the same user within the preceding 4 hours (sized so the
-    * fixture's post-watermark survivors still produce matches).
+  /** Arrival waves for [[eventsSessionizeStateful]]'s file-driven run. */
+  val StatefulChunks = 4
+
+  /** The flatMapGroupsWithState session job (StatefulSessionJob), driven
+    * END-TO-END through the DuckDB oracle: the events table is staged
+    * into [[StatefulChunks]] time-bucketed parquet waves (each a
+    * distributed write — the corpus never touches the driver), a
+    * file-source stream consumes them one wave per micro-batch, and two
+    * far-future sentinel waves push the watermark past every open
+    * session so the event-time timeouts emit the tails. Ascending
+    * time-bucket arrival means no row is ever late, so the oracle is
+    * plain gap sessionization at the job's millisecond resolution.
+    *
+    * This closes the custom-state operator's evidence gap: in-batch gap
+    * splits, cross-batch merges, AND timeout-driven tail emission all
+    * land in one result DuckDB reproduces. Scale shape: the operator
+    * itself is hash-partitioned by key with O(1) state per key; the
+    * memory sink + per-wave `repartition(1)` here are the oracle
+    * harness's arrival simulation, not the production path (any
+    * distributed sink works, waves arrive as real files).
+    */
+  def eventsSessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapMs = SessionGapMicros / 1000L
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id").as("key"), expr("us div 1000").as("ms"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val root = java.nio.file.Files.createTempDirectory("graft_fmgws_").toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val keyed = spark.readStream
+      .schema("key LONG, ms LONG, value DOUBLE")
+      .parquet(srcDir)
+      .select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+        col("value"))
+      .as[KeyedEvent]
+    val q = StatefulSessionJob.sessionize(keyed, gapMs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fmgws_oracle")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      (0 until StatefulChunks).foreach { i =>
+        ev.filter(expr(s"(ms - $lo) div $width") === i)
+          .repartition(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // sentinel waves: the first advances max event time, the second
+      // executes with that watermark so every real timeout fires
+      Seq(-1L -> (hi + 3 * gapMs), -2L -> (hi + 6 * gapMs)).foreach {
+        case (k, t) =>
+          Seq((k, t, 0.0)).toDF("key", "ms", "value")
+            .write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("fmgws_oracle")
+      .filter(col("key") >= 0L)
+      .select(col("key").as("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"),
+        round(col("sum_value") + lit(1e-9), 5).as("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val eventsSessionizeStatefulOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+      |         coalesce(value, 0) AS value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value) IS NULL
+      |                OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value)
+      |                   > ${SessionGapMicros / 1000L} THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sessions AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, value
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+      |       COUNT(*) AS n_events,
+      |       round(SUM(value) + 1e-9, 5) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** Attribution lookback shared by [[eventsAttribution]] and
+    * [[eventsAttributionStream]]: a click joins the views by the same
+    * user within the preceding 4 hours (sized so the fixture produces
+    * real matches — the 10-minute streaming default finds only a
+    * handful).
     */
   val AttributionWindowMicros: Long = 4L * 3600 * 1000000
+
+  /** The stream-stream interval join (SessionStreamJob.attributeClicks),
+    * driven END-TO-END through the DuckDB oracle: views and clicks are
+    * staged into parallel time-bucketed parquet waves (distributed
+    * writes), two file-source streams consume them wave-for-wave, and
+    * the watermarked interval join emits each (view, click-within-4h)
+    * attribution pair as both sides arrive. Ascending arrival means no
+    * row is ever late, so the complete emitted set equals the plain
+    * batch interval join DuckDB runs — while state eviction (view rows
+    * expire once the watermark passes view_ts + window) runs for real
+    * underneath. Complements [[eventsAttribution]], the batch twin of
+    * the DROP side of the same watermark semantics.
+    */
+  def eventsAttributionStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val root = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
+    val (vDir, cDir) = (s"$root/views", s"$root/clicks")
+    Seq(vDir, cDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val views = spark.readStream.schema("user_id LONG, ms LONG").parquet(vDir)
+      .select(col("user_id"), timestamp_millis(col("ms")).as("view_ts"))
+    val clicks = spark.readStream.schema("user_id LONG, ms LONG").parquet(cDir)
+      .select(col("user_id"), timestamp_millis(col("ms")).as("click_ts"))
+    val q = graft.streaming.SessionStreamJob
+      .attributeClicks(views, clicks, "4 hours", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_attr")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      (0 until StatefulChunks).foreach { i =>
+        Seq("view" -> vDir, "click" -> cDir).foreach { case (tpe, out) =>
+          ev.filter(col("event_type") === tpe &&
+              expr(s"(ms - $lo) div $width") === i)
+            .select("user_id", "ms")
+            .repartition(1).write.mode("append").parquet(out)
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("ssj_attr")
+      .select(col("user_id"), unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+  }
+
+  val eventsAttributionStreamOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |v AS (SELECT user_id, ms FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ms FROM e WHERE event_type = 'click')
+      |SELECT v.user_id, v.ms AS view_ms, c.ms AS click_ms
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.ms >= v.ms AND c.ms <= v.ms + ${AttributionWindowMicros / 1000L}
+      |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
 
   /** Batch twin of the STREAM-STREAM interval join
     * (SessionStreamJob.attributeClicks): view->click attribution where
@@ -602,6 +758,8 @@ object EventOps {
     "events_json_props" -> (eventsJsonProps _),
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_late" -> (eventsSessionizeLate _),
+    "events_sessionize_stateful" -> (eventsSessionizeStateful _),
+    "events_attribution_stream" -> (eventsAttributionStream _),
     "events_attribution" -> (eventsAttribution _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
@@ -616,6 +774,8 @@ object EventOps {
     "events_json_props" -> eventsJsonPropsOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_sessionize_late" -> eventsSessionizeLateOracle,
+    "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
+    "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_attribution" -> eventsAttributionOracle,
     "events_hourly_pivot" -> eventsHourlyPivotOracle)
 }

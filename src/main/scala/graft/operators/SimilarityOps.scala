@@ -824,12 +824,151 @@ object SimilarityOps {
       seedCodebook(Tables.embeddings(spark, dir), nlist), threshold)
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqSubDim]]
+    * dims over the fixture's 64-dim embeddings, [[PqK]] codewords per
+    * subspace — a vector's code is [[PqM]] small ints, the 32x
+    * compression against 64 floats that makes billion-vector indexes fit
+    * in memory (Jegou et al.'s PQ).
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** 6-dp-rounded squared L2 between two equal-length slices, folded in
+    * index order so both engines produce the identical double.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    round(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** Per-subspace PQ codebook from the [[PqK]] smallest-md5 seed vectors
+    * (the same exactly-SQL-reproducible seeding as [[seedCodebook]]):
+    * codeword (m, j) is seed j's m-th dimension slice. PqK x PqM rows —
+    * always broadcast; [[trainCodebook]]'s k-means refinement is the
+    * production upgrade, per subspace.
+    */
+  def pqCodebook(corpus: DataFrame): DataFrame = {
+    val hk = md5(col("vec_id").cast("string").cast("binary"))
+    val seeds = corpus
+      .select(col("vec_id"), col("embedding"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(PqK)
+      .select(
+        (row_number().over(Window.orderBy(col("hk"), col("vec_id"))) - 1)
+          .cast("long").as("j"),
+        col("embedding").as("sv"))
+    seeds.crossJoin(broadcast(
+        corpus.sparkSession.range(PqM).toDF("m")))
+      .select(col("m"), col("j"),
+        slice(col("sv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("cw"))
+  }
+
+  /** Encode every vector as its per-subspace nearest codeword: broadcast
+    * codebook cross join (n x PqM*PqK map-side distance rows inside
+    * WholeStageCodegen), then ONE groupBy(vec_id, m) whose map-side
+    * partial min_by collapses to the n x PqM code rows before the
+    * shuffle. Ties on the rounded distance break to the lowest codeword.
+    */
+  def pqEncode(corpus: DataFrame, cb: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"), col("j"),
+        sqDist(slice(col("embedding"), col("m") * PqSubDim + 1,
+          lit(PqSubDim)), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+
+  /** PQ asymmetric-distance search (ADC): each query precomputes its
+    * PqM x PqK lookup table of subspace distances to the codebook (tiny,
+    * broadcast), and a candidate's approximate distance is the SUM of
+    * PqM table lookups over its code — the corpus is never touched
+    * beyond its codes. Scale shape: the code table is PqM small ints per
+    * vector (the index that fits where raw vectors cannot), scoring is a
+    * broadcast-LUT hash join plus one (query_id, vec_id) sum shuffle
+    * bounded by queries x corpus, and top-k is the usual per-query
+    * window. Exact-rescore of the ADC top candidates (as in
+    * [[quantizedRescoreSearch]]) is the standard production refinement.
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+      k: Int): DataFrame = {
+    val codes = pqEncode(corpus, cb)
+    val luts = queries.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("j").as("code"),
+        sqDist(slice(col("embedding"), col("m") * PqSubDim + 1,
+          lit(PqSubDim)), col("cw")).as("d2q"))
+    val scored = codes.join(broadcast(luts), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("d2q")) + lit(1e-9), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** PQ-ADC top-k with the hash-seeded codebook — the compressed-index
+    * ANN path alongside IVF (cell pruning) and LSH (bucket pruning).
+    */
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    pqSearch(e, e.filter(col("vec_id") < NumQueries), pqCodebook(e), TopK)
+  }
+
+  val simPqTopkOracle: String = {
+    def d2(vec: String): String =
+      s"""round(list_sum(list_transform(range(1, $PqSubDim + 1),
+         |               i -> (CAST($vec.embedding[c.m * $PqSubDim + i] AS DOUBLE)
+         |                       - c.sv[c.m * $PqSubDim + i])
+         |                  * (CAST($vec.embedding[c.m * $PqSubDim + i] AS DOUBLE)
+         |                       - c.sv[c.m * $PqSubDim + i]))), 6)""".stripMargin
+    s"""WITH seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS sv
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= $PqK),
+      |cb AS (
+      |  SELECT mm.m, s.j, s.sv
+      |  FROM seeds s CROSS JOIN (SELECT unnest(range($PqM)) AS m) mm),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m
+      |             ORDER BY d2, j) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.m, c.j,
+      |             ${d2("v")} AS d2
+      |      FROM embeddings v CROSS JOIN cb c) d)
+      |  WHERE rn = 1),
+      |luts AS (
+      |  SELECT q.vec_id AS query_id, c.m, c.j AS code,
+      |         ${d2("q")} AS d2q
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < $NumQueries),
+      |s AS (
+      |  SELECT l.query_id, co.vec_id, round(SUM(l.d2q) + 1e-9, 6) AS adc
+      |  FROM codes co JOIN luts l ON co.m = l.m AND co.code = l.code
+      |  WHERE co.vec_id <> l.query_id
+      |  GROUP BY l.query_id, co.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY adc, vec_id) AS rk
+      |  FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, adc
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_lsh_topk" -> (simLshTopk _),
+    "sim_pq_topk" -> (simPqTopk _),
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
@@ -838,5 +977,6 @@ object SimilarityOps {
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_lsh_topk" -> simLshTopkOracle,
+    "sim_pq_topk" -> simPqTopkOracle,
     "sim_quantize" -> simQuantizeOracle)
 }
