@@ -208,6 +208,62 @@ object EventOps {
     * harness's arrival simulation, not the production path (any
     * distributed sink works, waves arrive as real files).
     */
+  /** Stage every arrival wave in ONE partitioned write, then release
+    * waves into the watched source dir by file RENAME (a driver-side
+    * metadata op — the cheap half of the harness; the expensive half,
+    * the corpus scan, runs exactly once). Returns wave id -> staged
+    * files.
+    */
+  private def stageWaves(df: DataFrame, stage: String): Unit =
+    df.repartition(1).write.partitionBy("wave").parquet(stage)
+
+  private def releaseWave(stage: String, srcDir: String, wave: Long): Unit = {
+    val wd = new java.io.File(s"$stage/wave=$wave")
+    Option(wd.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, k) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$srcDir/w${wave}_$k.parquet"))
+      }
+  }
+
+  /** Scratch root for the streaming-harness staging + checkpoints:
+    * tmpfs when available — the per-micro-batch cost at harness scale is
+    * checkpoint fsync latency (offset WAL + state deltas), which tmpfs
+    * removes. Production checkpoints go on durable storage; this is the
+    * oracle harness, whose checkpoint dies with the query anyway.
+    */
+  private def harnessTempDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  /** Runs `body` under the streaming-harness session conf, restoring the
+    * caller's values after: 1 shuffle/state partition (per-wave slices
+    * are tiny — a 32-partition state store is 32x the commit overhead
+    * for zero parallelism gain), no no-data micro-batches (the sentinel
+    * waves carry the watermark, so the extra empty batch per wave buys
+    * nothing), and interpreted expressions (each micro-batch would
+    * otherwise recompile codegen for ~100-row inputs). Production state
+    * sizing belongs to the cluster conf, not the operator.
+    */
+  private def withHarnessConf[A](spark: SparkSession)(body: => A): A = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled",
+      "spark.sql.codegen.wholeStage")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "1")
+    spark.conf.set(keys(1), "false")
+    spark.conf.set(keys(2), "false")
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def eventsSessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapMs = SessionGapMicros / 1000L
@@ -217,35 +273,38 @@ object EventOps {
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val root = java.nio.file.Files.createTempDirectory("graft_fmgws_").toString
-    val srcDir = s"$root/src"
+    val root = harnessTempDir("graft_fmgws_")
+    val (stage, srcDir) = (s"$root/stage", s"$root/src")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    val keyed = spark.readStream
-      .schema("key LONG, ms LONG, value DOUBLE")
-      .parquet(srcDir)
-      .select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
-        col("value"))
-      .as[KeyedEvent]
-    val q = StatefulSessionJob.sessionize(keyed, gapMs)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("fmgws_oracle")
-      .option("checkpointLocation", s"$root/ckpt")
-      .start()
-    try {
-      (0 until StatefulChunks).foreach { i =>
-        ev.filter(expr(s"(ms - $lo) div $width") === i)
-          .repartition(1).write.mode("append").parquet(srcDir)
-        q.processAllAvailable()
-      }
-      // sentinel waves: the first advances max event time, the second
-      // executes with that watermark so every real timeout fires
-      Seq(-1L -> (hi + 3 * gapMs), -2L -> (hi + 6 * gapMs)).foreach {
-        case (k, t) =>
-          Seq((k, t, 0.0)).toDF("key", "ms", "value")
-            .write.mode("append").parquet(srcDir)
+    // sentinel waves ride along in the one staged write: the first
+    // advances max event time, the second executes with that watermark
+    // so every real timeout fires
+    stageWaves(
+      ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+        .unionByName(Seq(
+          (-1L, hi + 3 * gapMs, 0.0, StatefulChunks.toLong),
+          (-2L, hi + 6 * gapMs, 0.0, StatefulChunks + 1L))
+          .toDF("key", "ms", "value", "wave")),
+      stage)
+    withHarnessConf(spark) {
+      val keyed = spark.readStream
+        .schema("key LONG, ms LONG, value DOUBLE")
+        .parquet(srcDir)
+        .select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+          col("value"))
+        .as[KeyedEvent]
+      val q = StatefulSessionJob.sessionize(keyed, gapMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("fmgws_oracle")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until StatefulChunks + 2L).foreach { w =>
+          releaseWave(stage, srcDir, w)
           q.processAllAvailable()
-      }
-    } finally q.stop()
+        }
+      } finally q.stop()
+    }
     spark.table("fmgws_oracle")
       .filter(col("key") >= 0L)
       .select(col("key").as("user_id"),
@@ -301,35 +360,42 @@ object EventOps {
     */
   def eventsAttributionStream(spark: SparkSession, dir: String): DataFrame = {
     val ev = withMicros(Tables.events(spark, dir))
+      .filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val root = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
-    val (vDir, cDir) = (s"$root/views", s"$root/clicks")
-    Seq(vDir, cDir).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-    val views = spark.readStream.schema("user_id LONG, ms LONG").parquet(vDir)
-      .select(col("user_id"), timestamp_millis(col("ms")).as("view_ts"))
-    val clicks = spark.readStream.schema("user_id LONG, ms LONG").parquet(cDir)
-      .select(col("user_id"), timestamp_millis(col("ms")).as("click_ts"))
-    val q = graft.streaming.SessionStreamJob
-      .attributeClicks(views, clicks, "4 hours", "10 minutes")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("ssj_attr")
-      .option("checkpointLocation", s"$root/ckpt")
-      .start()
-    try {
-      (0 until StatefulChunks).foreach { i =>
-        Seq("view" -> vDir, "click" -> cDir).foreach { case (tpe, out) =>
-          ev.filter(col("event_type") === tpe &&
-              expr(s"(ms - $lo) div $width") === i)
-            .select("user_id", "ms")
-            .repartition(1).write.mode("append").parquet(out)
+    val root = harnessTempDir("graft_ssj_")
+    val sides = Seq("view" -> s"$root/views", "click" -> s"$root/clicks")
+    sides.foreach { case (tpe, d) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      stageWaves(
+        ev.filter(col("event_type") === tpe)
+          .withColumn("wave", expr(s"(ms - $lo) div $width"))
+          .select("user_id", "ms", "wave"),
+        s"$d.stage")
+    }
+    withHarnessConf(spark) {
+      val Seq(vDir, cDir) = sides.map(_._2)
+      val views = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(vDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("view_ts"))
+      val clicks = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(cDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("click_ts"))
+      val q = graft.streaming.SessionStreamJob
+        .attributeClicks(views, clicks, "4 hours", "10 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssj_attr")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until StatefulChunks.toLong).foreach { w =>
+          sides.foreach { case (_, d) => releaseWave(s"$d.stage", d, w) }
+          q.processAllAvailable()
         }
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      } finally q.stop()
+    }
     spark.table("ssj_attr")
       .select(col("user_id"), unix_millis(col("view_ts")).as("view_ms"),
         unix_millis(col("click_ts")).as("click_ms"))
