@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, SortedIntersectCount, ZInterleave}
 
 /** Session-extension entry point for the engine: installs the custom
   * Catalyst functions into any session built with
@@ -41,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"sorted_intersect_count(a, b) takes exactly 2 arguments, got ${exprs.length}")
         SortedIntersectCount(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("z_interleave16"),
+      new ExpressionInfo(
+        classOf[ZInterleave].getCanonicalName,
+        null,
+        "z_interleave16",
+        "z_interleave16(a, b) - Morton interleave of the low 16 bits of two bigints",
+        ""),
+      exprs => {
+        require(exprs.length == 2,
+          s"z_interleave16(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        ZInterleave(exprs.head, exprs(1))
       }))
     e.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
   }

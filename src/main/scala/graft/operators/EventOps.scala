@@ -694,6 +694,149 @@ object EventOps {
       |FROM m JOIN md USING (event_type) JOIN o USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 
+  /** Winsorization — the gentler sibling of [[eventsOutliers]]'s cut:
+    * clip values into the per-type [p01, p99] band instead of flagging
+    * them. `percentile_disc` picks actual data values (no interpolation
+    * arithmetic to align across engines); the percentile table is
+    * |event types| rows, broadcast back over one map-only clipping pass.
+    * At 100 TB the exact percentiles swap for the GK sketch
+    * (q_approx_agg) with the clip logic unchanged.
+    */
+  def eventsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val pct = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").as("p_lo"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p_hi"))
+    ev.join(broadcast(pct), "event_type")
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p_lo")), col("p_hi")))
+      .groupBy(col("event_type"), col("p_lo"), col("p_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p_lo") ||
+          col("value") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped"),
+        round(avg(col("value")) + lit(1e-9), 4).as("mean_raw"),
+        round(avg(col("clipped")) + lit(1e-9), 4).as("mean_wins"))
+      .select(col("event_type"), col("n"), col("p_lo"), col("p_hi"),
+        col("n_clipped"), col("mean_raw"), col("mean_wins"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsWinsorizeOracle: String =
+    """WITH v AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT event_type, quantile_disc(value, 0.01) AS p_lo,
+      |         quantile_disc(value, 0.99) AS p_hi
+      |  FROM v GROUP BY event_type)
+      |SELECT v.event_type, COUNT(*) AS n, p.p_lo, p.p_hi,
+      |       CAST(SUM(CASE WHEN v.value < p.p_lo OR v.value > p.p_hi
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       round(AVG(v.value) + 1e-9, 4) AS mean_raw,
+      |       round(AVG(least(greatest(v.value, p.p_lo), p.p_hi)) + 1e-9, 4)
+      |         AS mean_wins
+      |FROM v JOIN p USING (event_type)
+      |GROUP BY v.event_type, p.p_lo, p.p_hi
+      |ORDER BY v.event_type""".stripMargin
+
+  /** Z-order (Morton) clustering stats — the data-layout primitive
+    * behind multi-dimensional file pruning (OPTIMIZE ZORDER BY): the
+    * codegen'd [[graft.functions.ZInterleave]] key interleaves
+    * (user_id, epoch-day) bits, and range-bucketing on it stands in for
+    * the file boundaries a layout rewrite would produce. The per-bucket
+    * min/max table IS the demonstration: both dimensions' ranges stay
+    * narrow simultaneously, so a predicate on EITHER column prunes
+    * buckets — a single-column sort narrows only its leading column
+    * (ZInterleaveSpec quantifies the difference). Map-only except the
+    * bucket rollup, whose key space is the bucket count.
+    */
+  def eventsZorder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ZInterleave.register(spark)
+    // 8-bit keys in both dims (user residue x epoch-hour residue) so the
+    // interleave genuinely mixes comparable-cardinality dimensions at
+    // every fixture SF; bucket = z >> 8 cuts the space into 16x16 tiles
+    withMicros(Tables.events(spark, dir))
+      .select(expr("user_id & 255").as("x"),
+        expr("(us div 3600000000) & 255").as("y"))
+      .withColumn("z", expr("z_interleave16(x, y)"))
+      .withColumn("bucket", expr("z >> 8"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsZorderOracle: String =
+    """WITH e AS (
+      |  SELECT user_id & 255 AS x,
+      |         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) & 255 AS y
+      |  FROM events),
+      |z AS (
+      |  SELECT x, y,
+      |         CAST(list_sum(list_transform(range(16),
+      |           b -> (((x >> b) & 1) << (2 * b))
+      |              + (((y >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS z
+      |  FROM e)
+      |SELECT (z >> 8) AS bucket, COUNT(*) AS n,
+      |       MIN(x) AS min_x, MAX(x) AS max_x,
+      |       MIN(y) AS min_y, MAX(y) AS max_y
+      |FROM z
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** The watermarked streaming dedup (SessionStreamJob
+    * .dedupWithinWatermark), driven END-TO-END through the DuckDB
+    * oracle with the same wave harness as [[eventsSessionizeStateful]]:
+    * every (user_id, event_type) key must be emitted EXACTLY once
+    * across all arrival waves — the multiplicity is the assertion, and
+    * it holds only if the dedup state actually persists across
+    * micro-batches. The 60-day delay exceeds the fixture's span, so no
+    * state expires and the oracle is plain DISTINCT. (The row-value
+    * nondeterminism of which duplicate survives is projected away: the
+    * output is the key set itself.)
+    */
+  def eventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val root = harnessTempDir("graft_dds_")
+    val (stage, srcDir) = (s"$root/stage", s"$root/src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    stageWaves(
+      ev.withColumn("wave", expr(s"(ms - $lo) div $width")), stage)
+    withHarnessConf(spark) {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, ms LONG")
+        .parquet(srcDir)
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(col("ms")).as("ets"))
+      val q = graft.streaming.SessionStreamJob
+        .dedupWithinWatermark(src, col("ets"),
+          Seq("user_id", "event_type"), "60 days")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dds_out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until StatefulChunks.toLong).foreach { w =>
+          releaseWave(stage, srcDir, w)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table("dds_out")
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val eventsDedupStreamOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** PII-style redaction over the props payload: mask every digit run,
     * count masked runs. Pure map-side regexp — the redaction pass a
     * training pipeline runs over every document, shaped to scan-project
@@ -826,6 +969,9 @@ object EventOps {
     "events_sessionize_late" -> (eventsSessionizeLate _),
     "events_sessionize_stateful" -> (eventsSessionizeStateful _),
     "events_attribution_stream" -> (eventsAttributionStream _),
+    "events_dedup_stream" -> (eventsDedupStream _),
+    "events_winsorize" -> (eventsWinsorize _),
+    "events_zorder" -> (eventsZorder _),
     "events_attribution" -> (eventsAttribution _),
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
@@ -842,6 +988,9 @@ object EventOps {
     "events_sessionize_late" -> eventsSessionizeLateOracle,
     "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
+    "events_dedup_stream" -> eventsDedupStreamOracle,
+    "events_winsorize" -> eventsWinsorizeOracle,
+    "events_zorder" -> eventsZorderOracle,
     "events_attribution" -> eventsAttributionOracle,
     "events_hourly_pivot" -> eventsHourlyPivotOracle)
 }

@@ -891,8 +891,24 @@ object SimilarityOps {
     * [[quantizedRescoreSearch]]) is the standard production refinement.
     */
   def pqSearch(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+      k: Int): DataFrame =
+    pqSearchCoded(pqEncode(corpus, cb), queries, cb, k)
+
+  /** PQ code table, staged once per corpus (parquet, same registry as
+    * the dedup substrates and the IVF assignment): like a production
+    * system's persisted compressed index, the n x PqM encode crossJoin
+    * runs once and every ADC search reads codes only.
+    */
+  private def stagedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.staged(spark,
+      DedupOps.stageKey(spark, "pq-codes", dir, "embeddings")) {
+      val e = Tables.embeddings(spark, dir)
+      pqEncode(e, pqCodebook(e))
+    }
+
+  /** [[pqSearch]] over an already-built (possibly staged) code table. */
+  def pqSearchCoded(codes: DataFrame, queries: DataFrame, cb: DataFrame,
       k: Int): DataFrame = {
-    val codes = pqEncode(corpus, cb)
     val luts = queries.crossJoin(broadcast(cb))
       .select(col("vec_id").as("query_id"), col("m"),
         col("j").as("code"),
@@ -916,7 +932,117 @@ object SimilarityOps {
     */
   def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    pqSearch(e, e.filter(col("vec_id") < NumQueries), pqCodebook(e), TopK)
+    pqSearchCoded(stagedPqCodes(spark, dir),
+      e.filter(col("vec_id") < NumQueries), pqCodebook(e), TopK)
+  }
+
+  /** IVFADC — the full production ANN composition (Jegou et al.): the
+    * IVF coarse index prunes the corpus to the probed cells, and the
+    * survivors are scored through their PQ codes (ADC lookup sums), so
+    * the search touches neither the full corpus NOR any raw vector. At
+    * scale this is the architecture that serves billion-vector indexes:
+    * cells bound the candidate set, codes bound the bytes per candidate,
+    * and the only per-query state is the broadcast LUT. Exact-rescore of
+    * the ADC top candidates is the standard refinement
+    * ([[quantizedRescoreSearch]]).
+    */
+  def simIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val nlist = nlistFor(corpusCount(spark, dir))
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val cb = pqCodebook(e)
+    val cand = ivfCandidatesAssigned(stagedSeedAssignment(spark, dir),
+        queries, seedCodebook(e, nlist), nprobeFor(nlist))
+      .select(col("query_id"), col("vec_id"))
+    val codes = stagedPqCodes(spark, dir)
+    val luts = queries.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("j").as("code"),
+        sqDist(slice(col("embedding"), col("m") * PqSubDim + 1,
+          lit(PqSubDim)), col("cw")).as("d2q"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(luts), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("d2q")) + lit(1e-9), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simIvfPqTopkOracle: String = {
+    def d2(vec: String): String =
+      s"""round(list_sum(list_transform(range(1, $PqSubDim + 1),
+         |               i -> (CAST($vec.embedding[c.m * $PqSubDim + i] AS DOUBLE)
+         |                       - c.sv[c.m * $PqSubDim + i])
+         |                  * (CAST($vec.embedding[c.m * $PqSubDim + i] AS DOUBLE)
+         |                       - c.sv[c.m * $PqSubDim + i]))), 6)""".stripMargin
+    s"""WITH params AS (
+      |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+      |         CAST(ceil(0.9 * GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS BIGINT) AS nprobe
+      |  FROM embeddings),
+      |coarse AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN coarse s),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim WHERE vec_id < $NumQueries)
+      |  WHERE rn <= (SELECT nprobe FROM params)),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS sv
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= $PqK),
+      |cb AS (
+      |  SELECT mm.m, s.j, s.sv
+      |  FROM seeds s CROSS JOIN (SELECT unnest(range($PqM)) AS m) mm),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m
+      |             ORDER BY d2, j) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.m, c.j,
+      |             ${d2("v")} AS d2
+      |      FROM embeddings v CROSS JOIN cb c) d)
+      |  WHERE rn = 1),
+      |luts AS (
+      |  SELECT q.vec_id AS query_id, c.m, c.j AS code,
+      |         ${d2("q")} AS d2q
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < $NumQueries),
+      |s AS (
+      |  SELECT ca.query_id, ca.vec_id, round(SUM(l.d2q) + 1e-9, 6) AS adc
+      |  FROM cand ca
+      |  JOIN codes co ON co.vec_id = ca.vec_id
+      |  JOIN luts l ON l.query_id = ca.query_id AND l.m = co.m AND l.code = co.code
+      |  GROUP BY ca.query_id, ca.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY adc, vec_id) AS rk
+      |  FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, adc
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
   }
 
   val simPqTopkOracle: String = {
@@ -969,6 +1095,7 @@ object SimilarityOps {
     "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_pq_topk" -> (simPqTopk _),
+    "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
@@ -978,5 +1105,6 @@ object SimilarityOps {
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_lsh_topk" -> simLshTopkOracle,
     "sim_pq_topk" -> simPqTopkOracle,
+    "sim_ivfpq_topk" -> simIvfPqTopkOracle,
     "sim_quantize" -> simQuantizeOracle)
 }

@@ -329,4 +329,29 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cdc dedup plans an all-pairs join:\n$plan")
   }
+
+  test("pq-adc: every join is against a broadcast (codebook or LUT) — " +
+      "the corpus side never sort-merge-joins") {
+    val plan = finalPlan(graft.operators.SimilarityOps.simPqTopk(spark, dir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pq search shuffled a join side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT join should be a broadcast hash join:\n$plan")
+    // codes collapse map-side before their shuffle: partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial aggregation on the code argmin:\n$plan")
+  }
+
+  test("z-order stats are map-only up to the bucket rollup") {
+    val plan = finalPlan(graft.operators.EventOps.eventsZorder(spark, dir))
+    assert(!plan.contains("Join"), s"zorder stats planned a join:\n$plan")
+    // one exchange for the bucket rollup, one for the final orderBy —
+    // nothing else (the interleave itself is a map-side expression);
+    // count only the executed plan, not the echoed Initial Plan section
+    val executed = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange \\(".r.findAllIn(executed).size
+    assert(exchanges <= 2, s"zorder stats shuffled more than rollup+sort:\n$plan")
+    assert(plan.contains("z_interleave16"),
+      s"the native interleave expression is not in the plan:\n$plan")
+  }
 }
