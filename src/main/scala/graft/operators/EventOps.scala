@@ -241,6 +241,36 @@ object EventOps {
     else java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
+  /** The shared single-source wave drive: stage `rows` (must carry a
+    * `wave` column) in one partitioned write, stream them wave-by-wave
+    * through `transform` into a memory sink, and return the sink table.
+    * Ascending time-bucket waves mean no row is ever late, which is what
+    * makes every drive's oracle expressible as plain batch SQL.
+    */
+  private def driveWaves(spark: SparkSession, rows: DataFrame,
+      schema: String, nWaves: Long, name: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val root = harnessTempDir(s"graft_${name}_")
+    val (stage, srcDir) = (s"$root/stage", s"$root/src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    stageWaves(rows, stage)
+    withHarnessConf(spark) {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = transform(src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until nWaves).foreach { w =>
+          releaseWave(stage, srcDir, w)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Runs `body` under the streaming-harness session conf, restoring the
     * caller's values after: 1 shuffle/state partition (per-wave slices
     * are tiny — a 32-partition state store is 32x the commit overhead
@@ -264,7 +294,13 @@ object EventOps {
     }
   }
 
-  def eventsSessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+  /** The (key, ms, value) wave frame shared by the sessionize drives:
+    * real rows bucketed into [[StatefulChunks]] ascending time waves,
+    * plus two far-future sentinel rows in their own waves — the first
+    * advances max event time, the second executes with that watermark so
+    * every event-time timeout / window close fires.
+    */
+  private def sessionWaveFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapMs = SessionGapMicros / 1000L
     val ev = withMicros(Tables.events(spark, dir))
@@ -273,39 +309,24 @@ object EventOps {
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val root = harnessTempDir("graft_fmgws_")
-    val (stage, srcDir) = (s"$root/stage", s"$root/src")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    // sentinel waves ride along in the one staged write: the first
-    // advances max event time, the second executes with that watermark
-    // so every real timeout fires
-    stageWaves(
-      ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
-        .unionByName(Seq(
-          (-1L, hi + 3 * gapMs, 0.0, StatefulChunks.toLong),
-          (-2L, hi + 6 * gapMs, 0.0, StatefulChunks + 1L))
-          .toDF("key", "ms", "value", "wave")),
-      stage)
-    withHarnessConf(spark) {
-      val keyed = spark.readStream
-        .schema("key LONG, ms LONG, value DOUBLE")
-        .parquet(srcDir)
-        .select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
-          col("value"))
-        .as[KeyedEvent]
-      val q = StatefulSessionJob.sessionize(keyed, gapMs)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("fmgws_oracle")
-        .option("checkpointLocation", s"$root/ckpt")
-        .start()
-      try {
-        (0L until StatefulChunks + 2L).foreach { w =>
-          releaseWave(stage, srcDir, w)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+    ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+      .unionByName(Seq(
+        (-1L, hi + 3 * gapMs, 0.0, StatefulChunks.toLong),
+        (-2L, hi + 6 * gapMs, 0.0, StatefulChunks + 1L))
+        .toDF("key", "ms", "value", "wave"))
+  }
+
+  def eventsSessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = SessionGapMicros / 1000L
+    driveWaves(spark, sessionWaveFrame(spark, dir),
+      "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
+      "fmgws_oracle") { src =>
+      import src.sparkSession.implicits._
+      StatefulSessionJob.sessionize(
+        src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+          col("value")).as[KeyedEvent],
+        gapMs).toDF()
     }
-    spark.table("fmgws_oracle")
       .filter(col("key") >= 0L)
       .select(col("key").as("user_id"),
         unix_millis(col("session_start")).as("start_ms"),
@@ -314,6 +335,59 @@ object EventOps {
         round(col("sum_value") + lit(1e-9), 5).as("sum_value"))
       .orderBy(col("user_id"), col("start_ms"))
   }
+
+  /** The DECLARATIVE streaming sessionize (SessionStreamJob.sessionize's
+    * `session_window` aggregation), driven END-TO-END through the DuckDB
+    * oracle with the same wave harness — completing the set: all four
+    * stateful streaming operators (custom-state sessionize, session
+    * _window, interval join, watermarked dedup) now land in DuckDB-
+    * checked results. Semantics note mirrored EXACTLY by the oracle:
+    * `session_window` merges on STRICT overlap (next < prev_end, i.e. a
+    * gap exactly equal to the window splits), where the custom-state
+    * twin merges on <=; and the emitted session end is
+    * `last event + gap`, not the last event itself.
+    */
+  def eventsSessionizeWindow(spark: SparkSession, dir: String): DataFrame = {
+    driveWaves(spark, sessionWaveFrame(spark, dir),
+      "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
+      "swin_oracle") { src =>
+      graft.streaming.SessionStreamJob.sessionize(
+        src.select(col("key").as("user_id"),
+          timestamp_millis(col("ms")).as("ets"), col("value")),
+        col("ets"), col("user_id"), "4 hours", "10 minutes")
+    }
+      .filter(col("key") >= 0L)
+      .select(col("key").as("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"),
+        round(col("sum_value") + lit(1e-9), 5).as("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val eventsSessionizeWindowOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+      |         coalesce(value, 0) AS value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value) IS NULL
+      |                OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value)
+      |                   >= ${SessionGapMicros / 1000L} THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sessions AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, value
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ms) AS start_ms,
+      |       MAX(ms) + ${SessionGapMicros / 1000L} AS end_ms,
+      |       COUNT(*) AS n_events,
+      |       round(SUM(value) + 1e-9, 5) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin
 
   val eventsSessionizeStatefulOracle: String =
     s"""WITH e AS (
@@ -802,33 +876,17 @@ object EventOps {
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val root = harnessTempDir("graft_dds_")
-    val (stage, srcDir) = (s"$root/stage", s"$root/src")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    stageWaves(
-      ev.withColumn("wave", expr(s"(ms - $lo) div $width")), stage)
-    withHarnessConf(spark) {
-      val src = spark.readStream
-        .schema("user_id LONG, event_type STRING, ms LONG")
-        .parquet(srcDir)
-        .select(col("user_id"), col("event_type"),
-          timestamp_millis(col("ms")).as("ets"))
-      val q = graft.streaming.SessionStreamJob
-        .dedupWithinWatermark(src, col("ets"),
-          Seq("user_id", "event_type"), "60 days")
+    driveWaves(spark,
+      ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
+      "user_id LONG, event_type STRING, ms LONG", StatefulChunks.toLong,
+      "dds_out") { src =>
+      graft.streaming.SessionStreamJob
+        .dedupWithinWatermark(
+          src.select(col("user_id"), col("event_type"),
+            timestamp_millis(col("ms")).as("ets")),
+          col("ets"), Seq("user_id", "event_type"), "60 days")
         .select(col("user_id"), col("event_type"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("dds_out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .start()
-      try {
-        (0L until StatefulChunks.toLong).foreach { w =>
-          releaseWave(stage, srcDir, w)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
     }
-    spark.table("dds_out")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -968,6 +1026,7 @@ object EventOps {
     "events_sessionize" -> (eventsSessionize _),
     "events_sessionize_late" -> (eventsSessionizeLate _),
     "events_sessionize_stateful" -> (eventsSessionizeStateful _),
+    "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_winsorize" -> (eventsWinsorize _),
@@ -987,6 +1046,7 @@ object EventOps {
     "events_sessionize" -> eventsSessionizeOracle,
     "events_sessionize_late" -> eventsSessionizeLateOracle,
     "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
+    "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
     "events_winsorize" -> eventsWinsorizeOracle,
