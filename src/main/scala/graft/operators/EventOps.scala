@@ -768,6 +768,42 @@ object EventOps {
       |FROM m JOIN md USING (event_type) JOIN o USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 
+  /** Top event paths — the funnel-DISCOVERY primitive ("which 3-step
+    * journeys actually happen", where [[eventsFunnel]] checks one
+    * prescribed journey): two leads over the same user-keyed window
+    * (ONE corpus shuffle, shared sort) form every consecutive
+    * event-type trigram, whose global counts are map-side-combinable
+    * with a key space of |types|³ regardless of corpus size; top-20
+    * plans as TakeOrderedAndProject.
+    */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    withMicros(Tables.events(spark, dir))
+      .withColumn("p2", lead(col("event_type"), 1).over(w))
+      .withColumn("p3", lead(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull && col("p3").isNotNull)
+      .groupBy(col("event_type").as("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  val eventsPathsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS p1,
+      |         lead(event_type, 1) OVER w AS p2,
+      |         lead(event_type, 2) OVER w AS p3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT p1, p2, p3, COUNT(*) AS n
+      |FROM t WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+      |GROUP BY p1, p2, p3
+      |ORDER BY n DESC, p1, p2, p3
+      |LIMIT 20""".stripMargin
+
   /** Winsorization — the gentler sibling of [[eventsOutliers]]'s cut:
     * clip values into the per-type [p01, p99] band instead of flagging
     * them. `percentile_disc` picks actual data values (no interpolation
@@ -1029,6 +1065,7 @@ object EventOps {
     "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_dedup_stream" -> (eventsDedupStream _),
+    "events_paths" -> (eventsPaths _),
     "events_winsorize" -> (eventsWinsorize _),
     "events_zorder" -> (eventsZorder _),
     "events_attribution" -> (eventsAttribution _),
@@ -1049,6 +1086,7 @@ object EventOps {
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
+    "events_paths" -> eventsPathsOracle,
     "events_winsorize" -> eventsWinsorizeOracle,
     "events_zorder" -> eventsZorderOracle,
     "events_attribution" -> eventsAttributionOracle,

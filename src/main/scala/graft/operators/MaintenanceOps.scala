@@ -129,16 +129,10 @@ object MaintenanceOps {
       cells: Seq[Int]): DataFrame =
     spark.read.parquet(layoutDir).filter(col("cell").isin(cells: _*))
 
-  /** Morton (Z-curve) interleave of two 16-bit bucket columns: bit b of
-    * x lands at position 2b, bit b of y at 2b+1 — a pure fold of
-    * shift/mask/add column expressions, evaluated inside whole-stage
-    * codegen (no UDF).
-    */
-  private def morton16(x: Column, y: Column): Column =
-    (0 until 16).map { b =>
-      shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
-        shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
-    }.reduce(_ + _)
+  // The Morton interleave is the native codegen'd
+  // graft.functions.ZInterleave expression — one definition of the bit
+  // layout, shared with the events_zorder oracle query; a single
+  // generated loop instead of a 16-term expression tree.
 
   /** Z-ORDER layout rewrite — multi-dimensional clustering for min/max
     * data skipping (the `OPTIMIZE ZORDER BY` primitive of lakehouse
@@ -156,6 +150,7 @@ object MaintenanceOps {
     */
   def writeZOrdered(spark: SparkSession, inDf: DataFrame, outDir: String,
       c1: String, c2: String, nFiles: Int): Unit = {
+    graft.functions.ZInterleave.register(spark)
     val mm = inDf.agg(
       min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
       min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
@@ -163,12 +158,12 @@ object MaintenanceOps {
       ((c.cast("double") - lo) / greatest(hi - lo, lit(1e-12)) * 65535.0)
         .cast("long")
     inDf.crossJoin(broadcast(mm))
-      .withColumn("z", morton16(
-        bucket(col(c1), col("min1"), col("max1")),
-        bucket(col(c2), col("min2"), col("max2"))))
+      .withColumn("zb1", bucket(col(c1), col("min1"), col("max1")))
+      .withColumn("zb2", bucket(col(c2), col("min2"), col("max2")))
+      .withColumn("z", expr("z_interleave16(zb1, zb2)"))
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions(col("z"))
-      .drop("z", "min1", "max1", "min2", "max2")
+      .drop("z", "zb1", "zb2", "min1", "max1", "min2", "max2")
       .write.mode("overwrite").parquet(outDir)
   }
 

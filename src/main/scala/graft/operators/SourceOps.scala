@@ -118,11 +118,69 @@ object SourceOps {
       |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val evolvedPaths = new ConcurrentHashMap[String, String]()
+
+  /** Schema-evolution read — the warehouse reality that tables GROW
+    * columns: the even-keyed half of events is staged under the v1
+    * schema (event_id, event_type), the odd half under v2 (+ value),
+    * both into ONE directory; `mergeSchema=true` unifies the footers at
+    * planning time and v1 rows surface NULL values. The per-type rollup
+    * (count / null-count / value sum) proves the merge assigned every
+    * row the right shape — the oracle reconstructs the same union from
+    * the parquet fixture without ever seeing the staged files. At scale
+    * this is the zero-rewrite column-add path (footer-merge cost only,
+    * no data migration).
+    */
+  def sourceSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "schema-evo", dir, "events")
+    var p = evolvedPaths.get(key)
+    if (p == null) {
+      evolvedPaths.synchronized {
+        p = evolvedPaths.get(key)
+        if (p == null) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-schema-evo-").toString
+          val ev = Tables.events(spark, dir)
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"))
+            .repartition(2).write.mode("append").parquet(out)
+          ev.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .repartition(2).write.mode("append").parquet(out)
+          evolvedPaths.put(key, out)
+          p = out
+        }
+      }
+    }
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        round(sum(coalesce(col("value"), lit(0.0))) + lit(1e-9), 2)
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val sourceSchemaEvolutionOracle: String =
+    """WITH u AS (
+      |  SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value
+      |  FROM events WHERE event_id % 2 = 1)
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null,
+      |       round(SUM(coalesce(value, 0)) + 1e-9, 2) AS sum_value
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_jsonl_scan" -> (sourceJsonlScan _),
-    "source_jsonl_write" -> (sourceJsonlWrite _))
+    "source_jsonl_write" -> (sourceJsonlWrite _),
+    "source_schema_evolution" -> (sourceSchemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "source_jsonl_scan" -> sourceJsonlScanOracle,
-    "source_jsonl_write" -> sourceJsonlWriteOracle)
+    "source_jsonl_write" -> sourceJsonlWriteOracle,
+    "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }
