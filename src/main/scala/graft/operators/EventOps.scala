@@ -768,6 +768,55 @@ object EventOps {
       |FROM m JOIN md USING (event_type) JOIN o USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 
+  /** Daily activity rollup — DAU / new users / cumulative users, the
+    * dashboard staple: one user-day distinct pass and one per-user
+    * first-day aggregate share the user_id exchange; the daily frames
+    * join on a days-sized key space and the cumulative sum runs over
+    * that tiny frame. COUNT(DISTINCT) stays inside a day partition —
+    * never a running distinct over the corpus (the trap shape); at
+    * 100 TB the distinct pass swaps for HLL partials (q_approx_agg)
+    * with the rollup unchanged.
+    */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+    val daily = e.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("active_users"))
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("n_events"), col("active_users"),
+        col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val eventsActiveUsersOracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS n_events,
+      |         COUNT(DISTINCT user_id) AS active_users
+      |  FROM e GROUP BY day),
+      |fs AS (
+      |  SELECT day, COUNT(*) AS new_users FROM (
+      |    SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT d.day, d.n_events, d.active_users,
+      |       coalesce(fs.new_users, 0) AS new_users,
+      |       CAST(SUM(coalesce(fs.new_users, 0)) OVER (ORDER BY d.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM daily d LEFT JOIN fs USING (day)
+      |ORDER BY d.day""".stripMargin
+
   /** Top event paths — the funnel-DISCOVERY primitive ("which 3-step
     * journeys actually happen", where [[eventsFunnel]] checks one
     * prescribed journey): two leads over the same user-keyed window
@@ -1066,6 +1115,7 @@ object EventOps {
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_paths" -> (eventsPaths _),
+    "events_active_users" -> (eventsActiveUsers _),
     "events_winsorize" -> (eventsWinsorize _),
     "events_zorder" -> (eventsZorder _),
     "events_attribution" -> (eventsAttribution _),
@@ -1087,6 +1137,7 @@ object EventOps {
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
     "events_paths" -> eventsPathsOracle,
+    "events_active_users" -> eventsActiveUsersOracle,
     "events_winsorize" -> eventsWinsorizeOracle,
     "events_zorder" -> eventsZorderOracle,
     "events_attribution" -> eventsAttributionOracle,
