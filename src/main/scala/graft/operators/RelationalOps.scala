@@ -802,7 +802,92 @@ object RelationalOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Data-quality constraint battery (the Deequ shape — validate before
+    * you train): per-table constraints FUSE into one aggregate pass per
+    * table (bounds, null, uniqueness as count-minus-distinct), the FK
+    * check is one anti-join count, and the 1-row table summaries
+    * cross-join (all O(1) sides) into a stacked scorecard of
+    * (rule, violations, pass). At 100 TB each table is still read
+    * exactly once, column-pruned to the constrained columns.
+    */
+  def qQualityConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val liAgg = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("c_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("c_disc"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("c_ship"),
+      // a deliberately tight warning bound (fixture tax runs to 0.08):
+      // proves the battery counts and reports real violations, not just
+      // all-green rows
+      sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("c_tax"))
+    val ordAgg = Tables.orders(spark, dir).agg(
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("c_uniq"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("c_price"))
+    val fk = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("c_fk"))
+    val docAgg = Tables.documents(spark, dir).agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("c_text"))
+    liAgg.crossJoin(ordAgg).crossJoin(fk).crossJoin(docAgg)
+      .select(expr(
+        """stack(8,
+          |  'documents.text non-empty', c_text,
+          |  'lineitem.l_discount in [0, 0.1]', c_disc,
+          |  'lineitem.l_orderkey references orders', c_fk,
+          |  'lineitem.l_quantity in [1, 50]', c_qty,
+          |  'lineitem.l_shipdate not null', c_ship,
+          |  'lineitem.l_tax within warning bound 0.05', c_tax,
+          |  'orders.o_orderkey unique', c_uniq,
+          |  'orders.o_totalprice positive', c_price
+          |) AS (rule, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  val qQualityConstraintsOracle: String =
+    """WITH r AS (
+      |  SELECT 'documents.text non-empty' AS rule,
+      |         (SELECT COALESCE(SUM(CASE WHEN text IS NULL OR length(text) = 0
+      |            THEN 1 ELSE 0 END), 0) FROM documents) AS violations
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0, 0.1]',
+      |         (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |            THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey references orders',
+      |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1, 50]',
+      |         (SELECT COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |            THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate not null',
+      |         (SELECT COALESCE(SUM(CASE WHEN l_shipdate IS NULL
+      |            THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_tax within warning bound 0.05',
+      |         (SELECT COALESCE(SUM(CASE WHEN l_tax > 0.05
+      |            THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey unique',
+      |         (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+      |            FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice positive',
+      |         (SELECT COALESCE(SUM(CASE WHEN o_totalprice <= 0
+      |            THEN 1 ELSE 0 END), 0) FROM orders))
+      |SELECT rule, CAST(violations AS BIGINT) AS violations,
+      |       violations = 0 AS pass
+      |FROM r ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_constraints" -> (qQualityConstraints _),
     "q_table_profile" -> (qTableProfile _),
     "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),
@@ -860,5 +945,6 @@ object RelationalOps {
     "q_above_nation_avg" -> qAboveNationAvgOracle,
     "q_scalar_funcs" -> qScalarFuncsOracle,
     "q_date_funcs" -> qDateFuncsOracle,
-    "q_table_profile" -> qTableProfileOracle)
+    "q_table_profile" -> qTableProfileOracle,
+    "q_quality_constraints" -> qQualityConstraintsOracle)
 }
