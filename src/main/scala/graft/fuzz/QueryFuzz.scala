@@ -464,6 +464,50 @@ object QueryFuzz {
   /** Seed floor for the string-function shape. */
   val StringSeedFloor = 4000L
 
+  /** Ordered-set-aggregate shape: percentile_disc at a generated
+    * fraction WITHIN GROUP over a generated numeric column, beside
+    * count/min/max, under an optional predicate. The DISCRETE
+    * percentile picks an actual data value, so both engines agree
+    * bit-for-bit with no interpolation arithmetic — what this family
+    * guards is the boundary-index convention itself (ceil(p*n) vs
+    * first-cumulative->=p), which silently drifts between engines at
+    * exactly the generated fractions. Identical SQL spelling in both
+    * dialects (percentile_disc WITHIN GROUP is PostgreSQL syntax both
+    * parsers accept).
+    */
+  private def genPercentile(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables)
+    val v = pick(rnd, t.ints ++ t.doubles)
+    val p = pick(rnd, Seq("0.1", "0.25", "0.5", "0.75", "0.9"))
+    val (k0Sql, k0Col) = keyOn(rnd, t.ints, t.strings, "k0")
+    val withPred = rnd.nextBoolean()
+    val (predSql, predCol) = predOn(rnd, t.ints, t.doubles)
+    val whereSql = if (withPred) s" WHERE $predSql" else ""
+    val sql =
+      s"""SELECT k0, COUNT(*) AS a_cnt,
+         |       CAST(percentile_disc($p) WITHIN GROUP (ORDER BY v) AS DOUBLE) AS a_p,
+         |       CAST(MIN(v) AS DOUBLE) AS a_min,
+         |       CAST(MAX(v) AS DOUBLE) AS a_max
+         |FROM (SELECT $k0Sql, $v AS v FROM ${t.name}$whereSql) s
+         |GROUP BY k0 ORDER BY k0 NULLS LAST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, t.name)
+      val base = if (withPred) base0.filter(predCol) else base0
+      base.select(k0Col, col(v).as("v"))
+        .groupBy(col("k0"))
+        .agg(count(lit(1)).as("a_cnt"),
+          expr(s"CAST(percentile_disc($p) WITHIN GROUP (ORDER BY v) AS DOUBLE)")
+            .as("a_p"),
+          min(col("v")).cast("double").as("a_min"),
+          max(col("v")).cast("double").as("a_max"))
+        .orderBy(col("k0").asc_nulls_last)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the ordered-set-aggregate shape. */
+  val PercentileSeedFloor = 5000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -478,6 +522,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= PercentileSeedFloor) return genPercentile(seed, rnd0)
     if (seed >= StringSeedFloor) return genString(seed, rnd0)
     if (seed >= DateTruncSeedFloor) return genDateTrunc(seed, rnd0)
     if (seed >= CondAggSeedFloor) return genCondAgg(seed, rnd0)
@@ -682,7 +727,9 @@ object QueryFuzz {
     * FIRST/LAST under LIMIT. Seeds 2000+ are the conditional-aggregation
     * shape (COUNT DISTINCT + CASE aggregates under a HAVING floor);
     * seeds 3000+ the calendar-bucketing shape (date_trunc granularities
-    * under timestamp-literal ranges).
+    * under timestamp-literal ranges); seeds 5000+ the ordered-set
+    * aggregate shape (percentile_disc WITHIN GROUP at generated
+    * fractions — the discrete-percentile boundary convention).
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
@@ -696,7 +743,9 @@ object QueryFuzz {
       // sf0.001): 4000 reverse, 4003 substr, 4006 lower, 4014 upper
       4000L, 4003L, 4006L, 4014L,
       // widened r5: more draws from the verified families
-      1005L, 2003L, 3001L, 3003L, 4001L)
+      1005L, 2003L, 3001L, 3003L, 4001L,
+      // ordered-set-aggregate (percentile_disc WITHIN GROUP) shapes
+      5000L, 5001L, 5002L, 5003L, 5004L, 5005L, 5006L, 5007L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
