@@ -508,6 +508,46 @@ object QueryFuzz {
   /** Seed floor for the ordered-set-aggregate shape. */
   val PercentileSeedFloor = 5000L
 
+  /** Interval-arithmetic shape: GROUP BY the month of a timestamp
+    * shifted by a generated ±INTERVAL n {DAY|MONTH|YEAR} — month-end
+    * clamping (Jan 31 + 1 month), leap-day year-shifts, and the
+    * shift-then-truncate composition are the calendar-arithmetic
+    * divergences this family guards; both dialects spell
+    * `ts + INTERVAL n UNIT` and `date_trunc('month', ..)` identically
+    * and the key renders as an ISO date string.
+    */
+  private def genInterval(seed: Long, rnd: Random): Gen = {
+    val (tName, c) = pick(rnd, Seq("orders" -> "o_orderdate",
+      "lineitem" -> "l_shipdate"))
+    val n = 1 + rnd.nextInt(11)
+    val u = pick(rnd, Seq("DAY", "MONTH", "YEAR"))
+    val op = if (rnd.nextBoolean()) "+" else "-"
+    val withPred = rnd.nextBoolean()
+    val year = 1995 + rnd.nextInt(6)
+    val whereSql =
+      if (withPred) s"\nWHERE $c < TIMESTAMP '$year-07-01 00:00:00'" else ""
+    val sql =
+      s"""SELECT CAST(CAST(date_trunc('month', $c $op INTERVAL $n $u) AS DATE) AS STRING) AS k0,
+         |       COUNT(*) AS a_cnt
+         |FROM $tName$whereSql
+         |GROUP BY k0 ORDER BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, tName)
+      val base = if (withPred)
+        base0.filter(col(c) < to_timestamp(lit(s"$year-07-01 00:00:00")))
+      else base0
+      val shifted = expr(s"$c $op INTERVAL $n $u")
+      base.groupBy(date_trunc("month", shifted).cast("date").cast("string")
+          .as("k0"))
+        .agg(count(lit(1)).as("a_cnt"))
+        .orderBy(col("k0"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the interval-arithmetic shape. */
+  val IntervalSeedFloor = 6000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -522,6 +562,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= IntervalSeedFloor) return genInterval(seed, rnd0)
     if (seed >= PercentileSeedFloor) return genPercentile(seed, rnd0)
     if (seed >= StringSeedFloor) return genString(seed, rnd0)
     if (seed >= DateTruncSeedFloor) return genDateTrunc(seed, rnd0)
@@ -729,7 +770,9 @@ object QueryFuzz {
     * seeds 3000+ the calendar-bucketing shape (date_trunc granularities
     * under timestamp-literal ranges); seeds 5000+ the ordered-set
     * aggregate shape (percentile_disc WITHIN GROUP at generated
-    * fractions — the discrete-percentile boundary convention).
+    * fractions — the discrete-percentile boundary convention); seeds
+    * 6000+ the interval-arithmetic shape (±INTERVAL n unit with
+    * month-end clamping under date_trunc).
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
@@ -745,7 +788,9 @@ object QueryFuzz {
       // widened r5: more draws from the verified families
       1005L, 2003L, 3001L, 3003L, 4001L,
       // ordered-set-aggregate (percentile_disc WITHIN GROUP) shapes
-      5000L, 5001L, 5002L, 5003L, 5004L, 5005L, 5006L, 5007L)
+      5000L, 5001L, 5002L, 5003L, 5004L, 5005L, 5006L, 5007L,
+      // interval-arithmetic shapes (month-end clamp, shift-then-trunc)
+      6000L, 6001L, 6002L, 6003L, 6004L, 6005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
