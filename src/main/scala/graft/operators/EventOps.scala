@@ -336,6 +336,44 @@ object EventOps {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** The transformWithState session job (TwsSessionJob — Spark 4's
+    * successor API to flatMapGroupsWithState: named RocksDB-backed
+    * state + first-class event-time timers), driven END-TO-END through
+    * the same wave harness and checked against the SAME oracle as the
+    * old-API job: identical session semantics, different state
+    * machinery. The RocksDB provider is scoped to the drive (the new
+    * API does not run on the HDFS-backed default).
+    */
+  def eventsSessionizeTws(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = SessionGapMicros / 1000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      driveWaves(spark, sessionWaveFrame(spark, dir),
+        "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
+        "tws_oracle") { src =>
+        import src.sparkSession.implicits._
+        graft.streaming.TwsSessionJob.sessionize(
+          src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+            col("value")).as[KeyedEvent],
+          gapMs).toDF()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    out
+      .filter(col("key") >= 0L)
+      .select(col("key").as("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"),
+        round(col("sum_value") + lit(1e-9), 5).as("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   /** The DECLARATIVE streaming sessionize (SessionStreamJob.sessionize's
     * `session_window` aggregation), driven END-TO-END through the DuckDB
     * oracle with the same wave harness — completing the set: all four
@@ -1112,6 +1150,7 @@ object EventOps {
     "events_sessionize_late" -> (eventsSessionizeLate _),
     "events_sessionize_stateful" -> (eventsSessionizeStateful _),
     "events_sessionize_window" -> (eventsSessionizeWindow _),
+    "events_sessionize_tws" -> (eventsSessionizeTws _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_paths" -> (eventsPaths _),
@@ -1134,6 +1173,7 @@ object EventOps {
     "events_sessionize_late" -> eventsSessionizeLateOracle,
     "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
+    "events_sessionize_tws" -> eventsSessionizeStatefulOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
     "events_paths" -> eventsPathsOracle,
