@@ -479,14 +479,16 @@ object EventOps {
     val width = (hi - lo) / StatefulChunks + 1
     val root = harnessTempDir("graft_ssj_")
     val sides = Seq("view" -> s"$root/views", "click" -> s"$root/clicks")
-    sides.foreach { case (tpe, d) =>
+    sides.foreach { case (_, d) =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-      stageWaves(
-        ev.filter(col("event_type") === tpe)
-          .withColumn("wave", expr(s"(ms - $lo) div $width"))
-          .select("user_id", "ms", "wave"),
-        s"$d.stage")
     }
+    // ONE staged write for both sides: partitioned by (side, wave), so
+    // the corpus scan runs once and release is a rename either way
+    ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+      .select(col("event_type").as("side"), col("user_id"), col("ms"),
+        col("wave"))
+      .repartition(1).write.partitionBy("side", "wave")
+      .parquet(s"$root/stage")
     withHarnessConf(spark) {
       val Seq(vDir, cDir) = sides.map(_._2)
       val views = spark.readStream.schema("user_id LONG, ms LONG")
@@ -503,7 +505,9 @@ object EventOps {
         .start()
       try {
         (0L until StatefulChunks.toLong).foreach { w =>
-          sides.foreach { case (_, d) => releaseWave(s"$d.stage", d, w) }
+          sides.foreach { case (tpe, d) =>
+            releaseWave(s"$root/stage/side=$tpe", d, w)
+          }
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -513,6 +517,84 @@ object EventOps {
         unix_millis(col("click_ts")).as("click_ms"))
       .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
   }
+
+  /** The LEFT OUTER stream-stream interval join, driven end-to-end:
+    * unmatched views may only emit with a NULL click AFTER the
+    * watermark proves no matching click can still arrive — the
+    * state-eviction emission path, the trickiest stream-stream join
+    * semantic. Sentinel waves on BOTH streams (the join watermark is
+    * the min over inputs) push the watermark past every view's match
+    * window so the full outer result flushes; ascending arrival means
+    * the emitted set equals the plain batch left join.
+    */
+  def eventsAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = withMicros(Tables.events(spark, dir))
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val winMs = AttributionWindowMicros / 1000L
+    val root = harnessTempDir("graft_ssjo_")
+    val sides = Seq("view" -> s"$root/views", "click" -> s"$root/clicks")
+    sides.foreach { case (_, d) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    val sentinels = Seq(
+      ("view", -1L, hi + 3 * winMs, StatefulChunks.toLong),
+      ("click", -1L, hi + 3 * winMs, StatefulChunks.toLong),
+      ("view", -2L, hi + 6 * winMs, StatefulChunks + 1L),
+      ("click", -2L, hi + 6 * winMs, StatefulChunks + 1L))
+      .toDF("side", "user_id", "ms", "wave")
+    ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+      .select(col("event_type").as("side"), col("user_id"), col("ms"),
+        col("wave"))
+      .unionByName(sentinels)
+      .repartition(1).write.partitionBy("side", "wave")
+      .parquet(s"$root/stage")
+    withHarnessConf(spark) {
+      val Seq(vDir, cDir) = sides.map(_._2)
+      val views = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(vDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("view_ts"))
+      val clicks = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(cDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("click_ts"))
+      val q = graft.streaming.SessionStreamJob
+        .attributeClicks(views, clicks, "4 hours", "10 minutes",
+          joinType = "leftOuter")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssjo_attr")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until StatefulChunks + 2L).foreach { w =>
+          sides.foreach { case (tpe, d) =>
+            releaseWave(s"$root/stage/side=$tpe", d, w)
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table("ssjo_attr")
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+  }
+
+  val eventsAttributionOuterOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |v AS (SELECT user_id, ms FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ms FROM e WHERE event_type = 'click')
+      |SELECT v.user_id, v.ms AS view_ms, c.ms AS click_ms
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  AND c.ms >= v.ms AND c.ms <= v.ms + ${AttributionWindowMicros / 1000L}
+      |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
 
   val eventsAttributionStreamOracle: String =
     s"""WITH e AS (
@@ -1152,6 +1234,7 @@ object EventOps {
     "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_sessionize_tws" -> (eventsSessionizeTws _),
     "events_attribution_stream" -> (eventsAttributionStream _),
+    "events_attribution_outer" -> (eventsAttributionOuter _),
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_paths" -> (eventsPaths _),
     "events_active_users" -> (eventsActiveUsers _),
@@ -1175,6 +1258,7 @@ object EventOps {
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_sessionize_tws" -> eventsSessionizeStatefulOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
+    "events_attribution_outer" -> eventsAttributionOuterOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
     "events_paths" -> eventsPathsOracle,
     "events_active_users" -> eventsActiveUsersOracle,

@@ -50,12 +50,14 @@ object SessionStreamJob {
     * `clicks(user_id, click_ts, ...)`.
     */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
-      window: String = "10 minutes", delay: String = "10 minutes"): DataFrame =
+      window: String = "10 minutes", delay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     views.withWatermark("view_ts", delay).as("v")
       .join(clicks.withWatermark("click_ts", delay).as("c"),
         expr(s"""v.user_id = c.user_id
                 | AND c.click_ts >= v.view_ts
-                | AND c.click_ts <= v.view_ts + interval $window""".stripMargin))
+                | AND c.click_ts <= v.view_ts + interval $window""".stripMargin),
+        joinType)
       .select(col("v.user_id").as("user_id"),
         col("v.view_ts").as("view_ts"), col("c.click_ts").as("click_ts"))
 }
