@@ -374,6 +374,67 @@ object EventOps {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** Lookback depth for [[eventsPatternStream]]. */
+  val PatternLookback = 5
+
+  /** The ListState pattern detector (TwsPatternJob — "purchase with a
+    * signup among the user's previous 5 events"), driven END-TO-END
+    * through the oracle: a COUNT-based lookback is a ring-buffer
+    * predicate no interval join expresses, and the oracle reproduces it
+    * as a max-over-rows-window in plain SQL. Wave order can't move
+    * results: in-batch processing sorts by (ms, type) and the ring
+    * carries across batches, so the emitted set equals the batch window
+    * — only if ListState actually persists the tail between
+    * micro-batches.
+    */
+  def eventsPatternStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      driveWaves(spark,
+        ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
+        "user_id LONG, event_type STRING, ms LONG", StatefulChunks.toLong,
+        "tws_pattern") { src =>
+        import src.sparkSession.implicits._
+        graft.streaming.TwsPatternJob.detect(
+          src.select(col("user_id").as("key"),
+            timestamp_millis(col("ms")).as("eventTs"),
+            col("event_type").as("etype")).as[graft.streaming.TypedEvent],
+          trigger = "purchase", antecedent = "signup",
+          lookback = PatternLookback).toDF()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    out.select(col("key").as("user_id"),
+        unix_millis(col("hit_ts")).as("hit_ms"))
+      .orderBy(col("user_id"), col("hit_ms"))
+  }
+
+  val eventsPatternStreamOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, ms, event_type,
+      |         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ms, event_type
+      |                 ROWS BETWEEN $PatternLookback PRECEDING AND 1 PRECEDING)
+      |           AS has_antecedent
+      |  FROM e)
+      |SELECT user_id, ms AS hit_ms
+      |FROM w WHERE event_type = 'purchase' AND has_antecedent = 1
+      |ORDER BY user_id, hit_ms""".stripMargin
+
   /** The DECLARATIVE streaming sessionize (SessionStreamJob.sessionize's
     * `session_window` aggregation), driven END-TO-END through the DuckDB
     * oracle with the same wave harness — completing the set: all four
@@ -1233,6 +1294,7 @@ object EventOps {
     "events_sessionize_stateful" -> (eventsSessionizeStateful _),
     "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_sessionize_tws" -> (eventsSessionizeTws _),
+    "events_pattern_stream" -> (eventsPatternStream _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_attribution_outer" -> (eventsAttributionOuter _),
     "events_dedup_stream" -> (eventsDedupStream _),
@@ -1257,6 +1319,7 @@ object EventOps {
     "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_sessionize_tws" -> eventsSessionizeStatefulOracle,
+    "events_pattern_stream" -> eventsPatternStreamOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_attribution_outer" -> eventsAttributionOuterOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
