@@ -435,6 +435,51 @@ object EventOps {
       |FROM w WHERE event_type = 'purchase' AND has_antecedent = 1
       |ORDER BY user_id, hit_ms""".stripMargin
 
+  /** The MapState first-occurrence log (TwsFirstSeenJob), driven
+    * END-TO-END: a row per (user, event type) carrying the FIRST
+    * sighting's timestamp, emitted exactly once across waves — richer
+    * than [[eventsDedupStream]]'s key-set (the first-seen ms must also
+    * be right, so in-batch ordering and the cross-batch map both land
+    * in the oracle). Oracle is a plain MIN(ms) GROUP BY.
+    */
+  def eventsFirstSeenStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      driveWaves(spark,
+        ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
+        "user_id LONG, event_type STRING, ms LONG", StatefulChunks.toLong,
+        "tws_firstseen") { src =>
+        import src.sparkSession.implicits._
+        graft.streaming.TwsFirstSeenJob.firstSeen(
+          src.select(col("user_id").as("key"),
+            timestamp_millis(col("ms")).as("eventTs"),
+            col("event_type").as("etype")).as[graft.streaming.TypedEvent])
+          .toDF()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    out.select(col("key").as("user_id"), col("etype").as("event_type"),
+        unix_millis(col("first_ts")).as("first_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val eventsFirstSeenStreamOracle: String =
+    """SELECT user_id, event_type,
+      |       MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS first_ms
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** The DECLARATIVE streaming sessionize (SessionStreamJob.sessionize's
     * `session_window` aggregation), driven END-TO-END through the DuckDB
     * oracle with the same wave harness — completing the set: all four
@@ -1295,6 +1340,7 @@ object EventOps {
     "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_sessionize_tws" -> (eventsSessionizeTws _),
     "events_pattern_stream" -> (eventsPatternStream _),
+    "events_firstseen_stream" -> (eventsFirstSeenStream _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_attribution_outer" -> (eventsAttributionOuter _),
     "events_dedup_stream" -> (eventsDedupStream _),
@@ -1320,6 +1366,7 @@ object EventOps {
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_sessionize_tws" -> eventsSessionizeStatefulOracle,
     "events_pattern_stream" -> eventsPatternStreamOracle,
+    "events_firstseen_stream" -> eventsFirstSeenStreamOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_attribution_outer" -> eventsAttributionOuterOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
