@@ -702,6 +702,95 @@ object EventOps {
       |  AND c.ms >= v.ms AND c.ms <= v.ms + ${AttributionWindowMicros / 1000L}
       |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
 
+  /** MULTI-STATEFUL streaming pipeline driven end-to-end: the
+    * stream-stream interval join feeds a windowed aggregation INSIDE
+    * the same streaming query (Spark 4's chained-stateful support) —
+    * daily attributed-click counts per user. The aggregate can only
+    * emit once the join-delayed global watermark passes each day
+    * window, so the result proves watermark propagation THROUGH the
+    * join, not just the join itself. Double-sided sentinel waves flush
+    * both operators; ascending arrival makes the oracle the plain batch
+    * join + day rollup.
+    */
+  def eventsAttributionRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = withMicros(Tables.events(spark, dir))
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val winMs = AttributionWindowMicros / 1000L
+    val root = harnessTempDir("graft_ssjr_")
+    val sides = Seq("view" -> s"$root/views", "click" -> s"$root/clicks")
+    sides.foreach { case (_, d) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    val sentinels = Seq(
+      ("view", -1L, hi + 5 * winMs, StatefulChunks.toLong),
+      ("click", -1L, hi + 5 * winMs, StatefulChunks.toLong),
+      ("view", -2L, hi + 10 * winMs, StatefulChunks + 1L),
+      ("click", -2L, hi + 10 * winMs, StatefulChunks + 1L))
+      .toDF("side", "user_id", "ms", "wave")
+    ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+      .select(col("event_type").as("side"), col("user_id"), col("ms"),
+        col("wave"))
+      .unionByName(sentinels)
+      .repartition(1).write.partitionBy("side", "wave")
+      .parquet(s"$root/stage")
+    withHarnessConf(spark) {
+      val Seq(vDir, cDir) = sides.map(_._2)
+      val views = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(vDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("view_ts"))
+      val clicks = spark.readStream.schema("user_id LONG, ms LONG")
+        .parquet(cDir)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("click_ts"))
+      val joined = graft.streaming.SessionStreamJob
+        .attributeClicks(views, clicks, "4 hours", "10 minutes")
+      val q = joined
+        .groupBy(col("user_id"),
+          window(col("click_ts"), "1 day").as("day"))
+        .agg(count(lit(1)).as("n_attributed"))
+        .select(col("user_id"), col("day.start").as("day_start"),
+          col("n_attributed"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssjr_rollup")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        (0L until StatefulChunks + 2L).foreach { w =>
+          sides.foreach { case (tpe, d) =>
+            releaseWave(s"$root/stage/side=$tpe", d, w)
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table("ssjr_rollup")
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), unix_millis(col("day_start")).as("day_ms"),
+        col("n_attributed"))
+      .orderBy(col("user_id"), col("day_ms"))
+  }
+
+  val eventsAttributionRollupOracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |v AS (SELECT user_id, ms FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ms FROM e WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT v.user_id, c.ms AS click_ms
+      |  FROM v JOIN c ON v.user_id = c.user_id
+      |    AND c.ms >= v.ms AND c.ms <= v.ms + ${AttributionWindowMicros / 1000L})
+      |SELECT user_id, (click_ms // 86400000) * 86400000 AS day_ms,
+      |       COUNT(*) AS n_attributed
+      |FROM pairs
+      |GROUP BY user_id, day_ms
+      |ORDER BY user_id, day_ms""".stripMargin
+
   val eventsAttributionStreamOracle: String =
     s"""WITH e AS (
       |  SELECT user_id, event_type,
@@ -1343,6 +1432,7 @@ object EventOps {
     "events_firstseen_stream" -> (eventsFirstSeenStream _),
     "events_attribution_stream" -> (eventsAttributionStream _),
     "events_attribution_outer" -> (eventsAttributionOuter _),
+    "events_attribution_rollup" -> (eventsAttributionRollup _),
     "events_dedup_stream" -> (eventsDedupStream _),
     "events_paths" -> (eventsPaths _),
     "events_active_users" -> (eventsActiveUsers _),
@@ -1369,6 +1459,7 @@ object EventOps {
     "events_firstseen_stream" -> eventsFirstSeenStreamOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,
     "events_attribution_outer" -> eventsAttributionOuterOracle,
+    "events_attribution_rollup" -> eventsAttributionRollupOracle,
     "events_dedup_stream" -> eventsDedupStreamOracle,
     "events_paths" -> eventsPathsOracle,
     "events_active_users" -> eventsActiveUsersOracle,
