@@ -271,6 +271,21 @@ object EventOps {
     spark.table(name)
   }
 
+  /** Runs `body` with the RocksDB state store provider (required by the
+    * transformWithState drives — the new API does not run on the
+    * HDFS-backed default), restoring the caller's provider after.
+    */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Runs `body` under the streaming-harness session conf, restoring the
     * caller's values after: 1 shuffle/state partition (per-wave slices
     * are tiny — a 32-partition state store is 32x the commit overhead
@@ -346,11 +361,7 @@ object EventOps {
     */
   def eventsSessionizeTws(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = SessionGapMicros / 1000L
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val out = try {
+    withRocksDb(spark) {
       driveWaves(spark, sessionWaveFrame(spark, dir),
         "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
         "tws_oracle") { src =>
@@ -360,11 +371,7 @@ object EventOps {
             col("value")).as[KeyedEvent],
           gapMs).toDF()
       }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
-    out
       .filter(col("key") >= 0L)
       .select(col("key").as("user_id"),
         unix_millis(col("session_start")).as("start_ms"),
@@ -393,11 +400,7 @@ object EventOps {
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val out = try {
+    withRocksDb(spark) {
       driveWaves(spark,
         ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
         "user_id LONG, event_type STRING, ms LONG", StatefulChunks.toLong,
@@ -410,11 +413,8 @@ object EventOps {
           trigger = "purchase", antecedent = "signup",
           lookback = PatternLookback).toDF()
       }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
-    out.select(col("key").as("user_id"),
+      .select(col("key").as("user_id"),
         unix_millis(col("hit_ts")).as("hit_ms"))
       .orderBy(col("user_id"), col("hit_ms"))
   }
@@ -448,11 +448,7 @@ object EventOps {
     val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / StatefulChunks + 1
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val out = try {
+    withRocksDb(spark) {
       driveWaves(spark,
         ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
         "user_id LONG, event_type STRING, ms LONG", StatefulChunks.toLong,
@@ -464,11 +460,8 @@ object EventOps {
             col("event_type").as("etype")).as[graft.streaming.TypedEvent])
           .toDF()
       }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
-    out.select(col("key").as("user_id"), col("etype").as("event_type"),
+      .select(col("key").as("user_id"), col("etype").as("event_type"),
         unix_millis(col("first_ts")).as("first_ms"))
       .orderBy(col("user_id"), col("event_type"))
   }
