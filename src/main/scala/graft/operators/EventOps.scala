@@ -473,6 +473,79 @@ object EventOps {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** WARM-STARTED streaming sessionization (the lakehouse
+    * backfill-then-stream bootstrap, transformWithState initial state):
+    * the fixture's first half is sessionized in BATCH; each key's last
+    * (still-open) session becomes the stream's initial state; the
+    * second half arrives as waves and continues — or timer-closes —
+    * those sessions. The oracle is ONE batch sessionization over the
+    * whole corpus: batch-closed sessions + stream output must
+    * reconstruct it exactly, which holds only if state adoption,
+    * cross-boundary merging, and the adopted sessions' timers all work.
+    */
+  def eventsSessionizeWarm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapMs = SessionGapMicros / 1000L
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("user_id").as("key"), expr("us div 1000").as("ms"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val split = lo + (hi - lo) / 2
+    // batch sessionization of the first half at the stream's ms
+    // resolution and (ms, value) tie order
+    val w = Window.partitionBy(col("key")).orderBy(col("ms"), col("value"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = ev.filter(col("ms") < split)
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("ms") - col("prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("key"), col("sid"))
+      .agg(min(col("ms")).as("start"), max(col("ms")).as("end"),
+        count(lit(1)).as("n"), sum(col("value")).as("sum"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("start").desc)))
+    // each key's LAST first-half session may continue into the stream —
+    // it bootstraps the state; every earlier one is final as-is
+    val bootstrap = marked.filter(col("rn") === 1)
+      .select(col("key"), col("start"), col("end"), col("n"), col("sum"))
+      .as[(Long, Long, Long, Long, Double)]
+      .map { case (k, st, en, n, sm) =>
+        (k, graft.streaming.OpenSession(st, en, n, sm))
+      }
+    val finals = marked.filter(col("rn") > 1)
+      .select(col("key").as("user_id"), col("start").as("start_ms"),
+        col("end").as("end_ms"), col("n").as("n_events"),
+        col("sum").as("sum_raw"))
+    val width2 = (hi - split) / 2 + 1
+    val staged = ev.filter(col("ms") >= split)
+      .withColumn("wave", expr(s"(ms - $split) div $width2"))
+      .unionByName(Seq(
+        (-1L, hi + 3 * gapMs, 0.0, 2L),
+        (-2L, hi + 6 * gapMs, 0.0, 3L))
+        .toDF("key", "ms", "value", "wave"))
+    val streamed = withRocksDb(spark) {
+      driveWaves(spark, staged, "key LONG, ms LONG, value DOUBLE", 4L,
+        "tws_warm") { src =>
+        graft.streaming.TwsSessionJob.sessionizeWarm(
+          src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+            col("value")).as[KeyedEvent],
+          bootstrap, gapMs).toDF()
+      }
+    }
+      .filter(col("key") >= 0L)
+      .select(col("key").as("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), col("sum_value").as("sum_raw"))
+    finals.unionByName(streamed)
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"),
+        round(col("sum_raw") + lit(1e-9), 5).as("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   /** The DECLARATIVE streaming sessionize (SessionStreamJob.sessionize's
     * `session_window` aggregation), driven END-TO-END through the DuckDB
     * oracle with the same wave harness — completing the set: all four
@@ -1421,6 +1494,7 @@ object EventOps {
     "events_sessionize_stateful" -> (eventsSessionizeStateful _),
     "events_sessionize_window" -> (eventsSessionizeWindow _),
     "events_sessionize_tws" -> (eventsSessionizeTws _),
+    "events_sessionize_warm" -> (eventsSessionizeWarm _),
     "events_pattern_stream" -> (eventsPatternStream _),
     "events_firstseen_stream" -> (eventsFirstSeenStream _),
     "events_attribution_stream" -> (eventsAttributionStream _),
@@ -1448,6 +1522,7 @@ object EventOps {
     "events_sessionize_stateful" -> eventsSessionizeStatefulOracle,
     "events_sessionize_window" -> eventsSessionizeWindowOracle,
     "events_sessionize_tws" -> eventsSessionizeStatefulOracle,
+    "events_sessionize_warm" -> eventsSessionizeStatefulOracle,
     "events_pattern_stream" -> eventsPatternStreamOracle,
     "events_firstseen_stream" -> eventsFirstSeenStreamOracle,
     "events_attribution_stream" -> eventsAttributionStreamOracle,

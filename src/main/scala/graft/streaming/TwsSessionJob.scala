@@ -3,7 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Gap sessionization on `transformWithState` (Spark 4's successor to
   * `flatMapGroupsWithState`): state is a named [[ValueState]] in the
@@ -26,9 +27,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * hash-partitioned, nothing accumulates past the watermark horizon.
   */
 class SessionProcessor(gapMs: Long)
-    extends StatefulProcessor[Long, KeyedEvent, SessionOut] {
+    extends StatefulProcessorWithInitialState[
+      Long, KeyedEvent, SessionOut, OpenSession] {
 
   @transient private var sess: ValueState[OpenSession] = _
+
+  /** Warm start: adopt a batch-built open session as this key's state
+    * (the backfill-then-stream bootstrap; a no-op for cold starts —
+    * plain `sessionize` never calls it). The adopted session gets its
+    * close timer like any other.
+    */
+  override def handleInitialState(key: Long, init: OpenSession,
+      tv: TimerValues): Unit = {
+    sess.update(init)
+    getHandle.registerTimer(
+      math.max(init.end + gapMs, tv.getCurrentWatermarkInMs() + 1))
+  }
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     sess = getHandle.getValueState[OpenSession]("session",
@@ -97,5 +111,26 @@ object TwsSessionJob {
       .groupByKey(_.key)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Warm-started sessionization: `initial` carries each key's
+    * batch-built open session (the lakehouse backfill), and the stream
+    * continues — or timer-closes — those sessions. The correctness law:
+    * backfill-closed sessions + this job's output ≡ one batch
+    * sessionization over everything (events_sessionize_warm proves it
+    * against DuckDB).
+    */
+  def sessionizeWarm(events: Dataset[KeyedEvent],
+      initial: Dataset[(Long, OpenSession)], gapMs: Long,
+      delay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val initEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    events
+      .withWatermark("eventTs", delay)
+      .groupByKey(_.key)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }
