@@ -1088,6 +1088,30 @@ object SimilarityOps {
       |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Per-label centroid table — the class-prototype primitive (label
+    * embeddings -> prototypes for classification, clustering seeds, or
+    * drift monitoring): posexplode to (label, dim) and ONE partial+final
+    * average whose key space is labels x 64, corpus-independent — the
+    * standard distributed centroid reduce. The fixture's embedding
+    * width (64, same pin as [[PqSubDim]]) is the dimension bound.
+    */
+  def simCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("label"), (col("p") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")) + lit(1e-9), 6).as("mean_x"))
+      .orderBy(col("label"), col("i"))
+
+  val simCentroidsOracle: String =
+    """SELECT label, i, COUNT(*) AS n,
+      |       round(AVG(CAST(embedding[i] AS DOUBLE)) + 1e-9, 6) AS mean_x
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, i
+      |ORDER BY label, i""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -1096,6 +1120,7 @@ object SimilarityOps {
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
+    "sim_centroids" -> (simCentroids _),
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
@@ -1106,5 +1131,6 @@ object SimilarityOps {
     "sim_lsh_topk" -> simLshTopkOracle,
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_ivfpq_topk" -> simIvfPqTopkOracle,
+    "sim_centroids" -> simCentroidsOracle,
     "sim_quantize" -> simQuantizeOracle)
 }
