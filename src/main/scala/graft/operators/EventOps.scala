@@ -217,6 +217,18 @@ object EventOps {
   private def stageWaves(df: DataFrame, stage: String): Unit =
     df.repartition(1).write.partitionBy("wave").parquet(stage)
 
+  /** Recursively delete a harness scratch root once its drive is done —
+    * the staged waves and checkpoint often live on tmpfs (RAM), and the
+    * memory sink already holds the results.
+    */
+  private def deleteHarnessDir(root: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(root))
+  }
+
   private def releaseWave(stage: String, srcDir: String, wave: Long): Unit = {
     val wd = new java.io.File(s"$stage/wave=$wave")
     Option(wd.listFiles).getOrElse(Array.empty[java.io.File])
@@ -254,20 +266,22 @@ object EventOps {
     val (stage, srcDir) = (s"$root/stage", s"$root/src")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
     stageWaves(rows, stage)
-    withHarnessConf(spark) {
-      val src = spark.readStream.schema(schema).parquet(srcDir)
-      val q = transform(src)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name)
-        .option("checkpointLocation", s"$root/ckpt")
-        .start()
-      try {
-        (0L until nWaves).foreach { w =>
-          releaseWave(stage, srcDir, w)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
+    try {
+      withHarnessConf(spark) {
+        val src = spark.readStream.schema(schema).parquet(srcDir)
+        val q = transform(src)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        try {
+          (0L until nWaves).foreach { w =>
+            releaseWave(stage, srcDir, w)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+    } finally deleteHarnessDir(root)
     spark.table(name)
   }
 
@@ -661,7 +675,7 @@ object EventOps {
         col("wave"))
       .repartition(1).write.partitionBy("side", "wave")
       .parquet(s"$root/stage")
-    withHarnessConf(spark) {
+    try withHarnessConf(spark) {
       val Seq(vDir, cDir) = sides.map(_._2)
       val views = spark.readStream.schema("user_id LONG, ms LONG")
         .parquet(vDir)
@@ -683,7 +697,7 @@ object EventOps {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
+    } finally deleteHarnessDir(root)
     spark.table("ssj_attr")
       .select(col("user_id"), unix_millis(col("view_ts")).as("view_ms"),
         unix_millis(col("click_ts")).as("click_ms"))
@@ -725,7 +739,7 @@ object EventOps {
       .unionByName(sentinels)
       .repartition(1).write.partitionBy("side", "wave")
       .parquet(s"$root/stage")
-    withHarnessConf(spark) {
+    try withHarnessConf(spark) {
       val Seq(vDir, cDir) = sides.map(_._2)
       val views = spark.readStream.schema("user_id LONG, ms LONG")
         .parquet(vDir)
@@ -748,7 +762,7 @@ object EventOps {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
+    } finally deleteHarnessDir(root)
     spark.table("ssjo_attr")
       .filter(col("user_id") >= 0L)
       .select(col("user_id"), unix_millis(col("view_ts")).as("view_ms"),
@@ -804,7 +818,7 @@ object EventOps {
       .unionByName(sentinels)
       .repartition(1).write.partitionBy("side", "wave")
       .parquet(s"$root/stage")
-    withHarnessConf(spark) {
+    try withHarnessConf(spark) {
       val Seq(vDir, cDir) = sides.map(_._2)
       val views = spark.readStream.schema("user_id LONG, ms LONG")
         .parquet(vDir)
@@ -832,7 +846,7 @@ object EventOps {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
+    } finally deleteHarnessDir(root)
     spark.table("ssjr_rollup")
       .filter(col("user_id") >= 0L)
       .select(col("user_id"), unix_millis(col("day_start")).as("day_ms"),
