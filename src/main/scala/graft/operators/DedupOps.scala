@@ -419,6 +419,48 @@ object DedupOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     stagedNgramPairs(spark, dir).orderBy(col("da"), col("db"))
 
+  /** Character-level edit-distance verification of the verified near-dup
+    * pairs — the expensive exactness tier above shingle Jaccard
+    * (catches transpositions and small in-place edits shingles blur).
+    * O(len²) per pair is affordable ONLY because it runs on the staged,
+    * df-capped candidate pairs, never the corpus: the pair set is
+    * broadcast into two map-side text joins, so the documents scan
+    * stays shuffle-free and the quadratic work is bounded by the
+    * near-dup count. Identical `levenshtein` semantics in both engines
+    * (unit-cost insert/delete/substitute).
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedNgramPairs(spark, dir).select(col("da"), col("db"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val withA = docs.join(broadcast(pairs), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("text").as("ta"))
+    val withB = docs.join(broadcast(withA), col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("ta"), col("text").as("tb"))
+    withB.select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        round(lit(1.0) -
+          levenshtein(col("ta"), col("tb")) /
+            greatest(length(col("ta")), length(col("tb"))).cast("double") +
+          lit(1e-9), 4).as("edit_sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // lazy: embeds dedupNgramJaccardOracle, which is declared further down
+  // the object (object vals initialize in declaration order)
+  lazy val dedupEditDistanceOracle: String =
+    s"""WITH pairs AS (
+      |$dedupNgramJaccardOracle
+      |)
+      |SELECT p.da, p.db,
+      |       levenshtein(a.text, b.text) AS edit_dist,
+      |       round(1.0 - levenshtein(a.text, b.text) * 1.0 /
+      |             greatest(length(a.text), length(b.text)) + 1e-9, 4)
+      |         AS edit_sim
+      |FROM pairs p
+      |JOIN documents a ON p.da = a.doc_id
+      |JOIN documents b ON p.db = b.doc_id
+      |ORDER BY p.da, p.db""".stripMargin
+
   /** Containment threshold for the asymmetric near-dup check. */
   val ContainmentThreshold = 0.8
 
@@ -1392,6 +1434,7 @@ object DedupOps {
     "dedup_source_priority" -> (dedupSourcePriority _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1410,6 +1453,7 @@ object DedupOps {
     "dedup_source_priority" -> dedupSourcePriorityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,

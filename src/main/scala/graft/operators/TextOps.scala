@@ -152,6 +152,39 @@ object TextOps {
       |            ELSE 'low' END AS tier
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Canonical text normalization — the pass every pipeline runs before
+    * tokenizing/deduping: lowercase, strip non-alphanumeric to spaces,
+    * collapse whitespace runs, trim. ONE map-only scan projection; the
+    * per-doc outputs (normalized length, token count, changed bit, and
+    * an md5-head checksum of the normalized text) make every byte of
+    * the transform oracle-visible. Regex classes are shared-semantics
+    * subsets of both engines' dialects ([^a-z0-9 ] and space runs).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(spark, dir))
+      .withColumn("norm", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        conv(substring(md5(col("norm").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("checksum"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(
+      |           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+      |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+      |       norm <> text AS changed,
+      |       CAST('0x' || substr(md5(norm), 1, 12) AS BIGINT) AS checksum
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** Buckets in the hashed-classifier feature space (the model size —
     * fixed regardless of vocabulary).
     */
@@ -1136,6 +1169,7 @@ object TextOps {
     "sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (textRepetition _),
     "text_classifier_score" -> (textClassifierScore _),
+    "text_normalize" -> (textNormalize _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
@@ -1160,6 +1194,7 @@ object TextOps {
     "sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_classifier_score" -> textClassifierScoreOracle,
+    "text_normalize" -> textNormalizeOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
     "text_quality" -> textQualityOracle,
