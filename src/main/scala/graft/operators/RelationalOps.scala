@@ -802,6 +802,36 @@ object RelationalOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** RANGE-frame window — the time-interval moving aggregate (trailing
+    * 30-day order count/revenue per customer), the frame semantics ROWS
+    * cannot express: a RANGE frame admits every row whose ORDER-BY
+    * value falls in the interval, and PEERS (same customer, same date)
+    * enter together — which also makes the result tie-order
+    * deterministic by construction. One customer-keyed shuffle; the
+    * identical SQL text runs in both dialects.
+    */
+  private val Rolling30 =
+    """OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("CAST(CAST(o_orderdate AS DATE) AS STRING)").as("d"),
+      expr(s"CAST(COUNT(*) $Rolling30 AS BIGINT)").as("n30"),
+      expr(s"round(SUM(o_totalprice) $Rolling30 * (1.0 + 1e-12), 2)")
+        .as("rev30"))
+      .orderBy(col("o_orderkey"))
+
+  val qWindowRangeOracle: String =
+    s"""SELECT o_orderkey, o_custkey,
+      |       CAST(CAST(o_orderdate AS DATE) AS STRING) AS d,
+      |       CAST(COUNT(*) $Rolling30 AS BIGINT) AS n30,
+      |       round(SUM(o_totalprice) $Rolling30 * (1.0 + 1e-12), 2) AS rev30
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Data-quality constraint battery (the Deequ shape — validate before
     * you train): per-table constraints FUSE into one aggregate pass per
     * table (bounds, null, uniqueness as count-minus-distinct), the FK
@@ -888,6 +918,7 @@ object RelationalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_constraints" -> (qQualityConstraints _),
+    "q_window_range" -> (qWindowRange _),
     "q_table_profile" -> (qTableProfile _),
     "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),
@@ -946,5 +977,6 @@ object RelationalOps {
     "q_scalar_funcs" -> qScalarFuncsOracle,
     "q_date_funcs" -> qDateFuncsOracle,
     "q_table_profile" -> qTableProfileOracle,
-    "q_quality_constraints" -> qQualityConstraintsOracle)
+    "q_quality_constraints" -> qQualityConstraintsOracle,
+    "q_window_range" -> qWindowRangeOracle)
 }
