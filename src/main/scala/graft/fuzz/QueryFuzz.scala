@@ -2,6 +2,7 @@ package graft.fuzz
 
 import java.util.Random
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -548,6 +549,58 @@ object QueryFuzz {
   /** Seed floor for the interval-arithmetic shape. */
   val IntervalSeedFloor = 6000L
 
+  /** Moving-aggregate shape: SUM/MIN/MAX/COUNT over a generated
+    * `ROWS BETWEEN n PRECEDING AND CURRENT ROW` frame — ROWS frames are
+    * physical-order-sensitive, so the ORDER BY carries the table's
+    * unique id as tiebreak (total order = cross-engine determinism);
+    * what the family guards is frame-boundary indexing (off-by-one at
+    * partition starts) and null handling inside sliding frames.
+    */
+  private def genMovingAgg(seed: Long, rnd: Random): Gen = {
+    // lineitem's leading int (l_orderkey) is not unique — (v, id) must
+    // be a TOTAL order or ROWS-frame sums become tie-order-dependent
+    val t = pick(rnd, tables.filter(_.name != "lineitem"))
+    val id = t.ints.head
+    val v = pick(rnd, t.ints)
+    val n = 1 + rnd.nextInt(6)
+    val (k0Sql, k0Col) = keyOn(rnd, t.ints, t.strings, "k0")
+    val aggKind = rnd.nextInt(3)
+    val aggSql = aggKind match {
+      case 0 => "CAST(SUM(v) OVER w AS BIGINT)"
+      case 1 => "MIN(v) OVER w"
+      case _ => "MAX(v) OVER w"
+    }
+    def aggOver(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      aggKind match {
+        // the cast must wrap the WINDOWED column — casting the bare
+        // aggregate first detaches it from the OVER clause
+        case 0 => sum(col("v")).over(w).cast("long")
+        case 1 => min(col("v")).over(w)
+        case _ => max(col("v")).over(w)
+      }
+    val sql =
+      s"""SELECT id, k0, v, $aggSql AS a0,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS a_cnt
+         |FROM (SELECT $id AS id, $k0Sql, $v AS v FROM ${t.name}) s
+         |WINDOW w AS (PARTITION BY k0 ORDER BY v, id
+         |             ROWS BETWEEN $n PRECEDING AND CURRENT ROW)
+         |ORDER BY id""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("k0")).orderBy(col("v"), col("id"))
+        .rowsBetween(-n, Window.currentRow)
+      Tables.table(spark, dir, t.name)
+        .select(col(id).as("id"), k0Col, col(v).as("v"))
+        .select(col("id"), col("k0"), col("v"),
+          aggOver(w).as("a0"),
+          count(lit(1)).over(w).as("a_cnt"))
+        .orderBy(col("id"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the moving-aggregate shape. */
+  val MovingAggSeedFloor = 7000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -562,6 +615,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= MovingAggSeedFloor) return genMovingAgg(seed, rnd0)
     if (seed >= IntervalSeedFloor) return genInterval(seed, rnd0)
     if (seed >= PercentileSeedFloor) return genPercentile(seed, rnd0)
     if (seed >= StringSeedFloor) return genString(seed, rnd0)
@@ -772,7 +826,8 @@ object QueryFuzz {
     * aggregate shape (percentile_disc WITHIN GROUP at generated
     * fractions — the discrete-percentile boundary convention); seeds
     * 6000+ the interval-arithmetic shape (±INTERVAL n unit with
-    * month-end clamping under date_trunc).
+    * month-end clamping under date_trunc); seeds 7000+ the
+    * moving-aggregate shape (ROWS-frame sliding SUM/MIN/MAX).
     */
   val registeredSeeds: Seq[Long] =
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L, 10L, 12L, 13L, 16L, 22L, 25L, 26L,
@@ -790,7 +845,9 @@ object QueryFuzz {
       // ordered-set-aggregate (percentile_disc WITHIN GROUP) shapes
       5000L, 5001L, 5002L, 5003L, 5004L, 5005L, 5006L, 5007L,
       // interval-arithmetic shapes (month-end clamp, shift-then-trunc)
-      6000L, 6001L, 6002L, 6003L, 6004L, 6005L)
+      6000L, 6001L, 6002L, 6003L, 6004L, 6005L,
+      // moving-aggregate ROWS-frame shapes
+      7000L, 7001L, 7002L, 7003L, 7004L, 7005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

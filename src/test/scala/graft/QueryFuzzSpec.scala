@@ -35,7 +35,7 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("360 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("380 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
     // 0..199: the classic/window/semi/union shapes; 1000..1049: the r5
     // null-semantics shapes (rollup/cube, outer-join aggregates,
@@ -43,14 +43,16 @@ class QueryFuzzSpec extends AnyFunSuite {
     // aggregation (COUNT DISTINCT + CASE aggregates under HAVING);
     // 3000..3019: calendar bucketing (date_trunc granularities);
     // 5000..5019: ordered-set aggregates (percentile_disc WITHIN GROUP);
-    // 6000..6019: interval arithmetic (month-end clamp, shift-then-trunc)
+    // 6000..6019: interval arithmetic (month-end clamp, shift-then-trunc);
+    // 7000..7019: moving aggregates over ROWS frames
     val seeds = (0L until 200L) ++
       (QueryFuzz.NullShapeSeedFloor until QueryFuzz.NullShapeSeedFloor + 50L) ++
       (QueryFuzz.CondAggSeedFloor until QueryFuzz.CondAggSeedFloor + 30L) ++
       (QueryFuzz.DateTruncSeedFloor until QueryFuzz.DateTruncSeedFloor + 20L) ++
       (QueryFuzz.StringSeedFloor until QueryFuzz.StringSeedFloor + 20L) ++
       (QueryFuzz.PercentileSeedFloor until QueryFuzz.PercentileSeedFloor + 20L) ++
-      (QueryFuzz.IntervalSeedFloor until QueryFuzz.IntervalSeedFloor + 20L)
+      (QueryFuzz.IntervalSeedFloor until QueryFuzz.IntervalSeedFloor + 20L) ++
+      (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
