@@ -445,6 +445,43 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Cross-source duplication matrix — "which sources copy which": the
+    * verified near-dup pairs joined to both docs' ingestion sources
+    * (broadcast pair set, map-side joins — same bounded shape as
+    * [[dedupEditDistance]]) and rolled up to (source_a, source_b) pair
+    * counts with sources ordered within the pair so the matrix is
+    * upper-triangular. The curation view that decides which source to
+    * de-prioritize; key space is sources², corpus-independent.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedNgramPairs(spark, dir).select(col("da"), col("db"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("source").as("sa"))
+    val withB = src.join(broadcast(withA), col("doc_id") === col("db"))
+      .select(col("sa"), col("source").as("sb"))
+    withB.select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  lazy val dedupSourceMatrixOracle: String =
+    s"""WITH pairs AS (
+      |$dedupNgramJaccardOracle
+      |)
+      |SELECT least(a.source, b.source) AS source_a,
+      |       greatest(a.source, b.source) AS source_b,
+      |       COUNT(*) AS n_pairs
+      |FROM pairs p
+      |JOIN documents a ON p.da = a.doc_id
+      |JOIN documents b ON p.db = b.doc_id
+      |GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   // lazy: embeds dedupNgramJaccardOracle, which is declared further down
   // the object (object vals initialize in declaration order)
   lazy val dedupEditDistanceOracle: String =
@@ -1435,6 +1472,7 @@ object DedupOps {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_edit_distance" -> (dedupEditDistance _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1454,6 +1492,7 @@ object DedupOps {
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,
+    "dedup_source_matrix" -> dedupSourceMatrixOracle,
     "dedup_containment" -> dedupContainmentOracle,
     "dedup_minhash_lsh" -> dedupMinhashLshOracle,
     "dedup_simhash" -> dedupSimhashOracle,

@@ -152,6 +152,50 @@ object TextOps {
       |            ELSE 'low' END AS tier
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for [[textOov]] (top-K corpus tokens). */
+  val OovVocabSize = 200
+
+  /** Tokenizer-coverage / OOV-rate — the pretraining metric that decides
+    * whether a vocabulary fits a corpus: the vocabulary is the corpus's
+    * own top-[[OovVocabSize]] tokens (count desc, token asc — fully
+    * deterministic, no external asset), and each document reports its
+    * out-of-vocabulary token count and rate. One vocab-bounded token
+    * shuffle builds the table; it broadcasts back over a map-side
+    * anti-membership pass (tokens explode once, shared by both stages).
+    */
+  def textOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(OovVocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double") + lit(1e-9), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val textOovOracle: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT $OovVocabSize)),
+      |flagged AS (
+      |  SELECT t.doc_id,
+      |         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |       round(SUM(oov) * 1.0 / COUNT(*) + 1e-9, 4) AS oov_rate
+      |FROM flagged
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Canonical text normalization — the pass every pipeline runs before
     * tokenizing/deduping: lowercase, strip non-alphanumeric to spaces,
     * collapse whitespace runs, trim. ONE map-only scan projection; the
@@ -1170,6 +1214,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "text_classifier_score" -> (textClassifierScore _),
     "text_normalize" -> (textNormalize _),
+    "text_oov" -> (textOov _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
@@ -1195,6 +1240,7 @@ object TextOps {
     "text_repetition" -> textRepetitionOracle,
     "text_classifier_score" -> textClassifierScoreOracle,
     "text_normalize" -> textNormalizeOracle,
+    "text_oov" -> textOovOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
     "text_quality" -> textQualityOracle,
