@@ -1354,8 +1354,9 @@ object DedupOps {
        |per AS (SELECT h, doc_id, COUNT(*) AS n_occ FROM spans GROUP BY h, doc_id),
        |flag AS (SELECT h, doc_id, n_occ,
        |                COUNT(*) OVER (PARTITION BY h) AS n_docs FROM per)
-       |SELECT doc_id, SUM(n_occ) AS n_spans,
-       |       COALESCE(SUM(n_occ) FILTER (WHERE n_docs >= 2), 0) AS dup_spans,
+       |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+       |       CAST(COALESCE(SUM(n_occ) FILTER (WHERE n_docs >= 2), 0)
+       |            AS BIGINT) AS dup_spans,
        |       ROUND(COALESCE(SUM(n_occ) FILTER (WHERE n_docs >= 2), 0)::DOUBLE
        |             / SUM(n_occ) + 1e-9, 4) AS dup_frac
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1446,7 +1447,11 @@ object DedupOps {
     spanTexts.join(broadcast(top), "h")
       .select(col("span"), col("n_occ"), col("n_docs"))
       .distinct()
-      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      // tiebreak on md5(span) — the SAME key the oracle's ORDER BY uses;
+      // breaking ties on the raw text would diverge from the oracle's
+      // row order whenever two top spans tie on (n_occ, n_docs)
+      .orderBy(col("n_occ").desc, col("n_docs").desc,
+        md5(col("span").cast("binary")))
   }
 
   val dedupTopSpansOracle: String =

@@ -627,9 +627,9 @@ object MultimodalOps {
       |tot AS (SELECT doc_id, SUM(cs) AS t FROM cells GROUP BY doc_id),
       |hs AS (
       |  SELECT c.doc_id,
-      |         SUM(CASE WHEN cs * $AhashCells >= t AND t > 0
-      |                  THEN CAST(1 AS BIGINT) << CAST(cell AS INT)
-      |                  ELSE 0 END) AS ahash
+      |         CAST(SUM(CASE WHEN cs * $AhashCells >= t AND t > 0
+      |                       THEN CAST(1 AS BIGINT) << CAST(cell AS INT)
+      |                       ELSE 0 END) AS BIGINT) AS ahash
       |  FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id),
       |fp AS (
       |  SELECT d.doc_id AS media_id, COALESCE(hs.ahash, 0) AS ahash

@@ -114,7 +114,7 @@ object SourceOps {
   }
 
   val sourceJsonlWriteOracle: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -37,6 +37,24 @@ def main(sf_dir, out_dir):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Type gate: the verification driver hashes DuckDB HUGEINT/UHUGEINT
+    # differently from BIGINT even at equal values (Python's fetch coerces
+    # both to int, so the value compare below can't see it). Any oracle
+    # producing one (e.g. an uncast SUM over integers) would be a standing
+    # driver red — fail it here, before the value check masks it.
+    n_typed_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"[ERROR] {name}: DESCRIBE failed: {e}")
+            n_typed_bad += 1
+            continue
+        bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if bad:
+            print(f"[TYPE ] {name}: driver-unhashable oracle columns {bad} — "
+                  f"CAST(... AS BIGINT) them")
+            n_typed_bad += 1
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = 0
@@ -70,6 +88,9 @@ def main(sf_dir, out_dir):
             if only_e:
                 print(f"         oracle-only: {only_e}")
     print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked queries match ==")
+    if n_typed_bad:
+        print(f"== {n_typed_bad} oracle(s) with HUGEINT-typed columns — driver would hash-fail ==")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
