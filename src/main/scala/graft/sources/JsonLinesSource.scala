@@ -216,10 +216,20 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     * files always scan).
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // zone keys are fully-qualified paths: the sidecar stores bare names
+    // (relative to its own directory), but with several input dirs a
+    // same-named external file in dir A must never be pruned by dir B's
+    // stats.
     val zones = if (pushed.isEmpty) Map.empty[String, JsonLinesZone]
-      else paths.flatMap(p => JsonLinesStats.read(new Path(p))).toMap
+      else paths.flatMap { p =>
+        val dir = new Path(p)
+        val qdir = JsonLines.fs(dir).makeQualified(dir)
+        JsonLinesStats.read(dir).map { case (name, z) =>
+          new Path(qdir, name).toString -> z
+        }
+      }.toMap
     val (skipped, kept) = JsonLines.listFiles(paths).partition { st =>
-      zones.get(st.getPath.getName)
+      zones.get(st.getPath.toString)
         .exists(z => pushed.exists(JsonLinesStats.provesEmpty(_, z)))
     }
     filesSkipped = skipped.size.toLong
@@ -373,17 +383,24 @@ private[graft] object JsonLinesStats {
     */
   def provesEmpty(f: Filter, z: JsonLinesZone): Boolean = {
     def zone(a: String): Option[(Any, Any)] = z.fields.get(a)
-    def nan(v: Any): Boolean = v match {
-      case d: Double => d.isNaN
-      case f: Float => f.isNaN
+    def nonFinite(v: Any): Boolean = v match {
+      case d: Double => d.isNaN || d.isInfinite
+      case f: Float => f.isNaN || f.isInfinite
       case _ => false
     }
+    // Exact numeric compare via BigDecimal: longValue()/doubleValue()
+    // coercions truncate (LessThan(a, 5.5) vs a Long zone lo=5 would
+    // "prove" the file empty while rows with a=5 match) or lose
+    // precision above 2^53. new BigDecimal(double) is the exact binary
+    // value, so no literal/zone pair can be mis-ordered.
+    def big(v: Number): java.math.BigDecimal = v match {
+      case d: java.lang.Double => new java.math.BigDecimal(d.doubleValue())
+      case f: java.lang.Float => new java.math.BigDecimal(f.doubleValue())
+      case n => new java.math.BigDecimal(n.toString)
+    }
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case _ if nan(a) || nan(b) => None // NaN proves nothing
-      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
-      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-      case (x: Number, y: Long) => Some(java.lang.Long.compare(x.longValue(), y))
-      case (x: Number, y: Double) => Some(java.lang.Double.compare(x.doubleValue(), y))
+      case _ if nonFinite(a) || nonFinite(b) => None // NaN/Inf prove nothing
+      case (x: Number, y: Number) => Some(big(x).compareTo(big(y)))
       case (x: String, y: String) => Some(x.compareTo(y))
       case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case _ => None

@@ -288,6 +288,45 @@ class SourcesSpec extends AnyFunSuite {
       "append must extend the stats sidecar, not orphan it")
     assert(planned(Array(EqualTo("id", 5L))) === 1,
       "old zones must survive the append merge")
+    // fractional literal vs Long zones: a truncating longValue() compare
+    // would "prove" id < 0.5 empty for the lo=0 file (0 >= trunc(0.5))
+    // and silently drop row 0 — exact BigDecimal compare keeps the file
+    assert(planned(Array(LessThan("id", 0.5))) === 1,
+      "fractional LessThan must keep the file holding id=0")
+    val frac = spark.read.format("graft-jsonl").schema(schema).load(dir)
+      .filter("id < 0.5").collect()
+    assert(frac.map(_.getLong(0)).toSeq === Seq(0L),
+      "row id=0 must survive fractional-literal pruning")
+  }
+
+  test("zone maps key on the full path, never prune a same-named " +
+      "external file by another directory's stats") {
+    val base = Files.createTempDirectory("jsonl_zonekeys")
+    val dirA = Files.createDirectory(base.resolve("a"))
+    val dirB = Files.createDirectory(base.resolve("b"))
+    def lines(dir: java.nio.file.Path, name: String, ids: Range): Unit =
+      Files.write(dir.resolve(name),
+        ids.map(i => s"""{"id":$i,"name":"row$i"}""").mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+    // externally-produced same-named files: A carries a stats sidecar,
+    // B (same file NAME, different id range) has none
+    lines(dirA, "part-000.jsonl", 0 to 9)
+    Files.write(dirA.resolve("_stats.jsonl"),
+      """{"file":"part-000.jsonl","fields":{"id":{"min":0,"max":9,"nulls":false},"name":{"min":"row0","max":"row9","nulls":false}}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    lines(dirB, "part-000.jsonl", 100 to 109)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val got = spark.read.format("graft-jsonl").schema(schema)
+      .load(dirA.toString, dirB.toString)
+      .filter("id = 105").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("row105"),
+      "B's file must not be pruned by A's same-named zone entry")
+    // and A's own pruning still works across the two-dir read
+    val gotA = spark.read.format("graft-jsonl").schema(schema)
+      .load(dirA.toString, dirB.toString)
+      .filter("id = 5").collect()
+    assert(gotA.map(_.getString(1)).toSeq === Seq("row5"))
   }
 
   test("connector feeds the streaming ingest pipeline: jsonl tail -> " +
