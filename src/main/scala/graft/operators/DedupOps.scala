@@ -1315,13 +1315,17 @@ object DedupOps {
     * that whole-document dedup (exact or near) cannot see.
     *
     * Scale design: windows are generated map-side (one span per token,
-    * so span volume is O(corpus tokens)); the plan is three key-bounded
-    * shuffles — groupBy (h, doc) collapses within-doc repeats first, the
-    * per-h window then sees at most n_docs rows per key (never raw
-    * occurrence counts, so a hot span cannot blow a partition), and the
-    * final per-doc rollup is a plain hash agg. No joins, no all-pairs.
-    * Suffix arrays answer the same question on one node; at 100 TB the
-    * fixed-width rolling window is the shape that shards.
+    * so span volume is O(corpus tokens)); groupBy (h, doc) collapses
+    * within-doc repeats first, then the duplicated-flag per h comes from
+    * a second PARTIAL-AGGREGATING groupBy — each map task pre-combines,
+    * so a boilerplate span occurring in millions of documents ships one
+    * partial row per task, never the raw (h, doc) set. (A per-h window
+    * would funnel every occurrence row of a hot span into a single
+    * partition with no partial step and no AQE recourse; the join back
+    * here is AQE-skew-splittable.) The final per-doc rollup is a plain
+    * hash agg. No all-pairs anywhere. Suffix arrays answer the same
+    * question on one node; at 100 TB the fixed-width rolling window is
+    * the shape that shards.
     */
   def dedupExactSubstr(spark: SparkSession, dir: String): DataFrame = {
     val w = SubstrW
@@ -1334,11 +1338,13 @@ object DedupOps {
           .cast("binary")))).as("h"))
     val per = spans.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
-    val flagged = per.withColumn("n_docs",
-      count(lit(1)).over(Window.partitionBy(col("h"))))
-    flagged.groupBy(col("doc_id"))
+    // per is (h, doc)-distinct, so COUNT(*) per h == distinct docs
+    val dupH = per.groupBy(col("h"))
+      .agg((count(lit(1)) >= 2).as("dup"))
+    per.join(dupH, "h")
+      .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_spans"),
-        coalesce(sum(when(col("n_docs") >= 2, col("n_occ"))), lit(0L))
+        coalesce(sum(when(col("dup"), col("n_occ"))), lit(0L))
           .as("dup_spans"))
       .withColumn("dup_frac",
         round(col("dup_spans").cast("double") / col("n_spans") + lit(1e-9), 4))

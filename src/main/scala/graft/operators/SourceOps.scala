@@ -118,6 +118,55 @@ object SourceOps {
       |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val zonedPaths = new ConcurrentHashMap[String, String]()
+
+  /** documents staged once through the connector's OWN writer, RANGE-
+    * partitioned on doc_id so each output file's stats-sidecar zone
+    * covers a disjoint doc_id interval — the layout zone-map skipping
+    * rewards, produced by the engine itself end to end.
+    */
+  private def stagedZonedJsonl(spark: SparkSession, dir: String): String = {
+    val key = DedupOps.stageKey(spark, "jsonl-zoned", dir)
+    var path = zonedPaths.get(key)
+    if (path == null) {
+      zonedPaths.synchronized {
+        path = zonedPaths.get(key)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-jsonl-z-")
+            .resolve("docs").toString
+          Tables.documents(spark, dir)
+            .repartitionByRange(8, col("doc_id"))
+            .write.format("graft-jsonl").mode("overwrite").save(p)
+          zonedPaths.put(key, p)
+          path = p
+        }
+      }
+    }
+    path
+  }
+
+  /** Zone-map file skipping on the read path, oracle-checked: the
+    * selective doc_id filter is pushed into the DSv2 scan, whose
+    * planning consults each file's `_stats.jsonl` zone and skips the 7
+    * of 8 range-partitioned files whose (min, max) PROVE emptiness —
+    * file-listing-level pruning, the whole-file analog of parquet
+    * row-group min/max. The oracle computes the same rows from the
+    * original parquet without ever seeing the staged files, so a
+    * wrongly-skipped file surfaces as missing rows, and PlanSpec
+    * asserts skippedFiles > 0 on this exact query shape.
+    */
+  def sourceJsonlPruned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-jsonl")
+      .schema(documentsSchema)
+      .load(stagedZonedJsonl(spark, dir))
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val sourceJsonlPrunedOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
+
   private val evolvedPaths = new ConcurrentHashMap[String, String]()
 
   /** Schema-evolution read — the warehouse reality that tables GROW
@@ -177,10 +226,12 @@ object SourceOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_jsonl_scan" -> (sourceJsonlScan _),
     "source_jsonl_write" -> (sourceJsonlWrite _),
+    "source_jsonl_pruned" -> (sourceJsonlPruned _),
     "source_schema_evolution" -> (sourceSchemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "source_jsonl_scan" -> sourceJsonlScanOracle,
     "source_jsonl_write" -> sourceJsonlWriteOracle,
+    "source_jsonl_pruned" -> sourceJsonlPrunedOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }

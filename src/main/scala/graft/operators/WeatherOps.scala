@@ -196,13 +196,120 @@ object WeatherOps {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S1 end to end: the one reference PIPELINE (poll -> stage -> producer
+  // math -> Kafka-shaped message -> consumer agg) as a single
+  // oracle-checked query.
+  // ---------------------------------------------------------------------
+
+  /** Reference-style configured location list (weather_stream.py polls a
+    * fixed set from config — locations are configuration, not data).
+    */
+  private val PollLocations: Seq[(Double, Double)] =
+    (0L until 5L).map(r => (r.toDouble, 2.0 * r))
+  private val PollCycles = 3
+  private val PollBaseDt = 1700000000L
+
+  /** Deterministic One Call 3.0 payload for location (lat, lon) at poll
+    * cycle c — the "HTTP response" of the fake fetch. 61 minutely
+    * entries (the real API's shape), dt stepping 60 s, precipitation a
+    * closed-form integer-mod series both engines can recompute exactly.
+    */
+  private def oneCallPayload(lat: Double, lon: Double, c: Int): String = {
+    val r = lat.toLong
+    val entries = (0 until 61).map { k =>
+      val dt = PollBaseDt + c * 3600L + k * 60L
+      val precip = ((r * 31 + c * 7 + k) % 100) / 10.0
+      s"""{"dt":$dt,"precipitation":$precip}"""
+    }
+    s"""{"lat":$lat,"lon":$lon,"minutely":[${entries.mkString(",")}]}"""
+  }
+
+  private val polledPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The whole S1 pipeline, oracle-driven end to end: a real
+    * [[graft.streaming.PollingSource]] stages [[PollCycles]] poll rounds
+    * of synthesized One Call JSON (tmp-then-atomic-rename files, with a
+    * poller RESTART between the last two rounds so the resume-after-max
+    * sequence naming is on the checked path), then ONE Spark plan reads
+    * the staged files and runs producer math (A1/P5-P7/P9) into the
+    * consumer chain (P1-P4/A2/P8). The DuckDB oracle recomputes every
+    * payload from the same closed-form series without ever seeing the
+    * staged files — a dropped poll file, a reused sequence name, or any
+    * producer/consumer math drift changes the result.
+    *
+    * The poller is a driver-side singleton by design (the reference's
+    * design point is a hardcoded location list polled every 60 s); the
+    * staged-file scan and everything downstream is partition-parallel.
+    */
+  def weatherE2ePoll(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "e2e-poll", dir, "events")
+    var staging = polledPaths.get(key)
+    if (staging == null) {
+      polledPaths.synchronized {
+        staging = polledPaths.get(key)
+        if (staging == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-e2e-poll-")
+            .toString
+          val cycle = new java.util.concurrent.atomic.AtomicInteger(0)
+          def fetch(lat: Double, lon: Double): Option[String] =
+            Some(oneCallPayload(lat, lon, cycle.get()))
+          val poller = new graft.streaming.PollingSource(
+            p, PollLocations, fetch, intervalMs = Long.MaxValue)
+          (0 until PollCycles - 1).foreach { c =>
+            cycle.set(c); poller.pollOnce()
+          }
+          poller.stop()
+          // restart: a fresh poller must resume numbering past the
+          // staged max, never clobber an existing poll file
+          val resumed = new graft.streaming.PollingSource(
+            p, PollLocations, fetch, intervalMs = Long.MaxValue)
+          cycle.set(PollCycles - 1)
+          resumed.pollOnce()
+          resumed.stop()
+          polledPaths.put(key, p)
+          staging = p
+        }
+      }
+    }
+    val staged = spark.read
+      .schema(graft.streaming.PollingSource.oneCallSchema).json(staging)
+    consumerPipeline(graft.streaming.PollingSource.producerMessages(staged))
+      .withColumn("hourly_precipitation", round(col("hourly_precipitation"), 5))
+      .orderBy(col("timestamp"), col("lat"), col("lon"))
+  }
+
+  val weatherE2ePollOracle: String =
+    s"""WITH locs AS (SELECT unnest(range(0, 5)) AS r),
+       |cycles AS (SELECT unnest(range(0, $PollCycles)) AS c),
+       |mins AS (SELECT unnest(range(0, 61)) AS k),
+       |grid AS (
+       |  SELECT l.r, cy.c, m.k,
+       |         CAST(((l.r*31 + cy.c*7 + m.k) % 100) AS DOUBLE)/10.0 AS precip
+       |  FROM locs l, cycles cy, mins m),
+       |msgs AS (
+       |  SELECT CAST($PollBaseDt + c*3600 AS VARCHAR) AS timestamp,
+       |         CAST(r AS DOUBLE) AS lat, CAST(2*r AS DOUBLE) AS lon,
+       |         round(SUM(precip), 5) AS total_precipitation
+       |  FROM grid GROUP BY r, c)
+       |SELECT timestamp, lat, lon,
+       |       round(SUM(total_precipitation), 5) AS hourly_precipitation,
+       |       strftime(make_timestamp(CAST(timestamp AS BIGINT) * 1000000),
+       |                '%Y-%m-%d %H:%M:%S') AS event_time
+       |FROM msgs
+       |GROUP BY timestamp, lat, lon
+       |ORDER BY timestamp, lat, lon""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weather_pipeline" -> (weatherPipeline _),
     "weather_minutely_sum" -> (minutelySum _),
-    "weather_json_roundtrip" -> (jsonRoundtrip _))
+    "weather_json_roundtrip" -> (jsonRoundtrip _),
+    "weather_e2e_poll" -> (weatherE2ePoll _))
 
   def oracles: Map[String, String] = Map(
     "weather_pipeline" -> weatherPipelineOracle,
     "weather_minutely_sum" -> minutelySumOracle,
-    "weather_json_roundtrip" -> jsonRoundtripOracle)
+    "weather_json_roundtrip" -> jsonRoundtripOracle,
+    "weather_e2e_poll" -> weatherE2ePollOracle)
 }

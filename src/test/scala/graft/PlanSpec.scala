@@ -291,16 +291,22 @@ class PlanSpec extends AnyFunSuite {
         s"reach the final aggregate's single reducer:\n$plan")
   }
 
-  test("exact-substring dedup: joinless — window generation is map-side, " +
-      "then only key-bounded aggregations") {
+  test("exact-substring dedup: no per-key window — the duplicated flag " +
+      "pre-aggregates with a map-side partial and joins back") {
     val plan = finalPlan(graft.operators.DedupOps.dedupExactSubstr(spark, dir))
-    // the whole pipeline is generate -> agg -> window -> agg: any Join
-    // node means a corpus-sized equi-join snuck in; all-pairs shapes
-    // doubly so
-    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
-      s"exact-substring dedup should be joinless:\n$plan")
+    // a COUNT() OVER (PARTITION BY h) would funnel every (h, doc) row of
+    // a boilerplate span into ONE partition with no partial step and no
+    // AQE recourse; the groupBy+join shape pre-combines per map task and
+    // stays skew-splittable
+    assert(!plan.contains("Window"),
+      s"exact-substring dedup must not use a per-h window:\n$plan")
     assert(plan.contains("Generate"),
       s"span windows must explode map-side (Generate):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"dup-flag must pre-aggregate map-side before any exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"no all-pairs shape may appear:\n$plan")
   }
 
   test("top duplicated-passages report: ranking shuffles hashes only " +

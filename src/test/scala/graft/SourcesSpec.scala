@@ -299,6 +299,32 @@ class SourcesSpec extends AnyFunSuite {
       "row id=0 must survive fractional-literal pruning")
   }
 
+  test("the source_jsonl_pruned oracle query actually skips files: " +
+      "zone-map pruning fires on the engine-staged corpus") {
+    val df = graft.operators.SourceOps.sourceJsonlPruned(
+      spark, TestSpark.sfDir)
+    assert(df.collect().length === 40, "doc_id < 40 selects 40 docs")
+    // the sort makes AQE wrap the plan: the scan lives inside a
+    // materialized query stage, not among executedPlan's direct leaves
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    // 8 range-partitioned files, doc_id 0..499: the filter's rows live
+    // in the first file only — zone skipping must drop most of the rest
+    assert(scan.metrics("skippedFiles").value >= 6,
+      s"zone-map skipping did not fire, got ${scan.metrics}")
+  }
+
   test("zone maps key on the full path, never prune a same-named " +
       "external file by another directory's stats") {
     val base = Files.createTempDirectory("jsonl_zonekeys")
