@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,18 +142,34 @@ private[sources] object JsonLines {
 }
 
 private[sources] class JsonLinesTable(tableSchema: StructType, paths: Seq[String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   override def name(): String = s"graft-jsonl ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(tableSchema, paths, options)
+
+  // cumulative sink-side exactly-once observability: epochs committed and
+  // files finalized by THIS table instance's streaming writes, surfaced
+  // per micro-batch in StreamingQueryProgress.sink.metrics — so the
+  // connector's exactly-once claim is visible in production, not only in
+  // tests (a replayed epoch increments neither counter)
+  private[sources] val epochsCommitted = new java.util.concurrent.atomic.AtomicLong(0)
+  private[sources] val filesCommitted = new java.util.concurrent.atomic.AtomicLong(0)
+  override def metrics(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("epochsCommitted", epochsCommitted.get().toString)
+    m.put("filesCommitted", filesCommitted.get().toString)
+    m
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, "graft-jsonl: write target must be a single directory")
-    new JsonLinesWriteBuilder(paths.head, info)
+    new JsonLinesWriteBuilder(paths.head, info, this)
   }
 }
 
@@ -555,17 +572,31 @@ private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
   * (SaveMode.Overwrite) removes prior visible files inside the same
   * job commit, after the new temps are all in place.
   */
-private[sources] class JsonLinesWriteBuilder(dir: String, info: LogicalWriteInfo)
+private[sources] class JsonLinesWriteBuilder(dir: String, info: LogicalWriteInfo,
+    table: JsonLinesTable = null)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
+    override def description(): String = s"graft-jsonl -> $dir"
     override def toBatch: BatchWrite =
       new JsonLinesBatchWrite(dir, info.schema(), doTruncate)
+    override def toStreaming: StreamingWrite = {
+      require(!doTruncate,
+        "graft-jsonl streaming write supports append mode only")
+      new JsonLinesStreamingWrite(dir, info.schema(), Option(table))
+    }
+    override def supportedCustomMetrics(): Array[CustomMetric] =
+      Array(new WrittenLinesMetric)
   }
 }
 
-private[sources] case class JsonLinesCommitMessage(tempPath: String,
+private[sources] class WrittenLinesMetric extends CustomSumMetric {
+  override def name(): String = "writtenLines"
+  override def description(): String = "JSON lines serialized by writers"
+}
+
+private[graft] case class JsonLinesCommitMessage(tempPath: String,
     finalName: String, zone: JsonLinesZone) extends WriterCommitMessage
 
 private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
@@ -619,24 +650,158 @@ private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
   }
 }
 
+/** The `_epochs.jsonl` sidecar: one line per committed streaming epoch,
+  * bounded to the last [[Keep]] entries (replay after a restart only
+  * ever re-runs the TAIL epochs, so an unbounded ledger would be pure
+  * growth at 100 TB stream lifetimes). Rewritten tmp-then-atomic-rename
+  * — local-FS append is unsupported and non-atomic anyway. Underscore-
+  * prefixed: readers and the streaming discovery log never see it as
+  * data. A lost/corrupt ledger degrades to the rename-convergence path,
+  * never to duplicates.
+  */
+private[graft] object JsonLinesEpochLog {
+  val FileName = "_epochs.jsonl"
+  val Keep = 128
+
+  def read(filesys: FileSystem, dir: Path): Seq[Long] = try {
+    val p = new Path(dir, FileName)
+    if (!filesys.exists(p)) return Seq.empty
+    val mapper = new ObjectMapper()
+    val in = filesys.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty)
+        .map(l => mapper.readTree(l).get("epoch").asLong()).toSeq
+    } finally in.close()
+  } catch { case _: Exception => Seq.empty }
+
+  def mark(filesys: FileSystem, dir: Path, epochId: Long): Unit = {
+    val entries = (read(filesys, dir) :+ epochId).takeRight(Keep)
+    val tmp = new Path(dir, s".$FileName.tmp")
+    val out = filesys.create(tmp, true)
+    try out.write(entries.map(e => s"""{"epoch":$e}""").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, FileName)
+    filesys.delete(dst, false)
+    if (!filesys.rename(tmp, dst))
+      throw new java.io.IOException(s"graft-jsonl: failed to persist $dst")
+  }
+}
+
+/** Micro-batch streaming write: per-epoch two-phase commit with replay
+  * idempotence, so `writeStream.format("graft-jsonl")` is exactly-once
+  * WITHOUT foreachBatch. Mechanics:
+  *
+  *  - tasks write dot-prefixed temps (invisible to readers), exactly as
+  *    in batch; final names are DETERMINISTIC per (epochId, partitionId);
+  *  - epoch commit first consults the [[JsonLinesEpochLog]] ledger — a
+  *    fully-committed replayed epoch deletes its temps and changes
+  *    nothing;
+  *  - otherwise temps rename to their final names, where a destination
+  *    that already exists (crash between renames and the ledger mark)
+  *    means a prior attempt finalized that partition: the temp is
+  *    dropped and the replay CONVERGES on the same file set (Structured
+  *    Streaming replays an epoch with the same offset range, so the
+  *    regenerated content is identical);
+  *  - the zone-map sidecar merge is keyed by final name (re-merging the
+  *    same names is idempotent), and the ledger mark lands last.
+  *
+  * Committed-epoch/file counters feed the owning table's
+  * `ReportsSinkMetrics`, so exactly-once behavior is observable in
+  * `StreamingQueryProgress.sink.metrics` per micro-batch.
+  */
+private[graft] class JsonLinesStreamingWrite(dir: String, schema: StructType,
+    table: Option[JsonLinesTable] = None) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new JsonLinesStreamingWriterFactory(dir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val filesys = JsonLines.fs(d)
+    filesys.mkdirs(d)
+    if (JsonLinesEpochLog.read(filesys, d).contains(epochId)) {
+      messages.foreach {
+        case JsonLinesCommitMessage(t, _, _) => filesys.delete(new Path(t), false)
+        case _ => ()
+      }
+      return
+    }
+    var finalized = 0L
+    messages.foreach {
+      case JsonLinesCommitMessage(tempPath, finalName, _) =>
+        val tmp = new Path(tempPath)
+        val dst = new Path(d, finalName)
+        if (filesys.exists(dst)) filesys.delete(tmp, false)
+        else if (filesys.exists(tmp)) {
+          if (!filesys.rename(tmp, dst))
+            throw new java.io.IOException(
+              s"graft-jsonl epoch commit: rename $tmp -> $dst failed")
+          finalized += 1
+        }
+      case _ => ()
+    }
+    val fresh = messages.collect {
+      case JsonLinesCommitMessage(_, n, z) => n -> z
+    }.toMap
+    JsonLinesStats.write(filesys, d,
+      (JsonLinesStats.read(d) ++ fresh).toSeq.sortBy(_._1))
+    JsonLinesEpochLog.mark(filesys, d, epochId)
+    table.foreach { t =>
+      t.epochsCommitted.incrementAndGet()
+      t.filesCommitted.addAndGet(finalized)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val filesys = JsonLines.fs(new Path(dir))
+    messages.foreach {
+      case JsonLinesCommitMessage(tempPath, _, _) =>
+        filesys.delete(new Path(tempPath), false)
+      case _ => ()
+    }
+  }
+}
+
 private[graft] class JsonLinesWriterFactory(dir: String, schema: StructType,
     jobId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonLinesDataWriter(dir, schema, jobId, partitionId, taskId)
+    new JsonLinesDataWriter(dir, schema,
+      f".tmp-part-$partitionId%05d-$jobId-attempt-$taskId.jsonl",
+      f"part-$partitionId%05d-$jobId.jsonl")
+}
+
+/** Streaming writers name files DETERMINISTICALLY by (epochId,
+  * partitionId) — the opposite of the batch writer's job-unique names —
+  * so a replayed epoch regenerates the SAME final names and the epoch
+  * commit can converge instead of duplicating. The temp name still
+  * embeds taskId: a speculative attempt never collides with the
+  * original's in-flight file.
+  */
+private[graft] class JsonLinesStreamingWriterFactory(dir: String,
+    schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new JsonLinesDataWriter(dir, schema,
+      f".tmp-e$epochId%06d-p$partitionId%05d-attempt-$taskId.jsonl",
+      f"part-e$epochId%06d-p$partitionId%05d.jsonl")
 }
 
 /** Serializes rows back to JSON lines via Jackson (proper string
-  * escaping — the reader must round-trip anything it wrote). The temp
-  * name embeds partitionId AND taskId, so a speculative attempt never
-  * collides with the original's file.
+  * escaping — the reader must round-trip anything it wrote). Naming is
+  * supplied by the factory: job-unique for batch, (epoch, partition)-
+  * deterministic for streaming.
   */
 private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
-    jobId: String, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    tempName: String, finalName: String) extends DataWriter[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val tempPath =
-    new Path(dir, f".tmp-part-$partitionId%05d-$jobId-attempt-$taskId.jsonl")
-  private val finalName = f"part-$partitionId%05d-$jobId.jsonl"
+  private val tempPath = new Path(dir, tempName)
+  private var written = 0L
   private val out = {
     val filesys = JsonLines.fs(tempPath)
     new java.io.BufferedOutputStream(filesys.create(tempPath, true), 64 * 1024)
@@ -685,7 +850,11 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
     }
     out.write(mapper.writeValueAsBytes(node))
     out.write('\n')
+    written += 1
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(JsonLinesTaskMetric("writtenLines", written))
 
   override def commit(): WriterCommitMessage = {
     out.close()

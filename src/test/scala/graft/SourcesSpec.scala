@@ -221,6 +221,102 @@ class SourcesSpec extends AnyFunSuite {
       "only the committed attempt's rows may be visible")
   }
 
+  test("streaming write end-to-end: MemoryStream epochs land exactly " +
+      "once, sink metrics observable, zone sidecar maintained") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("jsonl_swrite").resolve("out").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "name")
+      .writeStream.format("graft-jsonl")
+      .option("checkpointLocation",
+        Files.createTempDirectory("jsonl_swrite_ckpt").toString)
+      .start(out)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.format("graft-jsonl").load(out)
+      assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+        .toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "read-back must equal the MemoryStream input, exactly once")
+      // exactly-once must be OBSERVABLE: per-epoch commit counters ride
+      // StreamingQueryProgress.sink.metrics
+      val sinkMetrics = q.recentProgress.flatMap(p =>
+        Option(p.sink.metrics).map(_.asInstanceOf[java.util.Map[String, String]]))
+        .lastOption.getOrElse(fail("no sink metrics in progress"))
+      assert(sinkMetrics.get("epochsCommitted").toLong >= 2,
+        s"expected >=2 committed epochs, got $sinkMetrics")
+      assert(sinkMetrics.get("filesCommitted").toLong >= 2,
+        s"expected committed files counted, got $sinkMetrics")
+      // the zone sidecar must cover streaming-written files too (the
+      // batch scan can then zone-skip a streamed corpus)
+      assert(new java.io.File(out, "_stats.jsonl").exists(),
+        "streaming commit must maintain the stats sidecar")
+      val pruned = spark.read.format("graft-jsonl")
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("name", StringType))))
+        .load(out).filter("id > 100")
+      assert(pruned.count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming write replay: re-committing an epoch neither " +
+      "duplicates files nor doubles rows; partial-rename crash converges") {
+    val dir = Files.createTempDirectory("jsonl_sreplay").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val sw = new graft.sources.JsonLinesStreamingWrite(dir, schema)
+    val factory = new graft.sources.JsonLinesStreamingWriterFactory(dir, schema)
+    def writeEpoch(epoch: Long, ids: Seq[Long], taskId: Long) = {
+      ids.zipWithIndex.groupBy(_._2 % 2).toSeq.sortBy(_._1).map {
+        case (pid, rows) =>
+          val w = factory.createWriter(pid, taskId, epoch)
+          rows.foreach { case (id, _) =>
+            w.write(org.apache.spark.sql.catalyst.InternalRow(id)) }
+          w.commit()
+      }.toArray
+    }
+    def visible() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).sorted.toSeq
+    sw.commit(0L, writeEpoch(0L, Seq(1L, 2L, 3L, 4L), taskId = 10L))
+    val after1 = visible()
+    // REPLAY epoch 0 (restart after crash post-commit): identical data,
+    // new task attempts — the ledger must no-op the whole epoch
+    sw.commit(0L, writeEpoch(0L, Seq(1L, 2L, 3L, 4L), taskId = 20L))
+    assert(visible() === after1, "replayed epoch must not add or rename files")
+    val rows = spark.read.format("graft-jsonl").schema(schema).load(dir)
+    assert(rows.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+      "replayed epoch must not duplicate rows")
+    // crash BETWEEN renames and ledger mark: epoch 1's partition 0 is
+    // already finalized by a dead attempt; the replayed commit must
+    // converge (keep it, finalize partition 1, no duplicates)
+    val crashed = writeEpoch(1L, Seq(5L, 6L, 7L, 8L), taskId = 30L)
+    val m0 = crashed(0).asInstanceOf[graft.sources.JsonLinesCommitMessage]
+    // simulate the dead attempt's rename the way the connector does it
+    // (Hadoop rename carries the local-FS .crc sibling along)
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    assert(lfs.rename(new org.apache.hadoop.fs.Path(m0.tempPath),
+      new org.apache.hadoop.fs.Path(dir, m0.finalName)), "test rename failed")
+    val replayed = writeEpoch(1L, Seq(5L, 6L, 7L, 8L), taskId = 40L) ++
+      Array(crashed(1)) // partition 1's original message also retried
+    sw.commit(1L, replayed)
+    val all = spark.read.format("graft-jsonl").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === (1L to 8L), s"convergent commit must yield 1..8, got $all")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")),
+      "no temp litter after convergent commit")
+    // ledger is bounded and carries both epochs
+    val led = graft.sources.JsonLinesEpochLog.read(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(dir))
+    assert(led.toSet === Set(0L, 1L), s"epoch ledger must track commits: $led")
+  }
+
   test("scan metrics surface malformed-line drops and pushdown filtering") {
     val dir = writeLines(Seq(
       """{"id":1,"name":"a"}""",
