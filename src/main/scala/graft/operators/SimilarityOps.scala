@@ -1112,8 +1112,110 @@ object SimilarityOps {
       |GROUP BY label, i
       |ORDER BY label, i""".stripMargin
 
+  /** PageRank iterations over the semantic near-duplicate graph. */
+  val PrIters = 5
+  val PrDamping = 0.85
+
+  /** Centrality over the SemDeDup graph: PageRank on the symmetrized
+    * within-cell near-duplicate pairs ([[semanticPairs]] at the shipped
+    * threshold), [[PrIters]] damped iterations. The rank answers the
+    * curation question SemDeDup's keep-lowest-id rule approximates —
+    * WHICH copy of a near-duplicate cluster is the most representative
+    * one to keep: a vector similar to many well-connected vectors ranks
+    * high; isolated vectors stay at the (1-d)/n floor.
+    *
+    * Scale shape: the edge set is the cell-bounded pair list (~n^1.5
+    * worst case, never all-pairs), each iteration is one shuffle join on
+    * vec_id plus a keyed aggregation with map-side partials, and the
+    * iteration count is a small constant. Ranks are scaled by n (so the
+    * floor is ~0.15, not 1e-12 — stable to round cross-engine) and only
+    * rounded at the END: intermediate rounding would compound
+    * divergence, end rounding keeps both engines' double drift far from
+    * the 6-dp boundary. At 100 TB each iteration's lineage would be
+    * checkpointed; 5 iterations of lazy plans are fine at fixture scale
+    * and the per-iteration shape is what matters.
+    */
+  def simPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = stagedSeedAssignment(spark, dir)
+    val pairs = semanticPairs(assigned, SemDedupThreshold)
+      .select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val deg = edges.groupBy(col("da")).agg(count(lit(1)).as("deg"))
+    val src = edges.join(deg, "da")
+    val n = corpusCount(spark, dir).toDouble
+    val nodes = assigned.select(col("vec_id"))
+    var ranks = nodes.select(col("vec_id").as("rid"),
+      lit(1.0 / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val inflow = src
+        .join(ranks, src("da") === ranks("rid"))
+        .select(col("db"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("db")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("vec_id") === inflow("db"), "left")
+        .select(col("vec_id").as("rid"),
+          (lit((1.0 - PrDamping) / n) +
+            lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("rid").as("vec_id"),
+      round(col("rank") * lit(n) + lit(1e-9), 6).as("pr"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simPagerankOracle: String = {
+    // unrolled fixed-iteration recurrence: r0 is uniform, each rK is one
+    // damped inflow step over the same edge set the engine uses
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT a.vec_id,
+         |         (1.0 - $PrDamping)/(SELECT n FROM nn) + $PrDamping * COALESCE((
+         |           SELECT SUM(p.rank / d.deg)
+         |           FROM edges e JOIN r${k - 1} p ON e.da = p.vec_id
+         |                        JOIN deg d ON e.da = d.da
+         |           WHERE e.db = a.vec_id), 0) AS rank
+         |  FROM assigned a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH params AS (
+       |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |          <= (SELECT nlist FROM params)),
+       |vsim AS (
+       |  SELECT v.vec_id, v.embedding, s.cell,
+       |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM vsim) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                     CAST(b.embedding AS DOUBLE[])), 6)
+       |        >= $SemDedupThreshold),
+       |edges AS (SELECT da, db FROM pairs
+       |          UNION ALL SELECT db AS da, da AS db FROM pairs),
+       |deg AS (SELECT da, COUNT(*) AS deg FROM edges GROUP BY da),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |r0 AS (SELECT vec_id, 1.0/(SELECT n FROM nn) AS rank FROM assigned),
+       |$iters
+       |SELECT vec_id,
+       |       round(rank * (SELECT n FROM nn) + 1e-9, 6) AS pr
+       |FROM r$PrIters
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
+    "sim_pagerank" -> (simPagerank _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
@@ -1124,6 +1226,7 @@ object SimilarityOps {
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
+    "sim_pagerank" -> simPagerankOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,

@@ -1196,7 +1196,91 @@ object TextOps {
       |FROM top CROSS JOIN tot
       |ORDER BY exact_count DESC, tok""".stripMargin
 
+  // PII scrub patterns — deliberately simple, deterministic shapes that
+  // mean the same thing in Java regex (Spark codegen'd regexp_replace)
+  // and RE2 (the DuckDB twin): emails, NNN-NNNN phone stubs, dotted-quad
+  // IPs. Real deployments extend the pattern set; the PLUMBING (map-only
+  // multi-pattern rewrite + per-source accounting + content checksum) is
+  // what this operator pins.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction over the corpus — the scrub pass every
+    * training-data pipeline runs before anything else sees the text.
+    * The fixture corpus is synthetic word-salad with no PII, so a
+    * deterministic doc_id-keyed injection (emails on ≡0 mod 7, phone
+    * stubs mod 11, IPs mod 13 — reproduced token-for-token by the
+    * oracle) makes every pattern and every overlap class non-vacuous.
+    * Detection counts run against the pre-redaction text; redaction
+    * applies email → IP → phone in a fixed order in both engines; the
+    * md5-fold checksum of the REDACTED text proves the rewrites are
+    * byte-identical, not merely count-identical.
+    *
+    * Scale: map-only (three codegen'd regexp passes per row), one
+    * per-source hash aggregation with map-side partials — nothing
+    * shuffles but the per-source partials.
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val withPii = docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(lit(""))))
+    withPii
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(col("text"), lit(IpRe)))
+      .withColumn("rtext", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), EmailRe, "[EMAIL]"), IpRe, "[IP]"), PhoneRe, "[PHONE]"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(conv(substring(md5(col("rtext").cast("binary")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).as("red_sum"))
+      .orderBy(col("source"))
+  }
+
+  val textPiiRedactOracle: String =
+    s"""WITH pii AS (
+       |  SELECT doc_id, source,
+       |    text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+       |      AS text
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |    len(regexp_extract_all(text, '$IpRe')) AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$EmailRe', '[EMAIL]', 'g'),
+       |      '$IpRe', '[IP]', 'g'),
+       |      '$PhoneRe', '[PHONE]', 'g') AS rtext
+       |  FROM pii)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       |       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       |       CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+       |       SUM(CAST(CAST('0x' || substr(md5(rtext), 1, 12) AS BIGINT)
+       |           AS HUGEINT))::DECIMAL(38,0) AS red_sum
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> (textPiiRedact _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_gopher_rules" -> (textGopherRules _),
     "sample_split" -> (sampleSplit _),
@@ -1223,6 +1307,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_pii_redact" -> textPiiRedactOracle,
     "text_heavy_hitters" -> textHeavyHittersOracle,
     "text_gopher_rules" -> textGopherRulesOracle,
     "sample_split" -> sampleSplitOracle,

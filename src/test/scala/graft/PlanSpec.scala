@@ -281,6 +281,36 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side hint-forced into broadcast:\n$logical")
   }
 
+  test("pii redaction: map-only regex passes, the ONLY exchange is the " +
+      "per-source partial+final aggregate") {
+    val plan = finalPlan(graft.operators.TextOps.textPiiRedact(spark, dir))
+    assert(!plan.contains("Join"), s"pii scrub planned a join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-source rollup must pre-aggregate map-side:\n$plan")
+    // the only shuffles allowed are the spread repartition (small
+    // fixture), the source rollup, and the output sort — AQE's formatted
+    // explain prints initial AND final trees, so 3 nodes = 6 headers
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 6,
+      s"pii scrub should shuffle only for the rollup (+spread/sort), " +
+        s"found $exchanges Exchange node headers:\n$plan")
+  }
+
+  test("semantic pagerank: per-iteration inflow pre-aggregates map-side; " +
+      "no cartesian, no forced broadcast of corpus-growing sides") {
+    val df = graft.operators.SimilarityOps.simPagerank(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pagerank planned an all-pairs join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"inflow rollup must pre-aggregate map-side:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"corpus-growing side hint-forced into broadcast:\n$logical")
+  }
+
   test("heavy-hitter sketch aggregates map-side: an ObjectHashAggregate " +
       "partial runs before the single-row exchange") {
     val plan = finalPlan(graft.operators.TextOps.textHeavyHitters(spark, dir))
