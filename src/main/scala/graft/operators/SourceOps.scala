@@ -167,6 +167,58 @@ object SourceOps {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
 
+  private val streamRtPaths = new ConcurrentHashMap[String, String]()
+
+  /** The connector's STREAMING write path, oracle-checked end to end:
+    * the staged JSONL corpus is consumed through the connector's
+    * micro-batch read with `maxFilesPerTrigger=1` — forcing one epoch
+    * per staged file, so the per-epoch two-phase commit, deterministic
+    * naming, and `_epochs.jsonl` ledger all run several times — and
+    * written back out through `writeStream.format("graft-jsonl")`
+    * (no foreachBatch). The read-back rollup must match DuckDB over the
+    * original parquet: a dropped epoch, a double-committed epoch, or any
+    * serialize/escape drift in the streaming writer changes a count or
+    * the md5-fold checksum. Multi-epoch slicing cannot affect the result
+    * — that IS the exactly-once claim, here hash-verified rather than
+    * only spec-asserted.
+    */
+  def sourceJsonlStreamRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "jsonl-stream-rt", dir)
+    var out = streamRtPaths.get(key)
+    if (out == null) {
+      streamRtPaths.synchronized {
+        out = streamRtPaths.get(key)
+        if (out == null) {
+          val in = stagedJsonl(spark, dir)
+          val base = java.nio.file.Files.createTempDirectory("graft-jsonl-srt-")
+          val dest = base.resolve("out").toString
+          val q = spark.readStream.format("graft-jsonl")
+            .schema(documentsSchema)
+            .option("maxFilesPerTrigger", 1)
+            .load(in)
+            .writeStream.format("graft-jsonl")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .start(dest)
+          try q.processAllAvailable() finally q.stop()
+          streamRtPaths.put(key, dest)
+          out = dest
+        }
+      }
+    }
+    spark.read.format("graft-jsonl").schema(documentsSchema).load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).as("text_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val sourceJsonlStreamRoundtripOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   private val evolvedPaths = new ConcurrentHashMap[String, String]()
 
   /** Schema-evolution read — the warehouse reality that tables GROW
@@ -227,11 +279,13 @@ object SourceOps {
     "source_jsonl_scan" -> (sourceJsonlScan _),
     "source_jsonl_write" -> (sourceJsonlWrite _),
     "source_jsonl_pruned" -> (sourceJsonlPruned _),
+    "source_jsonl_stream_rt" -> (sourceJsonlStreamRoundtrip _),
     "source_schema_evolution" -> (sourceSchemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "source_jsonl_scan" -> sourceJsonlScanOracle,
     "source_jsonl_write" -> sourceJsonlWriteOracle,
     "source_jsonl_pruned" -> sourceJsonlPrunedOracle,
+    "source_jsonl_stream_rt" -> sourceJsonlStreamRoundtripOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }

@@ -200,13 +200,16 @@ private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
   override def build(): Scan = {
     val splitBytes = Option(options.get("split.bytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes)
+    val maxFilesPerTrigger =
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes,
+      maxFilesPerTrigger)
   }
 }
 
 private[sources] class JsonLinesScan(tableSchema: StructType,
     required: StructType, pushed: Array[Filter], paths: Seq[String],
-    splitBytes: Long)
+    splitBytes: Long, maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -219,7 +222,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JsonLinesMicroBatchStream(tableSchema, required, pushed, paths,
-      splitBytes, checkpointLocation)
+      splitBytes, checkpointLocation, maxFilesPerTrigger)
 
   private var filesSkipped = 0L
 
@@ -475,7 +478,9 @@ private[sources] case class JsonLinesOffset(n: Long) extends Offset {
   */
 private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
     required: StructType, pushed: Array[Filter], paths: Seq[String],
-    splitBytes: Long, checkpointLocation: String) extends MicroBatchStream {
+    splitBytes: Long, checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val logDir = new Path(checkpointLocation, "graft-jsonl-file-log")
   private val logFs = JsonLines.fs(logDir)
@@ -542,6 +547,30 @@ private[sources] class JsonLinesMicroBatchStream(tableSchema: StructType,
   override def latestOffset(): Offset = {
     discover()
     JsonLinesOffset(known.size.toLong)
+  }
+
+  /** Backpressure (`maxFilesPerTrigger`): a restarted query facing a
+    * backlog drains it in bounded epochs instead of swallowing it whole
+    * — the admission-control contract Spark's own file source honors.
+    * The default limit comes from the reader option; Spark calls the
+    * two-arg `latestOffset` with it each trigger.
+    */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    discover()
+    val s = start.asInstanceOf[JsonLinesOffset].n
+    val capped = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(known.size.toLong, s + m.maxFiles())
+      case _ => known.size.toLong
+    }
+    JsonLinesOffset(capped)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -263,6 +263,40 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces the custom stream: bounded epochs drain " +
+      "the backlog, streaming write commits each exactly once") {
+    val in = Files.createTempDirectory("jsonl_mfpt")
+    def stage(name: String, ids: Range): Unit = {
+      val tmp = in.resolve(s".$name.tmp")
+      Files.write(tmp, ids.map(i => s"""{"id":$i}""").mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, in.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    stage("a.jsonl", 0 until 3)
+    stage("b.jsonl", 3 until 6)
+    stage("c.jsonl", 6 until 9)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val base = Files.createTempDirectory("jsonl_mfpt_out")
+    val out = base.resolve("out").toString
+    val q = spark.readStream.format("graft-jsonl").schema(schema)
+      .option("maxFilesPerTrigger", 1).load(in.toString)
+      .writeStream.format("graft-jsonl")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start(out)
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.format("graft-jsonl").schema(schema).load(out)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (0L until 9L), "paced drain must deliver every row once")
+      val sm = q.recentProgress.flatMap(p => Option(p.sink.metrics)
+        .map(_.asInstanceOf[java.util.Map[String, String]])).lastOption
+        .getOrElse(fail("no sink metrics"))
+      assert(sm.get("epochsCommitted").toLong >= 3,
+        s"one file per trigger over 3 files must commit >=3 epochs: $sm")
+    } finally q.stop()
+  }
+
   test("streaming write replay: re-committing an epoch neither " +
       "duplicates files nor doubles rows; partial-rename crash converges") {
     val dir = Files.createTempDirectory("jsonl_sreplay").toString
