@@ -601,6 +601,65 @@ object QueryFuzz {
   /** Seed floor for the moving-aggregate shape. */
   val MovingAggSeedFloor = 7000L
 
+  /** Join-null-semantics shape: LEFT / RIGHT / FULL outer joins over an
+    * FK edge where NULLIF punches null KEYS into one or both sides and
+    * an optional halved right side manufactures unmatched rows. What
+    * the family guards: null join keys never match (each null-key row
+    * surfaces as its own unmatched row under FULL, not as a join
+    * partner), outer-side NULL fills survive into aggregates, and
+    * COUNT(col) vs COUNT(*) disagree exactly on the padded side. Keys
+    * join on the REAL FK columns (bounded dimension multiplicity), so
+    * the shape never manufactures a many-to-many explosion.
+    */
+  private def genJoinNulls(seed: Long, rnd: Random): Gen = {
+    val (lt, rt, lc, rc, dom) = pick(rnd, Seq(
+      ("customer", "nation", "c_nationkey", "n_nationkey", 25),
+      ("supplier", "nation", "s_nationkey", "n_nationkey", 25),
+      ("nation", "region", "n_regionkey", "r_regionkey", 5)))
+    val lid = tables.find(_.name == lt).get.ints.head
+    val rid = tables.find(_.name == rt).get.ints.head
+    val nullL = rnd.nextInt(dom)
+    val nullR = rnd.nextInt(dom)
+    val halveRight = rnd.nextBoolean()
+    val (joinSql, joinType) = rnd.nextInt(3) match {
+      case 0 => ("FULL JOIN", "full")
+      case 1 => ("LEFT JOIN", "left")
+      case _ => ("RIGHT JOIN", "right")
+    }
+    val rightWhere = if (halveRight) s" WHERE $rc % 2 = 0" else ""
+    val sql =
+      s"""SELECT CAST(COALESCE(lk, rk, -1) AS BIGINT) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(COUNT(lv) AS BIGINT) AS n_l,
+         |       CAST(COUNT(rv) AS BIGINT) AS n_r
+         |FROM (SELECT NULLIF($lc, $nullL) AS lk, $lid AS lv FROM $lt) a
+         |$joinSql (SELECT NULLIF($rc, $nullR) AS rk, $rid AS rv
+         |          FROM $rt$rightWhere) b
+         |  ON lk = rk
+         |GROUP BY COALESCE(lk, rk, -1)
+         |ORDER BY k""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val a = Tables.table(spark, dir, lt)
+        .select(expr(s"NULLIF($lc, $nullL)").as("lk"), col(lid).as("lv"))
+      val rbase = Tables.table(spark, dir, rt)
+      val rsel = if (halveRight) rbase.filter(col(rc) % 2 === 0) else rbase
+      val b = rsel.select(expr(s"NULLIF($rc, $nullR)").as("rk"),
+        col(rid).as("rv"))
+      a.join(b, a("lk") === b("rk"), joinType)
+        .select(coalesce(col("lk"), col("rk"), lit(-1L)).cast("long").as("k"),
+          col("lv"), col("rv"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          count(col("lv")).as("n_l"),
+          count(col("rv")).as("n_r"))
+        .orderBy(col("k"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the join-null-semantics shape. */
+  val JoinNullsSeedFloor = 8000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -615,6 +674,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= JoinNullsSeedFloor) return genJoinNulls(seed, rnd0)
     if (seed >= MovingAggSeedFloor) return genMovingAgg(seed, rnd0)
     if (seed >= IntervalSeedFloor) return genInterval(seed, rnd0)
     if (seed >= PercentileSeedFloor) return genPercentile(seed, rnd0)
@@ -847,7 +907,10 @@ object QueryFuzz {
       // interval-arithmetic shapes (month-end clamp, shift-then-trunc)
       6000L, 6001L, 6002L, 6003L, 6004L, 6005L,
       // moving-aggregate ROWS-frame shapes
-      7000L, 7001L, 7002L, 7003L, 7004L, 7005L)
+      7000L, 7001L, 7002L, 7003L, 7004L, 7005L,
+      // join-null-semantics shapes (outer joins with NULLIF-punched
+      // keys; seeds cover full/left/right and both null-side mixes)
+      8000L, 8001L, 8002L, 8003L, 8004L, 8005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -52,7 +52,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.StringSeedFloor until QueryFuzz.StringSeedFloor + 20L) ++
       (QueryFuzz.PercentileSeedFloor until QueryFuzz.PercentileSeedFloor + 20L) ++
       (QueryFuzz.IntervalSeedFloor until QueryFuzz.IntervalSeedFloor + 20L) ++
-      (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L)
+      (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L) ++
+      (QueryFuzz.JoinNullsSeedFloor until QueryFuzz.JoinNullsSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -63,7 +64,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 270, s"only $nonEmpty/320 seeds returned rows")
+    assert(nonEmpty >= 290, s"only $nonEmpty/400 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
