@@ -1213,9 +1213,76 @@ object SimilarityOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Bounded transitive reachability over the semantic near-dup graph —
+    * how large each vector's duplicate FAMILY is within two hops (the
+    * friend-of-a-friend near-dups single-pair screens can't see),
+    * expressed as a RECURSIVE CTE run by Spark's own SQL engine
+    * (`WITH RECURSIVE`, Spark 4.x) with the identical recursion in the
+    * DuckDB oracle. Depth-bounded (UNION ALL recursion terminates by the
+    * depth guard; COUNT(DISTINCT) collapses the path multiplicity), so
+    * the cost is bounded by in-cell degree^2 per root — the UNBOUNDED
+    * closure at 100 TB belongs to the Pregel-style
+    * [[graft.operators.DedupOps.dedupClusters]] instead; this is the
+    * SQL-interface parity row for recursive queries.
+    */
+  def dedupTransitiveReach(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = semanticPairsAgainstCorpus(spark, dir)
+      .select(col("da"), col("db"))
+    pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .createOrReplaceTempView("graft_sem_edges")
+    spark.sql(
+      """WITH RECURSIVE reach(root, node, depth) AS (
+        |  SELECT DISTINCT da AS root, da AS node, 0 AS depth
+        |  FROM graft_sem_edges
+        |  UNION ALL
+        |  SELECT r.root, e.db AS node, r.depth + 1 AS depth
+        |  FROM reach r JOIN graft_sem_edges e ON e.da = r.node
+        |  WHERE r.depth < 2)
+        |SELECT root, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reach
+        |FROM reach GROUP BY root ORDER BY root""".stripMargin)
+  }
+
+  val dedupTransitiveReachOracle: String =
+    s"""WITH RECURSIVE params AS (
+       |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |          <= (SELECT nlist FROM params)),
+       |vsim AS (
+       |  SELECT v.vec_id, v.embedding, s.cell,
+       |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM vsim) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                     CAST(b.embedding AS DOUBLE[])), 6)
+       |        >= $SemDedupThreshold),
+       |edges AS (SELECT da, db FROM pairs
+       |          UNION ALL SELECT db AS da, da AS db FROM pairs),
+       |reach(root, node, depth) AS (
+       |  SELECT DISTINCT da AS root, da AS node, 0 AS depth FROM edges
+       |  UNION ALL
+       |  SELECT r.root, e.db AS node, r.depth + 1 AS depth
+       |  FROM reach r JOIN edges e ON e.da = r.node
+       |  WHERE r.depth < 2)
+       |SELECT root, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reach
+       |FROM reach GROUP BY root ORDER BY root""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "sim_pagerank" -> (simPagerank _),
+    "dedup_transitive_reach" -> (dedupTransitiveReach _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
@@ -1227,6 +1294,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "sim_pagerank" -> simPagerankOracle,
+    "dedup_transitive_reach" -> dedupTransitiveReachOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
