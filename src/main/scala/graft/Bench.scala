@@ -46,21 +46,26 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failure-honest headline: -1.0 sentinels are EXCLUDED from the sum
+    // (summing them made r6's 26-failure run look faster than r5) and
+    // surfaced as n_failed — a broken query can only make the report
+    // worse, never better.
+    val failed = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
     // The per-query map outgrew what log capture reliably holds (r5's
     // record kept 78/181 entries), so the FULL record goes to a file —
     // bench_detail.json next to the working dir, overridable — and the
     // stdout line stays a compact summary that can never be cut mid-map.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"total_sec":${r3(total)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // stderr carries the per-query map too, as a second capture channel
     System.err.println(s"[bench-detail] $detail")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"$detailPath","total_sec":${r3(total)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"detail":"$detailPath","total_sec":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -12,11 +12,16 @@ import graft.operators._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's full consumer pipeline (P1..P8 + A2,
-    * weather_processor.py:108-141) over synthesized Kafka-shaped messages.
+    * The reference's ENTIRE pipeline end to end — a real PollingSource
+    * staging poll rounds (S1, weather_stream.py:62-88), producer math
+    * (A1/P5-P7/P9, weather_stream.py:124-138), and the full consumer chain
+    * (P1-P4/A2/P8, weather_processor.py:108-141) — with a poller restart
+    * on the checked path. Chosen over the events-backed weatherPipeline
+    * twin because it exercises strictly more of the reference and has no
+    * fixture-type dependence (r6's t1 red came from the twin's).
     */
   def entry(spark: SparkSession): DataFrame =
-    WeatherOps.weatherPipeline(spark, "/root/testdata/sf0.001")
+    WeatherOps.weatherE2ePoll(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.5),
     * plus the fixed-seed generated differential queries (fuzz_q*).

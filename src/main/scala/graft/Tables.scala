@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver-generated star schema + stream
   * tables (TESTDATA.md / FIXTURES.md §2). All queries take the sf dir as a
@@ -8,6 +10,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cluster, against any warehouse path.
   */
 object Tables {
+
+  /** `events.ts` as epoch MICROSECONDS, dispatched on the column's actual
+    * type. The fixture has shipped as both parquet `timestamp[ns]` (reads
+    * as LongType nanos under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * `timestamp[us]` (reads as TIMESTAMP_NTZ / TIMESTAMP); hard-coding
+    * either representation breaks every ts-touching query when the fixture
+    * regenerates (the r6 regression). Schema dispatch makes the engine
+    * robust to both generations. Integer arithmetic only — double math
+    * loses precision at 1e18. The TIMESTAMP cast is value-preserving
+    * because every session pins spark.sql.session.timeZone=UTC, matching
+    * the DuckDB oracle's naive `epoch_us(CAST(ts AS TIMESTAMP))`.
+    */
+  def eventMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000") // legacy nanos-as-Long fixture
+    case _: TimestampNTZType | _: TimestampType =>
+      unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts has unexpected type $other — extend Tables.eventMicros")
+  }
+
+  /** `events.ts` as epoch SECONDS (same dispatch as [[eventMicros]]). */
+  def eventSeconds(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case _: TimestampNTZType | _: TimestampType =>
+      unix_seconds(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts has unexpected type $other — extend Tables.eventSeconds")
+  }
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -15,8 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as LongType
-      // (nanoseconds since epoch) under this flag.
+      // If the events fixture ships as parquet TIMESTAMP(NANOS), read it
+      // as LongType nanos (current fixtures are timestamp[us], where this
+      // flag is a no-op; Tables.eventMicros dispatches on the actual type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

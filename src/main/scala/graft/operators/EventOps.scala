@@ -10,9 +10,10 @@ import graft.streaming.{KeyedEvent, StatefulSessionJob}
   * extraction, sessionization, and time-bucketed pivots — the batch twins
   * of the streaming operators in graft.streaming.
   *
-  * `ts` arrives as LongType nanoseconds (parquet TIMESTAMP(NANOS) read
-  * under nanosAsLong); all arithmetic stays in integer micros — double
-  * math would lose precision at 1e18.
+  * `ts` is normalized to integer epoch micros up front via the
+  * schema-dispatched [[graft.Tables.eventMicros]] (the fixture has shipped
+  * as both nanos-as-Long and timestamp[us]); all arithmetic stays in
+  * integer micros — double math would lose precision at 1e18.
   */
 object EventOps {
 
@@ -20,7 +21,7 @@ object EventOps {
   val SessionGapMicros: Long = 4L * 3600 * 1000000
 
   private def withMicros(df: DataFrame): DataFrame =
-    df.withColumn("us", expr("ts div 1000"))
+    df.withColumn("us", Tables.eventMicros(df))
 
   /** JSON property extraction (the reference's from_json analog over the
     * props column) via regexp — P2's schema-less cousin; group stats per

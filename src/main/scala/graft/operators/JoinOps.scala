@@ -58,7 +58,8 @@ object JoinOps {
     * latest prior click, with the gap in seconds.
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+    val raw = Tables.events(spark, dir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")

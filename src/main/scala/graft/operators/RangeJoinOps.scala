@@ -25,9 +25,9 @@ object RangeJoinOps {
 
   /** Generic binned range join: rows of `points` (point column `t`)
     * matched to rows of `intervals` (columns `s`, `e`) where
-    * `s <= t < e` (half-open). All columns are integer micros (the
-    * events table's TIMESTAMP(NANOS) is read as Long under nanosAsLong;
-    * integer arithmetic only — see EventOps).
+    * `s <= t < e` (half-open). All columns are integer micros (events.ts
+    * is normalized via the schema-dispatched Tables.eventMicros; integer
+    * arithmetic only — see EventOps).
     */
   def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
       t: String, s: String, e: String, binWidth: Long): DataFrame = {
@@ -47,7 +47,8 @@ object RangeJoinOps {
     */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val WindowUs = 600L * 1000000 // 10 min in micros
-    val ev = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+    val raw = Tables.events(spark, dir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
     val incidents = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("us").as("s"),
         (col("us") + lit(WindowUs)).as("e"))

@@ -105,17 +105,20 @@ object SourceOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        // 48-bit hash fold: sum of each text's md5 head, an
-        // order-independent corpus checksum both engines compute
-        // exactly (decimal sum so no scale factor can overflow it)
-        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
-          .cast("decimal(38,0)")).as("text_sum"))
+        // Order-independent corpus checksum both engines compute
+        // exactly IN BIGINT: each text's 48-bit md5 head reduced mod a
+        // prime, then summed — never DECIMAL/HUGEINT, which the
+        // verification driver hashes differently at equal values. SUM
+        // (not XOR) so a double-committed epoch cannot cancel out.
+        // Overflow-safe to ~9e9 rows per group.
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(1000000007L))).as("text_sum"))
       .orderBy(col("lang"))
   }
 
   val sourceJsonlWriteOracle: String =
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-      |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
+      |       CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007) AS BIGINT) AS text_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   private val zonedPaths = new ConcurrentHashMap[String, String]()
@@ -178,7 +181,9 @@ object SourceOps {
     * (no foreachBatch). The read-back rollup must match DuckDB over the
     * original parquet: a dropped epoch, a double-committed epoch, or any
     * serialize/escape drift in the streaming writer changes a count or
-    * the md5-fold checksum. Multi-epoch slicing cannot affect the result
+    * the md5-fold checksum. The query is additionally KILLED mid-backlog
+    * and restarted from its checkpoint, so epoch resume is on the checked
+    * path too. Multi-epoch slicing and restart cannot affect the result
     * — that IS the exactly-once claim, here hash-verified rather than
     * only spec-asserted.
     */
@@ -192,14 +197,30 @@ object SourceOps {
           val in = stagedJsonl(spark, dir)
           val base = java.nio.file.Files.createTempDirectory("graft-jsonl-srt-")
           val dest = base.resolve("out").toString
-          val q = spark.readStream.format("graft-jsonl")
+          def startQuery() = spark.readStream.format("graft-jsonl")
             .schema(documentsSchema)
             .option("maxFilesPerTrigger", 1)
             .load(in)
             .writeStream.format("graft-jsonl")
             .option("checkpointLocation", base.resolve("ckpt").toString)
             .start(dest)
-          try q.processAllAvailable() finally q.stop()
+          // Mid-backlog kill/restart ON the hash-checked path: the first
+          // query is stopped as soon as one epoch has committed (of the 4
+          // one-file epochs the backlog holds), then a fresh query resumes
+          // from the checkpoint and drains the rest. The oracle hash can
+          // only match if resume neither drops nor double-commits an
+          // epoch — exactly-once across restart, content-verified. (If the
+          // first query races through the whole backlog the restart still
+          // exercises checkpoint recovery; the result is identical either
+          // way — that IS the claim.)
+          val q1 = startQuery()
+          try {
+            val deadline = System.nanoTime() + 60L * 1000L * 1000000L
+            while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+                System.nanoTime() < deadline) Thread.sleep(25)
+          } finally q1.stop()
+          val q2 = startQuery()
+          try q2.processAllAvailable() finally q2.stop()
           streamRtPaths.put(key, dest)
           out = dest
         }
@@ -209,14 +230,14 @@ object SourceOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
-          .cast("decimal(38,0)")).as("text_sum"))
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(1000000007L))).as("text_sum"))
       .orderBy(col("lang"))
   }
 
   val sourceJsonlStreamRoundtripOracle: String =
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-      |       SUM(CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS HUGEINT))::DECIMAL(38,0) AS text_sum
+      |       CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007) AS BIGINT) AS text_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   private val evolvedPaths = new ConcurrentHashMap[String, String]()

@@ -1247,8 +1247,8 @@ object TextOps {
         sum(col("n_emails")).as("n_emails"),
         sum(col("n_phones")).as("n_phones"),
         sum(col("n_ips")).as("n_ips"),
-        sum(conv(substring(md5(col("rtext").cast("binary")), 1, 12), 16, 10)
-          .cast("decimal(38,0)")).as("red_sum"))
+        sum(pmod(conv(substring(md5(col("rtext").cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(1000000007L))).as("red_sum"))
       .orderBy(col("source"))
   }
 
@@ -1275,8 +1275,8 @@ object TextOps {
        |       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
        |       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
        |       CAST(SUM(n_ips) AS BIGINT) AS n_ips,
-       |       SUM(CAST(CAST('0x' || substr(md5(rtext), 1, 12) AS BIGINT)
-       |           AS HUGEINT))::DECIMAL(38,0) AS red_sum
+       |       CAST(SUM(CAST('0x' || substr(md5(rtext), 1, 12) AS BIGINT)
+       |           % 1000000007) AS BIGINT) AS red_sum
        |FROM red GROUP BY source ORDER BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -102,17 +102,19 @@ object WeatherOps {
     * (weather_stream.py:131-138) from the events table: JSON with a
     * *numeric* timestamp token that the consumer schema coerces to string.
     */
-  def kafkaShapedMessages(events: DataFrame): DataFrame =
-    TextOps.spread(events).select(
+  def kafkaShapedMessages(events: DataFrame): DataFrame = {
+    val spreadEvents = TextOps.spread(events)
+    spreadEvents.select(
     to_json(struct(
-      // ts is LongType nanos (parquet TIMESTAMP(NANOS) via nanosAsLong);
-      // integer `div` — double division would lose precision at 1e18.
-      expr("ts div 1000000000").as("timestamp"),
+      // schema-dispatched epoch seconds (fixture has shipped as both
+      // nanos-as-Long and timestamp[us]); integer arithmetic only
+      Tables.eventSeconds(spreadEvents).as("timestamp"),
       col("value").as("total_precipitation"),
       struct(
         (col("user_id") % 90).cast("double").as("lat"),
         (col("user_id") % 180).cast("double").as("lon")).as("location")
     )).as("value"))
+  }
 
   /** Full P1->P2->P3->A2->P4->P8 chain over synthesized messages —
     * the flagship parity query.
@@ -149,7 +151,7 @@ object WeatherOps {
     val ev = Tables.events(spark, dir)
     ev.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(
-        expr("ts div 1000").as("dt"),
+        Tables.eventMicros(ev).as("dt"),
         col("value").as("precipitation")))).as("minutely"))
       .select(
         col("user_id"),

@@ -12,7 +12,8 @@ class RangeJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("binned range join equals the naive non-equi formulation") {
-    val ev = Tables.events(spark, TestSpark.sfDir).withColumn("us", expr("ts div 1000"))
+    val raw = Tables.events(spark, TestSpark.sfDir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
     val inc = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("us").as("s"),
         (col("us") + lit(600000000L)).as("e"))
@@ -28,7 +29,8 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("matches land in exactly one bin (no duplicate pairs)") {
-    val ev = Tables.events(spark, TestSpark.sfDir).withColumn("us", expr("ts div 1000"))
+    val raw = Tables.events(spark, TestSpark.sfDir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
     val inc = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("us").as("s"),
         (col("us") + lit(900000000L)).as("e")) // 1.5× bin width → 2-3 bins/interval

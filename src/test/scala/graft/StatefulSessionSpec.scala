@@ -57,8 +57,10 @@ class StatefulSessionSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
     val gapMs = graft.operators.EventOps.SessionGapMicros / 1000
-    val raw = Tables.events(spark, TestSpark.sfDir)
-      .select(col("user_id"), col("ts"), col("value")).collect()
+    val evDf = Tables.events(spark, TestSpark.sfDir)
+    val raw = evDf
+      .select(col("user_id"), Tables.eventMicros(evDf).as("us"),
+        col("value")).collect()
     // the stream side works in millis (java.sql.Timestamp getTime) while
     // the batch operator compares micros, so a session split can only
     // disagree when an adjacent same-user gap falls within 1ms of the
@@ -66,14 +68,14 @@ class StatefulSessionSpec extends AnyFunSuite {
     // on it (the fixture's timestamps DO carry sub-ms components)
     val gapUs = graft.operators.EventOps.SessionGapMicros
     val nearBoundary = raw.groupBy(_.getLong(0)).valuesIterator.flatMap { rows =>
-      val ts = rows.map(_.getLong(1) / 1000L).sorted
+      val ts = rows.map(_.getLong(1)).sorted
       ts.lazyZip(ts.drop(1)).map((a, b) => b - a)
     }.count(d => math.abs(d - gapUs) <= 1000L)
     assert(nearBoundary == 0,
       s"$nearBoundary same-user gaps within 1ms of the session boundary — " +
         "the ms-granularity stream/batch parity comparison is not exact here")
     val evs = raw.map(r => KeyedEvent(r.getLong(0),
-      new Timestamp(r.getLong(1) / 1000000L), r.getDouble(2)))
+      new Timestamp(r.getLong(1) / 1000L), r.getDouble(2)))
     val stream = MemoryStream[KeyedEvent]
     val q = StatefulSessionJob.sessionize(stream.toDS(), gapMs)
       .writeStream.outputMode("append")

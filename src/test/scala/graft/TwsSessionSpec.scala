@@ -74,10 +74,12 @@ class TwsSessionSpec extends AnyFunSuite {
       implicit val sqlCtx = spark.sqlContext
       import org.apache.spark.sql.functions.col
       val gapMs = graft.operators.EventOps.SessionGapMicros / 1000
-      val raw = Tables.events(spark, TestSpark.sfDir)
-        .select(col("user_id"), col("ts"), col("value")).collect()
+      val evDf = Tables.events(spark, TestSpark.sfDir)
+      val raw = evDf
+        .select(col("user_id"), Tables.eventMicros(evDf).as("us"),
+          col("value")).collect()
         .map(r => KeyedEvent(r.getLong(0),
-          new Timestamp(r.getLong(1) / 1000000L), r.getDouble(2)))
+          new Timestamp(r.getLong(1) / 1000L), r.getDouble(2)))
       val stream = MemoryStream[KeyedEvent]
       val q = TwsSessionJob.sessionize(stream.toDS(), gapMs)
         .writeStream.outputMode("append")

@@ -37,11 +37,20 @@ def main(sf_dir, out_dir):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    # Type gate: the verification driver hashes DuckDB HUGEINT/UHUGEINT
+    # Type gate: the verification driver hashes DuckDB int128-backed
+    # numerics (HUGEINT/UHUGEINT, and DECIMAL with precision > 18)
     # differently from BIGINT even at equal values (Python's fetch coerces
     # both to int, so the value compare below can't see it). Any oracle
-    # producing one (e.g. an uncast SUM over integers) would be a standing
-    # driver red — fail it here, before the value check masks it.
+    # producing one (e.g. an uncast SUM over integers, or a DECIMAL(38,0)
+    # checksum) would be a standing driver red — fail it here, before the
+    # value check masks it.
+    def _int128_backed(t):
+        t = t.upper()
+        if "HUGEINT" in t:
+            return True
+        m = __import__("re").match(r"DECIMAL\((\d+)", t)
+        return bool(m) and int(m.group(1)) > 18
+
     n_typed_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -50,10 +59,11 @@ def main(sf_dir, out_dir):
             print(f"[ERROR] {name}: DESCRIBE failed: {e}")
             n_typed_bad += 1
             continue
-        bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        bad = [(c, t) for c, t, *_ in desc if _int128_backed(t)]
         if bad:
             print(f"[TYPE ] {name}: driver-unhashable oracle columns {bad} — "
-                  f"CAST(... AS BIGINT) them")
+                  f"keep the fold in BIGINT (e.g. % 1000000007, then "
+                  f"CAST(SUM(...) AS BIGINT))")
             n_typed_bad += 1
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -89,7 +99,7 @@ def main(sf_dir, out_dir):
                 print(f"         oracle-only: {only_e}")
     print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked queries match ==")
     if n_typed_bad:
-        print(f"== {n_typed_bad} oracle(s) with HUGEINT-typed columns — driver would hash-fail ==")
+        print(f"== {n_typed_bad} oracle(s) with int128-backed columns — driver would hash-fail ==")
         sys.exit(1)
 
 
