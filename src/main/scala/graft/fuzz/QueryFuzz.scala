@@ -660,6 +660,94 @@ object QueryFuzz {
   /** Seed floor for the join-null-semantics shape. */
   val JoinNullsSeedFloor = 8000L
 
+  /** Event-time bucketing shape over the `events` stream table: GROUP BY
+    * a generated calendar bucket of `ts` (day/hour/minute truncation, or
+    * an extracted hour/day/month field), optionally crossed with the
+    * categorical event_type, under optional time-range and type
+    * predicates — the rollup shape every telemetry pipeline runs.
+    * Added the round the events fixture silently changed parquet
+    * timestamp width: this family differentially pins event-time
+    * calendar semantics (truncation boundaries, field extraction,
+    * range-literal comparison) between the DataFrame rendering, Spark
+    * SQL, and DuckDB. Both dialects spell the bucket through
+    * CAST(ts AS TIMESTAMP) and compare it as formatted text, so the
+    * check is independent of timestamp binary encodings.
+    */
+  private def genEventTime(seed: Long, rnd: Random): Gen = {
+    val useExtract = rnd.nextInt(3) == 0
+    val trunc = pick(rnd, Seq("day", "hour", "minute"))
+    val field = pick(rnd, Seq("hour", "day", "month"))
+    val (k0Sql, k0Col) =
+      if (useExtract)
+        (s"CAST(extract($field FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS k0",
+          (field match {
+            case "hour" => hour(col("ts").cast("timestamp"))
+            case "day" => dayofmonth(col("ts").cast("timestamp"))
+            case _ => month(col("ts").cast("timestamp"))
+          }).cast("long").as("k0"))
+      else if (trunc == "day")
+        // DuckDB date_trunc('day', ..) yields DATE (Spark: TIMESTAMP);
+        // route both through DATE so the text rendering agrees — the
+        // same spelling genDateTrunc uses
+        (s"CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS STRING) AS k0",
+          date_trunc("day", col("ts").cast("timestamp")).cast("date")
+            .cast("string").as("k0"))
+      else
+        (s"CAST(date_trunc('$trunc', CAST(ts AS TIMESTAMP)) AS STRING) AS k0",
+          date_trunc(trunc, col("ts").cast("timestamp")).cast("string").as("k0"))
+    val withType = rnd.nextBoolean()
+    // 2-3 of the fixture's five event types, drawn without replacement,
+    // stable order
+    val pool = scala.collection.mutable.ArrayBuffer(
+      "click", "purchase", "error", "signup", "view")
+    val types = (0 until 2 + rnd.nextInt(2))
+      .map(_ => pool.remove(rnd.nextInt(pool.size))).sorted
+    val typePred = rnd.nextInt(3) == 0
+    val timePred = rnd.nextBoolean()
+    val fromDay = 2 + rnd.nextInt(8) // events span 2024-01-01..01-30
+    val preds = Seq(
+      if (typePred) Some(types.mkString("event_type IN ('", "', '", "')"))
+      else None,
+      if (timePred)
+        Some(s"CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-0$fromDay 00:00:00'")
+      else None).flatten
+    val whereSql = if (preds.isEmpty) "" else preds.mkString("\nWHERE ", " AND ", "")
+    val agg = rnd.nextInt(3) match {
+      case 0 => s"CAST(SUM(user_id) AS BIGINT) AS a0"
+      case 1 => s"ROUND(SUM(value) * (1.0 + 1e-12), 2) AS a0"
+      case _ => s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS a0"
+    }
+    val keySql = if (withType) s"$k0Sql, event_type AS k1" else k0Sql
+    val grpSql = if (withType) "k0, k1" else "k0"
+    val sql =
+      s"""SELECT $keySql, COUNT(*) AS a_cnt, $agg
+         |FROM events$whereSql
+         |GROUP BY $grpSql ORDER BY $grpSql""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      var df = Tables.table(spark, dir, "events")
+      if (typePred) df = df.filter(col("event_type").isin(types: _*))
+      if (timePred) df = df.filter(col("ts").cast("timestamp") >=
+        to_timestamp(lit(s"2024-01-0$fromDay 00:00:00")))
+      val keys = if (withType) Seq(k0Col, col("event_type").as("k1"))
+        else Seq(k0Col)
+      val aggCol = agg match {
+        case a if a.startsWith("CAST(SUM") =>
+          sum(col("user_id")).cast("long").as("a0")
+        case a if a.startsWith("ROUND") =>
+          round(sum(col("value")) * (lit(1.0) + lit(1e-12)), 2).as("a0")
+        case _ => countDistinct(col("user_id")).cast("long").as("a0")
+      }
+      df.groupBy(keys: _*)
+        .agg(count(lit(1)).as("a_cnt"), aggCol)
+        .orderBy((if (withType) Seq(col("k0"), col("k1"))
+          else Seq(col("k0"))): _*)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the event-time bucketing shape. */
+  val EventTimeSeedFloor = 9000L
+
   /** Deterministically generate the query tree for `seed`.
     * java.util.Random's LCG is specified, so a seed renders the same
     * query on every JVM.
@@ -674,6 +762,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= EventTimeSeedFloor) return genEventTime(seed, rnd0)
     if (seed >= JoinNullsSeedFloor) return genJoinNulls(seed, rnd0)
     if (seed >= MovingAggSeedFloor) return genMovingAgg(seed, rnd0)
     if (seed >= IntervalSeedFloor) return genInterval(seed, rnd0)
@@ -910,7 +999,11 @@ object QueryFuzz {
       7000L, 7001L, 7002L, 7003L, 7004L, 7005L,
       // join-null-semantics shapes (outer joins with NULLIF-punched
       // keys; seeds cover full/left/right and both null-side mixes)
-      8000L, 8001L, 8002L, 8003L, 8004L, 8005L)
+      8000L, 8001L, 8002L, 8003L, 8004L, 8005L,
+      // event-time bucketing shapes over the events table (truncation /
+      // extraction buckets, time-range + type predicates) — added with
+      // the r7 fixture-type fix to pin event-time calendar semantics
+      9000L, 9001L, 9002L, 9003L, 9004L, 9005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -17,7 +17,8 @@ class QueryFuzzSpec extends AnyFunSuite {
   // temp views must not collide with other suites on the shared session
   private lazy val sqlSession = {
     val s = TestSpark.spark.newSession()
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events")
       .foreach(t => Tables.table(s, TestSpark.sfDir, t).createOrReplaceTempView(t))
     s
   }
@@ -35,7 +36,7 @@ class QueryFuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString("\u0000"))
   }
 
-  test("380 generated query trees: DataFrame rendering matches SQL rendering") {
+  test("400 generated query trees: DataFrame rendering matches SQL rendering") {
     var nonEmpty = 0
     // 0..199: the classic/window/semi/union shapes; 1000..1049: the r5
     // null-semantics shapes (rollup/cube, outer-join aggregates,
@@ -53,7 +54,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.PercentileSeedFloor until QueryFuzz.PercentileSeedFloor + 20L) ++
       (QueryFuzz.IntervalSeedFloor until QueryFuzz.IntervalSeedFloor + 20L) ++
       (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L) ++
-      (QueryFuzz.JoinNullsSeedFloor until QueryFuzz.JoinNullsSeedFloor + 20L)
+      (QueryFuzz.JoinNullsSeedFloor until QueryFuzz.JoinNullsSeedFloor + 20L) ++
+      (QueryFuzz.EventTimeSeedFloor until QueryFuzz.EventTimeSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -64,7 +66,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 290, s"only $nonEmpty/400 seeds returned rows")
+    assert(nonEmpty >= 310, s"only $nonEmpty/420 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
