@@ -84,6 +84,86 @@ object TextOps {
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Sequence-length distribution — the report every pretraining run
+    * reads before fixing a context length: documents bucketed into
+    * 100-char bins (capped at bin 20), with per-bin counts, char mass,
+    * and the cumulative document fraction. Scale: one partial-agg
+    * shuffle collapsing the corpus to ≤21 bins; the cumulative window
+    * then runs over those 21 rows, never the corpus.
+    */
+  def textLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .groupBy(expr("least(n_chars div 100, 20)").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("cum_frac",
+        round(sum(col("n_docs")).over(cum).cast("double") /
+          sum(col("n_docs")).over(all).cast("double") + lit(1e-9), 4))
+      .orderBy(col("bin"))
+  }
+
+  val textLengthHistogramOracle: String =
+    """WITH b AS (
+      |  SELECT least(n_chars // 100, 20) AS bin, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT bin, n_docs, sum_chars,
+      |       round(CAST(SUM(n_docs) OVER (ORDER BY bin) AS DOUBLE)
+      |             / CAST(SUM(n_docs) OVER () AS DOUBLE) + 1e-9, 4)
+      |         AS cum_frac
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** Vocabulary coverage curve — the tokenizer-design report: rank the
+    * corpus vocabulary by frequency (ties broken by token text) and
+    * report, at standard vocab-size cutoffs, how many types the top-k
+    * holds and what fraction of the running token mass they cover.
+    * Scale: the vocab aggregate is a partial-agg shuffle bounded by
+    * TYPE count, not corpus size (the same class as the TF-IDF df
+    * table); the global rank is one sort over that bounded vocab; the
+    * cutoffs are a 4-row broadcast, so the coverage fold is map-side.
+    */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Seq(100L, 1000L, 5000L, 20000L)
+    val vocab = spread(Tables.documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val ranked = vocab.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    val cutsDf = spark.createDataset(cuts)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("k")
+    ranked.crossJoin(broadcast(cutsDf))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("rn") <= col("k"), lit(1L)).otherwise(lit(0L)))
+          .as("n_types"),
+        sum(when(col("rn") <= col("k"), col("c")).otherwise(lit(0L)))
+          .as("covered"),
+        sum(col("c")).as("total"))
+      .select(col("k"), col("n_types"),
+        round(col("covered").cast("double") / col("total").cast("double")
+          + lit(1e-9), 4).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  val textVocabCoverageOracle: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |v AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn
+      |      FROM v),
+      |ks AS (SELECT unnest([100, 1000, 5000, 20000]) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k,
+      |       CAST(SUM(CASE WHEN r.rn <= ks.k THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_types,
+      |       round(CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.c ELSE 0 END)
+      |                  AS DOUBLE)
+      |             / CAST(SUM(r.c) AS DOUBLE) + 1e-9, 4) AS coverage
+      |FROM r CROSS JOIN ks GROUP BY ks.k ORDER BY k""".stripMargin
+
   /** The weighted quality formula over its raw components — shared by the
     * batch query and the streaming document pipeline
     * (graft.streaming.DocStreamJob). +1e-9 nudges exact .00005 boundaries
@@ -1301,6 +1381,8 @@ object TextOps {
     "text_oov" -> (textOov _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_token_stats" -> (textTokenStats _),
+    "text_length_histogram" -> (textLengthHistogram _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1328,6 +1410,8 @@ object TextOps {
     "text_oov" -> textOovOracle,
     "text_bpe_tokens" -> textBpeTokensOracle,
     "text_token_stats" -> textTokenStatsOracle,
+    "text_length_histogram" -> textLengthHistogramOracle,
+    "text_vocab_coverage" -> textVocabCoverageOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,
     "text_fingerprint" -> textFingerprintOracle,

@@ -390,4 +390,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("z_interleave16"),
       s"the native interleave expression is not in the plan:\n$plan")
   }
+
+  test("vocab coverage: the cutoff side broadcasts; the vocab never does") {
+    val df = graft.operators.TextOps.textVocabCoverage(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"4-row cutoff table should broadcast:\n$plan")
+    // the vocab side grows with the corpus type count — the explicit
+    // broadcast hint must sit on the 4-row cutoff relation only
+    assert(!plan.contains("CartesianProduct"),
+      s"cutoff cross must ride the broadcast, not a cartesian:\n$plan")
+    // invariants: coverage is monotone in k and lands in (0, 1]
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(100L, 1000L, 5000L, 20000L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 + 1e-12,
+        s"coverage not monotone: $a then $b")
+      assert(a._2 <= b._2, s"n_types not monotone: $a then $b")
+    }
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0 + 1e-9), rows.toSeq)
+  }
+
+  test("length histogram collapses to bins before the cumulative window") {
+    val df = graft.operators.TextOps.textLengthHistogram(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"binning must pre-aggregate map-side:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bins ascend, cum_frac is monotone and ends at ~1.0
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-12, s"cum_frac not monotone: $a then $b")
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-3, rows.last.toString)
+    assert(rows.map(_._2).sum ==
+      graft.Tables.documents(spark, dir).count(), "bin counts lose docs")
+  }
 }
