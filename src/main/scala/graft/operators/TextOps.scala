@@ -381,6 +381,71 @@ object TextOps {
       |       cls_score >= $ClassifierKeepAt AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Classifier calibration curve — the curation-QA report that decides
+    * whether a model-based quality gate can be trusted: documents
+    * bucketed by classifier score into 10 fixed-width bins over the
+    * score's [-1, 1] range, each bin reporting its document count, mean
+    * classifier score, mean INDEPENDENT heuristic quality, and
+    * high-tier rate. A trustworthy gate shows both quality columns
+    * rising monotonically with the bin. Fixed-width bins (not ntile)
+    * on purpose: the report stays map-only + one 10-row partial-agg
+    * shuffle at any corpus size, where a decile ntile would need a
+    * global single-task sort.
+    */
+  def textClassifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = withClassifierScore(withQuality(
+      spread(Tables.documents(spark, dir))))
+    scored
+      .withColumn("bin",
+        least(floor((col("cls_score") + lit(1.0)) * 5), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("cls_score")) + lit(1e-9), 4).as("avg_cls"),
+        round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"),
+        round(avg(when(col("quality") >= 0.8, lit(1.0)).otherwise(lit(0.0)))
+          + lit(1e-9), 4).as("high_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val textClassifierCalibrationOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |           x -> ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+       |                    % $ClassifierBuckets) * 37 + 11) % 201 - 100))
+       |           AS BIGINT) AS w_sum
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         round(w_sum / (100.0 * n_tokens) + 1e-9, 4) AS cls_score
+       |  FROM s),
+       |d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+       |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+       |         length(replace(text, ' ', '')) * 1.0
+       |           / len(string_split(text, ' ')) AS avg_len
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(least(n_tokens / 100.0, 1.0) * 0.4
+       |               + (1.0 - stop_ratio) * 0.3
+       |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4) AS quality
+       |  FROM d),
+       |j AS (
+       |  SELECT CAST(least(floor((c.cls_score + 1.0) * 5), 9) AS BIGINT)
+       |           AS bin,
+       |         c.cls_score, q.quality
+       |  FROM c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |       round(AVG(cls_score) + 1e-9, 4) AS avg_cls,
+       |       round(AVG(quality) + 1e-9, 4) AS avg_quality,
+       |       round(AVG(CASE WHEN quality >= 0.8 THEN 1.0 ELSE 0.0 END)
+       |             + 1e-9, 4) AS high_rate
+       |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Self-trained unigram language classifier: the top-10 most frequent
     * tokens per language (ties broken by token) form each language's
     * profile; a document is classified as the language whose profile
@@ -1383,6 +1448,7 @@ object TextOps {
     "text_token_stats" -> (textTokenStats _),
     "text_length_histogram" -> (textLengthHistogram _),
     "text_vocab_coverage" -> (textVocabCoverage _),
+    "text_classifier_calibration" -> (textClassifierCalibration _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1412,6 +1478,7 @@ object TextOps {
     "text_token_stats" -> textTokenStatsOracle,
     "text_length_histogram" -> textLengthHistogramOracle,
     "text_vocab_coverage" -> textVocabCoverageOracle,
+    "text_classifier_calibration" -> textClassifierCalibrationOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,
     "text_fingerprint" -> textFingerprintOracle,
