@@ -1279,7 +1279,51 @@ object SimilarityOps {
        |SELECT root, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reach
        |FROM reach GROUP BY root ORDER BY root""".stripMargin
 
+  /** Embedding-QA stats report — the sanity pass before any vector
+    * work ships: per-label vector counts, L2-norm distribution
+    * (mean/min/max — catches unnormalized or zero vectors before they
+    * poison cosine math), mean component sum (drift detector for
+    * un-centered embeddings), and the dimensionality. Scale: map-only
+    * per-row array folds (the 64-float vector never explodes to rows)
+    * into one label-cardinality partial-agg shuffle. Both engines fold
+    * the array in element order after an exact float→double widening,
+    * so the per-row doubles are bit-identical.
+    */
+  def simEmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("norm"),
+        aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double")).as("csum"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")) + lit(1e-9), 4).as("avg_norm"),
+        round(min(col("norm")) + lit(1e-9), 4).as("min_norm"),
+        round(max(col("norm")) + lit(1e-9), 4).as("max_norm"),
+        round(avg(col("csum")) + lit(1e-9), 4).as("avg_csum"),
+        max(col("dim")).as("dim"))
+      .orderBy(col("label"))
+
+  val simEmbeddingStatsOracle: String =
+    """WITH e AS (
+      |  SELECT label,
+      |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |              x -> x * x))) AS norm,
+      |         list_sum(CAST(embedding AS DOUBLE[])) AS csum,
+      |         CAST(len(embedding) AS BIGINT) AS dim
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       round(AVG(norm) + 1e-9, 4) AS avg_norm,
+      |       round(MIN(norm) + 1e-9, 4) AS min_norm,
+      |       round(MAX(norm) + 1e-9, 4) AS max_norm,
+      |       round(AVG(csum) + 1e-9, 4) AS avg_csum,
+      |       MAX(dim) AS dim
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_stats" -> (simEmbeddingStats _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_pagerank" -> (simPagerank _),
     "dedup_transitive_reach" -> (dedupTransitiveReach _),
@@ -1293,6 +1337,7 @@ object SimilarityOps {
     "sim_quantize" -> (simQuantize _))
 
   def oracles: Map[String, String] = Map(
+    "sim_embedding_stats" -> simEmbeddingStatsOracle,
     "sim_pagerank" -> simPagerankOracle,
     "dedup_transitive_reach" -> dedupTransitiveReachOracle,
     "dedup_semantic" -> dedupSemanticOracle,
