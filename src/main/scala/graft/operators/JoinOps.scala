@@ -84,6 +84,44 @@ object JoinOps {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
       |ORDER BY event_id""".stripMargin
 
+  /** As-of join with a match TOLERANCE (the pandas `merge_asof
+    * (tolerance=...)` semantics): the nearest prior match only counts if
+    * it is within `tolUs` micros, otherwise the row keeps null match
+    * columns. Same one-shuffle plan as [[asOfJoin]] — the tolerance is a
+    * post-window projection, not a second join.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val TolUs = 3600L * 1000000 // 1 hour
+    val raw = Tables.events(spark, dir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("value"))
+    val inTol = col("asof").isNotNull &&
+      (col("us") - col("asof.us")) <= TolUs
+    asOfJoin(purchases, clicks, "user_id", "us", "us")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        when(inTol, col("asof.us")).as("click_us"),
+        when(inTol, expr("(us - asof.us) div 1000000")).as("gap_sec"),
+        when(inTol, round(col("asof.value"), 2)).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofToleranceOracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+      |       CASE WHEN p.us - c.us <= 3600000000 THEN c.us END AS click_us,
+      |       CASE WHEN p.us - c.us <= 3600000000
+      |            THEN (p.us - c.us) // 1000000 END AS gap_sec,
+      |       CASE WHEN p.us - c.us <= 3600000000
+      |            THEN round(c.value, 2) END AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY event_id""".stripMargin
+
   /** Salted join for skewed keys: replicate the build side `salt` times
     * and scatter the probe side uniformly, so one hot key spreads over
     * `salt` reducers instead of one straggler. AQE's skew-join handles
@@ -101,8 +139,10 @@ object JoinOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_tolerance" -> (qAsofTolerance _))
 
   def oracles: Map[String, String] = Map(
-    "q_asof_join" -> qAsofJoinOracle)
+    "q_asof_join" -> qAsofJoinOracle,
+    "q_asof_tolerance" -> qAsofToleranceOracle)
 }
