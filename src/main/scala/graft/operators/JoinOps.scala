@@ -138,11 +138,47 @@ object JoinOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Oracle-checked salted-join query: events joined to a per-user
+    * activity profile through [[saltedJoin]] (salt 8). The salt is an
+    * internal physical detail — every probe row lands in exactly one
+    * salt bucket and the build side is replicated across all buckets,
+    * so the JOINED ROW SET is identical to the plain equi-join the
+    * DuckDB oracle runs; the aggregates are integer-exact so no
+    * salt-dependent summation order can perturb the comparison. This is
+    * the skew escape hatch for pathological keys where AQE's skew
+    * splitting is not available (e.g. inside a bucketed pre-partitioned
+    * pipeline stage).
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+    val profile = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_user_events"))
+    saltedJoin(ev, profile, "user_id", salt = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_user_events")).as("sum_profile"),
+        sum(col("user_id")).as("sum_uid"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSaltedJoinOracle: String =
+    """WITH profile AS (
+      |  SELECT user_id, COUNT(*) AS n_user_events
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |       CAST(SUM(p.n_user_events) AS BIGINT) AS sum_profile,
+      |       CAST(SUM(e.user_id) AS BIGINT) AS sum_uid
+      |FROM events e JOIN profile p ON e.user_id = p.user_id
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
-    "q_asof_tolerance" -> (qAsofTolerance _))
+    "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_salted_join" -> (qSaltedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinOracle,
-    "q_asof_tolerance" -> qAsofToleranceOracle)
+    "q_asof_tolerance" -> qAsofToleranceOracle,
+    "q_salted_join" -> qSaltedJoinOracle)
 }
