@@ -170,6 +170,48 @@ object SourceOps {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin
 
+  private val bloomPaths = new ConcurrentHashMap[String, String]()
+
+  /** Bloom-filter file skipping on a point lookup, oracle-checked: the
+    * corpus is staged through the connector's writer HASH-partitioned on
+    * doc_id with `bloom.fields=doc_id`, so every file's (min, max)
+    * doc_id zone spans nearly the whole domain — zone pruning is
+    * structurally blind here — while each file's 1 KiB Bloom sidecar
+    * records exactly which keys it holds. The IN-list probe then skips
+    * every file whose Bloom proves absence (SourcesSpec asserts
+    * skippedFiles > 0 on this exact shape); a wrongly-skipped file
+    * surfaces as missing rows against the DuckDB twin, which computes
+    * the same rows from the original parquet.
+    */
+  def sourceJsonlBloom(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "jsonl-bloom", dir)
+    var out = bloomPaths.get(key)
+    if (out == null) {
+      bloomPaths.synchronized {
+        out = bloomPaths.get(key)
+        if (out == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-jsonl-b-")
+            .resolve("docs").toString
+          Tables.documents(spark, dir)
+            .repartition(8, col("doc_id"))
+            .write.format("graft-jsonl")
+            .option("bloom.fields", "doc_id")
+            .mode("overwrite").save(p)
+          bloomPaths.put(key, p)
+          out = p
+        }
+      }
+    }
+    spark.read.format("graft-jsonl").schema(documentsSchema).load(out)
+      .filter(col("doc_id").isin(7L, 123L, 321L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sourceJsonlBloomOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (7, 123, 321) ORDER BY doc_id""".stripMargin
+
   private val streamRtPaths = new ConcurrentHashMap[String, String]()
 
   /** The connector's STREAMING write path, oracle-checked end to end:
@@ -300,6 +342,7 @@ object SourceOps {
     "source_jsonl_scan" -> (sourceJsonlScan _),
     "source_jsonl_write" -> (sourceJsonlWrite _),
     "source_jsonl_pruned" -> (sourceJsonlPruned _),
+    "source_jsonl_bloom" -> (sourceJsonlBloom _),
     "source_jsonl_stream_rt" -> (sourceJsonlStreamRoundtrip _),
     "source_schema_evolution" -> (sourceSchemaEvolution _))
 
@@ -307,6 +350,7 @@ object SourceOps {
     "source_jsonl_scan" -> sourceJsonlScanOracle,
     "source_jsonl_write" -> sourceJsonlWriteOracle,
     "source_jsonl_pruned" -> sourceJsonlPrunedOracle,
+    "source_jsonl_bloom" -> sourceJsonlBloomOracle,
     "source_jsonl_stream_rt" -> sourceJsonlStreamRoundtripOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }

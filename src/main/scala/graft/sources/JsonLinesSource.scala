@@ -310,11 +310,98 @@ private[sources] case class JsonLinesPartition(path: String, start: Long,
     end: Long, fileLen: Long) extends InputPartition
 
 /** Per-file zone: for each field, (min, max) over non-null parsed
-  * values plus a had-nulls flag. Values are Long / Double / String /
-  * Boolean — the connector's type surface.
+  * values plus a had-nulls flag, and (for writer-opted columns) a
+  * fixed-size Bloom filter over the file's values. Values are Long /
+  * Double / String / Boolean — the connector's type surface.
   */
 private[graft] case class JsonLinesZone(
-    fields: Map[String, (Any, Any)], nullFields: Set[String])
+    fields: Map[String, (Any, Any)], nullFields: Set[String],
+    blooms: Map[String, Vector[Long]] = Map.empty)
+
+/** Fixed-size per-file Bloom filter for point-lookup file skipping —
+  * the complement of the (min, max) zone: zones prune RANGE predicates
+  * on clustered layouts, but an equality probe for a key in a
+  * hash-scattered layout (every file's zone spans nearly the full
+  * domain) scans everything; a 1 KiB Bloom per opted column skips every
+  * file that provably lacks the key. Opt-in per column via the writer's
+  * `bloom.fields` option — the Delta/Parquet-bloom design — so the
+  * sidecar stays O(files) bytes unless a column pays for itself.
+  *
+  * 8192 bits, 4 probes: ~1e-5 false-positive rate at 1k distinct values
+  * per file, and a false positive only costs an unskipped file. Hashing
+  * is FNV-1a 64 over the value's decimal/UTF-8 canonical form with a
+  * splitmix64-derived second hash (double hashing) — deterministic
+  * across JVMs, so a sidecar written anywhere prunes anywhere.
+  */
+private[graft] object JsonLinesBloom {
+  val Bits = 8192
+  val Words: Int = Bits / 64
+  val Probes = 4
+
+  /** Canonical bytes for hashable values; None = type not bloomable
+    * (Double equality probes are float-trap territory, Boolean is
+    * pointless) — an absent canonical form NEVER proves anything.
+    */
+  def canonical(v: Any): Option[Array[Byte]] = v match {
+    case l: Long => Some(l.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    case i: Int => Some(i.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    case s: String => Some(s.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    case _ => None
+  }
+
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    h
+  }
+
+  private def mix(x: Long): Long = {
+    var h = x + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  private def probeBits(bytes: Array[Byte]): Seq[Int] = {
+    val h1 = fnv64(bytes)
+    val h2 = mix(h1) | 1L
+    (0 until Probes).map(i =>
+      java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, Bits.toLong).toInt)
+  }
+
+  def add(bits: Array[Long], v: Any): Unit = canonical(v).foreach { b =>
+    probeBits(b).foreach(p => bits(p >>> 6) |= 1L << (p & 63))
+  }
+
+  /** Some(false) = the value is PROVABLY absent from the file;
+    * Some(true) = maybe present; None = value shape not bloomable.
+    */
+  def mightContain(bits: Vector[Long], v: Any): Option[Boolean] =
+    canonical(v).map { b =>
+      probeBits(b).forall(p => (bits(p >>> 6) & (1L << (p & 63))) != 0L)
+    }
+
+  def toBase64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(Words * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): Option[Vector[Long]] = try {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    if (bytes.length != Words * 8) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Some(Vector.fill(Words)(bb.getLong()))
+    }
+  } catch { case _: Exception => None }
+}
 
 /** The `_stats.jsonl` sidecar: one line per data file,
   * `{"file":name,"fields":{f:{"min":…,"max":…,"nulls":bool}}}`.
@@ -337,6 +424,8 @@ private[graft] object JsonLinesStats {
         val fn = fs.putObject(f)
         putVal(fn, "min", lo); putVal(fn, "max", hi)
         fn.put("nulls", z.nullFields.contains(f))
+        z.blooms.get(f).foreach(bits =>
+          fn.put("bloom", JsonLinesBloom.toBase64(bits.toArray)))
       }
       sb.append(mapper.writeValueAsString(node)).append('\n')
     }
@@ -383,6 +472,7 @@ private[graft] object JsonLinesStats {
           val node = mapper.readTree(line)
           val fields = scala.collection.mutable.Map[String, (Any, Any)]()
           val nulls = scala.collection.mutable.Set[String]()
+          val blooms = scala.collection.mutable.Map[String, Vector[Long]]()
           val fs = node.get("fields")
           if (fs != null) {
             val it = fs.fieldNames()
@@ -390,10 +480,13 @@ private[graft] object JsonLinesStats {
               val f = it.next(); val fn = fs.get(f)
               fields += f -> (readVal(fn.get("min")), readVal(fn.get("max")))
               if (fn.get("nulls").asBoolean()) nulls += f
+              val bl = fn.get("bloom")
+              if (bl != null && bl.isTextual)
+                JsonLinesBloom.fromBase64(bl.asText()).foreach(blooms += f -> _)
             }
           }
           Some(node.get("file").asText() ->
-            JsonLinesZone(fields.toMap, nulls.toSet))
+            JsonLinesZone(fields.toMap, nulls.toSet, blooms.toMap))
         }.toMap
     } finally in.close()
   } catch { case _: Exception => Map.empty }
@@ -429,7 +522,16 @@ private[graft] object JsonLinesStats {
     // nulls flag: every comparison against it is false for every row
     def allNull(a: String): Boolean =
       !z.fields.contains(a) && z.nullFields.contains(a)
+    // Bloom proof: the writer-opted per-file filter says the probe value
+    // was never written to this file. Equality never matches null rows,
+    // so the proof holds regardless of the null flag; an absent bloom or
+    // an unbloomable value shape proves nothing.
+    def bloomAbsent(a: String, v: Any): Boolean =
+      z.blooms.get(a).exists(bits =>
+        JsonLinesBloom.mightContain(bits, v).contains(false))
     f match {
+      case EqualTo(a, v) if bloomAbsent(a, v) => true
+      case In(a, vs) if vs.nonEmpty && vs.forall(bloomAbsent(a, _)) => true
       case EqualTo(a, v) => allNull(a) || zone(a).exists { case (lo, hi) =>
         cmp(v, lo).exists(_ < 0) || cmp(v, hi).exists(_ > 0) }
       case GreaterThan(a, v) => allNull(a) || zone(a).exists { case (_, hi) =>
@@ -606,14 +708,26 @@ private[sources] class JsonLinesWriteBuilder(dir: String, info: LogicalWriteInfo
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  // opt-in per-column Bloom sidecars for point-lookup file skipping;
+  // validated against the schema so a typo fails the write, not the prune
+  private val bloomFields: Set[String] = {
+    val req = Option(info.options().get("bloom.fields")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = req -- info.schema().fieldNames.toSet
+    require(unknown.isEmpty,
+      s"graft-jsonl bloom.fields not in schema: ${unknown.mkString(", ")}")
+    req
+  }
+
   override def build(): Write = new Write {
     override def description(): String = s"graft-jsonl -> $dir"
     override def toBatch: BatchWrite =
-      new JsonLinesBatchWrite(dir, info.schema(), doTruncate)
+      new JsonLinesBatchWrite(dir, info.schema(), doTruncate, bloomFields)
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-jsonl streaming write supports append mode only")
-      new JsonLinesStreamingWrite(dir, info.schema(), Option(table))
+      new JsonLinesStreamingWrite(dir, info.schema(), Option(table),
+        bloomFields)
     }
     override def supportedCustomMetrics(): Array[CustomMetric] =
       Array(new WrittenLinesMetric)
@@ -629,7 +743,8 @@ private[graft] case class JsonLinesCommitMessage(tempPath: String,
     finalName: String, zone: JsonLinesZone) extends WriterCommitMessage
 
 private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
-    doTruncate: Boolean) extends BatchWrite {
+    doTruncate: Boolean, bloomFields: Set[String] = Set.empty)
+    extends BatchWrite {
 
   // job-unique suffix baked into every final file name: an overwrite of
   // a directory this connector wrote earlier must never rename onto an
@@ -638,7 +753,7 @@ private[graft] class JsonLinesBatchWrite(dir: String, schema: StructType,
   private val jobId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonLinesWriterFactory(dir, schema, jobId)
+    new JsonLinesWriterFactory(dir, schema, jobId, bloomFields)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new Path(dir)
@@ -743,11 +858,12 @@ private[graft] object JsonLinesEpochLog {
   * `StreamingQueryProgress.sink.metrics` per micro-batch.
   */
 private[graft] class JsonLinesStreamingWrite(dir: String, schema: StructType,
-    table: Option[JsonLinesTable] = None) extends StreamingWrite {
+    table: Option[JsonLinesTable] = None,
+    bloomFields: Set[String] = Set.empty) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new JsonLinesStreamingWriterFactory(dir, schema)
+    new JsonLinesStreamingWriterFactory(dir, schema, bloomFields)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val d = new Path(dir)
@@ -797,11 +913,12 @@ private[graft] class JsonLinesStreamingWrite(dir: String, schema: StructType,
 }
 
 private[graft] class JsonLinesWriterFactory(dir: String, schema: StructType,
-    jobId: String) extends DataWriterFactory {
+    jobId: String, bloomFields: Set[String] = Set.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonLinesDataWriter(dir, schema,
       f".tmp-part-$partitionId%05d-$jobId-attempt-$taskId.jsonl",
-      f"part-$partitionId%05d-$jobId.jsonl")
+      f"part-$partitionId%05d-$jobId.jsonl", bloomFields)
 }
 
 /** Streaming writers name files DETERMINISTICALLY by (epochId,
@@ -812,12 +929,13 @@ private[graft] class JsonLinesWriterFactory(dir: String, schema: StructType,
   * original's in-flight file.
   */
 private[graft] class JsonLinesStreamingWriterFactory(dir: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType, bloomFields: Set[String] = Set.empty)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new JsonLinesDataWriter(dir, schema,
       f".tmp-e$epochId%06d-p$partitionId%05d-attempt-$taskId.jsonl",
-      f"part-e$epochId%06d-p$partitionId%05d.jsonl")
+      f"part-e$epochId%06d-p$partitionId%05d.jsonl", bloomFields)
 }
 
 /** Serializes rows back to JSON lines via Jackson (proper string
@@ -826,7 +944,8 @@ private[graft] class JsonLinesStreamingWriterFactory(dir: String,
   * deterministic for streaming.
   */
 private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
-    tempName: String, finalName: String) extends DataWriter[InternalRow] {
+    tempName: String, finalName: String,
+    bloomFields: Set[String] = Set.empty) extends DataWriter[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val tempPath = new Path(dir, tempName)
@@ -841,6 +960,15 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
   private val mins = scala.collection.mutable.Map[String, Any]()
   private val maxs = scala.collection.mutable.Map[String, Any]()
   private val sawNull = scala.collection.mutable.Set[String]()
+  // per-field Bloom bitsets for writer-opted columns (Long/String only —
+  // JsonLinesBloom.canonical rejects the rest, so a Double opt-in is a
+  // silent no-op rather than a broken proof)
+  private val blooms = scala.collection.mutable.Map[String, Array[Long]]()
+  private def bloomTrack(name: String, v: Any): Unit =
+    if (bloomFields.contains(name))
+      JsonLinesBloom.add(
+        blooms.getOrElseUpdate(name,
+          new Array[Long](JsonLinesBloom.Words)), v)
   // NaN breaks ordering proofs: any field that ever saw one carries NO
   // zone at all (not even its null flag — an all-null-plus-NaN zone
   // would wrongly prove comparisons empty)
@@ -865,6 +993,7 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
       else f.dataType match {
         case LongType =>
           val v = row.getLong(i); node.put(f.name, v); track(f.name, v)
+          bloomTrack(f.name, v)
         case DoubleType =>
           val v = row.getDouble(i); node.put(f.name, v)
           if (v.isNaN) poisoned += f.name else track(f.name, v)
@@ -873,6 +1002,7 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
         case StringType =>
           val v = row.getUTF8String(i).toString
           node.put(f.name, v); track(f.name, v)
+          bloomTrack(f.name, v)
         case dt => throw new UnsupportedOperationException(
           s"graft-jsonl write: unsupported type $dt for field ${f.name}")
       }
@@ -890,7 +1020,8 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
     JsonLinesCommitMessage(tempPath.toString, finalName,
       JsonLinesZone(
         (mins.keySet -- poisoned).map(k => k -> ((mins(k), maxs(k)))).toMap,
-        (sawNull -- poisoned).toSet))
+        (sawNull -- poisoned).toSet,
+        blooms.map { case (k, bits) => k -> bits.toVector }.toMap))
   }
 
   override def abort(): Unit = {

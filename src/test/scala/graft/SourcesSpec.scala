@@ -542,4 +542,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaJsonl.length > 0, "filter must keep some fixture rows")
     assert(viaJsonl.toSeq === viaParquet.toSeq)
   }
+
+  test("bloom sidecar: deterministic probes, no false negatives, and " +
+      "provable absence for unwritten keys") {
+    import graft.sources.JsonLinesBloom
+    val bits = new Array[Long](JsonLinesBloom.Words)
+    (0L until 500L).foreach(v => JsonLinesBloom.add(bits, v))
+    val vec = bits.toVector
+    // every inserted key must read back as maybe-present (no false
+    // negatives — that would wrongly skip a file holding the key)
+    (0L until 500L).foreach(v =>
+      assert(JsonLinesBloom.mightContain(vec, v).contains(true),
+        s"false negative for $v"))
+    // values far outside the inserted set: the overwhelming majority
+    // must be provably absent (fpp ~1e-5 at this fill)
+    val absent = (100000L until 101000L)
+      .count(v => JsonLinesBloom.mightContain(vec, v).contains(false))
+    assert(absent >= 990, s"only $absent/1000 unwritten keys proved absent")
+    // unbloomable shapes prove nothing
+    assert(JsonLinesBloom.mightContain(vec, 3.14d).isEmpty)
+    assert(JsonLinesBloom.mightContain(vec, true).isEmpty)
+    // int/long canonical forms agree (pushed literals vary by planner)
+    val sb = new Array[Long](JsonLinesBloom.Words)
+    JsonLinesBloom.add(sb, 42L)
+    assert(JsonLinesBloom.mightContain(sb.toVector, 42).contains(true))
+  }
+
+  test("the source_jsonl_bloom oracle query actually skips files: " +
+      "bloom pruning fires where zone min/max is structurally blind") {
+    val df = graft.operators.SourceOps.sourceJsonlBloom(
+      spark, TestSpark.sfDir)
+    assert(df.collect().length === 3, "3 point-lookup docs expected")
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    // 8 hash-partitioned files: the 3 probed ids live in at most 3, so
+    // blooms must skip at least 5 — zone min/max alone would skip none
+    // (every file's doc_id zone spans nearly the whole domain)
+    assert(scan.metrics("skippedFiles").value >= 5,
+      s"bloom skipping did not fire, got ${scan.metrics}")
+  }
 }
