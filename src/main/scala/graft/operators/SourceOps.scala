@@ -128,7 +128,7 @@ object SourceOps {
     * covers a disjoint doc_id interval — the layout zone-map skipping
     * rewards, produced by the engine itself end to end.
     */
-  private def stagedZonedJsonl(spark: SparkSession, dir: String): String = {
+  private[graft] def stagedZonedJsonl(spark: SparkSession, dir: String): String = {
     val key = DedupOps.stageKey(spark, "jsonl-zoned", dir)
     var path = zonedPaths.get(key)
     if (path == null) {
@@ -211,6 +211,32 @@ object SourceOps {
   val sourceJsonlBloomOracle: String =
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id IN (7, 123, 321) ORDER BY doc_id""".stripMargin
+
+  /** Metadata-only aggregation through the connector's COMPLETE
+    * aggregate pushdown: COUNT(*)/MIN/MAX over the engine-staged corpus
+    * are answered from the `_stats.jsonl` sidecar (per-file row counts +
+    * zones) without opening one data file — the lakehouse
+    * metadata-query shape, where a 100 TB table's rollup costs one
+    * sidecar read. SourcesSpec asserts the plan IS the metadata scan
+    * (and that a filtered twin falls back to a real scan); the DuckDB
+    * twin recomputes the numbers from the original parquet, so a stale
+    * or miscounted sidecar is a visible mismatch, not a silent lie.
+    */
+  def sourceJsonlAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-jsonl").schema(documentsSchema)
+      .load(stagedZonedJsonl(spark, dir))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"))
+
+  val sourceJsonlAggOracle: String =
+    """SELECT COUNT(*) AS n_docs,
+      |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |       MIN(lang) AS min_lang, MAX(lang) AS max_lang
+      |FROM documents""".stripMargin
 
   private val streamRtPaths = new ConcurrentHashMap[String, String]()
 
@@ -343,6 +369,7 @@ object SourceOps {
     "source_jsonl_write" -> (sourceJsonlWrite _),
     "source_jsonl_pruned" -> (sourceJsonlPruned _),
     "source_jsonl_bloom" -> (sourceJsonlBloom _),
+    "source_jsonl_agg" -> (sourceJsonlAgg _),
     "source_jsonl_stream_rt" -> (sourceJsonlStreamRoundtrip _),
     "source_schema_evolution" -> (sourceSchemaEvolution _))
 
@@ -351,6 +378,7 @@ object SourceOps {
     "source_jsonl_write" -> sourceJsonlWriteOracle,
     "source_jsonl_pruned" -> sourceJsonlPrunedOracle,
     "source_jsonl_bloom" -> sourceJsonlBloomOracle,
+    "source_jsonl_agg" -> sourceJsonlAggOracle,
     "source_jsonl_stream_rt" -> sourceJsonlStreamRoundtripOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }

@@ -176,10 +176,111 @@ private[sources] class JsonLinesTable(tableSchema: StructType, paths: Seq[String
 private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
     paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // metadata-answered aggregation: (output schema, the one result row)
+  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggDescription: String = ""
+
+  /** COMPLETE aggregate pushdown answered from the `_stats.jsonl`
+    * sidecar alone — the lakehouse metadata-only query: COUNT(*) from
+    * per-file row counts, MIN/MAX from per-file zones, no data file
+    * opened. Accepted ONLY when the answer is provably exact:
+    * no pushed filters, no grouping, every data file has a sidecar
+    * entry with a row count, and every MIN/MAX field is accounted for
+    * in every file (a values zone or an all-null flag — a field in
+    * neither could be NaN-poisoned or absent, either of which makes
+    * the zone unusable). Anything else falls back to a normal scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = planAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    planAggregation(agg) match {
+      case Some(res) =>
+        aggResult = Some(res)
+        aggDescription = agg.aggregateExpressions().mkString("[", ", ", "]")
+        true
+      case None => false
+    }
+
+  private def planAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0)).filter(n => tableSchema.fieldNames.contains(n))
+      case _ => None
+    }
+    // shape gate first (cheap), then the sidecar coverage proof
+    val shapes: Seq[Either[Unit, (String, Boolean)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Left(())
+        case m: Min => fieldOf(m.column()) match {
+          case Some(f) => Right((f, true)); case None => return None
+        }
+        case m: Max => fieldOf(m.column()) match {
+          case Some(f) => Right((f, false)); case None => return None
+        }
+        case _ => return None
+      }
+    if (shapes.isEmpty) return None
+    val zones = try {
+      val files = JsonLines.listFiles(paths)
+      val byDir = paths.flatMap(p => JsonLinesStats.read(new Path(p)).map {
+        case (name, z) =>
+          val dir = new Path(p)
+          new Path(JsonLines.fs(dir).makeQualified(dir), name).toString -> z
+      }).toMap
+      val matched = files.map(st => byDir.get(st.getPath.toString))
+      if (matched.exists(_.isEmpty)) return None // un-stated file: no proof
+      matched.flatten
+    } catch { case _: Exception => return None }
+    if (zones.exists(_.rows < 0)) return None // legacy sidecar: no counts
+    val minMaxFields = shapes.collect { case Right((f, _)) => f }.toSet
+    // every file must account for every min/max field, one way or the
+    // other; files with rows but an unaccounted field decline the push
+    if (!minMaxFields.forall(f => zones.forall(z =>
+      z.fields.contains(f) || z.nullFields.contains(f) || z.rows == 0L)))
+      return None
+    def fold(f: String, takeMin: Boolean): Any = {
+      val vals = zones.flatMap(_.fields.get(f))
+        .map(v => if (takeMin) v._1 else v._2)
+      if (vals.isEmpty) null
+      else vals.reduce { (a, b) =>
+        val c = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+          case _ => return null // mixed shapes: give up on this field
+        }
+        if ((c <= 0) == takeMin) a else b
+      }
+    }
+    val values = new Array[Any](shapes.length)
+    val fields = new ArrayBuffer[StructField]
+    shapes.zipWithIndex.foreach {
+      case (Left(()), i) =>
+        values(i) = zones.map(_.rows).sum
+        fields += StructField(s"agg_$i", LongType, nullable = false)
+      case (Right((f, takeMin)), i) =>
+        values(i) = fold(f, takeMin)
+        fields += StructField(s"agg_$i",
+          tableSchema(tableSchema.fieldIndex(f)).dataType, nullable = true)
+    }
+    Some((StructType(fields.toSeq), values))
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order so row layout is deterministic
@@ -197,14 +298,54 @@ private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    val splitBytes = Option(options.get("split.bytes")).map(_.toLong)
-      .getOrElse(128L * 1024 * 1024)
-    val maxFilesPerTrigger =
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-    new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes,
-      maxFilesPerTrigger)
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      new JsonLinesAggScan(schema, values, paths, aggDescription)
+    case None =>
+      val splitBytes = Option(options.get("split.bytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+      new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes,
+        maxFilesPerTrigger)
   }
+}
+
+/** Metadata-only scan for a completely-pushed aggregation: the single
+  * result row was computed at planning time from the `_stats.jsonl`
+  * sidecar (row counts + zones) — no data file is opened at execution.
+  */
+private[sources] class JsonLinesAggScan(outSchema: StructType,
+    values: Array[Any], paths: Seq[String], aggDesc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jsonl metadata-only ${paths.mkString(",")}, " +
+      s"PushedAggregates: $aggDesc"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonLinesAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonLinesAggReaderFactory(outSchema)
+}
+
+private[sources] case class JsonLinesAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] class JsonLinesAggReaderFactory(outSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = p.asInstanceOf[JsonLinesAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        values.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class JsonLinesScan(tableSchema: StructType,
@@ -316,7 +457,8 @@ private[sources] case class JsonLinesPartition(path: String, start: Long,
   */
 private[graft] case class JsonLinesZone(
     fields: Map[String, (Any, Any)], nullFields: Set[String],
-    blooms: Map[String, Vector[Long]] = Map.empty)
+    blooms: Map[String, Vector[Long]] = Map.empty,
+    rows: Long = -1L)
 
 /** Fixed-size per-file Bloom filter for point-lookup file skipping —
   * the complement of the (min, max) zone: zones prune RANGE predicates
@@ -419,6 +561,7 @@ private[graft] object JsonLinesStats {
     zones.foreach { case (file, z) =>
       val node = mapper.createObjectNode()
       node.put("file", file)
+      if (z.rows >= 0) node.put("rows", z.rows)
       val fs = node.putObject("fields")
       z.fields.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
         val fn = fs.putObject(f)
@@ -485,8 +628,10 @@ private[graft] object JsonLinesStats {
                 JsonLinesBloom.fromBase64(bl.asText()).foreach(blooms += f -> _)
             }
           }
+          val rows = Option(node.get("rows"))
+            .filter(_.isIntegralNumber).map(_.asLong()).getOrElse(-1L)
           Some(node.get("file").asText() ->
-            JsonLinesZone(fields.toMap, nulls.toSet, blooms.toMap))
+            JsonLinesZone(fields.toMap, nulls.toSet, blooms.toMap, rows))
         }.toMap
     } finally in.close()
   } catch { case _: Exception => Map.empty }
@@ -1021,7 +1166,8 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
       JsonLinesZone(
         (mins.keySet -- poisoned).map(k => k -> ((mins(k), maxs(k)))).toMap,
         (sawNull -- poisoned).toSet,
-        blooms.map { case (k, bits) => k -> bits.toVector }.toMap))
+        blooms.map { case (k, bits) => k -> bits.toVector }.toMap,
+        written))
   }
 
   override def abort(): Unit = {

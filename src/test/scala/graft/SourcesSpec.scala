@@ -592,4 +592,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.metrics("skippedFiles").value >= 5,
       s"bloom skipping did not fire, got ${scan.metrics}")
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered metadata-only from " +
+      "the sidecar; a filtered twin falls back to a real scan") {
+    val df = graft.operators.SourceOps.sourceJsonlAgg(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregation was not pushed into the scan:\n$plan")
+    assert(plan.contains("metadata-only"),
+      s"scan is not the metadata-only shape:\n$plan")
+    // values must equal a real scan of the same staged files
+    val viaParquet = Tables.documents(spark, TestSpark.sfDir)
+      .selectExpr("count(1)", "min(doc_id)", "max(doc_id)",
+        "min(n_chars)", "max(n_chars)", "min(lang)", "max(lang)").head()
+    assert(df.head() === viaParquet,
+      "metadata-only answer diverges from ground truth")
+    // negative: a pushed filter must decline the aggregate push (the
+    // sidecar cannot answer a filtered count) and still compute
+    // correctly through the normal scan
+    val staged = graft.operators.SourceOps.stagedZonedJsonl(
+      spark, TestSpark.sfDir)
+    val filtered = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema)
+      .load(staged)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("metadata-only"),
+      s"filtered aggregate must not take the metadata path:\n$fplan")
+    assert(filtered.head().getLong(0) === 40L,
+      "filtered fallback computed the wrong count")
+  }
 }
