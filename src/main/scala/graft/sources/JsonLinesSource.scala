@@ -351,12 +351,34 @@ private[sources] class JsonLinesAggReaderFactory(outSchema: StructType)
 private[sources] class JsonLinesScan(tableSchema: StructType,
     required: StructType, pushed: Array[Filter], paths: Seq[String],
     splitBytes: Long, maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // planning-time filters plus any runtime filters Spark injects from a
+  // completed broadcast-join build side (the DSv2 dynamic-pruning hook):
+  // planInputPartitions consults the COMBINED set, so a runtime IN-list
+  // on a zone/bloom-covered column skips whole files mid-query — the
+  // file-level analog of dynamic partition pruning
+  private var effective: Array[Filter] = pushed
+
+  // only the scan's OUTPUT columns: the planner resolves these against
+  // the pruned projection, so advertising a pruned-away column is an
+  // analysis error, not a missed optimization
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val ok = filters.filter(JsonLinesFilters.supported(tableSchema, _))
+    if (ok.nonEmpty) effective = effective ++ ok
+  }
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}], " +
+      s"RuntimeFilters: [${effective.drop(pushed.length).mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
@@ -381,7 +403,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     // (relative to its own directory), but with several input dirs a
     // same-named external file in dir A must never be pruned by dir B's
     // stats.
-    val zones = if (pushed.isEmpty) Map.empty[String, JsonLinesZone]
+    val zones = if (effective.isEmpty) Map.empty[String, JsonLinesZone]
       else paths.flatMap { p =>
         val dir = new Path(p)
         val qdir = JsonLines.fs(dir).makeQualified(dir)
@@ -391,7 +413,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
       }.toMap
     val (skipped, kept) = JsonLines.listFiles(paths).partition { st =>
       zones.get(st.getPath.toString)
-        .exists(z => pushed.exists(JsonLinesStats.provesEmpty(_, z)))
+        .exists(z => effective.exists(JsonLinesStats.provesEmpty(_, z)))
     }
     filesSkipped = skipped.size.toLong
     kept.flatMap { st =>
@@ -403,7 +425,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     Array(JsonLinesTaskMetric("skippedFiles", filesSkipped))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonLinesReaderFactory(tableSchema, required, pushed)
+    new JsonLinesReaderFactory(tableSchema, required, effective)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = JsonLines.listFiles(paths).map(_.getLen).sum

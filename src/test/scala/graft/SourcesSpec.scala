@@ -624,4 +624,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(filtered.head().getLong(0) === 40L,
       "filtered fallback computed the wrong count")
   }
+
+  test("runtime filtering: a broadcast-join build side prunes connector " +
+      "files mid-query (the DSv2 dynamic-pruning hook)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val staged = graft.operators.SourceOps.stagedZonedJsonl(
+      spark, TestSpark.sfDir)
+    val fact = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema).load(staged)
+    import spark.implicits._
+    // a selective predicate on the build side arms the planner's
+    // runtime-filter injection — and it must survive optimization, so
+    // the dim comes from parquet (a LocalRelation filter constant-folds
+    // away and disarms the rule)
+    val dimPath = Files.createTempDirectory("jsonl_rf_dim").toString
+    Seq((3L, "a"), (17L, "a"), (9999L, "drop"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "a")
+    val joined = fact.join(broadcast(dim), col("doc_id") === col("k"))
+      .select(col("doc_id"), col("tag"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(3L, 17L))
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scan = findScan(joined.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.runtimeFilters.nonEmpty,
+      s"planner injected no runtime filter:\n" +
+        joined.queryExecution.executedPlan)
+    // both build keys live in the first of 8 range-partitioned files:
+    // the runtime IN-list must zone-skip most of the rest
+    assert(scan.metrics("skippedFiles").value >= 6,
+      s"runtime file skipping did not fire, got ${scan.metrics}")
+  }
 }
