@@ -177,10 +177,19 @@ private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
     paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true): each
+    * partition reader stops parsing after `limit` rows, so a head-probe
+    * on a huge corpus reads a few lines per split instead of every
+    * split end to end; Spark still applies the global limit above.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   // metadata-answered aggregation: (output schema, the one result row)
   private var aggResult: Option[(StructType, Array[Any])] = None
   private var aggDescription: String = ""
@@ -307,7 +316,7 @@ private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
       val maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.toInt)
       new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, limit)
   }
 }
 
@@ -350,7 +359,8 @@ private[sources] class JsonLinesAggReaderFactory(outSchema: StructType)
 
 private[sources] class JsonLinesScan(tableSchema: StructType,
     required: StructType, pushed: Array[Filter], paths: Seq[String],
-    splitBytes: Long, maxFilesPerTrigger: Option[Int] = None)
+    splitBytes: Long, maxFilesPerTrigger: Option[Int] = None,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -379,6 +389,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
   override def description(): String =
     s"graft-jsonl PushedFilters: [${pushed.mkString(", ")}], " +
       s"RuntimeFilters: [${effective.drop(pushed.length).mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
@@ -425,7 +436,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     Array(JsonLinesTaskMetric("skippedFiles", filesSkipped))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonLinesReaderFactory(tableSchema, required, effective)
+    new JsonLinesReaderFactory(tableSchema, required, effective, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = JsonLines.listFiles(paths).map(_.getLen).sum
@@ -1201,11 +1212,13 @@ private[sources] class JsonLinesDataWriter(dir: String, schema: StructType,
 }
 
 private[sources] class JsonLinesReaderFactory(tableSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JsonLinesPartitionReader(
-      partition.asInstanceOf[JsonLinesPartition], tableSchema, required, pushed)
+      partition.asInstanceOf[JsonLinesPartition], tableSchema, required,
+      pushed, limit)
 }
 
 /** Reads the lines whose first byte lies in (start, end] — plus the
@@ -1215,8 +1228,12 @@ private[sources] class JsonLinesReaderFactory(tableSchema: StructType,
   * approximate.
   */
 private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
-    tableSchema: StructType, required: StructType, pushed: Array[Filter])
+    tableSchema: StructType, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  // partial limit pushdown: rows EMITTED by this reader (post-filter)
+  private var emitted = 0L
 
   private val mapper = new ObjectMapper()
   private val in = {
@@ -1287,6 +1304,9 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
   private var filteredLines = 0L
 
   override def next(): Boolean = {
+    // partial limit pushdown: once this reader has emitted `limit`
+    // rows, stop parsing the rest of the split entirely
+    if (limit.exists(emitted >= _)) return false
     var line = nextLine()
     while (line != null) {
       if (line.trim.nonEmpty) {
@@ -1302,6 +1322,7 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
             }
           }
           current = new GenericInternalRow(projected)
+          emitted += 1
           return true
         }
       }

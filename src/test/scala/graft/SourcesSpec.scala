@@ -666,4 +666,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.metrics("skippedFiles").value >= 6,
       s"runtime file skipping did not fire, got ${scan.metrics}")
   }
+
+  test("limit pushdown: a head-probe stops each reader early and still " +
+      "returns correct rows") {
+    val staged = graft.operators.SourceOps.stagedZonedJsonl(
+      spark, TestSpark.sfDir)
+    val df = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema)
+      .load(staged).select("doc_id").limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"limit was not pushed into the scan:\n$plan")
+    val got = df.collect()
+    assert(got.length === 7, s"limit returned ${got.length} rows")
+    // the rows must be real corpus rows (ids within the staged domain)
+    val valid = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => valid.contains(r.getLong(0))))
+    // a limit larger than the corpus must not truncate anything
+    val all = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema)
+      .load(staged).limit(100000).count()
+    assert(all === valid.size.toLong, "over-large limit dropped rows")
+  }
 }
