@@ -238,6 +238,65 @@ object SourceOps {
       |       MIN(lang) AS min_lang, MAX(lang) AS max_lang
       |FROM documents""".stripMargin
 
+  private val partitionedPaths = new ConcurrentHashMap[String, String]()
+
+  /** Hive-partitioned layout staged per language (`lang=en/`, …) and
+    * read back with `partition.discovery=true`. */
+  private[graft] def stagedPartitionedJsonl(spark: SparkSession,
+      dir: String): String = {
+    val key = DedupOps.stageKey(spark, "jsonl-part", dir)
+    var path = partitionedPaths.get(key)
+    if (path == null) {
+      partitionedPaths.synchronized {
+        path = partitionedPaths.get(key)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory("graft-jsonl-p-")
+            .resolve("docs").toString
+          val docs = Tables.documents(spark, dir)
+          val langs = docs.select(col("lang")).distinct()
+            .collect().map(_.getString(0)).sorted // 5 values, config-sized
+          langs.foreach { l =>
+            docs.filter(col("lang") === l)
+              .repartition(2)
+              .write.format("graft-jsonl").mode("overwrite")
+              .save(s"$p/lang=$l")
+          }
+          partitionedPaths.put(key, p)
+          path = p
+        }
+      }
+    }
+    path
+  }
+
+  /** Partition-pruned scan over a Hive-layout corpus, oracle-checked:
+    * the engine-staged per-language directories are discovered as
+    * partitions, the lang predicate prunes whole DIRECTORIES before a
+    * byte is read (SourcesSpec asserts the skip count), the n_chars
+    * predicate then applies per row inside the surviving partitions,
+    * and the rollup must match DuckDB over the original parquet — the
+    * lakehouse layout-pruning shape (date=/lang= partitioned corpora)
+    * where a selective partition filter turns a full-corpus scan into
+    * a one-directory scan.
+    */
+  def sourceJsonlPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-jsonl")
+      .schema(documentsSchema)
+      .option("partition.discovery", "true")
+      .load(stagedPartitionedJsonl(spark, dir))
+      .filter(col("lang").isin("en", "fr") && col("n_chars") >= 300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val sourceJsonlPartitionedOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'fr') AND n_chars >= 300
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val streamRtPaths = new ConcurrentHashMap[String, String]()
 
   /** The connector's STREAMING write path, oracle-checked end to end:
@@ -370,6 +429,7 @@ object SourceOps {
     "source_jsonl_pruned" -> (sourceJsonlPruned _),
     "source_jsonl_bloom" -> (sourceJsonlBloom _),
     "source_jsonl_agg" -> (sourceJsonlAgg _),
+    "source_jsonl_partitioned" -> (sourceJsonlPartitioned _),
     "source_jsonl_stream_rt" -> (sourceJsonlStreamRoundtrip _),
     "source_schema_evolution" -> (sourceSchemaEvolution _))
 
@@ -379,6 +439,7 @@ object SourceOps {
     "source_jsonl_pruned" -> sourceJsonlPrunedOracle,
     "source_jsonl_bloom" -> sourceJsonlBloomOracle,
     "source_jsonl_agg" -> sourceJsonlAggOracle,
+    "source_jsonl_partitioned" -> sourceJsonlPartitionedOracle,
     "source_jsonl_stream_rt" -> sourceJsonlStreamRoundtripOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle)
 }

@@ -96,6 +96,49 @@ private[sources] object JsonLines {
       else Seq(st)
     }.sortBy(_.getPath.toString)
 
+  /** Hive-layout recursive listing: walks `name=value` subdirectories
+    * (any depth), returning each data file with the partition-column
+    * values its path encodes. Non-`k=v` subdirectories are not
+    * descended into (same conservatism as Spark's own discovery);
+    * underscore/dot entries are invisible as ever.
+    */
+  def listFilesPartitioned(paths: Seq[String])
+      : Seq[(FileStatus, Map[String, String])] = {
+    def walk(dir: Path, filesys: FileSystem,
+        values: Map[String, String]): Seq[(FileStatus, Map[String, String])] =
+      filesys.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isFile) Seq(st -> values)
+        else {
+          val eq = name.indexOf('=')
+          if (eq <= 0) Seq.empty
+          else walk(st.getPath, filesys,
+            values + (name.substring(0, eq) -> name.substring(eq + 1)))
+        }
+      }
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val filesys = fs(path)
+      val st = filesys.getFileStatus(path)
+      if (st.isDirectory) walk(path, filesys, Map.empty)
+      else Seq(st -> Map.empty[String, String])
+    }.sortBy(_._1.getPath.toString)
+  }
+
+  /** Parse a path-encoded partition value to the schema's JVM shape
+    * (the same type surface the reader produces); unparsable -> null,
+    * mirroring PERMISSIVE field degradation.
+    */
+  def partitionValue(dt: DataType, raw: String): Any = try {
+    dt match {
+      case LongType => raw.toLong
+      case DoubleType => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case _ => raw
+    }
+  } catch { case _: Exception => null }
+
   /** Schema inference from the first non-empty line of the first file:
     * integral JSON numbers -> BIGINT, fractional -> DOUBLE, booleans ->
     * BOOLEAN, everything else -> STRING. Field order = first-line order.
@@ -315,8 +358,10 @@ private[sources] class JsonLinesScanBuilder(tableSchema: StructType,
         .getOrElse(128L * 1024 * 1024)
       val maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+      val discovery = Option(options.get("partition.discovery"))
+        .exists(_.toBoolean)
       new JsonLinesScan(tableSchema, required, pushed, paths, splitBytes,
-        maxFilesPerTrigger, limit)
+        maxFilesPerTrigger, limit, discovery)
   }
 }
 
@@ -360,7 +405,7 @@ private[sources] class JsonLinesAggReaderFactory(outSchema: StructType)
 private[sources] class JsonLinesScan(tableSchema: StructType,
     required: StructType, pushed: Array[Filter], paths: Seq[String],
     splitBytes: Long, maxFilesPerTrigger: Option[Int] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, discovery: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -410,6 +455,7 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     * files always scan).
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (discovery) return planDiscovered()
     // zone keys are fully-qualified paths: the sidecar stores bare names
     // (relative to its own directory), but with several input dirs a
     // same-named external file in dir A must never be pruned by dir B's
@@ -429,6 +475,44 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     filesSkipped = skipped.size.toLong
     kept.flatMap { st =>
       JsonLinesScan.splitFile(st.getPath.toString, st.getLen, splitBytes)
+    }.toArray
+  }
+
+  /** Hive-layout planning (`partition.discovery=true`): walk `k=v`
+    * subdirectories, prune whole DIRECTORIES whose path-encoded values
+    * falsify the partition-column filters (evaluated with the reader's
+    * own predicate semantics on typed values), then apply per-file
+    * zone/bloom proofs inside the surviving directories. Partition
+    * pruning is exact — a directory is dropped only when its values
+    * FALSIFY the filter — so correctness never depends on layout.
+    */
+  private def planDiscovered(): Array[InputPartition] = {
+    val files = JsonLines.listFilesPartitioned(paths)
+    val partCols = tableSchema.fields
+      .filter(f => files.exists(_._2.contains(f.name)))
+    val idx = partCols.map(_.name).zipWithIndex.toMap
+    val partFilters = effective.filter(_.references.forall(idx.contains))
+    val dirs = files.map(_._1.getPath.getParent).distinct
+    val zones = if (effective.isEmpty) Map.empty[String, JsonLinesZone]
+      else dirs.flatMap { d =>
+        val qd = JsonLines.fs(d).makeQualified(d)
+        JsonLinesStats.read(d).map { case (n, z) =>
+          new Path(qd, n).toString -> z
+        }
+      }.toMap
+    val (skipped, kept) = files.partition { case (st, pv) =>
+      val row: Array[Any] = partCols.map(f =>
+        pv.get(f.name).map(JsonLines.partitionValue(f.dataType, _)).orNull)
+        .toArray
+      (partFilters.nonEmpty &&
+        !partFilters.forall(JsonLinesFilters.eval(_, idx, row))) ||
+      zones.get(st.getPath.toString)
+        .exists(z => effective.exists(JsonLinesStats.provesEmpty(_, z)))
+    }
+    filesSkipped = skipped.size.toLong
+    kept.flatMap { case (st, pv) =>
+      JsonLinesScan.splitFile(st.getPath.toString, st.getLen, splitBytes)
+        .map(_.asInstanceOf[JsonLinesPartition].copy(partValues = pv))
     }.toArray
   }
 
@@ -481,7 +565,8 @@ private[sources] object JsonLinesScan {
 }
 
 private[sources] case class JsonLinesPartition(path: String, start: Long,
-    end: Long, fileLen: Long) extends InputPartition
+    end: Long, fileLen: Long,
+    partValues: Map[String, String] = Map.empty) extends InputPartition
 
 /** Per-file zone: for each field, (min, max) over non-null parsed
   * values plus a had-nulls flag, and (for writer-opted columns) a
@@ -1258,6 +1343,14 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
   }
   private var current: InternalRow = _
   private val fieldIndex = tableSchema.fieldNames.zipWithIndex.toMap
+  // path-encoded partition values, typed once per split and overlaid on
+  // every parsed row BEFORE filter evaluation, so row-level predicates
+  // on partition columns behave exactly like data-column predicates
+  private val partOverlay: Seq[(Int, Any)] =
+    part.partValues.toSeq.flatMap { case (k, raw) =>
+      fieldIndex.get(k).map(i =>
+        i -> JsonLines.partitionValue(tableSchema.fields(i).dataType, raw))
+    }
 
   /** Next raw line (without terminator), or null at end-of-ownership:
     * this split owns lines starting in (start, end] — plus offset 0 for
@@ -1311,6 +1404,8 @@ private[sources] class JsonLinesPartitionReader(part: JsonLinesPartition,
     while (line != null) {
       if (line.trim.nonEmpty) {
         val full = parse(line)
+        if (full != null)
+          partOverlay.foreach { case (i, v) => full(i) = v }
         if (full == null) malformedLines += 1
         else if (!pushed.forall(JsonLinesFilters.eval(_, fieldIndex, full)))
           filteredLines += 1

@@ -689,4 +689,39 @@ class SourcesSpec extends AnyFunSuite {
       .load(staged).limit(100000).count()
     assert(all === valid.size.toLong, "over-large limit dropped rows")
   }
+
+  test("partition discovery: a lang predicate prunes whole directories " +
+      "before a byte is read; values overlay from the path") {
+    import org.apache.spark.sql.functions.col
+    val staged = graft.operators.SourceOps.stagedPartitionedJsonl(
+      spark, TestSpark.sfDir)
+    val df = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema)
+      .option("partition.discovery", "true")
+      .load(staged)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"))
+    val rows = df.collect()
+    val expected = Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).sorted.toSeq === expected.toSeq)
+    assert(rows.forall(_.getString(1) == "en"))
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    // 5 lang dirs x 2 files: the 8 non-en files must be dir-pruned
+    assert(scan.metrics("skippedFiles").value >= 8,
+      s"partition pruning did not fire, got ${scan.metrics}")
+  }
 }
