@@ -523,9 +523,29 @@ private[sources] class JsonLinesScan(tableSchema: StructType,
     new JsonLinesReaderFactory(tableSchema, required, effective, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = JsonLines.listFiles(paths).map(_.getLen).sum
+    private val files = try JsonLines.listFiles(paths)
+      catch { case _: Exception => Seq.empty }
+    private val bytes = files.map(_.getLen).sum
+    // exact row count from the sidecar when EVERY data file carries
+    // one — connector-written corpora always do — so Catalyst's join
+    // sizing sees real cardinality, not a bytes-derived guess; any
+    // externally-produced file without a count falls back to unknown
+    private val rows: Option[Long] = try {
+      val counted = paths.flatMap { p =>
+        val dir = new Path(p)
+        val qdir = JsonLines.fs(dir).makeQualified(dir)
+        JsonLinesStats.read(dir).map { case (name, z) =>
+          new Path(qdir, name).toString -> z.rows
+        }
+      }.toMap
+      val perFile = files.map(st => counted.get(st.getPath.toString))
+      if (files.nonEmpty && perFile.forall(_.exists(_ >= 0)))
+        Some(perFile.flatten.sum)
+      else None
+    } catch { case _: Exception => None }
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong =
+      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
   }
 
   /** PERMISSIVE degradation must never be silent: the SQL metrics

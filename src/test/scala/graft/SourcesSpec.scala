@@ -724,4 +724,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.metrics("skippedFiles").value >= 8,
       s"partition pruning did not fire, got ${scan.metrics}")
   }
+
+  test("statistics: a connector-written corpus reports an exact row " +
+      "count to Catalyst from the sidecar") {
+    val staged = graft.operators.SourceOps.stagedZonedJsonl(
+      spark, TestSpark.sfDir)
+    val df = spark.read.format("graft-jsonl")
+      .schema(graft.operators.SourceOps.documentsSchema).load(staged)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val nDocs = Tables.documents(spark, TestSpark.sfDir).count()
+    assert(stats.rowCount.contains(BigInt(nDocs)),
+      s"expected exact rowCount $nDocs from sidecar, got ${stats.rowCount}")
+  }
 }
