@@ -24,13 +24,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathologically hung query (a stuck
+    // streaming drive, a livelocked poll) must cost ITSELF, never the
+    // whole gate. Each query runs on a disposable worker thread under a
+    // generous deadline (every query finishes in seconds at sf0.01); on
+    // timeout its Spark job group is cancelled and the worker abandoned
+    // — a fresh thread serves the next query, so one zombie cannot
+    // serialize the rest of the run into the driver's own timeout.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS",
+      "600000").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally done.countDown()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      if (!done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutMs}ms")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.interrupt()
       }
       // queries that cache() intermediates (dedup family) must not
       // accumulate cached partitions across the ~50-query session
