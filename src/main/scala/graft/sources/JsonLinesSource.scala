@@ -750,26 +750,32 @@ private[graft] object JsonLinesStats {
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       Iterator.continually(br.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).flatMap { line =>
-          val node = mapper.readTree(line)
-          val fields = scala.collection.mutable.Map[String, (Any, Any)]()
-          val nulls = scala.collection.mutable.Set[String]()
-          val blooms = scala.collection.mutable.Map[String, Vector[Long]]()
-          val fs = node.get("fields")
-          if (fs != null) {
-            val it = fs.fieldNames()
-            while (it.hasNext) {
-              val f = it.next(); val fn = fs.get(f)
-              fields += f -> (readVal(fn.get("min")), readVal(fn.get("max")))
-              if (fn.get("nulls").asBoolean()) nulls += f
-              val bl = fn.get("bloom")
-              if (bl != null && bl.isTextual)
-                JsonLinesBloom.fromBase64(bl.asText()).foreach(blooms += f -> _)
+          // per-LINE tolerance: a torn or corrupt sidecar line loses only
+          // its own entry (that file just scans unskipped), never the
+          // whole sidecar — stats stay an optimization under partial
+          // corruption exactly as under total absence
+          try {
+            val node = mapper.readTree(line)
+            val fields = scala.collection.mutable.Map[String, (Any, Any)]()
+            val nulls = scala.collection.mutable.Set[String]()
+            val blooms = scala.collection.mutable.Map[String, Vector[Long]]()
+            val fs = node.get("fields")
+            if (fs != null) {
+              val it = fs.fieldNames()
+              while (it.hasNext) {
+                val f = it.next(); val fn = fs.get(f)
+                fields += f -> (readVal(fn.get("min")), readVal(fn.get("max")))
+                if (fn.get("nulls").asBoolean()) nulls += f
+                val bl = fn.get("bloom")
+                if (bl != null && bl.isTextual)
+                  JsonLinesBloom.fromBase64(bl.asText()).foreach(blooms += f -> _)
+              }
             }
-          }
-          val rows = Option(node.get("rows"))
-            .filter(_.isIntegralNumber).map(_.asLong()).getOrElse(-1L)
-          Some(node.get("file").asText() ->
-            JsonLinesZone(fields.toMap, nulls.toSet, blooms.toMap, rows))
+            val rows = Option(node.get("rows"))
+              .filter(_.isIntegralNumber).map(_.asLong()).getOrElse(-1L)
+            Some(node.get("file").asText() ->
+              JsonLinesZone(fields.toMap, nulls.toSet, blooms.toMap, rows))
+          } catch { case _: Exception => None }
         }.toMap
     } finally in.close()
   } catch { case _: Exception => Map.empty }

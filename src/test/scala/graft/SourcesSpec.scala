@@ -736,4 +736,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(stats.rowCount.contains(BigInt(nDocs)),
       s"expected exact rowCount $nDocs from sidecar, got ${stats.rowCount}")
   }
+
+  test("a corrupt sidecar line loses only its own entry: the intact " +
+      "entry still prunes, the corrupt one's file still scans") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("jsonl_torn_sidecar")
+    def jl(name: String, ids: Range): Unit =
+      Files.write(dir.resolve(name),
+        ids.map(i => s"""{"id":$i}""").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    jl("a.jsonl", 0 until 10)    // intact sidecar entry, zone [0,9]
+    jl("b.jsonl", 100 until 110) // its sidecar line is TORN
+    Files.write(dir.resolve("_stats.jsonl"),
+      ("""{"file":"a.jsonl","rows":10,"fields":{"id":{"min":0,"max":9,"nulls":false}}}""" + "\n" +
+       """{"file":"b.jsonl","rows":10,"fie""" + "\n") // torn mid-write
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val df = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).filter(col("id") >= 100)
+    // correctness: b's rows (no trusted zone) must all surface
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      (100L until 110L).toSeq)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    // optimization survives partial corruption: a's intact zone still
+    // proves id >= 100 empty, so exactly one file is skipped
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.metrics("skippedFiles").value === 1L,
+      s"intact sidecar entry should still prune, got ${scan.metrics}")
+  }
 }
