@@ -446,6 +446,84 @@ object TextOps {
        |             + 1e-9, 4) AS high_rate
        |FROM j GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** End-to-end curation funnel — the survivors-per-stage report a
+    * pipeline owner reads before anything trains: total corpus →
+    * heuristic quality gate → exact dedup (md5 of text, min doc_id
+    * wins) → bag-of-words fingerprint dedup → token-length floor, with
+    * each stage's surviving count and fraction of the original corpus.
+    * Every stage reuses the EXACT formula its standalone operator pins
+    * (quality = [[withQuality]], fingerprint = [[textFingerprint]]), so
+    * the funnel cannot drift from the operators it summarizes. Scale:
+    * one corpus scan, two keyed dedup windows (hash-partitioned on
+    * their keys), then five scalar aggregates — no stage rescans.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = withQuality(spread(Tables.documents(spark, dir)))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+          .cast("binary")))
+    val f1 = base.filter(col("quality") >= 0.6)
+    val f2 = f1.withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val f3 = f2.withColumn("rn2",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn2") === 1)
+    val f4 = f3.filter(col("n_tokens") >= 50)
+    def stage(id: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n_docs"))
+    val stages = stage(0L, "total", base)
+      .unionByName(stage(1L, "quality_gate", f1))
+      .unionByName(stage(2L, "exact_dedup", f2))
+      .unionByName(stage(3L, "fingerprint_dedup", f3))
+      .unionByName(stage(4L, "length_floor", f4))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    stages
+      .withColumn("frac",
+        round(col("n_docs") /
+          max(when(col("stage_id") === 0, col("n_docs"))).over(all)
+          + lit(1e-9), 4))
+      .orderBy(col("stage_id"))
+  }
+
+  val curationFunnelOracle: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+      |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+      |         length(replace(text, ' ', '')) * 1.0
+      |           / len(string_split(text, ' ')) AS avg_len,
+      |         md5(text) AS h,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents),
+      |d AS (
+      |  SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.4
+      |               + (1.0 - stop_ratio) * 0.3
+      |               + least(avg_len / 6.0, 1.0) * 0.3 + 1e-9, 4) AS quality
+      |  FROM d0),
+      |f1 AS (SELECT * FROM d WHERE quality >= 0.6),
+      |f2 AS (SELECT * FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |         FROM f1) WHERE rn = 1),
+      |f3 AS (SELECT * FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn2
+      |         FROM f2) WHERE rn2 = 1),
+      |f4 AS (SELECT * FROM f3 WHERE n_tokens >= 50),
+      |stages AS (
+      |  SELECT 0 AS stage_id, 'total' AS stage, COUNT(*) AS n_docs FROM d
+      |  UNION ALL SELECT 1, 'quality_gate', COUNT(*) FROM f1
+      |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*) FROM f2
+      |  UNION ALL SELECT 3, 'fingerprint_dedup', COUNT(*) FROM f3
+      |  UNION ALL SELECT 4, 'length_floor', COUNT(*) FROM f4)
+      |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+      |       CAST(n_docs AS BIGINT) AS n_docs,
+      |       round(n_docs * 1.0 / (SELECT COUNT(*) FROM d) + 1e-9, 4) AS frac
+      |FROM stages ORDER BY stage_id""".stripMargin
+
   /** Self-trained unigram language classifier: the top-10 most frequent
     * tokens per language (ties broken by token) form each language's
     * profile; a document is classified as the language whose profile
@@ -1449,6 +1527,7 @@ object TextOps {
     "text_length_histogram" -> (textLengthHistogram _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "text_classifier_calibration" -> (textClassifierCalibration _),
+    "curation_funnel" -> (curationFunnel _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1479,6 +1558,7 @@ object TextOps {
     "text_length_histogram" -> textLengthHistogramOracle,
     "text_vocab_coverage" -> textVocabCoverageOracle,
     "text_classifier_calibration" -> textClassifierCalibrationOracle,
+    "curation_funnel" -> curationFunnelOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,
     "text_fingerprint" -> textFingerprintOracle,
