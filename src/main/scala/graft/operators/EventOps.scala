@@ -1495,7 +1495,101 @@ object EventOps {
       |GROUP BY cohort_d, d - cohort_d
       |ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** OHLC resample — the time-series downsampling staple: per user per
+    * hour, the first (open) and last (close) `value` by event time plus
+    * the high/low extremes. Open/close are single-pass `min_by`/`max_by`
+    * over a (us, event_id) struct key — a partial-aggregating selection,
+    * NOT a per-partition sort — so the whole report is one keyed shuffle
+    * with map-side combine; the (us, event_id) composite makes the
+    * selection deterministic under same-microsecond ties. At 100 TB the
+    * state per (user, hour) key is four doubles + a count, and the plan
+    * never materializes an ordering (contrast the window-function
+    * formulation the oracle uses, which would sort every partition).
+    * No rounding: open/high/low/close are exact row selections, not
+    * accumulations, so both engines return bit-identical doubles.
+    */
+  def eventsOhlc(spark: SparkSession, dir: String): DataFrame =
+    withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), expr("us div 3600000000").as("hour_idx"),
+        col("us"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"))
+      .orderBy(col("user_id"), col("hour_idx"))
+
+  val eventsOhlcOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, value, us // 3600000000 AS hour_idx,
+      |         row_number() OVER (PARTITION BY user_id, us // 3600000000
+      |                            ORDER BY us, event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY user_id, us // 3600000000
+      |                            ORDER BY us DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT user_id, hour_idx, COUNT(*) AS n,
+      |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |       MAX(value) AS high, MIN(value) AS low,
+      |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |FROM h GROUP BY user_id, hour_idx
+      |ORDER BY user_id, hour_idx""".stripMargin
+
+  /** Gaps-and-islands state intervals (the SCD-2 build shape): collapse
+    * each user's consecutive runs of the same event_type — ordered by
+    * (event time, ingestion id) — into validity intervals
+    * [start_us, end_us] with a run length. The lag + cumulative-flag-sum
+    * island id is the textbook formulation; both windows and the final
+    * rollup share ONE user_id exchange (same plan contract as
+    * sessionize, PlanSpec-asserted shape). Per-user window state is a
+    * single lag row, so partitions stream. Grouping by event_type along
+    * with the island id is safe (it is constant within a run) and avoids
+    * a first()-style selection.
+    */
+  def eventsStateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMicros(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_idx", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("run_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("run_idx"))
+  }
+
+  val eventsStateIntervalsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |         CASE WHEN lag(event_type) OVER
+      |                (PARTITION BY user_id ORDER BY us, event_id) IS DISTINCT FROM event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM e),
+      |runs AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_idx
+      |  FROM flagged)
+      |SELECT user_id, run_idx, event_type, COUNT(*) AS n_events,
+      |       MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM runs GROUP BY user_id, run_idx, event_type
+      |ORDER BY user_id, run_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ohlc" -> (eventsOhlc _),
+    "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
     "events_series_corr" -> (eventsSeriesCorr _),
     "events_funnel" -> (eventsFunnel _),
@@ -1524,6 +1618,8 @@ object EventOps {
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_ohlc" -> eventsOhlcOracle,
+    "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,
     "events_series_corr" -> eventsSeriesCorrOracle,
     "events_funnel" -> eventsFunnelOracle,
