@@ -1502,7 +1502,99 @@ object TextOps {
        |           % 1000000007) AS BIGINT) AS red_sum
        |FROM red GROUP BY source ORDER BY source""".stripMargin
 
+  /** RAG-style sliding-window chunking: split every document into
+    * fixed-size token chunks (64 tokens, stride 48 → 16-token overlap)
+    * and emit per-chunk ids, lengths, and a 48-bit BIGINT content hash —
+    * the retrieval-corpus build step that precedes embedding. Map-only:
+    * tokenize → `sequence` of chunk starts → `explode` → `slice`; no
+    * shuffle at all (the final orderBy is presentation-only), so at
+    * 100 TB it streams through the scan at full width. The md5-head hash
+    * stays in BIGINT domain (driver-hashable, same convention as the
+    * fingerprint ops).
+    */
+  def textRagChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = lit(ChunkTokensN)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStrideN)))
+          .as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStrideN").as("chunk_id"),
+        array_join(slice(col("t"), col("start") + 1, chunk), " ").as("ctext"))
+      .select(col("doc_id"), col("chunk_id"),
+        (size(split(col("ctext"), " "))).cast("long").as("n_tokens"),
+        conv(substring(md5(col("ctext").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Chunk geometry for [[textRagChunks]] — 64-token chunks every 48. */
+  val ChunkTokensN = 64
+  val ChunkStrideN = 48
+
+  val textRagChunksOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStrideN)) AS start
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, start // $ChunkStrideN AS chunk_id,
+      |         array_to_string(list_slice(t, start + 1, start + $ChunkTokensN), ' ')
+      |           AS ctext
+      |  FROM s)
+      |SELECT doc_id, chunk_id,
+      |       CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST('0x' || substr(md5(ctext), 1, 12) AS BIGINT) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Per-domain frequency capping (the CommonCrawl-style curation rule:
+    * no source may contribute more than N documents): keep the
+    * [[DomainCapN]] docs with the smallest md5(doc_id) per source —
+    * consistent hashing, so the SAME documents survive on every run,
+    * engine, and partitioning — and report per-source kept/total plus a
+    * checksum of the kept ids. Reuses the [[graft.functions.BottomKByHash]]
+    * O(k) heap aggregate: map-side partials push at most N ids per
+    * (source, partition) into the shuffle, so a billion-doc source costs
+    * the same shuffle bytes as a hundred-doc one — the window-function
+    * formulation the oracle uses would sort every source's full posting.
+    */
+  def curationDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BottomKByHash.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        expr(s"bottom_k_by_hash(cast(doc_id AS string), $DomainCapN)")
+          .as("kept"))
+      .select(col("source"), col("n_total"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("aggregate(kept, 0L, (acc, x) -> acc + cast(x AS long))")
+          .as("kept_docid_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source document cap for [[curationDomainCap]]. */
+  val DomainCapN = 30
+
+  val curationDomainCapOracle: String =
+    s"""WITH ranked AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR))
+      |           AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |       CAST(SUM(CASE WHEN rn <= $DomainCapN THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(SUM(CASE WHEN rn <= $DomainCapN THEN doc_id END) AS BIGINT)
+      |         AS kept_docid_sum
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rag_chunks" -> (textRagChunks _),
+    "curation_domain_cap" -> (curationDomainCap _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -1534,6 +1626,8 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_rag_chunks" -> textRagChunksOracle,
+    "curation_domain_cap" -> curationDomainCapOracle,
     "text_pii_redact" -> textPiiRedactOracle,
     "text_heavy_hitters" -> textHeavyHittersOracle,
     "text_gopher_rules" -> textGopherRulesOracle,
