@@ -1471,7 +1471,75 @@ object DedupOps {
        |FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY n_occ DESC, n_docs DESC, md5(span) LIMIT 20""".stripMargin
 
+  /** EXACT prefix-filtered set-similarity self-join — the
+    * AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    * ICDE'08): every pair with shingle-set Jaccard >=
+    * [[JaccardThreshold]], with NO df cap and NO co-occurrence floor —
+    * the exactness tier the staged candidate-generation family
+    * deliberately trades away. Feasibility at scale comes from the
+    * prefix principle instead: order the vocabulary by ascending
+    * document frequency (rarest first), keep only each doc's first
+    * p = n − ceil(t·n) + 1 shingles in that order, and any pair with
+    * J >= t MUST collide on a prefix shingle — so the inverted index is
+    * built over prefixes only, and posting lists are dominated by rare
+    * keys (high-df boilerplate shingles sort into the suffixes and
+    * never generate candidates). A size filter
+    * (min(n)/max(n) >= t) prunes at the join; survivors verify with the
+    * same sorted two-pointer intersect as the rest of the family.
+    *
+    * All threshold math is integer-exact for t = 3/5
+    * (ceil(t·n) = (3n+4) div 5; J >= t ⟺ 8·ni >= 3·(na+nb)), so prefix
+    * lengths and the final filter cannot wobble on float-ceil artifacts
+    * in either engine — and the DuckDB oracle computes the SAME answer
+    * by brute-force h1 self-join, independently certifying that the
+    * prefix filter loses no pairs.
+    */
+  def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val sh = stagedShingleHashes(spark, dir)
+    val sets = stagedCorpusSets(spark, dir)
+    val prefixes = sh.select(col("doc_id"), col("h1"))
+      .join(stagedShingleDf(spark, dir), "h1")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h1")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        expr("slice(ord, 1, cast(size(ord) - ((3 * size(ord) + 4) div 5) + 1 as int))")
+          .as("pre"))
+    val pp = prefixes.select(col("doc_id"), col("n"),
+      explode(expr("transform(pre, p -> p.h1)")).as("h1"))
+    val cand = pp.as("a").join(pp.as("b"),
+        col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id") &&
+          lit(3) * greatest(col("a.n"), col("b.n")) <=
+            lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sset").as("set_a"),
+        col("n_sh").as("n_a")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sset").as("set_b"),
+        col("n_sh").as("n_b")), "db")
+      .withColumn("n_inter", expr("sorted_intersect_count(set_a, set_b)"))
+      .filter(lit(8) * col("n_inter") >= lit(3) * (col("n_a") + col("n_b")))
+      .select(col("da"), col("db"), col("n_inter"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")) +
+          lit(1e-9), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  lazy val dedupPrefixJoinOracle: String =
+    s"""WITH $hashedShingleCte,
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      |  FROM sh a JOIN sh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, ni AS n_inter,
+      |       round(ni * 1.0 / (x.n_sh + y.n_sh - ni) + 1e-9, 4) AS jaccard
+      |FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      |WHERE 8 * ni >= 3 * (x.n_sh + y.n_sh)
+      |ORDER BY da, db""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_top_spans" -> (dedupTopSpans _),
     "dedup_exact_substr" -> (dedupExactSubstr _),
     "dedup_multi_signal" -> (dedupMultiSignal _),
@@ -1499,6 +1567,7 @@ object DedupOps {
     "corpus_snapshot_diff" -> corpusSnapshotDiffOracle,
     "text_contamination" -> textContaminationOracle,
     "text_boilerplate" -> textBoilerplateOracle,
+    "dedup_prefix_join" -> dedupPrefixJoinOracle,
     "dedup_source_priority" -> dedupSourcePriorityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
