@@ -1279,6 +1279,70 @@ object SimilarityOps {
        |SELECT root, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reach
        |FROM reach GROUP BY root ORDER BY root""".stripMargin
 
+  /** Per-vertex triangle counting over the semantic near-duplicate
+    * graph — the cluster-density signal next to PageRank's centrality: a
+    * vector in many triangles sits inside a tight near-dup clique (one
+    * representative suffices), while a high-degree vector with NO
+    * triangles is a hub linking otherwise-dissimilar items (dropping it
+    * loses coverage). Standard formulation over canonically-oriented
+    * edges (da < db, so each triangle {a<b<c} is found exactly once as
+    * (a,b)+(b,c)+(a,c)): two self-joins on vertex keys, then each
+    * triangle credits its three corners via explode.
+    *
+    * Scale shape: edges are the cell-bounded SemDeDup pair list (never
+    * all-pairs), both joins are equi-joins on vertex ids (shuffle-keyed,
+    * AQE-splittable), and the join fan-out is bounded by per-vertex
+    * degree² within a cell. At extreme skew the classic refinement is to
+    * orient edges from lower- to higher-degree endpoints before the
+    * wedge join; the fixture's cell-capped degrees don't need it.
+    */
+  def simTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = semanticPairsAgainstCorpus(spark, dir)
+      .select(col("da"), col("db"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.da") === col("e1.db"))
+      .join(pairs.as("e3"),
+        col("e3.da") === col("e1.da") && col("e3.db") === col("e2.db"))
+      .select(col("e1.da").as("a"), col("e1.db").as("b"), col("e2.db").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simTriangleCountOracle: String =
+    s"""WITH params AS (
+       |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |          <= (SELECT nlist FROM params)),
+       |vsim AS (
+       |  SELECT v.vec_id, v.embedding, s.cell,
+       |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM vsim) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                     CAST(b.embedding AS DOUBLE[])), 6)
+       |        >= $SemDedupThreshold),
+       |tri AS (
+       |  SELECT e1.da AS a, e1.db AS b, e2.db AS c
+       |  FROM pairs e1 JOIN pairs e2 ON e2.da = e1.db
+       |       JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db),
+       |verts AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+       |SELECT vec_id, COUNT(*) AS n_triangles
+       |FROM verts GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Embedding-QA stats report — the sanity pass before any vector
     * work ships: per-label vector counts, L2-norm distribution
     * (mean/min/max — catches unnormalized or zero vectors before they
@@ -1324,6 +1388,7 @@ object SimilarityOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_stats" -> (simEmbeddingStats _),
+    "sim_triangle_count" -> (simTriangleCount _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_pagerank" -> (simPagerank _),
     "dedup_transitive_reach" -> (dedupTransitiveReach _),
@@ -1338,6 +1403,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "sim_embedding_stats" -> simEmbeddingStatsOracle,
+    "sim_triangle_count" -> simTriangleCountOracle,
     "sim_pagerank" -> simPagerankOracle,
     "dedup_transitive_reach" -> dedupTransitiveReachOracle,
     "dedup_semantic" -> dedupSemanticOracle,
