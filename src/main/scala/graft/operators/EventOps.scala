@@ -1498,13 +1498,13 @@ object EventOps {
   /** OHLC resample — the time-series downsampling staple: per user per
     * hour, the first (open) and last (close) `value` by event time plus
     * the high/low extremes. Open/close are single-pass `min_by`/`max_by`
-    * over a (us, event_id) struct key — a partial-aggregating selection,
-    * NOT a per-partition sort — so the whole report is one keyed shuffle
-    * with map-side combine; the (us, event_id) composite makes the
-    * selection deterministic under same-microsecond ties. At 100 TB the
-    * state per (user, hour) key is four doubles + a count, and the plan
-    * never materializes an ordering (contrast the window-function
-    * formulation the oracle uses, which would sort every partition).
+    * over a (us, event_id) struct key; the composite makes the selection
+    * deterministic under same-microsecond ties. Plan shape: ONE keyed
+    * shuffle with map-side partial aggregation (the struct ordering key
+    * is not hash-buffer-mutable, so Spark plans SortAggregate — a
+    * per-partition sort by the GROUP keys feeding streaming partials,
+    * never a time-ordered window over the corpus, and the shuffle still
+    * carries only per-(user, hour) state: four doubles + a count).
     * No rounding: open/high/low/close are exact row selections, not
     * accumulations, so both engines return bit-identical doubles.
     */
