@@ -992,7 +992,11 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersOracle: String =
+  /** The recursive connected-component labeling as a DuckDB CTE prefix
+    * (`lab(doc_id, canonical_id)`), shared by the cluster manifest and
+    * the leakage-safe split oracles.
+    */
+  private val clusterLabCte: String =
     s"""WITH RECURSIVE $hashedShingleCte,
       |rare AS (
       |  SELECT doc_id, h1 FROM (
@@ -1022,7 +1026,10 @@ object DedupOps {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT w.d, e.b FROM reach w JOIN edges e ON e.a = w.r),
-      |lab AS (SELECT d AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY d)
+      |lab AS (SELECT d AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY d)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""$clusterLabCte
       |SELECT doc_id, canonical_id,
       |       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size,
       |       CAST(doc_id = canonical_id AS BIGINT) AS is_survivor
@@ -1538,7 +1545,69 @@ object DedupOps {
       |WHERE 8 * ni >= 3 * (x.n_sh + y.n_sh)
       |ORDER BY da, db""".stripMargin
 
+  /** Train/val/test percentage bounds for [[dedupLeakageSplit]]. */
+  val LeakSplitTrainPct = 80
+  val LeakSplitValPct = 90
+
+  /** Leakage-safe train/val/test split: assign each near-dup CLUSTER —
+    * not each document — to a split, so two near-duplicate documents can
+    * never land on opposite sides of the train/test boundary (the classic
+    * eval-contamination leak that per-document hashing, e.g.
+    * `sample_split`, cannot prevent). The split is a deterministic md5
+    * residue of the cluster's canonical id, so it is stable under corpus
+    * growth: adding documents to an existing cluster never moves it.
+    *
+    * Output: per-split document and cluster counts, plus a `no_leak`
+    * audit bit — the per-split distinct-cluster counts must sum to the
+    * corpus total (a straddling cluster would be counted twice and fail
+    * it). Scale shape: one extra hash aggregate over the cluster labels;
+    * the labels themselves come from [[dedupClusters]]' Pregel-style
+    * propagation, already sub-quadratic.
+    */
+  def dedupLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val lab = dedupClusters(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val r = conv(substring(
+      md5(col("canonical_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val assigned = lab.withColumn("split",
+      when(r < LeakSplitTrainPct, lit("train"))
+        .when(r < LeakSplitValPct, lit("val"))
+        .otherwise(lit("test")))
+    val per = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"))
+    val tot = assigned.agg(
+      countDistinct(col("canonical_id")).as("total_clusters"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        (sum(col("n_clusters")).over(Window.partitionBy(lit(1))) ===
+          col("total_clusters")).as("no_leak"))
+      .orderBy(col("split"))
+  }
+
+  val dedupLeakageSplitOracle: String =
+    s"""$clusterLabCte,
+      |sp AS (
+      |  SELECT doc_id, canonical_id,
+      |         CASE WHEN r < $LeakSplitTrainPct THEN 'train'
+      |              WHEN r < $LeakSplitValPct THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, canonical_id,
+      |          CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15)
+      |               AS BIGINT) % 100 AS r
+      |        FROM lab)),
+      |per AS (
+      |  SELECT split, COUNT(*) AS n_docs,
+      |         COUNT(DISTINCT canonical_id) AS n_clusters
+      |  FROM sp GROUP BY split),
+      |tot AS (SELECT COUNT(DISTINCT canonical_id) AS total_clusters FROM sp)
+      |SELECT split, n_docs, n_clusters,
+      |       SUM(n_clusters) OVER () = total_clusters AS no_leak
+      |FROM per CROSS JOIN tot
+      |ORDER BY split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_leakage_split" -> (dedupLeakageSplit _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_top_spans" -> (dedupTopSpans _),
     "dedup_exact_substr" -> (dedupExactSubstr _),
@@ -1560,6 +1629,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_leakage_split" -> dedupLeakageSplitOracle,
     "dedup_top_spans" -> dedupTopSpansOracle,
     "dedup_exact_substr" -> dedupExactSubstrOracle,
     "dedup_multi_signal" -> dedupMultiSignalOracle,

@@ -1587,7 +1587,57 @@ object EventOps {
       |FROM runs GROUP BY user_id, run_idx, event_type
       |ORDER BY user_id, run_idx""".stripMargin
 
+  /** SCD-2 point-in-time enrichment: build a slowly-changing dimension
+    * from the click stream (each distinct (user, time) click is a new
+    * attribute VERSION; `lead` closes the previous version's validity,
+    * the newest version stays open-ended), then enrich each purchase
+    * with the version in effect at purchase time. The lookup composes
+    * [[JoinOps.asOfJoin]] — same single-shuffle plan — so "point in
+    * time against versioned intervals" costs no more than a plain as-of
+    * match; the version id and validity bounds ride along in the match
+    * struct. Same-instant clicks collapse via `max_by(value, event_id)`
+    * BEFORE versioning, which keeps both version numbering and the
+    * as-of tie deterministic.
+    */
+  def eventsScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("eff_from"))
+    val dim = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(round(max_by(col("value"), col("event_id")), 2).as("attr"))
+      .withColumnRenamed("us", "eff_from")
+      .withColumn("ver", row_number().over(wVer).cast("long"))
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(wVer))
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    JoinOps.asOfJoin(fact, dim, "user_id", "us", "eff_from")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("asof.ver").as("ver"), col("asof.attr").as("attr"),
+        col("asof.eff_from").as("eff_from"), col("asof.eff_to").as("eff_to"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsScd2LookupOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |d0 AS (
+      |  SELECT user_id, us AS eff_from,
+      |         round(max_by(value, event_id), 2) AS attr
+      |  FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+      |dim AS (
+      |  SELECT *, row_number() OVER w AS ver, lead(eff_from) OVER w AS eff_to
+      |  FROM d0 WINDOW w AS (PARTITION BY user_id ORDER BY eff_from)),
+      |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+      |       dim.ver, dim.attr, dim.eff_from, dim.eff_to
+      |FROM p ASOF LEFT JOIN dim
+      |  ON p.user_id = dim.user_id AND p.us >= dim.eff_from
+      |ORDER BY p.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd2_lookup" -> (eventsScd2Lookup _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1618,6 +1668,7 @@ object EventOps {
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_scd2_lookup" -> eventsScd2LookupOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,

@@ -95,7 +95,43 @@ object MultimodalOps {
       * ones, honoring the odd-size pad byte), requires a PCM 16-bit
       * `fmt ` chunk before `data`, and folds samples into integer stats.
       */
-    def decode(payload: Array[Byte]): Either[String, WavInfo] = {
+    def decode(payload: Array[Byte]): Either[String, WavInfo] =
+      openData(payload).map { case (rate, channels, bits, buf, n) =>
+        var sum = 0L; var sq = 0L; var peak = 0L
+        var i = 0L
+        while (i < n) {
+          val s = buf.getShort().toLong
+          sum += s; sq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          i += 1
+        }
+        WavInfo(rate, channels, bits, n / channels, sum, sq, peak)
+      }
+
+    /** Per-window energy fold over the same chunk walk as [[decode]]:
+      * window `w` covers samples `[w*win, (w+1)*win)` in container order
+      * (the final window may be partial) and accumulates `sum(s^2)`.
+      */
+    def decodeWindowEnergies(payload: Array[Byte],
+        win: Int): Either[String, Array[Long]] =
+      openData(payload).map { case (_, _, _, buf, n) =>
+        val out = new Array[Long](((n + win - 1) / win).toInt)
+        var i = 0L
+        while (i < n) {
+          val s = buf.getShort().toLong
+          out((i / win).toInt) += s * s
+          i += 1
+        }
+        out
+      }
+
+    /** The shared container walk: validates the RIFF/WAVE framing and the
+      * PCM 16-bit `fmt ` chunk, then hands the caller the buffer
+      * positioned at the first sample of `data` with the sample count —
+      * each decode variant supplies only its own fold.
+      */
+    private def openData(payload: Array[Byte])
+        : Either[String, (Int, Int, Int, java.nio.ByteBuffer, Long)] = {
       if (payload.length < 12) return Left("container too short for RIFF header")
       val buf = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -133,16 +169,7 @@ object MultimodalOps {
                 if (audioFormat != 1) return Left(s"unsupported codec $audioFormat (PCM only)")
                 if (bits != 16) return Left(s"unsupported bit depth $bits (16-bit only)")
                 if (channels < 1) return Left("zero channels")
-                val n = size / 2
-                var sum = 0L; var sq = 0L; var peak = 0L
-                var i = 0L
-                while (i < n) {
-                  val s = buf.getShort().toLong
-                  sum += s; sq += s * s
-                  val a = math.abs(s); if (a > peak) peak = a
-                  i += 1
-                }
-                return Right(WavInfo(rate, channels, bits, n / channels, sum, sq, peak))
+                return Right((rate, channels, bits, buf, size / 2))
             }
           case _ =>
             // skip + word-alignment pad, clamped to the RIFF body so a
@@ -712,7 +739,101 @@ object MultimodalOps {
       |       sum_r, sum_g, sum_b, peak
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** Energy-segmentation window length (samples) and activity threshold
+    * (per-window sum of squared samples). 50 samples = 6.25 ms at the
+    * synthesized 8 kHz rate — a VAD-ish frame at this fixture's document
+    * lengths (the median document yields ~10 full windows). The threshold
+    * sits at the fixture's median full-window energy, so real documents
+    * flip between active and inactive mid-stream and the islands logic
+    * genuinely splits runs (a coarser window or an off-median threshold
+    * degenerates every document to a single run, verified in
+    * MultimodalSpec).
+    */
+  val AudioWinSamples = 50
+  val AudioEnergyThreshold: Long = 6640000000L
+
+  /** Voice-activity-style audio segmentation: the real [[Wav]] codec
+    * emits per-window energies partition-parallel (`decodeWindowEnergies`
+    * — one long per 31 ms frame, the codec's only output), then CATALYST
+    * does the segmentation: active windows become gaps-and-islands runs
+    * via the `w - row_number()` grouping idiom, rolled up to per-media
+    * segment counts. The division of labor is the multimodal contract at
+    * 100 TB — imperative code touches bytes only, everything relational
+    * (thresholding, run detection, rollup) stays in codegen'd operators.
+    *
+    * All emitted values are integer window counts, so DuckDB reproduces
+    * them exactly from the same characters (same ASCII-fixture invariant
+    * as [[multimodalDecode]], enforced by the MultimodalSpec guard).
+    */
+  def multimodalAudioActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val energies = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("audio/wav").as("mime"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val container = Wav.encode(Wav.samplesFromBytes(r.payload), 8000)
+        Wav.decodeWindowEnergies(container, AudioWinSamples)
+          .fold(_ => Iterator.empty[(Long, Int, Long)],
+            arr => arr.iterator.zipWithIndex.map {
+              case (e, w) => (r.media_id, w, e)
+            })
+      }
+      .toDF("media_id", "w", "energy")
+    val active = energies.filter(col("energy") > AudioEnergyThreshold)
+      .withColumn("grp", col("w") - row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("w"))))
+    val segs = active.groupBy(col("media_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val perMedia = segs.groupBy(col("media_id"))
+      .agg(sum(col("len")).as("n_active"),
+        count(lit(1)).as("n_segments"),
+        max(col("len")).as("longest_segment"))
+    Tables.documents(spark, dir).select(col("doc_id").as("media_id"))
+      .join(energies.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_windows")), Seq("media_id"), "left")
+      .join(perMedia, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalAudioActivityOracle: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, CAST(unnest(range(1, strlen(text) + 1)) AS INT) AS p, text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, (p - 1) // $AudioWinSamples AS w,
+      |         SUM(CAST((ascii(substr(text, p, 1)) - 128) * 256 AS BIGINT)
+      |             * CAST((ascii(substr(text, p, 1)) - 128) * 256 AS BIGINT))
+      |           AS energy
+      |  FROM pos GROUP BY doc_id, w),
+      |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM e GROUP BY doc_id),
+      |act AS (
+      |  SELECT doc_id, w,
+      |         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      |  FROM e WHERE energy > $AudioEnergyThreshold),
+      |seg AS (SELECT doc_id, grp, COUNT(*) AS len FROM act GROUP BY doc_id, grp),
+      |pm AS (
+      |  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_active,
+      |         COUNT(*) AS n_segments, MAX(len) AS longest_segment
+      |  FROM seg GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      |       COALESCE(nw.n_windows, 0) AS n_windows,
+      |       COALESCE(pm.n_active, 0) AS n_active,
+      |       COALESCE(pm.n_segments, 0) AS n_segments,
+      |       COALESCE(pm.longest_segment, 0) AS longest_segment
+      |FROM documents d
+      |LEFT JOIN nw ON d.doc_id = nw.doc_id
+      |LEFT JOIN pm ON d.doc_id = pm.doc_id
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_activity" -> (multimodalAudioActivity _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrameSample _),
@@ -721,6 +842,7 @@ object MultimodalOps {
     "multimodal_image_dedup" -> (multimodalImageDedup _))
 
   def oracles: Map[String, String] = Map(
+    "multimodal_audio_activity" -> multimodalAudioActivityOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,
     "multimodal_frames" -> multimodalFrameSampleOracle,

@@ -127,6 +127,145 @@ object RelationalOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** The bloom-join plan body: a selective dimension filter on `orders`
+    * joined to the `lineitem` fact on the order key. Split out of
+    * [[qBloomJoin]] so PlanSpec can assert the `might_contain` injection
+    * on the un-staged plan.
+    */
+  private[graft] def bloomJoinPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === lit("1-URGENT")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        * (lit(1.0) + lit(1e-12)), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  /** Conf keys scoped by [[qBloomJoin]]; also used by the PlanSpec proof. */
+  private[graft] val BloomJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // application-side min scan size gates injection (10 GB default) —
+    // zero it so the local fixture qualifies; on a real warehouse the
+    // default gate is exactly right and these two lines disappear
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // runtime filters target shuffle joins; park the broadcast path so
+    // the tiny fixture exercises the same plan shape as 100 TB
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Runtime bloom-filter join — Spark's own `InjectRuntimeFilter` rule,
+    * demonstrated and pinned: a selective filter on the join's dimension
+    * side builds a `bloom_filter_agg` subquery whose `might_contain`
+    * lands directly on the fact-side SCAN, so non-matching fact rows die
+    * before the shuffle instead of after it. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~matching fraction; locally the injection thresholds are scoped down
+    * (the fixture is below the 10 GB application-side gate) around a
+    * staged execution, then restored — no other query sees the confs.
+    * PlanSpec asserts `might_contain` is present in the optimized plan
+    * under these confs and absent without them.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "bloom-join", dir)
+    DedupOps.staged(spark, key) {
+      val saved = BloomJoinConfs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      BloomJoinConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // materialize INSIDE the conf scope: optimization happens at
+        // action time, and `staged` runs the write action on this plan
+        bloomJoinPlan(spark, dir).localCheckpoint(eager = true)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  val qBloomJoinOracle: String =
+    """SELECT l_returnflag,
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Buckets for the co-located join tables. 8 buckets at local scale;
+    * on a real warehouse this is sized so bucket × file ≈ 128 MB–1 GB.
+    */
+  val JoinBuckets = 8
+
+  private val bucketedNames =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Register both join sides as metastore BUCKETED tables (once per
+    * session + sf dir): `bucketBy(8, key)` + `sortBy(key)` persists the
+    * hash-layout contract in the catalog, which is what
+    * `writeCurationLayout`'s hand-bucketed parquet cannot carry.
+    */
+  private[graft] def ensureBucketedTables(spark: SparkSession,
+      dir: String): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.System.identityHashCode(spark.sparkContext)
+    var names = bucketedNames.get(key)
+    if (names == null) bucketedNames.synchronized {
+      names = bucketedNames.get(key)
+      if (names == null) {
+        val (li, o) = (s"graft_bkt_li_$key", s"graft_bkt_o_$key")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"), col("l_returnflag"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$base/li")
+          .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(li)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$base/o")
+          .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(o)
+        names = (li, o)
+        bucketedNames.put(key, names)
+      }
+    }
+    names
+  }
+
+  /** Co-located join over metastore-bucketed tables — the zero-shuffle
+    * fact-fact join at 100 TB: both sides are `bucketBy(8, orderkey)` +
+    * `sortBy` parquet tables, so the SortMergeJoin reads bucket i of each
+    * side into the same task and NEITHER side shuffles (PlanSpec asserts
+    * the executed plan has no Exchange under a no-broadcast scope). The
+    * write cost is paid once at ingest; every subsequent join, rollup, or
+    * incremental merge on the bucket key rides the layout for free —
+    * the catalog carries the contract, unlike hand-bucketed plain parquet
+    * (`writeCurationLayout`'s documented limitation, now closed).
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, o) = ensureBucketedTables(spark, dir)
+    spark.table(li)
+      .join(spark.table(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        * (lit(1.0) + lit(1e-12)), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+
+  val qBucketedJoinOracle: String =
+    """SELECT o_orderpriority, l_returnflag,
+      |  round(SUM(l_extendedprice * (1 - l_discount)) * (1.0 + 1e-12), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+
   /** TPC-H Q3-style 3-way join + top-k by aggregated revenue. The limit
     * plans as TakeOrderedAndProject (no global sort).
     */
@@ -933,6 +1072,8 @@ object RelationalOps {
     "q_filter_pushdown" -> (qFilterPushdown _),
     "q_broadcast_join" -> (qBroadcastJoin _),
     "q_shuffle_join" -> (qShuffleJoin _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_topk_revenue" -> (qTopkRevenue _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
@@ -962,6 +1103,8 @@ object RelationalOps {
     "q_filter_pushdown" -> qFilterPushdownOracle,
     "q_broadcast_join" -> qBroadcastJoinOracle,
     "q_shuffle_join" -> qShuffleJoinOracle,
+    "q_bloom_join" -> qBloomJoinOracle,
+    "q_bucketed_join" -> qBucketedJoinOracle,
     "q_topk_revenue" -> qTopkRevenueOracle,
     "q_semi_join" -> qSemiJoinOracle,
     "q_anti_join" -> qAntiJoinOracle,

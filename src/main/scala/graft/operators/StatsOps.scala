@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-statistics operators: mergeable-sketch rollups, Zipf
+  * rank-frequency fits, and cross-source score normalization — the
+  * aggregate-once / re-aggregate-forever patterns a 100 TB curation
+  * warehouse runs nightly.
+  *
+  * All three are oracle-checked; the sketch rollup is self-validating
+  * (exact values + in-engine error-bound booleans, the `q_approx_agg`
+  * convention) because DuckDB has no DataSketches HLL to compare bytes
+  * against.
+  */
+object StatsOps {
+
+  /** Relative-error margin for the HLL union estimate. lgConfigK=12 gives
+    * ~1.6% standard error; 6% is ~3.7 sigma — a regression tripwire, not
+    * a hard guarantee (same convention as `q_approx_agg`).
+    */
+  val HllMarginPct = 0.06
+
+  /** Mergeable-sketch rollup — the pattern that makes 100 TB distinct
+    * counting tractable: per-(lang, source) HLL partial sketches are
+    * materialized ONCE (staged to parquet, the "daily rollup" shape),
+    * then any coarser grain re-aggregates by UNIONING SKETCH BYTES —
+    * `hll_union_agg` over the staged partials — without ever rescanning
+    * raw documents. A plain `COUNT(DISTINCT)` rollup cannot do this:
+    * distinct counts are not mergeable, so every re-grain is a full
+    * corpus shuffle.
+    *
+    * Staging through parquet is deliberate: it proves the sketches
+    * survive serialization, which is what a real warehouse does between
+    * the nightly partial job and ad-hoc re-aggregation.
+    *
+    * Self-validating output: exact distincts (DuckDB-reproducible) plus
+    * an in-engine boolean that the merged estimate lands within
+    * [[HllMarginPct]] of exact.
+    */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.stageKey(spark, "hll-partials", dir)
+    val partials = DedupOps.staged(spark, key) {
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sk"),
+          // doc_id is unique corpus-wide, so per-(lang, source) exacts sum
+          // losslessly to the lang grain — the oracle's ground truth
+          countDistinct(col("doc_id")).as("exact_part"))
+    }
+    partials
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"),
+        sum(col("exact_part")).as("exact_docs"),
+        count(lit(1)).as("n_parts"))
+      .select(col("lang"),
+        col("exact_docs").cast("long").as("exact_docs"),
+        col("n_parts"),
+        (abs(col("est") - col("exact_docs")) <=
+          lit(HllMarginPct) * col("exact_docs")).as("est_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val qSketchRollupOracle: String =
+    """SELECT lang,
+      |       COUNT(DISTINCT doc_id) AS exact_docs,
+      |       COUNT(DISTINCT source) AS n_parts,
+      |       TRUE AS est_ok
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Ranks fitted per language in the Zipf regression. */
+  val ZipfTopRanks = 100
+
+  /** Zipf rank-frequency fit per language: regress ln(frequency) on
+    * ln(rank) over each language's top-[[ZipfTopRanks]] words. Natural
+    * text follows Zipf's law with slope near −1; a corpus slice whose
+    * slope or R² drifts is machine-generated, boilerplate-flooded, or
+    * mis-language-ID'd — a cheap whole-corpus quality signal next to the
+    * per-document gates in TextOps.
+    *
+    * Scale shape: the word-count shuffle is vocabulary-bounded (keys =
+    * distinct (lang, word), not corpus rows) with map-side partial
+    * aggregation; the ranking window then runs on the tiny count table.
+    * The regression itself is `regr_slope`/`regr_r2` — single-pass
+    * codegen'd aggregates, no collect.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= ZipfTopRanks)
+    ranked.groupBy(col("lang"))
+      .agg(round(expr("regr_slope(ln(c), ln(r))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(c), ln(r))"), 4).as("zipf_r2"),
+        count(lit(1)).as("n_ranks"))
+      .orderBy(col("lang"))
+  }
+
+  val textZipfOracle: String =
+    s"""WITH freq AS (
+      |  SELECT lang, w, COUNT(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0
+      |  GROUP BY lang, w),
+      |ranked AS (
+      |  SELECT lang, c,
+      |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+      |  FROM freq)
+      |SELECT lang,
+      |       round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+      |       round(regr_r2(ln(c), ln(r)), 4) AS zipf_r2,
+      |       COUNT(*) AS n_ranks
+      |FROM ranked WHERE r <= $ZipfTopRanks
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Cross-source quantile normalization — the fix for "source A's
+    * quality scores live on a different scale than source B's": map each
+    * document's raw score (type-token ratio here) through its OWN
+    * source's empirical CDF via `percent_rank`, so a 0.9 means "top
+    * decile of its source" regardless of the source's absolute range.
+    * The report rolls normalized deciles up per source: raw-score spans
+    * per decile differ wildly across sources (that's the problem), while
+    * decile populations are near-uniform by construction (that's the
+    * fix working).
+    *
+    * Scale shape: one shuffle on source for the rank window (a skewed
+    * mega-source would range-partition within the window sort), then a
+    * key-bounded (source × 10) aggregate. The doc_id tiebreak makes
+    * `percent_rank` deterministic under score ties.
+    */
+  def curationQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ttr"), col("doc_id"))
+    scored
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("decile", least(floor(col("pr") * 10), lit(9)).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("ttr")), 4).as("ttr_lo"),
+        round(max(col("ttr")), 4).as("ttr_hi"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val curationQuantileNormOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |         len(list_distinct(string_split(text, ' '))) * 1.0
+      |           / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, ttr,
+      |         percent_rank() OVER (PARTITION BY source
+      |                              ORDER BY ttr, doc_id) AS pr
+      |  FROM scored)
+      |SELECT source,
+      |       CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile,
+      |       COUNT(*) AS n_docs,
+      |       round(MIN(ttr), 4) AS ttr_lo,
+      |       round(MAX(ttr), 4) AS ttr_hi
+      |FROM ranked
+      |GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_rollup" -> (qSketchRollup _),
+    "text_zipf" -> (textZipf _),
+    "curation_quantile_norm" -> (curationQuantileNorm _))
+
+  def oracles: Map[String, String] = Map(
+    "q_sketch_rollup" -> qSketchRollupOracle,
+    "text_zipf" -> textZipfOracle,
+    "curation_quantile_norm" -> curationQuantileNormOracle)
+}

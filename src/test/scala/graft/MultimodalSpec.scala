@@ -216,4 +216,40 @@ class MultimodalSpec extends AnyFunSuite {
     // decodeRaster refuses garbage like the stats decoder does
     assert(Ppm.decodeRaster("not a ppm".getBytes).isLeft)
   }
+
+  test("audio activity: window energies agree with the codec fold, window " +
+      "counts derive from payload length, and the islands logic genuinely " +
+      "splits runs") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val out = MultimodalOps.multimodalAudioActivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = MultimodalOps.AudioWinSamples
+    out.foreach { case (id, nw, nActive, nSeg, longest) =>
+      assert(nw == (lens(id) + win - 1) / win,
+        s"doc $id window count $nw != ceil(${lens(id)}/$win)")
+      assert(nActive <= nw && longest <= nActive && nSeg <= nActive)
+      assert((nSeg == 0) == (nActive == 0))
+    }
+    // the threshold must genuinely split runs on the fixture — a
+    // degenerate all-active or single-run outcome means the constant
+    // drifted from the corpus energy distribution
+    assert(out.exists(_._4 > 1), "no document has multiple active segments")
+    assert(out.exists(o => o._3 > 0 && o._3 < o._2),
+      "no document is partially active")
+    // codec-level law on one doc: per-window energies sum to the decode
+    // fold's total sum of squares
+    val payload = Tables.documents(spark, dir)
+      .filter(col("doc_id") === out.head._1)
+      .select(col("text")).head().getString(0).getBytes("UTF-8")
+    val container = Wav.encode(Wav.samplesFromBytes(payload), 8000)
+    val total = Wav.decode(container).toOption.get.sumSq
+    val windows = Wav.decodeWindowEnergies(container, win).toOption.get
+    assert(windows.sum == total, "window energies do not sum to total sumSq")
+    assert(windows.length == ((payload.length + win - 1) / win))
+  }
 }

@@ -173,30 +173,58 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    // the exact plan body + conf scope q_bloom_join stages for its oracle
     val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      .map(k => k -> conf.getOption(k))
+    val saved = RelationalOps.BloomJoinConfs.map { case (k, _) =>
+      k -> conf.getOption(k) }
     try {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // local fixtures are far below the 10GB production threshold
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      // force a shuffle join — broadcast joins prune by themselves
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val o = graft.Tables.orders(spark, dir)
-        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000)
-      val li = graft.Tables.lineitem(spark, dir)
-      val joined = li.join(o,
-        org.apache.spark.sql.functions.col("l_orderkey") ===
-          org.apache.spark.sql.functions.col("o_orderkey"))
+      RelationalOps.BloomJoinConfs.foreach { case (k, v) => conf.set(k, v) }
+      val joined = RelationalOps.bloomJoinPlan(spark, dir)
       val plan = joined.queryExecution.optimizedPlan.toString
       assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
         s"runtime bloom filter not injected:\n$plan")
       joined.collect() // and it executes
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    // without the scope the local fixture is below the injection gate —
+    // the conf restore is what keeps every OTHER query's plan clean
+    val bare = RelationalOps.bloomJoinPlan(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!bare.contains("might_contain"),
+      "bloom filter leaked outside the scoped confs")
+  }
+
+  test("bucketed tables co-locate: the fact-fact join runs with ZERO " +
+      "exchanges — neither side shuffles") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // park broadcasting so the join strategy must rely on the bucket
+      // layout, as it would between two 100 TB fact tables
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val (li, o) = RelationalOps.ensureBucketedTables(spark, dir)
+      val joined = spark.table(li)
+        .join(spark.table(o),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // the same join over the raw (unbucketed) parquet DOES shuffle —
+      // the layout, not the data size, is what removed the exchange
+      val raw = graft.Tables.lineitem(spark, dir)
+        .join(graft.Tables.orders(spark, dir),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange") ||
+        { raw.collect(); raw.queryExecution.executedPlan.toString.contains("Exchange") },
+        "control join unexpectedly shuffle-free")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
