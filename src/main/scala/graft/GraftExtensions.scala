@@ -56,5 +56,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZInterleave(exprs.head, exprs(1))
       }))
     e.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -172,13 +172,37 @@ object JoinOps {
       |FROM events e JOIN profile p ON e.user_id = p.user_id
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** The same purchases-to-latest-prior-click enrichment as [[qAsofJoin]],
+    * through the NATIVE whole-operator path ([[graft.plans.NativeAsOf]]:
+    * custom LogicalPlan + strategy + forward-merge exec) instead of the
+    * union+window composition. Shares [[qAsofJoinOracle]]'s SQL text —
+    * two independent engine paths, one DuckDB ground truth; AsOfNativeSpec
+    * additionally asserts row-for-row equality between the two paths.
+    */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("value"))
+    graft.plans.NativeAsOf.asOfJoin(purchases, clicks, "user_id", "us", "us")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("r_us").as("click_us"),
+        expr("(us - r_us) div 1000000").as("gap_sec"),
+        round(col("r_value"), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_salted_join" -> (qSaltedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinOracle,
+    "q_asof_native" -> qAsofJoinOracle,
     "q_asof_tolerance" -> qAsofToleranceOracle,
     "q_salted_join" -> qSaltedJoinOracle)
 }
