@@ -175,12 +175,56 @@ object StatsOps {
       |GROUP BY source, decile
       |ORDER BY source, decile""".stripMargin
 
+  /** Character floor for the observed curation filter. */
+  val ObserveMinChars = 300
+
+  /** Pipeline observability via `Dataset.observe`: audit counters
+    * (row and character totals) attached BEFORE and AFTER a curation
+    * filter ride the action's own accumulators — at 100 TB this is how
+    * you answer "how much did the gate drop?" without paying a second
+    * scan for each counter. The observed metrics land in the returned
+    * audit report (scan vs kept stage totals), which DuckDB reproduces
+    * with two plain aggregates — proving the zero-extra-pass counters
+    * equal the ground truth.
+    */
+  def qObserveAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val scan = new Observation()
+    val kept = new Observation()
+    val filtered = Tables.documents(spark, dir)
+      .observe(scan, count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .filter(length(col("text")) >= ObserveMinChars)
+      .observe(kept, count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    filtered.foreach(_ => ()) // one action; both observations fire on it
+    val (s, k) = (scan.get, kept.get)
+    import spark.implicits._
+    Seq(
+      ("scan", s("n_rows").asInstanceOf[Long], s("n_chars").asInstanceOf[Long]),
+      ("kept", k("n_rows").asInstanceOf[Long], k("n_chars").asInstanceOf[Long]))
+      .toDF("stage", "n_rows", "n_chars")
+      .orderBy(col("stage"))
+  }
+
+  val qObserveAuditOracle: String =
+    s"""SELECT * FROM (
+      |  SELECT 'scan' AS stage, COUNT(*) AS n_rows,
+      |         CAST(SUM(strlen(text)) AS BIGINT) AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'kept', COUNT(*), CAST(SUM(strlen(text)) AS BIGINT)
+      |  FROM documents WHERE strlen(text) >= $ObserveMinChars)
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_observe_audit" -> (qObserveAudit _),
     "q_sketch_rollup" -> (qSketchRollup _),
     "text_zipf" -> (textZipf _),
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "q_observe_audit" -> qObserveAuditOracle,
     "q_sketch_rollup" -> qSketchRollupOracle,
     "text_zipf" -> textZipfOracle,
     "curation_quantile_norm" -> curationQuantileNormOracle)
