@@ -396,6 +396,46 @@ object EventOps {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** Hourly admission cap for [[eventsQuotaStream]]. */
+  val QuotaCapPerHour = 2L
+
+  /** Watermark-finalized streaming admission quotas (TwsQuotaJob — the
+    * MapState-by-time-bucket + event-time-timer shape), driven
+    * END-TO-END through the oracle: each (user, hour) report emits
+    * exactly once, when the watermark proves the bucket closed, so the
+    * result is micro-batch-carving-independent and DuckDB reproduces it
+    * as a plain grouped aggregate with a LEAST cap.
+    */
+  def eventsQuotaStream(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    withRocksDb(spark) {
+      driveWaves(spark, sessionWaveFrame(spark, dir),
+        "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
+        "tws_quota") { src =>
+        import src.sparkSession.implicits._
+        graft.streaming.TwsQuotaJob.quota(
+          src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+            col("value")).as[KeyedEvent],
+          hourMs, QuotaCapPerHour).toDF()
+      }
+    }
+      .filter(col("key") >= 0L)
+      .select(col("key").as("user_id"), col("hour_ms"),
+        col("n_events"), col("n_admitted"), col("n_throttled"))
+      .orderBy(col("user_id"), col("hour_ms"))
+  }
+
+  val eventsQuotaStreamOracle: String =
+    s"""SELECT user_id,
+      |       (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 3600000) * 3600000
+      |         AS hour_ms,
+      |       COUNT(*) AS n_events,
+      |       LEAST(COUNT(*), $QuotaCapPerHour) AS n_admitted,
+      |       COUNT(*) - LEAST(COUNT(*), $QuotaCapPerHour) AS n_throttled
+      |FROM events
+      |GROUP BY user_id, hour_ms
+      |ORDER BY user_id, hour_ms""".stripMargin
+
   /** Lookback depth for [[eventsPatternStream]]. */
   val PatternLookback = 5
 
@@ -1638,6 +1678,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_scd2_lookup" -> (eventsScd2Lookup _),
+    "events_quota_stream" -> (eventsQuotaStream _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1669,6 +1710,7 @@ object EventOps {
 
   def oracles: Map[String, String] = Map(
     "events_scd2_lookup" -> eventsScd2LookupOracle,
+    "events_quota_stream" -> eventsQuotaStreamOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,
