@@ -396,6 +396,39 @@ object EventOps {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** Semi-structured props through Spark 4's VARIANT type: `parse_json`
+    * once into the binary variant encoding, then typed path extraction
+    * with `variant_get` — the engine's answer to schemaless JSON columns
+    * at scale (shredded binary access instead of per-row string
+    * re-parsing; contrast [[eventsJsonProps]], the regexp path over the
+    * same column). The DuckDB oracle extracts the same path with its
+    * JSON operators — two independent semi-structured engines, one
+    * ground truth. `schema_of_variant` inference is asserted in
+    * EventOps' spec coverage (VariantSpec) since DuckDB has no
+    * equivalent string to compare.
+    */
+  def eventsVariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val eventsVariantPropsOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k,
+      |       round(AVG(k), 4) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Hourly admission cap for [[eventsQuotaStream]]. */
   val QuotaCapPerHour = 2L
 
@@ -1679,6 +1712,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_scd2_lookup" -> (eventsScd2Lookup _),
     "events_quota_stream" -> (eventsQuotaStream _),
+    "events_variant_props" -> (eventsVariantProps _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1711,6 +1745,7 @@ object EventOps {
   def oracles: Map[String, String] = Map(
     "events_scd2_lookup" -> eventsScd2LookupOracle,
     "events_quota_stream" -> eventsQuotaStreamOracle,
+    "events_variant_props" -> eventsVariantPropsOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,
