@@ -429,6 +429,48 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sliding (hopping) window width / slide for [[eventsSlidingWindow]]:
+    * 10-minute windows every 5 minutes, so each event lands in exactly
+    * width/slide = 2 overlapping windows.
+    */
+  val SlideWidthMs = 600000L
+  val SlideStepMs = 300000L
+
+  /** Overlapping sliding-window aggregation through Spark's native
+    * `window(col, width, slide)` TVF — the time-bucketing shape the
+    * tumbling twins (weather_minutely_sum, events_hourly_pivot) cannot
+    * express: each event is replicated into width/slide buckets BEFORE
+    * the partial aggregation, so the overlap costs map-side row
+    * replication (×2 here), never a self-join or re-scan, and the
+    * aggregate itself stays one keyed shuffle. The DuckDB twin makes
+    * the replication explicit (unnest of each event's two covering
+    * window starts) — the two formulations agreeing is what pins
+    * Spark's epoch-aligned, half-open [start, start+width) semantics.
+    */
+  def eventsSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    ev.select(timestamp_micros(col("us")).as("t"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("t"), s"$SlideWidthMs milliseconds",
+        s"$SlideStepMs milliseconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
+  val eventsSlidingWindowOracle: String =
+    s"""SELECT ws AS window_start_ms, event_type, COUNT(*) AS n,
+      |       round(SUM(value), 2) AS sum_value
+      |FROM (
+      |  SELECT unnest([(ms // $SlideStepMs) * $SlideStepMs,
+      |                 (ms // $SlideStepMs) * $SlideStepMs - $SlideStepMs]) AS ws,
+      |         event_type, value
+      |  FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+      |               event_type, value FROM events))
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin
+
   /** Hourly admission cap for [[eventsQuotaStream]]. */
   val QuotaCapPerHour = 2L
 
@@ -1713,6 +1755,7 @@ object EventOps {
     "events_scd2_lookup" -> (eventsScd2Lookup _),
     "events_quota_stream" -> (eventsQuotaStream _),
     "events_variant_props" -> (eventsVariantProps _),
+    "events_sliding_window" -> (eventsSlidingWindow _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1746,6 +1789,7 @@ object EventOps {
     "events_scd2_lookup" -> eventsScd2LookupOracle,
     "events_quota_stream" -> eventsQuotaStreamOracle,
     "events_variant_props" -> eventsVariantPropsOracle,
+    "events_sliding_window" -> eventsSlidingWindowOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,

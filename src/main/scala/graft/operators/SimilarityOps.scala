@@ -1386,6 +1386,162 @@ object SimilarityOps {
       |       MAX(dim) AS dim
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** Matryoshka (MRL) prefix width for the coarse pass: cosine over the
+    * first 16 of 64 dims — MRL-trained embeddings front-load information
+    * so a prefix is itself a valid (coarser) embedding.
+    */
+  val MrlDims = 16
+
+  /** Coarse-pass shortlist per query, re-ranked exactly. */
+  val MrlShortlist = 50
+
+  /** Two-stage Matryoshka retrieval — the production shape for ANN over
+    * a 100 TB corpus with MRL embeddings: stage 1 scores every candidate
+    * on only the [[MrlDims]]-dim PREFIX (reading 1/4 of the vector
+    * bytes; with the prefix materialized as its own column, the scan
+    * column-prunes to it), keeps a [[MrlShortlist]] per query, and only
+    * stage 2 touches full vectors — re-fetched BY ID for the shortlist,
+    * so full embeddings never shuffle and the exact re-rank cost is
+    * shortlist-bounded, not corpus-bounded. Both stages rank on
+    * 6-dp-rounded cosine with vec_id tiebreak, so the shortlist (and
+    * hence the final top-k) is bit-deterministic across engines.
+    */
+  def simMatryoshkaRerank(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // stage 1: prefix-cosine over the whole corpus; ids + score only
+    val coarse = broadcast(q).as("q")
+      .join(e.as("c"), col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        round(expr(s"cosine_similarity(slice(q.q_emb, 1, $MrlDims), " +
+          s"slice(c.embedding, 1, $MrlDims))"), 6).as("coarse_sim"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val short = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= MrlShortlist).drop("crk")
+    // stage 2: exact re-rank — the tiny shortlist broadcasts back onto
+    // the corpus to re-fetch full vectors by id
+    val rer = broadcast(short)
+      .join(e.select(col("vec_id"), col("embedding").as("c_emb")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(expr("cosine_similarity(q_emb, c_emb)"), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    rer.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("sim"), col("coarse_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simMatryoshkaRerankOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      |           WHERE vec_id < $NumQueries),
+      |coarse AS (
+      |  SELECT q.query_id, c.vec_id,
+      |         round(list_cosine_similarity(
+      |           CAST(q.embedding[1:$MrlDims] AS DOUBLE[]),
+      |           CAST(c.embedding[1:$MrlDims] AS DOUBLE[])), 6) AS coarse_sim
+      |  FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+      |short AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY coarse_sim DESC, vec_id) AS crk
+      |  FROM coarse),
+      |rer AS (
+      |  SELECT s.query_id, s.vec_id, s.coarse_sim,
+      |         round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+      |                                      CAST(cc.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM short s
+      |  JOIN q qq ON s.query_id = qq.query_id
+      |  JOIN embeddings cc ON s.vec_id = cc.vec_id
+      |  WHERE s.crk <= $MrlShortlist),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY sim DESC, vec_id) AS rk FROM rer)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim, coarse_sim
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Neighborhood depth for the bitext margin denominators. */
+  val BitextK = 4
+
+  /** Acceptance threshold on the margin ratio (the published mining
+    * setups use ~1.06; pairs below it are emitted but flagged).
+    */
+  val BitextThreshold = 1.06
+
+  /** Margin-based parallel-pair mining (the bitext-mining shape): for
+    * every candidate pair between two embedding groups, the raw cosine
+    * is rescaled by the mean cosine of each side's [[BitextK]] nearest
+    * neighbors — margin(x,y) = cos(x,y) / ((avgNN(x) + avgNN(y)) / 2) —
+    * which cancels hubness (vectors that are close to EVERYTHING score
+    * high cosine against everything; dividing by their neighborhood mean
+    * deflates them), and the best candidate per source vector is kept
+    * with an accept flag at [[BitextThreshold]].
+    *
+    * Scale: this is the exact evaluator over a candidate pair set. Here
+    * the candidates are the full label-0 x label-1 grid (groups are
+    * fixtures-small and one side broadcasts); at 100 TB the grid is
+    * replaced by each side's ANN k-NN lists ([[simIvfTopk]]) and this
+    * margin rescoring runs unchanged on those candidate pairs —
+    * the margin math only ever needs each pair's cosine plus per-vector
+    * top-k means, both of which the ANN stage already produces.
+    */
+  def simBitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val x = e.filter(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val y = e.filter(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val pairs = broadcast(x).join(y)
+      .select(col("x_id"), col("y_id"),
+        round(expr("cosine_similarity(x_emb, y_emb)"), 6).as("sim"))
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("sim").desc, col("y_id"))
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("sim").desc, col("x_id"))
+    val ax = pairs.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("x_id")).agg(avg(col("sim")).as("avg_x"))
+    val ay = pairs.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("y_id")).agg(avg(col("sim")).as("avg_y"))
+    val m = pairs.join(broadcast(ax), "x_id").join(broadcast(ay), "y_id")
+      .withColumn("margin",
+        round(col("sim") / ((col("avg_x") + col("avg_y")) / 2), 4))
+    val wb = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin").desc, col("y_id"))
+    m.withColumn("brk", row_number().over(wb)).filter(col("brk") === 1)
+      .select(col("x_id"), col("y_id"), col("sim"), col("margin"),
+        (col("margin") >= BitextThreshold).as("accepted"))
+      .orderBy(col("x_id"))
+  }
+
+  val simBitextMarginOracle: String =
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding FROM embeddings WHERE label = 0),
+      |y AS (SELECT vec_id AS y_id, embedding FROM embeddings WHERE label = 1),
+      |p AS (
+      |  SELECT x_id, y_id,
+      |         round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                      CAST(y.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM x CROSS JOIN y),
+      |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |               ORDER BY sim DESC, y_id) AS r FROM p),
+      |ry AS (SELECT *, row_number() OVER (PARTITION BY y_id
+      |               ORDER BY sim DESC, x_id) AS r FROM p),
+      |ax AS (SELECT x_id, AVG(sim) AS avg_x FROM rx WHERE r <= $BitextK GROUP BY x_id),
+      |ay AS (SELECT y_id, AVG(sim) AS avg_y FROM ry WHERE r <= $BitextK GROUP BY y_id),
+      |m AS (
+      |  SELECT p.x_id, p.y_id, p.sim,
+      |         round(p.sim / ((ax.avg_x + ay.avg_y) / 2), 4) AS margin
+      |  FROM p JOIN ax USING (x_id) JOIN ay USING (y_id)),
+      |b AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |              ORDER BY margin DESC, y_id) AS brk FROM m)
+      |SELECT x_id, y_id, sim, margin, (margin >= $BitextThreshold) AS accepted
+      |FROM b WHERE brk = 1 ORDER BY x_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_stats" -> (simEmbeddingStats _),
     "sim_triangle_count" -> (simTriangleCount _),
@@ -1399,7 +1555,9 @@ object SimilarityOps {
     "sim_pq_topk" -> (simPqTopk _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_centroids" -> (simCentroids _),
-    "sim_quantize" -> (simQuantize _))
+    "sim_quantize" -> (simQuantize _),
+    "sim_matryoshka_rerank" -> (simMatryoshkaRerank _),
+    "sim_bitext_margin" -> (simBitextMargin _))
 
   def oracles: Map[String, String] = Map(
     "sim_embedding_stats" -> simEmbeddingStatsOracle,
@@ -1414,5 +1572,7 @@ object SimilarityOps {
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_ivfpq_topk" -> simIvfPqTopkOracle,
     "sim_centroids" -> simCentroidsOracle,
-    "sim_quantize" -> simQuantizeOracle)
+    "sim_quantize" -> simQuantizeOracle,
+    "sim_matryoshka_rerank" -> simMatryoshkaRerankOracle,
+    "sim_bitext_margin" -> simBitextMarginOracle)
 }

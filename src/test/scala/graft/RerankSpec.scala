@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Laws for the two-stage Matryoshka rerank and the margin-based bitext
+  * miner that the DuckDB hash-compare cannot express on its own.
+  */
+class RerankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  test("matryoshka rerank: per-rank sims are dominated by brute-force " +
+      "(a shortlist search can never beat the exact search), and ranks " +
+      "are dense 1..k descending") {
+    val rer = SimilarityOps.simMatryoshkaRerank(spark, dir)
+      .select(col("query_id"), col("rk"), col("sim")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = SimilarityOps.simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("rk"), col("sim")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rer.keySet == brute.keySet, "same (query, rank) grid")
+    // exact search dominates at every rank: rerank only sees the
+    // shortlist, so its i-th best can't exceed the true i-th best
+    rer.foreach { case (k, s) =>
+      assert(s <= brute(k) + 1e-9, s"rank $k: rerank $s > brute ${brute(k)}")
+    }
+    val perQuery = rer.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    perQuery.foreach { case (q, rks) =>
+      assert(rks == (1L to SimilarityOps.TopK.toLong), s"query $q ranks $rks")
+    }
+  }
+
+  test("matryoshka rerank finds most of the true neighbors on this " +
+      "corpus (prefix recall sanity)") {
+    val rer = SimilarityOps.simMatryoshkaRerank(spark, dir)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (rer & brute).size.toDouble / brute.size
+    // isotropic fixture: a 16/64-dim prefix over a 50-of-499 shortlist
+    // still recovers a solid fraction of the exact top-5; this guards
+    // against the coarse stage degenerating to noise (e.g. slicing bug)
+    assert(recall >= 0.3, s"recall $recall collapsed")
+  }
+
+  test("bitext margin: one best candidate per source vector, margins " +
+      "finite, accepted flag consistent with the threshold") {
+    val out = SimilarityOps.simBitextMargin(spark, dir).collect()
+    val xs = out.map(_.getLong(0))
+    assert(xs.distinct.length == xs.length, "duplicate x_id rows")
+    out.foreach { r =>
+      val margin = r.getDouble(3)
+      assert(!margin.isNaN && !margin.isInfinite, s"margin $margin")
+      assert(r.getBoolean(4) == (margin >= SimilarityOps.BitextThreshold),
+        s"accepted flag disagrees with margin $margin")
+    }
+  }
+
+  test("bitext margin deflates hub scores: margin ordering differs from " +
+      "raw cosine ordering for at least one source (the rescale does " +
+      "real work on this corpus)") {
+    import spark.implicits._
+    val best = SimilarityOps.simBitextMargin(spark, dir)
+      .select(col("x_id"), col("y_id")).as[(Long, Long)].collect().toMap
+    // raw-cosine best per x, same tiebreak
+    val emb = Tables.embeddings(spark, dir)
+    graft.functions.CosineSimilarity.register(spark)
+    val x = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val y = emb.filter(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val rawBest = x.join(y)
+      .select(col("x_id"), col("y_id"),
+        round(expr("cosine_similarity(x_emb, y_emb)"), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("x_id"))
+          .orderBy(col("sim").desc, col("y_id"))))
+      .filter(col("rk") === 1)
+      .select(col("x_id"), col("y_id")).as[(Long, Long)].collect().toMap
+    assert(best.keySet == rawBest.keySet)
+    assert(best.exists { case (k, v) => rawBest(k) != v },
+      "margin rescale never changed any winner — suspicious for a hubby corpus")
+  }
+}
