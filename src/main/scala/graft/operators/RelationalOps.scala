@@ -1055,7 +1055,127 @@ object RelationalOps {
       |       violations = 0 AS pass
       |FROM r ORDER BY rule""".stripMargin
 
+  /** Join-key skew diagnostics — the report you run BEFORE choosing
+    * between a plain shuffle join, salting ([[qSaltedJoin]]) and AQE
+    * skew splitting: per-key row counts for a prospective join key,
+    * reduced to the distribution numbers that decide the strategy
+    * (max/avg skew factor, exact p50/p99 of per-key cardinality, the
+    * heaviest key itself). Two keyed shuffles total (count per key, then
+    * a single-row reduce over ~distinct-keys rows — the second input is
+    * orders of magnitude smaller than the table). The heaviest key is
+    * picked deterministically (count desc, key asc).
+    */
+  def qSkewMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        round(avg(col("n")), 4).as("avg_rows_per_key"),
+        expr("percentile(n, 0.5)").as("p50_rows_per_key"),
+        expr("percentile(n, 0.99)").as("p99_rows_per_key"),
+        max(col("n")).as("max_rows_per_key"),
+        expr("max_by(l_partkey, named_struct('n', n, 'neg', -l_partkey))")
+          .as("heaviest_key"))
+      .withColumn("skew_factor",
+        round(col("max_rows_per_key") / (col("n_rows") / col("n_keys")), 4))
+  }
+
+  val qSkewMetricsOracle: String =
+    """WITH k AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem
+      |           GROUP BY l_partkey)
+      |SELECT COUNT(*) AS n_keys,
+      |       CAST(SUM(n) AS BIGINT) AS n_rows,
+      |       round(AVG(n), 4) AS avg_rows_per_key,
+      |       quantile_cont(n, 0.5) AS p50_rows_per_key,
+      |       quantile_cont(n, 0.99) AS p99_rows_per_key,
+      |       MAX(n) AS max_rows_per_key,
+      |       (SELECT l_partkey FROM k ORDER BY n DESC, l_partkey LIMIT 1)
+      |         AS heaviest_key,
+      |       round(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 4)
+      |         AS skew_factor
+      |FROM k""".stripMargin
+
+  private val dppPaths = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Stage (once per (sf dir, context)) the physical layout a 100 TB
+    * event warehouse actually has: events as Hive-layout parquet
+    * partitioned by `event_type` (the fact), plus a tiny event-type
+    * dimension carrying each type's total value and a derived `hot`
+    * flag (above the cross-type mean). The flag is an ETL-time artifact
+    * exactly so that query-time pruning is DYNAMIC: the queried
+    * predicate lives on the dim, not the partition column.
+    */
+  private[graft] def ensurePartitionedEvents(spark: SparkSession,
+      dir: String): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.System.identityHashCode(spark.sparkContext)
+    var paths = dppPaths.get(key)
+    if (paths == null) dppPaths.synchronized {
+      paths = dppPaths.get(key)
+      if (paths == null) {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_dpp_events").toString
+        paths = (s"$base/fact", s"$base/dim")
+        val ev = Tables.events(spark, dir)
+        ev.write.mode("overwrite").partitionBy("event_type")
+          .parquet(paths._1)
+        val d = ev.groupBy(col("event_type")).agg(sum(col("value")).as("tot"))
+        // `hot` is an INT flag, not boolean, deliberately: a boolean
+        // `hot = true` filter constant-folds to the bare attribute,
+        // which fails Catalyst's isLikelySelective gate and silently
+        // disables dynamic partition pruning; `hot = 1` stays a real
+        // BinaryComparison and keeps DPP eligible
+        d.crossJoin(broadcast(d.agg(avg(col("tot")).as("avg_tot"))))
+          .select(col("event_type"), round(col("tot"), 2).as("tot"),
+            (col("tot") > col("avg_tot")).cast("int").as("hot"))
+          .coalesce(1).write.mode("overwrite").parquet(paths._2)
+        dppPaths.put(key, paths)
+      }
+    }
+    paths
+  }
+
+  /** Dynamic partition pruning: the fact side is the partitioned events
+    * layout ([[ensurePartitionedEvents]]), the dim side is the staged
+    * event-type dimension filtered on its NON-partition `hot` flag, so
+    * static pruning is impossible; Catalyst instead injects a
+    * dynamicpruning subquery into the fact scan's PartitionFilters
+    * (the dim is tiny and file-backed, so the pruning-benefit estimate
+    * holds and the subquery reuses the join's broadcast), and the fact
+    * side never reads the pruned types' files. At 100 TB this is the
+    * difference between scanning the two hot types and scanning the
+    * whole table — PlanSpec asserts the executed plan carries the
+    * dynamicpruning expression on the fact scan.
+    */
+  def qDppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (factPath, dimPath) = ensurePartitionedEvents(spark, dir)
+    val fact = spark.read.parquet(factPath)
+    val sel = spark.read.parquet(dimPath)
+      .filter(col("hot") === 1).select(col("event_type"))
+    fact.join(broadcast(sel), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDppJoinOracle: String =
+    """WITH d AS (SELECT event_type, SUM(value) AS tot FROM events
+      |           GROUP BY event_type),
+      |sel AS (SELECT event_type FROM d
+      |        WHERE tot > (SELECT AVG(tot) FROM d))
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |       round(SUM(e.value), 2) AS sum_value,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN sel USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_metrics" -> (qSkewMetrics _),
+    "q_dpp_join" -> (qDppJoin _),
     "q_quality_constraints" -> (qQualityConstraints _),
     "q_window_range" -> (qWindowRange _),
     "q_table_profile" -> (qTableProfile _),
@@ -1103,6 +1223,8 @@ object RelationalOps {
     "q_filter_pushdown" -> qFilterPushdownOracle,
     "q_broadcast_join" -> qBroadcastJoinOracle,
     "q_shuffle_join" -> qShuffleJoinOracle,
+    "q_skew_metrics" -> qSkewMetricsOracle,
+    "q_dpp_join" -> qDppJoinOracle,
     "q_bloom_join" -> qBloomJoinOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
     "q_topk_revenue" -> qTopkRevenueOracle,

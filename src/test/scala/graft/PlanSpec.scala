@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
 
+  test("dpp join: the partitioned fact scan carries a dynamicpruning " +
+      "partition filter (static pruning is impossible here)") {
+    val plan = finalPlan(RelationalOps.qDppJoin(spark, dir))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("grouped aggregation is partial+final hash aggregate") {
     val plan = finalPlan(RelationalOps.q1PricingSummary(spark, dir))
     assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
