@@ -1173,8 +1173,62 @@ object RelationalOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Statistical-moment aggregates per return flag. stddev_samp /
+    * var_samp / corr / covar_samp are used natively — Spark and DuckDB
+    * implement the same sample formulas bit-compatibly at 4 dp.
+    * Skewness is NOT: Spark's `skewness` is the population moment g1
+    * while DuckDB's applies the sample bias correction G1, so the query
+    * computes g1 explicitly from power sums — the same algebra in both
+    * engines (the [[graft.operators.EventOps]] series-corr convention),
+    * which also documents the trap for anyone reaching for the builtin.
+    */
+  def qMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"),
+        sum(col("l_quantity") * col("l_quantity") * col("l_quantity")).as("s3"))
+      .withColumn("mean", col("s1") / col("n_rows"))
+      .withColumn("m2", col("s2") / col("n_rows") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n_rows")
+        - lit(3.0) * col("mean") * col("s2") / col("n_rows")
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("skew_qty", round(col("m3") / pow(col("m2"), 1.5), 4))
+      .select(col("l_returnflag"), col("n_rows"), col("sd_qty"),
+        col("var_price"), col("corr_qty_price"), col("cov_qty_disc"),
+        col("skew_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val qMomentsOracle: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_rows,
+      |         round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |         round(var_samp(l_extendedprice), 4) AS var_price,
+      |         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |         round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+      |         SUM(l_quantity) AS s1,
+      |         SUM(l_quantity * l_quantity) AS s2,
+      |         SUM(l_quantity * l_quantity * l_quantity) AS s3
+      |  FROM lineitem GROUP BY l_returnflag),
+      |b AS (
+      |  SELECT *, s1 / n_rows AS mean,
+      |         s2 / n_rows - (s1 / n_rows) * (s1 / n_rows) AS m2,
+      |         s3 / n_rows - 3.0 * (s1 / n_rows) * s2 / n_rows
+      |           + 2.0 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) AS m3
+      |  FROM a)
+      |SELECT l_returnflag, n_rows, sd_qty, var_price, corr_qty_price,
+      |       cov_qty_disc, round(m3 / pow(m2, 1.5), 4) AS skew_qty
+      |FROM b ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_metrics" -> (qSkewMetrics _),
+    "q_moments" -> (qMoments _),
     "q_dpp_join" -> (qDppJoin _),
     "q_quality_constraints" -> (qQualityConstraints _),
     "q_window_range" -> (qWindowRange _),
@@ -1224,6 +1278,7 @@ object RelationalOps {
     "q_broadcast_join" -> qBroadcastJoinOracle,
     "q_shuffle_join" -> qShuffleJoinOracle,
     "q_skew_metrics" -> qSkewMetricsOracle,
+    "q_moments" -> qMomentsOracle,
     "q_dpp_join" -> qDppJoinOracle,
     "q_bloom_join" -> qBloomJoinOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
