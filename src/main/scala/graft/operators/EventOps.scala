@@ -471,6 +471,46 @@ object EventOps {
       |GROUP BY ws, event_type
       |ORDER BY ws, event_type""".stripMargin
 
+  /** The STREAMING twin of [[eventsSlidingWindow]] — Spark's canonical
+    * structured-streaming aggregation: the same sliding `window()` agg
+    * run in APPEND mode under a 0-delay watermark, driven through
+    * ascending time waves; a window emits exactly once, when the
+    * watermark proves it closed. Two far-future sentinel rows (a
+    * filtered-out event type) push the final watermark past every real
+    * window, so the finalized stream output must equal the BATCH
+    * sliding-window result row-for-row — the two entries share one
+    * DuckDB oracle, which is the strongest equivalence statement the
+    * harness can make: batch plan, streaming state machine, and DuckDB
+    * all agree on the same bytes. State is bounded by the watermark
+    * horizon (windows inside width of the front), not the stream.
+    */
+  def eventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = withMicros(Tables.events(spark, dir))
+      .select(col("event_type"), expr("us div 1000").as("ms"), col("value"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val frame = ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
+      .unionByName(Seq(
+        (" s1", hi + 2 * SlideWidthMs, 0.0, StatefulChunks.toLong),
+        (" s2", hi + 4 * SlideWidthMs, 0.0, StatefulChunks + 1L))
+        .toDF("event_type", "ms", "value", "wave"))
+    driveWaves(spark, frame, "event_type STRING, ms LONG, value DOUBLE",
+      StatefulChunks + 2L, "win_stream") { src =>
+      src.select(col("event_type"), timestamp_millis(col("ms")).as("t"),
+          col("value"))
+        .withWatermark("t", "0 seconds")
+        .groupBy(window(col("t"), s"$SlideWidthMs milliseconds",
+          s"$SlideStepMs milliseconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+    }
+      .filter(!col("event_type").startsWith(" "))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
   /** Hourly admission cap for [[eventsQuotaStream]]. */
   val QuotaCapPerHour = 2L
 
@@ -1756,6 +1796,7 @@ object EventOps {
     "events_quota_stream" -> (eventsQuotaStream _),
     "events_variant_props" -> (eventsVariantProps _),
     "events_sliding_window" -> (eventsSlidingWindow _),
+    "events_window_stream" -> (eventsWindowStream _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1790,6 +1831,9 @@ object EventOps {
     "events_quota_stream" -> eventsQuotaStreamOracle,
     "events_variant_props" -> eventsVariantPropsOracle,
     "events_sliding_window" -> eventsSlidingWindowOracle,
+    // the streaming twin is oracle-checked against the SAME batch SQL:
+    // finalized append-mode output must equal the batch sliding window
+    "events_window_stream" -> eventsSlidingWindowOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,
