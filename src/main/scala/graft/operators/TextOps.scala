@@ -1592,7 +1592,76 @@ object TextOps {
       |         AS kept_docid_sum
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  /** Hashed-feature space size for [[textDsirWeights]]. */
+  val DsirBuckets = 64
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * with Importance Resampling"): score every document by how much
+    * more likely its hashed-token bag is under the TARGET distribution
+    * (here: the `en` shard) than under the RAW corpus distribution —
+    * weight = sum_f count_f(doc) * [ln p_tgt(f) − ln p_raw(f)] over
+    * [[DsirBuckets]] md5-hashed unigram features with Laplace
+    * smoothing. This is the standard cheap proxy for "select raw data
+    * that looks like the high-quality target" at pretraining scale.
+    *
+    * Scale shape: two token-keyed partial aggregations (per-bucket
+    * global counts — a [[DsirBuckets]]-row table — and per-(doc,
+    * bucket) counts), then the bucket->lambda table broadcasts back;
+    * no join ever carries text, and nothing is corpus-quadratic. The
+    * hash is the engine-portable md5-head-mod (the checksum
+    * convention), so DuckDB reproduces weights bit-for-bit.
+    */
+  def textDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(DsirBuckets.toLong)))
+    val counts = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+    val totals = counts.agg(sum(col("raw_n")).as("raw_tot"),
+      sum(col("tgt_n")).as("tgt_tot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tgt_n") + 1.0) / (col("tgt_tot") + DsirBuckets)) -
+          log((col("raw_n") + 1.0) / (col("raw_tot") + DsirBuckets))).as("lam"))
+    tok.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * col("lam")), 4).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDsirWeightsOracle: String =
+    s"""WITH tb AS (
+      |  SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % $DsirBuckets AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |counts AS (
+      |  SELECT b, COUNT(*) AS raw_n,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+      |  FROM tb GROUP BY b),
+      |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+      |               CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM counts),
+      |lam AS (
+      |  SELECT b, ln((tgt_n + 1.0) / (tgt_tot + $DsirBuckets))
+      |          - ln((raw_n + 1.0) / (raw_tot + $DsirBuckets)) AS lam
+      |  FROM counts CROSS JOIN tot),
+      |pd AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM tb
+      |       GROUP BY doc_id, lang, b)
+      |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |       round(SUM(c * lam), 4) AS dsir_weight
+      |FROM pd JOIN lam USING (b)
+      |GROUP BY doc_id, lang
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_weights" -> (textDsirWeights _),
     "text_rag_chunks" -> (textRagChunks _),
     "curation_domain_cap" -> (curationDomainCap _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -1626,6 +1695,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_dsir_weights" -> textDsirWeightsOracle,
     "text_rag_chunks" -> textRagChunksOracle,
     "curation_domain_cap" -> curationDomainCapOracle,
     "text_pii_redact" -> textPiiRedactOracle,
