@@ -429,6 +429,83 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incident window width for [[eventsMergeIntervals]] (10 min). */
+  val IncidentWidthMs = 600000L
+
+  /** Day bucket for the interval-union sweep. */
+  val MergeDayMs = 86400000L
+
+  /** Interval union (merge-overlaps) — total "incident coverage" time:
+    * every error event opens a [[IncidentWidthMs]] window; overlapping
+    * windows merge into disjoint covered intervals. The classic
+    * formulation is a GLOBAL sort + running-max sweep, which does not
+    * scale; this one exploits that set union distributes over clipping:
+    * each interval is clipped into its (at most two) covering day
+    * buckets, and the sweep — islands via `s > max(e) over preceding` —
+    * runs INSIDE each day partition. The merged coverage is identical
+    * (clipping at bucket edges preserves the union; a merged interval
+    * that crossed midnight appears as two bucket-clipped intervals whose
+    * union is the same point set), and the plan is one explode (×<=2)
+    * plus one day-partitioned window + aggregate — no global sort ever.
+    * The DuckDB twin runs the same clipped algebra, so the
+    * decomposition itself is oracle-checked.
+    */
+  def eventsMergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(expr("us div 1000").as("s0"))
+      .withColumn("e0", col("s0") + IncidentWidthMs)
+    val pieces = inc
+      .withColumn("day", explode(sequence(expr(s"s0 div $MergeDayMs"),
+        expr(s"(e0 - 1) div $MergeDayMs"))))
+      .select(col("day"),
+        greatest(col("s0"), col("day") * MergeDayMs).as("s"),
+        least(col("e0"), (col("day") + 1) * MergeDayMs).as("e"))
+    val w = Window.partitionBy(col("day")).orderBy(col("s"), col("e"))
+    val maxPrev = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = pieces
+      .withColumn("new_island",
+        when(maxPrev.isNull || col("s") > maxPrev, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("day"), col("island"))
+      .agg(min(col("s")).as("start_ms"), max(col("e")).as("end_ms"),
+        count(lit(1)).as("n_pieces"))
+      .withColumn("dur_ms", col("end_ms") - col("start_ms"))
+      .select(col("day"), col("start_ms"), col("end_ms"), col("n_pieces"),
+        col("dur_ms"))
+      .orderBy(col("start_ms"))
+  }
+
+  val eventsMergeIntervalsOracle: String =
+    s"""WITH inc AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS s0,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + $IncidentWidthMs AS e0
+      |  FROM events WHERE event_type = 'error'),
+      |pieces AS (
+      |  SELECT day,
+      |         greatest(s0, day * $MergeDayMs) AS s,
+      |         least(e0, (day + 1) * $MergeDayMs) AS e
+      |  FROM (SELECT s0, e0,
+      |          unnest(range(s0 // $MergeDayMs, (e0 - 1) // $MergeDayMs + 1)) AS day
+      |        FROM inc)),
+      |isl AS (
+      |  SELECT *, CASE WHEN maxprev IS NULL OR s > maxprev THEN 1 ELSE 0 END
+      |         AS new_island
+      |  FROM (SELECT *, MAX(e) OVER (PARTITION BY day ORDER BY s, e
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS maxprev
+      |        FROM pieces)),
+      |grp AS (
+      |  SELECT *, SUM(new_island) OVER (PARTITION BY day ORDER BY s, e
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl)
+      |SELECT day, MIN(s) AS start_ms, MAX(e) AS end_ms,
+      |       COUNT(*) AS n_pieces, MAX(e) - MIN(s) AS dur_ms
+      |FROM grp GROUP BY day, island
+      |ORDER BY start_ms""".stripMargin
+
   /** Sliding (hopping) window width / slide for [[eventsSlidingWindow]]:
     * 10-minute windows every 5 minutes, so each event lands in exactly
     * width/slide = 2 overlapping windows.
@@ -1797,6 +1874,7 @@ object EventOps {
     "events_variant_props" -> (eventsVariantProps _),
     "events_sliding_window" -> (eventsSlidingWindow _),
     "events_window_stream" -> (eventsWindowStream _),
+    "events_merge_intervals" -> (eventsMergeIntervals _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1834,6 +1912,7 @@ object EventOps {
     // the streaming twin is oracle-checked against the SAME batch SQL:
     // finalized append-mode output must equal the batch sliding window
     "events_window_stream" -> eventsSlidingWindowOracle,
+    "events_merge_intervals" -> eventsMergeIntervalsOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,

@@ -54,6 +54,93 @@ object JoinOps {
       .select(col("__l.*"), col("asof"))
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): each left row gets BOTH the latest right row at-or-
+    * before and the earliest right row at-or-after its timestamp, from
+    * ONE union + one keyed sort — the backward pass is a
+    * `last(ignoreNulls)` over RANGE(unbounded, 0) and the forward pass a
+    * `first(ignoreNulls)` over RANGE(0, unbounded) on the same window
+    * sort (RANGE frames, not ROWS, so equal timestamps are inclusive in
+    * both directions). Half the shuffles of running [[asOfJoin]] twice
+    * with a negated clock.
+    */
+  def asOfNearestJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lSchema = left.select(lStruct).schema.head.dataType
+    val rSchema = right.select(rStruct).schema.head.dataType
+    val l2 = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rSchema).as("__r"))
+    val r2 = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lSchema).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+    l2.unionByName(r2)
+      .withColumn("asof_back", last(col("__r"), ignoreNulls = true)
+        .over(w.rangeBetween(Window.unboundedPreceding, 0)))
+      .withColumn("asof_fwd", first(col("__r"), ignoreNulls = true)
+        .over(w.rangeBetween(0, Window.unboundedFollowing)))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("asof_back"), col("asof_fwd"))
+  }
+
+  /** Oracle-checked query: each purchase joined to the user's NEAREST
+    * click in either direction (tie -> the earlier, backward click).
+    * Only the click timestamp crosses the join, so equal-timestamp
+    * right rows cannot make the output order-dependent.
+    */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val ev = raw.withColumn("us", Tables.eventMicros(raw))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"))
+    asOfNearestJoin(purchases, clicks, "user_id", "us", "us")
+      .withColumn("back_gap", col("us") - col("asof_back.us"))
+      .withColumn("fwd_gap", col("asof_fwd.us") - col("us"))
+      .withColumn("direction",
+        when(col("asof_back.us").isNull && col("asof_fwd.us").isNull,
+          lit("none"))
+          .when(col("asof_fwd.us").isNull ||
+            (col("asof_back.us").isNotNull &&
+              col("back_gap") <= col("fwd_gap")), lit("backward"))
+          .otherwise(lit("forward")))
+      .withColumn("click_us",
+        when(col("direction") === "backward", col("asof_back.us"))
+          .when(col("direction") === "forward", col("asof_fwd.us")))
+      .withColumn("gap_sec", expr(
+        "(CASE WHEN direction = 'backward' THEN back_gap " +
+          "WHEN direction = 'forward' THEN fwd_gap END) div 1000000"))
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("click_us"), col("gap_sec"), col("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofNearestOracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'click'),
+      |b AS (SELECT p.event_id, p.user_id, p.us, c.us AS back_us
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us),
+      |f AS (SELECT p.event_id, c.us AS fwd_us
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.us),
+      |d AS (SELECT b.*, f.fwd_us,
+      |        CASE WHEN b.back_us IS NULL AND f.fwd_us IS NULL THEN 'none'
+      |             WHEN f.fwd_us IS NULL OR (b.back_us IS NOT NULL
+      |                  AND b.us - b.back_us <= f.fwd_us - b.us) THEN 'backward'
+      |             ELSE 'forward' END AS direction
+      |      FROM b JOIN f USING (event_id))
+      |SELECT event_id, user_id, us AS purchase_us,
+      |       CASE WHEN direction = 'backward' THEN back_us
+      |            WHEN direction = 'forward' THEN fwd_us END AS click_us,
+      |       (CASE WHEN direction = 'backward' THEN us - back_us
+      |             WHEN direction = 'forward' THEN fwd_us - us END) // 1000000
+      |         AS gap_sec,
+      |       direction
+      |FROM d ORDER BY event_id""".stripMargin
+
   /** Oracle-checked query: each purchase event joined to the user's
     * latest prior click, with the gap in seconds.
     */
@@ -198,11 +285,13 @@ object JoinOps {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_salted_join" -> (qSaltedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinOracle,
     "q_asof_native" -> qAsofJoinOracle,
     "q_asof_tolerance" -> qAsofToleranceOracle,
+    "q_asof_nearest" -> qAsofNearestOracle,
     "q_salted_join" -> qSaltedJoinOracle)
 }
