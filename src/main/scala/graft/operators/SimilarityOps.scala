@@ -1386,6 +1386,34 @@ object SimilarityOps {
       |       MAX(dim) AS dim
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** ANN quality measured AS A QUERY: per-query recall@k of the IVF
+    * search against the exact brute-force search — the evaluation
+    * harness is itself an oracle-checked operator, composed from the
+    * two existing operators exactly the way its DuckDB twin is composed
+    * from their two oracle SQLs (each embedded as a subquery). At scale
+    * this is the nightly index-health report: it touches only the two
+    * k×|queries| result sets, never the corpus.
+    */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val brute = simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = simIvfTopk(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(TopK.toDouble), 4))
+      .orderBy(col("query_id"))
+  }
+
+  lazy val simRecallReportOracle: String =
+    s"""WITH b AS ($simTopkBruteforceOracle),
+      |     i AS ($simIvfTopkOracle)
+      |SELECT b.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+      |       round(COUNT(i.vec_id) / ${TopK.toDouble}, 4) AS recall
+      |FROM b LEFT JOIN i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   /** Matryoshka (MRL) prefix width for the coarse pass: cosine over the
     * first 16 of 64 dims — MRL-trained embeddings front-load information
     * so a prefix is itself a valid (coarser) embedding.
@@ -1557,7 +1585,8 @@ object SimilarityOps {
     "sim_centroids" -> (simCentroids _),
     "sim_quantize" -> (simQuantize _),
     "sim_matryoshka_rerank" -> (simMatryoshkaRerank _),
-    "sim_bitext_margin" -> (simBitextMargin _))
+    "sim_bitext_margin" -> (simBitextMargin _),
+    "sim_recall_report" -> (simRecallReport _))
 
   def oracles: Map[String, String] = Map(
     "sim_embedding_stats" -> simEmbeddingStatsOracle,
@@ -1574,5 +1603,6 @@ object SimilarityOps {
     "sim_centroids" -> simCentroidsOracle,
     "sim_quantize" -> simQuantizeOracle,
     "sim_matryoshka_rerank" -> simMatryoshkaRerankOracle,
-    "sim_bitext_margin" -> simBitextMarginOracle)
+    "sim_bitext_margin" -> simBitextMarginOracle,
+    "sim_recall_report" -> simRecallReportOracle)
 }
