@@ -1173,6 +1173,71 @@ object RelationalOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  private val dynOvPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Idempotent partition backfill via DYNAMIC partition overwrite — the
+    * warehouse correction pattern: events live day-partitioned; one day
+    * is recomputed (here: values doubled) and written with
+    * `partitionOverwriteMode=dynamic` + mode=overwrite, which replaces
+    * ONLY the partitions present in the written frame. Static overwrite
+    * would truncate the whole table; append would duplicate the day.
+    * The untouched days' files are left byte-identical (PlanSpec-style
+    * assertion lives in IntervalNearestSpec's sibling MaintenanceSpec
+    * conventions — asserted in DynamicOverwriteSpec), and re-running the
+    * backfill converges on the same content. The DuckDB twin recomputes
+    * the corrected table from the raw events with a CASE — so the
+    * layout surgery must land exactly the logical update, nothing more.
+    */
+  private[graft] def ensureBackfilledEvents(spark: SparkSession,
+      dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.System.identityHashCode(spark.sparkContext)
+    var path = dynOvPaths.get(key)
+    if (path == null) dynOvPaths.synchronized {
+      path = dynOvPaths.get(key)
+      if (path == null) {
+        path = java.nio.file.Files
+          .createTempDirectory("graft_dynov_events").toString
+        val ev = Tables.events(spark, dir)
+        val days = ev.select(Tables.eventMicros(ev).as("us"),
+          col("user_id"), col("value"))
+          .withColumn("day", expr("us div 86400000000"))
+        days.write.mode("overwrite").partitionBy("day").parquet(path)
+        val day0 = days.agg(min(col("day"))).head().getLong(0)
+        val corrected = spark.read.parquet(path)
+          .filter(col("day") === day0)
+          .withColumn("value", col("value") * 2)
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(modeKey)
+        spark.conf.set(modeKey, "dynamic")
+        try corrected.write.mode("overwrite").partitionBy("day").parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set(modeKey, v)
+          case None => spark.conf.unset(modeKey)
+        }
+        dynOvPaths.put(key, path)
+      }
+    }
+    path
+  }
+
+  def qDynamicOverwrite(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureBackfilledEvents(spark, dir))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"))
+
+  val qDynamicOverwriteOracle: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, value
+      |  FROM events),
+      |d0 AS (SELECT MIN(day) AS day0 FROM e)
+      |SELECT day, COUNT(*) AS n_events,
+      |       round(SUM(CASE WHEN day = (SELECT day0 FROM d0)
+      |                      THEN value * 2 ELSE value END), 2) AS sum_value
+      |FROM e GROUP BY day ORDER BY day""".stripMargin
+
   /** Statistical-moment aggregates per return flag. stddev_samp /
     * var_samp / corr / covar_samp are used natively — Spark and DuckDB
     * implement the same sample formulas bit-compatibly at 4 dp.
@@ -1229,6 +1294,7 @@ object RelationalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_metrics" -> (qSkewMetrics _),
     "q_moments" -> (qMoments _),
+    "q_dynamic_overwrite" -> (qDynamicOverwrite _),
     "q_dpp_join" -> (qDppJoin _),
     "q_quality_constraints" -> (qQualityConstraints _),
     "q_window_range" -> (qWindowRange _),
@@ -1279,6 +1345,7 @@ object RelationalOps {
     "q_shuffle_join" -> qShuffleJoinOracle,
     "q_skew_metrics" -> qSkewMetricsOracle,
     "q_moments" -> qMomentsOracle,
+    "q_dynamic_overwrite" -> qDynamicOverwriteOracle,
     "q_dpp_join" -> qDppJoinOracle,
     "q_bloom_join" -> qBloomJoinOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
