@@ -261,14 +261,15 @@ object EventOps {
     * makes every drive's oracle expressible as plain batch SQL.
     */
   private def driveWaves(spark: SparkSession, rows: DataFrame,
-      schema: String, nWaves: Long, name: String)(
+      schema: String, nWaves: Long, name: String,
+      statePartitions: Int = 1)(
       transform: DataFrame => DataFrame): DataFrame = {
     val root = harnessTempDir(s"graft_${name}_")
     val (stage, srcDir) = (s"$root/stage", s"$root/src")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
     stageWaves(rows, stage)
     try {
-      withHarnessConf(spark) {
+      withHarnessConf(spark, statePartitions) {
         val src = spark.readStream.schema(schema).parquet(srcDir)
         val q = transform(src)
           .writeStream.outputMode("append").format("memory")
@@ -310,12 +311,18 @@ object EventOps {
     * otherwise recompile codegen for ~100-row inputs). Production state
     * sizing belongs to the cluster conf, not the operator.
     */
-  private def withHarnessConf[A](spark: SparkSession)(body: => A): A = {
+  private def withHarnessConf[A](spark: SparkSession,
+      statePartitions: Int = 1)(body: => A): A = {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.noDataMicroBatches.enabled",
       "spark.sql.codegen.wholeStage")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(keys(0), "1")
+    // default 1 state partition (tiny per-wave slices — a 32-partition
+    // store is 32x commit overhead for nothing); drives whose per-key
+    // state work GROWS with the fixture (the timer-sweeping quota job)
+    // pass a small >1 width so key processing parallelizes while commit
+    // overhead stays bounded
+    spark.conf.set(keys(0), statePartitions.toString)
     spark.conf.set(keys(1), "false")
     spark.conf.set(keys(2), "false")
     try body finally prev.foreach {
@@ -603,7 +610,7 @@ object EventOps {
     withRocksDb(spark) {
       driveWaves(spark, sessionWaveFrame(spark, dir),
         "key LONG, ms LONG, value DOUBLE", StatefulChunks + 2L,
-        "tws_quota") { src =>
+        "tws_quota", statePartitions = 4) { src =>
         import src.sparkSession.implicits._
         graft.streaming.TwsQuotaJob.quota(
           src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
