@@ -436,6 +436,108 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-user RFM feature vector — the feature-store shape: one pass
+    * over events builds recency (seconds since the user's last event,
+    * against the corpus max as "now"), frequency (events per active
+    * day), monetary (purchase value sum) and shape features (distinct
+    * types, mean inter-event gap). One keyed shuffle, partial+final
+    * aggregation; the corpus-max "now" broadcasts as a 1-row frame. At
+    * 100 TB this is the nightly feature job whose output feeds training
+    * joins — every feature here is a pure aggregate, so the job is
+    * incremental-friendly (all of them merge from partials).
+    */
+  def eventsUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    val now = ev.agg(max(col("us")).as("now_us"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("monetary"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        expr("count(DISTINCT event_type)").as("n_types"),
+        expr("count(DISTINCT us div 86400000000)").as("active_days"))
+      .crossJoin(broadcast(now))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("monetary"),
+        expr("(now_us - last_us) div 1000000").as("recency_sec"),
+        round(col("n_events") / col("active_days"), 4)
+          .as("events_per_active_day"),
+        when(col("n_events") > 1,
+          expr("((last_us - first_us) div (n_events - 1)) div 1000000"))
+          .as("mean_gap_sec"),
+        col("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsUserFeaturesOracle: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |now_t AS (SELECT MAX(us) AS now_us FROM e),
+      |g AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_purchases,
+      |         round(SUM(CASE WHEN event_type = 'purchase' THEN value
+      |                        ELSE 0.0 END), 2) AS monetary,
+      |         MIN(us) AS first_us, MAX(us) AS last_us,
+      |         COUNT(DISTINCT event_type) AS n_types,
+      |         COUNT(DISTINCT us // 86400000000) AS active_days
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n_events, n_purchases, monetary,
+      |       (now_us - last_us) // 1000000 AS recency_sec,
+      |       round(n_events / CAST(active_days AS DOUBLE), 4)
+      |         AS events_per_active_day,
+      |       CASE WHEN n_events > 1
+      |            THEN ((last_us - first_us) // (n_events - 1)) // 1000000
+      |       END AS mean_gap_sec,
+      |       n_types
+      |FROM g CROSS JOIN now_t
+      |ORDER BY user_id""".stripMargin
+
+  /** Embargo gap for [[eventsTimeSplit]] (1 day in micros). */
+  val EmbargoUs = 86400000000L
+
+  /** Time-based train/test split with an EMBARGO gap — the forecasting
+    * split that [[graft.operators.DedupOps]]' leakage-safe split is to
+    * dedup: the cutoff sits at 80% of the observed time range, training
+    * takes everything at least [[EmbargoUs]] BEFORE the cutoff, test
+    * takes everything at-or-after it, and the embargo band between is
+    * dropped so near-boundary leakage (a label window crossing the
+    * cutoff) is impossible by construction. Pure integer arithmetic on
+    * the corpus min/max — deterministic at every scale, no sampling.
+    */
+  def eventsTimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+    val bounds = broadcast(ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(col("lo"), col("hi"),
+        (col("lo") + expr("((hi - lo) * 4) div 5")).as("cutoff")))
+    ev.crossJoin(bounds)
+      .withColumn("split",
+        when(col("us") <= col("cutoff") - EmbargoUs, "train")
+          .when(col("us") >= col("cutoff"), "test")
+          .otherwise("embargo"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy(col("split"))
+  }
+
+  val eventsTimeSplitOracle: String =
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi,
+      |             MIN(us) + ((MAX(us) - MIN(us)) * 4) // 5 AS cutoff
+      |      FROM e)
+      |SELECT CASE WHEN us <= cutoff - $EmbargoUs THEN 'train'
+      |            WHEN us >= cutoff THEN 'test'
+      |            ELSE 'embargo' END AS split,
+      |       COUNT(*) AS n, MIN(us) AS min_us, MAX(us) AS max_us
+      |FROM e CROSS JOIN b
+      |GROUP BY split ORDER BY split""".stripMargin
+
   /** Incident window width for [[eventsMergeIntervals]] (10 min). */
   val IncidentWidthMs = 600000L
 
@@ -1882,6 +1984,8 @@ object EventOps {
     "events_sliding_window" -> (eventsSlidingWindow _),
     "events_window_stream" -> (eventsWindowStream _),
     "events_merge_intervals" -> (eventsMergeIntervals _),
+    "events_user_features" -> (eventsUserFeatures _),
+    "events_time_split" -> (eventsTimeSplit _),
     "events_ohlc" -> (eventsOhlc _),
     "events_state_intervals" -> (eventsStateIntervals _),
     "events_cohort_retention" -> (eventsCohortRetention _),
@@ -1920,6 +2024,8 @@ object EventOps {
     // finalized append-mode output must equal the batch sliding window
     "events_window_stream" -> eventsSlidingWindowOracle,
     "events_merge_intervals" -> eventsMergeIntervalsOracle,
+    "events_user_features" -> eventsUserFeaturesOracle,
+    "events_time_split" -> eventsTimeSplitOracle,
     "events_ohlc" -> eventsOhlcOracle,
     "events_state_intervals" -> eventsStateIntervalsOracle,
     "events_cohort_retention" -> eventsCohortRetentionOracle,
