@@ -1173,6 +1173,63 @@ object RelationalOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Ordered array aggregation, emitted as a joined string because the
+    * verification driver's value hasher needs scalar columns — the
+    * ORDER inside the aggregate is the point (collect_list alone is
+    * nondeterministic across partition arrival; `sort_array` after
+    * collection restores a canonical order cheaply, the same contract
+    * as DuckDB's `string_agg(... ORDER BY ...)`).
+    */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("l_linenumber").cast("long"))))
+        .as("linenumbers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey"))
+
+  val qArrayAggOracle: String =
+    """SELECT l_orderkey,
+      |       string_agg(CAST(l_linenumber AS BIGINT), ','
+      |                  ORDER BY l_linenumber) AS linenumbers,
+      |       COUNT(*) AS n
+      |FROM lineitem WHERE l_orderkey <= 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of vanishing — the semantics CDC merge
+    * keys need when the business key is nullable. Keys are punched to
+    * null with NULLIF so both engines join the same null population;
+    * the null-bucket row in the output is the proof the join used
+    * null-safe semantics (a plain equi-join drops it entirely).
+    */
+  def qNullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(nullif(col("user_id") % 10, lit(5)).as("k"), col("value"))
+    val dim = Tables.events(spark, dir)
+      .select(nullif(col("user_id") % 10, lit(5)).as("k"))
+      .distinct()
+      .withColumn("bucket",
+        when(col("k").isNull, "null-bucket").otherwise("residue"))
+    ev.join(dim, ev("k") <=> dim("k"))
+      .groupBy(dim("k").as("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val qNullsafeJoinOracle: String =
+    """WITH e AS (SELECT NULLIF(user_id % 10, 5) AS k, value FROM events),
+      |d AS (SELECT DISTINCT NULLIF(user_id % 10, 5) AS k FROM events),
+      |d2 AS (SELECT k, CASE WHEN k IS NULL THEN 'null-bucket'
+      |                      ELSE 'residue' END AS bucket FROM d)
+      |SELECT d2.k, d2.bucket, COUNT(*) AS n,
+      |       round(SUM(e.value), 2) AS sum_value
+      |FROM e JOIN d2 ON e.k IS NOT DISTINCT FROM d2.k
+      |GROUP BY d2.k, d2.bucket
+      |ORDER BY d2.k NULLS FIRST""".stripMargin
+
   private val dynOvPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Idempotent partition backfill via DYNAMIC partition overwrite — the
@@ -1295,6 +1352,8 @@ object RelationalOps {
     "q_skew_metrics" -> (qSkewMetrics _),
     "q_moments" -> (qMoments _),
     "q_dynamic_overwrite" -> (qDynamicOverwrite _),
+    "q_array_agg" -> (qArrayAgg _),
+    "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_dpp_join" -> (qDppJoin _),
     "q_quality_constraints" -> (qQualityConstraints _),
     "q_window_range" -> (qWindowRange _),
@@ -1346,6 +1405,8 @@ object RelationalOps {
     "q_skew_metrics" -> qSkewMetricsOracle,
     "q_moments" -> qMomentsOracle,
     "q_dynamic_overwrite" -> qDynamicOverwriteOracle,
+    "q_array_agg" -> qArrayAggOracle,
+    "q_nullsafe_join" -> qNullsafeJoinOracle,
     "q_dpp_join" -> qDppJoinOracle,
     "q_bloom_join" -> qBloomJoinOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
