@@ -601,6 +601,65 @@ object QueryFuzz {
   /** Seed floor for the moving-aggregate shape. */
   val MovingAggSeedFloor = 7000L
 
+  /** RANGE-frame window shape: value-based frames (`RANGE BETWEEN n
+    * PRECEDING AND m FOLLOWING` over an integer ordering column), the
+    * frame semantics the nearest as-of join builds on. What the family
+    * guards: a RANGE frame is defined by ORDER-COLUMN VALUE, so (a) all
+    * peers of the current row's value are always inside the frame —
+    * tie order can never move an aggregate (unlike ROWS frames, which
+    * need a total order) — and (b) the boundary arithmetic is inclusive
+    * on both ends. Offsets are generated; frames cover preceding-only,
+    * straddling, and following-only.
+    */
+  private def genRangeFrame(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables.filter(_.name != "lineitem"))
+    val id = t.ints.head
+    val v = pick(rnd, t.ints)
+    val n = 1 + rnd.nextInt(40)
+    val m = 1 + rnd.nextInt(40)
+    val (k0Sql, k0Col) = keyOn(rnd, t.ints, t.strings, "k0")
+    val (frameSql, lo, hi) = rnd.nextInt(3) match {
+      case 0 => (s"RANGE BETWEEN $n PRECEDING AND CURRENT ROW",
+        -n.toLong, 0L)
+      case 1 => (s"RANGE BETWEEN $n PRECEDING AND $m FOLLOWING",
+        -n.toLong, m.toLong)
+      case _ => (s"RANGE BETWEEN CURRENT ROW AND $m FOLLOWING",
+        0L, m.toLong)
+    }
+    val aggKind = rnd.nextInt(3)
+    val aggSql = aggKind match {
+      case 0 => "CAST(SUM(v) OVER w AS BIGINT)"
+      case 1 => "MIN(v) OVER w"
+      case _ => "MAX(v) OVER w"
+    }
+    def aggOver(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      aggKind match {
+        case 0 => sum(col("v")).over(w).cast("long")
+        case 1 => min(col("v")).over(w)
+        case _ => max(col("v")).over(w)
+      }
+    val sql =
+      s"""SELECT id, k0, v, $aggSql AS a0,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS a_cnt
+         |FROM (SELECT $id AS id, $k0Sql, $v AS v FROM ${t.name}) s
+         |WINDOW w AS (PARTITION BY k0 ORDER BY v $frameSql)
+         |ORDER BY id""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("k0")).orderBy(col("v"))
+        .rangeBetween(lo, hi)
+      Tables.table(spark, dir, t.name)
+        .select(col(id).as("id"), k0Col, col(v).as("v"))
+        .select(col("id"), col("k0"), col("v"),
+          aggOver(w).as("a0"),
+          count(lit(1)).over(w).as("a_cnt"))
+        .orderBy(col("id"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the RANGE-frame window shape. */
+  val RangeFrameSeedFloor = 10000L
+
   /** Join-null-semantics shape: LEFT / RIGHT / FULL outer joins over an
     * FK edge where NULLIF punches null KEYS into one or both sides and
     * an optional halved right side manufactures unmatched rows. What
@@ -762,6 +821,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= RangeFrameSeedFloor) return genRangeFrame(seed, rnd0)
     if (seed >= EventTimeSeedFloor) return genEventTime(seed, rnd0)
     if (seed >= JoinNullsSeedFloor) return genJoinNulls(seed, rnd0)
     if (seed >= MovingAggSeedFloor) return genMovingAgg(seed, rnd0)
@@ -1003,7 +1063,10 @@ object QueryFuzz {
       // event-time bucketing shapes over the events table (truncation /
       // extraction buckets, time-range + type predicates) — added with
       // the r7 fixture-type fix to pin event-time calendar semantics
-      9000L, 9001L, 9002L, 9003L, 9004L, 9005L)
+      9000L, 9001L, 9002L, 9003L, 9004L, 9005L,
+      // RANGE-frame (value-based) window shapes — preceding-only,
+      // straddling, and following-only frames over integer orderings
+      10000L, 10001L, 10002L, 10003L, 10004L, 10005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -55,7 +55,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.IntervalSeedFloor until QueryFuzz.IntervalSeedFloor + 20L) ++
       (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L) ++
       (QueryFuzz.JoinNullsSeedFloor until QueryFuzz.JoinNullsSeedFloor + 20L) ++
-      (QueryFuzz.EventTimeSeedFloor until QueryFuzz.EventTimeSeedFloor + 20L)
+      (QueryFuzz.EventTimeSeedFloor until QueryFuzz.EventTimeSeedFloor + 20L) ++
+      (QueryFuzz.RangeFrameSeedFloor until QueryFuzz.RangeFrameSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
