@@ -30,7 +30,8 @@ object SparkEntry {
     WeatherOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
       MultimodalOps.queries ++ JoinOps.queries ++ RangeJoinOps.queries ++
-      SourceOps.queries ++ StatsOps.queries ++ graft.fuzz.QueryFuzz.queries
+      SourceOps.queries ++ StatsOps.queries ++ TimeSeriesOps.queries ++
+      graft.fuzz.QueryFuzz.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
     WeatherOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++
       MultimodalOps.oracles ++ JoinOps.oracles ++ RangeJoinOps.oracles ++
-      SourceOps.oracles ++ StatsOps.oracles ++ graft.fuzz.QueryFuzz.oracles
+      SourceOps.oracles ++ StatsOps.oracles ++ TimeSeriesOps.oracles ++
+      graft.fuzz.QueryFuzz.oracles
 }

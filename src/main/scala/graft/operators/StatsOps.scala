@@ -217,13 +217,65 @@ object StatsOps {
       |  FROM documents WHERE strlen(text) >= $ObserveMinChars)
       |ORDER BY stage""".stripMargin
 
+  /** DDSketch relative-error margin: α = 1% plus a hair of fp slack for
+    * values that log-bucket onto a boundary ulp (the bound itself is a
+    * hard guarantee of the sketch, not a statistical one like HLL's).
+    */
+  val DdAlpha = 0.01
+
+  /** Mergeable quantile rollup on the [[graft.functions.DdSketch]]
+    * aggregate — the 100 TB quantile play: exact percentile_disc sorts
+    * the whole column inside each group, while the DD sketch ships
+    * O(log(max/min)/α) bucket counters per partition through a map-side
+    * partial aggregate and still lands within relative α of the true
+    * order statistic — deterministically, for ANY partitioning, because
+    * bucket counts are a pure function of the input multiset. Output is
+    * self-validating (exact values + in-engine α-bound booleans, the
+    * q_approx_agg convention): the estimates' log/pow arithmetic has no
+    * cross-engine bit contract, but the BOUND holding is order- and
+    * partitioning-independent, so the oracle asserts it as TRUE.
+    */
+  def qDdQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DdSketch.register(spark)
+    def okCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est - exact) <= lit(DdAlpha * 1.001) * exact
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"dd_sketch(l_extendedprice, $DdAlpha)").as("sk"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50_exact"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p95_exact"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p99_exact"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("p50_exact"), col("p95_exact"), col("p99_exact"),
+        okCol(col("sk.p50"), col("p50_exact")).as("ok_p50"),
+        okCol(col("sk.p95"), col("p95_exact")).as("ok_p95"),
+        okCol(col("sk.p99"), col("p99_exact")).as("ok_p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qDdQuantilesOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       quantile_disc(l_extendedprice, 0.5) AS p50_exact,
+      |       quantile_disc(l_extendedprice, 0.95) AS p95_exact,
+      |       quantile_disc(l_extendedprice, 0.99) AS p99_exact,
+      |       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dd_quantiles" -> (qDdQuantiles _),
     "q_observe_audit" -> (qObserveAudit _),
     "q_sketch_rollup" -> (qSketchRollup _),
     "text_zipf" -> (textZipf _),
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "q_dd_quantiles" -> qDdQuantilesOracle,
     "q_observe_audit" -> qObserveAuditOracle,
     "q_sketch_rollup" -> qSketchRollupOracle,
     "text_zipf" -> textZipfOracle,
