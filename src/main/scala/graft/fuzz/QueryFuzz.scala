@@ -660,6 +660,74 @@ object QueryFuzz {
   /** Seed floor for the RANGE-frame window shape. */
   val RangeFrameSeedFloor = 10000L
 
+  /** Correlated-scalar-subquery shape: the SQL text puts a correlated
+    * scalar subquery (COUNT plus one of SUM/MIN/MAX over a filtered
+    * child, correlated on the FK) in the SELECT list, while the
+    * DataFrame twin is the MANUALLY DECORRELATED plan — child
+    * pre-aggregated on the FK, left-joined to the parent, COUNT
+    * coalesced to 0. What the family guards is exactly that equivalence:
+    * Catalyst's own subquery decorrelation must agree with the hand
+    * rewrite on empty-group semantics — a missing child group is
+    * COUNT() = 0 but SUM/MIN/MAX = NULL — and on never dropping or
+    * duplicating parent rows (the parent key is unique, so output
+    * cardinality is exactly |parent|). The decorrelated shape is also
+    * the 100 TB plan: one key-space-bounded child aggregate + one
+    * broadcastable join, instead of a per-row subquery probe.
+    */
+  private def genScalarSub(seed: Long, rnd: Random): Gen = {
+    val (pt, ct, pk, fk) = pick(rnd, Seq(
+      ("nation", "customer", "n_nationkey", "c_nationkey"),
+      ("nation", "supplier", "n_nationkey", "s_nationkey"),
+      ("region", "nation", "r_regionkey", "n_regionkey"),
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("part", "lineitem", "p_partkey", "l_partkey")))
+    val child = tables.find(_.name == ct).get
+    // child predicate: a double cut when available, else an int modulo
+    val (predSql, predCol) =
+      if (child.doubles.nonEmpty && rnd.nextBoolean()) {
+        val c = pick(rnd, child.doubles)
+        val cut = pick(rnd, doubleCuts(c))
+        if (rnd.nextBoolean()) (s"c.$c >= $cut", col(c) >= cut)
+        else (s"c.$c <= $cut", col(c) <= cut)
+      } else {
+        val c = pick(rnd, child.ints)
+        val m = 2 + rnd.nextInt(4)
+        val r = rnd.nextInt(m)
+        (s"c.$c % $m = $r", col(c) % m === r)
+      }
+    val ac = pick(rnd, child.ints)
+    val (aggSql, aggCol) = rnd.nextInt(3) match {
+      case 0 => (s"CAST(SUM(c.$ac) AS BIGINT)", sum(col(ac)).cast("long"))
+      case 1 => (s"CAST(MIN(c.$ac) AS BIGINT)", min(col(ac)).cast("long"))
+      case _ => (s"CAST(MAX(c.$ac) AS BIGINT)", max(col(ac)).cast("long"))
+    }
+    val sql =
+      s"""SELECT CAST(p.$pk AS BIGINT) AS k0,
+         |       CAST((SELECT COUNT(*) FROM $ct c
+         |             WHERE c.$fk = p.$pk AND $predSql) AS BIGINT) AS a0,
+         |       (SELECT $aggSql FROM $ct c
+         |        WHERE c.$fk = p.$pk AND $predSql) AS a1
+         |FROM $pt p
+         |ORDER BY k0""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val agg = Tables.table(spark, dir, ct)
+        .filter(predCol)
+        .groupBy(col(fk))
+        .agg(count(lit(1)).as("cnt"), aggCol.as("ag"))
+      Tables.table(spark, dir, pt)
+        .join(agg, col(pk) === col(fk), "left")
+        .select(col(pk).cast("long").as("k0"),
+          coalesce(col("cnt"), lit(0L)).as("a0"),
+          col("ag").as("a1"))
+        .orderBy(col("k0"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the correlated-scalar-subquery shape. */
+  val ScalarSubSeedFloor = 11000L
+
   /** Join-null-semantics shape: LEFT / RIGHT / FULL outer joins over an
     * FK edge where NULLIF punches null KEYS into one or both sides and
     * an optional halved right side manufactures unmatched rows. What
@@ -821,6 +889,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= ScalarSubSeedFloor) return genScalarSub(seed, rnd0)
     if (seed >= RangeFrameSeedFloor) return genRangeFrame(seed, rnd0)
     if (seed >= EventTimeSeedFloor) return genEventTime(seed, rnd0)
     if (seed >= JoinNullsSeedFloor) return genJoinNulls(seed, rnd0)
@@ -1066,7 +1135,10 @@ object QueryFuzz {
       9000L, 9001L, 9002L, 9003L, 9004L, 9005L,
       // RANGE-frame (value-based) window shapes — preceding-only,
       // straddling, and following-only frames over integer orderings
-      10000L, 10001L, 10002L, 10003L, 10004L, 10005L)
+      10000L, 10001L, 10002L, 10003L, 10004L, 10005L,
+      // correlated-scalar-subquery shapes — SQL subquery vs manually
+      // decorrelated DataFrame plan (empty group => COUNT 0 / agg NULL)
+      11000L, 11001L, 11002L, 11003L, 11004L, 11005L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

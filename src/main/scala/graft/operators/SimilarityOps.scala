@@ -1570,7 +1570,63 @@ object SimilarityOps {
       |SELECT x_id, y_id, sim, margin, (margin >= $BitextThreshold) AS accepted
       |FROM b WHERE brk = 1 ORDER BY x_id""".stripMargin
 
+  /** Mutual-kNN edges kept per graph build. */
+  val MutualK = 3
+
+  /** Mutual-kNN graph construction — the edge set semi-supervised
+    * labeling, graph clustering, and the [[simPagerank]] /
+    * [[simTriangleCount]] analytics all start from: keep (a, b) only if
+    * b is in a's top-[[MutualK]] AND a is in b's top-[[MutualK]]
+    * (mutuality prunes hub vertices — the asymmetric-neighbor noise a
+    * plain kNN graph drags in). Built here exactly within one label cell;
+    * at 100 TB the cell is an LSH/IVF bucket so the pair generation stays
+    * cell-bounded (the [[dedupSemantic]] substrate), and the mutuality
+    * filter is what it is here: re-key the n·k directed edge list by the
+    * canonical unordered pair and keep pairs seen from both ends — a
+    * key-space-sized shuffle of the EDGE LIST, never a second scoring
+    * pass. Cosine symmetry guarantees both directions carry the same
+    * rounded similarity, so count(*) = 2 is the whole mutuality test.
+    */
+  def simKnnMutual(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val sub = Tables.embeddings(spark, dir).filter(col("label") === 0)
+    val pairs = sub.as("a").join(broadcast(sub).as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
+        round(expr("cosine_similarity(a.embedding, b.embedding)"), 6).as("sim"))
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("sim").desc, col("qb"))
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MutualK)
+    knn
+      .groupBy(least(col("qa"), col("qb")).as("a"),
+        greatest(col("qa"), col("qb")).as("b"))
+      .agg(max(col("sim")).as("sim"), count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val simKnnMutualOracle: String =
+    s"""WITH sub AS (SELECT * FROM embeddings WHERE label = 0),
+      |s AS (
+      |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qa
+      |            ORDER BY sim DESC, qb) AS rk
+      |  FROM s),
+      |e AS (SELECT qa, qb, sim FROM r WHERE rk <= $MutualK),
+      |m AS (
+      |  SELECT least(qa, qb) AS a, greatest(qa, qb) AS b,
+      |         MAX(sim) AS sim, COUNT(*) AS c
+      |  FROM e GROUP BY 1, 2)
+      |SELECT a, b, sim FROM m WHERE c = 2 ORDER BY a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_mutual" -> (simKnnMutual _),
     "sim_embedding_stats" -> (simEmbeddingStats _),
     "sim_triangle_count" -> (simTriangleCount _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1589,6 +1645,7 @@ object SimilarityOps {
     "sim_recall_report" -> (simRecallReport _))
 
   def oracles: Map[String, String] = Map(
+    "sim_knn_mutual" -> simKnnMutualOracle,
     "sim_embedding_stats" -> simEmbeddingStatsOracle,
     "sim_triangle_count" -> simTriangleCountOracle,
     "sim_pagerank" -> simPagerankOracle,

@@ -1660,7 +1660,56 @@ object TextOps {
       |GROUP BY doc_id, lang
       |ORDER BY doc_id""".stripMargin
 
+  /** First-occurrence n-gram novelty — the per-document "how much of
+    * this have we already ingested" score that complements the pairwise
+    * dedup family: for each distinct word-trigram shingle, the document
+    * with the minimal doc_id owns the first occurrence; a document's
+    * novelty is the fraction of its distinct shingles it is the first
+    * owner of (1.0 = all-new text, near 0 = recombined boilerplate).
+    * In an incremental ingest doc_id is the arrival order, so this IS
+    * the "new tokens contributed by this batch" curve.
+    *
+    * Plan: the shingle explode is map-side ([[docShingles]]); one
+    * shuffle on the shingle key computes first-owner via a window min
+    * (at 100 TB: hash the shingle to 64 bits first — the
+    * exact-substring substrate — and let AQE split skewed boilerplate
+    * shingles), then one key-space-sized shuffle on doc_id folds the
+    * per-doc ratio. Documents under 3 tokens have no shingles and no
+    * novelty row, identically in both engines.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s"))
+    docShingles(Tables.documents(spark, dir))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") * lit(1.0) / col("n_shingles"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNgramNoveltyOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tri0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |tri AS (SELECT DISTINCT doc_id, s FROM tri0),
+      |f AS (SELECT doc_id, s,
+      |             MIN(doc_id) OVER (PARTITION BY s) AS first_doc
+      |      FROM tri)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_novel,
+      |       round(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+      |             / COUNT(*), 4) AS novelty
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_dsir_weights" -> (textDsirWeights _),
     "text_rag_chunks" -> (textRagChunks _),
     "curation_domain_cap" -> (curationDomainCap _),
@@ -1695,6 +1744,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_dsir_weights" -> textDsirWeightsOracle,
     "text_rag_chunks" -> textRagChunksOracle,
     "curation_domain_cap" -> curationDomainCapOracle,

@@ -38,7 +38,8 @@ class EntrySpec extends AnyFunSuite {
       WeatherOps.queries, RelationalOps.queries, TextOps.queries,
       DedupOps.queries, SimilarityOps.queries, EventOps.queries,
       MultimodalOps.queries, JoinOps.queries, RangeJoinOps.queries,
-      SourceOps.queries, StatsOps.queries, graft.fuzz.QueryFuzz.queries)
+      SourceOps.queries, StatsOps.queries, TimeSeriesOps.queries,
+      graft.fuzz.QueryFuzz.queries)
     // first: this test's module list must track SparkEntry's union (a
     // 10th module added there but not here is list drift, not shadowing)
     val unionKeys = moduleMaps.flatMap(_.keys).toSet

@@ -56,7 +56,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.MovingAggSeedFloor until QueryFuzz.MovingAggSeedFloor + 20L) ++
       (QueryFuzz.JoinNullsSeedFloor until QueryFuzz.JoinNullsSeedFloor + 20L) ++
       (QueryFuzz.EventTimeSeedFloor until QueryFuzz.EventTimeSeedFloor + 20L) ++
-      (QueryFuzz.RangeFrameSeedFloor until QueryFuzz.RangeFrameSeedFloor + 20L)
+      (QueryFuzz.RangeFrameSeedFloor until QueryFuzz.RangeFrameSeedFloor + 20L) ++
+      (QueryFuzz.ScalarSubSeedFloor until QueryFuzz.ScalarSubSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -67,7 +68,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
-    assert(nonEmpty >= 310, s"only $nonEmpty/420 seeds returned rows")
+    assert(nonEmpty >= 330, s"only $nonEmpty/460 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
