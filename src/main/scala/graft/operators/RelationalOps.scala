@@ -1348,7 +1348,49 @@ object RelationalOps {
       |       cov_qty_disc, round(m3 / pow(m2, 1.5), 4) AS skew_qty
       |FROM b ORDER BY l_returnflag""".stripMargin
 
+  /** Higher-order array-function surface (transform / filter / exists /
+    * aggregate / zip_with lambdas) over the embedding vectors —
+    * differentially pinned against DuckDB's list lambdas. These are the
+    * functions that keep per-row vector math INSIDE whole-stage codegen
+    * instead of falling out to a UDF (the 100 TB reason they exist): the
+    * whole projection is one map-only pass, no shuffle. The fold
+    * (`aggregate`) runs left-to-right sequentially in both engines;
+    * element casts go float→double before any arithmetic so both sides
+    * sum the identical double sequence, and 4-dp rounding absorbs the
+    * last-ulp reassociation risk in DuckDB's list_sum.
+    */
+  def qHigherOrderFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).cast("long")
+          .as("n_pos"),
+        round(aggregate(
+          transform(col("embedding"), x => abs(x).cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("l1"),
+        round(aggregate(
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"),
+        round(element_at(array_sort(
+          transform(col("embedding"), x => x.cast("double"))), 58), 4)
+          .as("v58"),
+        exists(col("embedding"), x => x > lit(0.5f)).as("has_gt_half"))
+      .orderBy(col("vec_id"))
+
+  val qHigherOrderFuncsOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+      |       round(list_sum(list_transform(v, x -> abs(x))), 4) AS l1,
+      |       round(list_sum(list_transform(range(1, len(v) + 1),
+      |                      i -> v[i] * v[len(v) + 1 - i])), 4) AS rev_dot,
+      |       round(list_sort(v)[58], 4) AS v58,
+      |       len(list_filter(v, x -> x > 0.5)) > 0 AS has_gt_half
+      |FROM e ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_higher_order_funcs" -> (qHigherOrderFuncs _),
     "q_skew_metrics" -> (qSkewMetrics _),
     "q_moments" -> (qMoments _),
     "q_dynamic_overwrite" -> (qDynamicOverwrite _),
@@ -1389,6 +1431,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_higher_order_funcs" -> qHigherOrderFuncsOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_full_outer" -> qFullOuterOracle,
     "q_lateral_topn" -> qLateralTopnOracle,

@@ -217,6 +217,70 @@ object StatsOps {
       |  FROM documents WHERE strlen(text) >= $ObserveMinChars)
       |ORDER BY stage""".stripMargin
 
+  /** Sketch-intersection margin: three lgK=12 HLL estimates compound
+    * through inclusion-exclusion, so the bound scales with the SUM of
+    * the two set sizes (each estimate's own error scales with its
+    * cardinality); 6% of (|A|+|B|) is ~3.7 sigma over the compounded
+    * error — a regression tripwire, not a hard guarantee, same class as
+    * [[HllMarginPct]].
+    */
+  val HllInterMarginPct = 0.06
+
+  /** Set-intersection estimation from mergeable sketches — the audience
+    * overlap question ("how many users both viewed and clicked, per
+    * day") answered WITHOUT a user-level join: HLL supports union
+    * natively, so the intersection comes from inclusion-exclusion
+    * |A∩B| = est(A) + est(B) − est(A∪B) over three sketches built in
+    * ONE pass / one day-keyed shuffle (conditional sketch inputs — the
+    * union sketch is just the unconditional one because the scan is
+    * already filtered to the two types). At 100 TB the three sketches
+    * per day are the only shuffle payload, and staged per-day sketches
+    * re-aggregate to any coarser grain by byte union (the
+    * [[qSketchRollup]] play) — an exact distinct-intersection needs a
+    * full user-level shuffle per regrain. Self-validating output: the
+    * exact side ALSO comes from inclusion-exclusion (on exact distinct
+    * counts), so DuckDB reproduces every value column and the sketch
+    * bound rides as a constant-true boolean (estimates are
+    * deterministic for a fixed input multiset — DataSketches HLL has no
+    * RNG at build time).
+    */
+  def qHllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.events(spark, dir)
+    val ev = ev0.withColumn("us", Tables.eventMicros(ev0))
+      .filter(col("event_type").isin("view", "click"))
+    val viewers = when(col("event_type") === "view", col("user_id"))
+    val clickers = when(col("event_type") === "click", col("user_id"))
+    ev.withColumn("day", to_date(timestamp_micros(col("us"))))
+      .groupBy(col("day"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(viewers, lit(12))).as("est_a"),
+        hll_sketch_estimate(hll_sketch_agg(clickers, lit(12))).as("est_b"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_u"),
+        countDistinct(viewers).as("exact_a"),
+        countDistinct(clickers).as("exact_b"),
+        countDistinct(col("user_id")).as("exact_u"))
+      .select(col("day"), col("exact_a"), col("exact_b"),
+        (col("exact_a") + col("exact_b") - col("exact_u")).as("exact_inter"),
+        (abs((col("est_a") + col("est_b") - col("est_u")) -
+          (col("exact_a") + col("exact_b") - col("exact_u"))) <=
+          lit(HllInterMarginPct) * (col("exact_a") + col("exact_b")))
+          .as("inter_ok"))
+      .orderBy(col("day"))
+  }
+
+  val qHllIntersectionOracle: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+      |         AS exact_a,
+      |       COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |         AS exact_b,
+      |       COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+      |         + COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |         - COUNT(DISTINCT user_id) AS exact_inter,
+      |       TRUE AS inter_ok
+      |FROM events WHERE event_type IN ('view', 'click')
+      |GROUP BY day ORDER BY day""".stripMargin
+
   /** DDSketch relative-error margin: α = 1% plus a hair of fp slack for
     * values that log-bucket onto a boundary ulp (the bound itself is a
     * hard guarantee of the sketch, not a statistical one like HLL's).
@@ -268,6 +332,7 @@ object StatsOps {
       |ORDER BY l_returnflag""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_intersection" -> (qHllIntersection _),
     "q_dd_quantiles" -> (qDdQuantiles _),
     "q_observe_audit" -> (qObserveAudit _),
     "q_sketch_rollup" -> (qSketchRollup _),
@@ -275,6 +340,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "q_hll_intersection" -> qHllIntersectionOracle,
     "q_dd_quantiles" -> qDdQuantilesOracle,
     "q_observe_audit" -> qObserveAuditOracle,
     "q_sketch_rollup" -> qSketchRollupOracle,

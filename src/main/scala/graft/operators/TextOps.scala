@@ -1708,7 +1708,44 @@ object TextOps {
       |             / COUNT(*), 4) AS novelty
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** k-anonymity threshold and quasi-identifier bucket width. */
+  val KAnonK = 3
+  val KAnonCharBucket = 200
+
+  /** k-anonymity audit over release quasi-identifiers — the privacy
+    * gate a corpus release runs next to [[textPiiRedact]]'s content
+    * scrub: bucket each document's quasi-identifier tuple
+    * (lang, source, length bucket) and flag every equivalence class
+    * smaller than k — classes where metadata alone could re-identify a
+    * contributor. The report is per-class (class count, k-anonymous
+    * flag) plus the re-identification risk mass each class carries
+    * (1/class-size per doc). One exact groupBy on the quasi-identifier
+    * key — key-space-bounded (lang × source × length buckets), map-side
+    * partials do the work at 100 TB; suppression/generalization of the
+    * flagged classes is then a broadcast-join filter over this tiny
+    * report, never a second full shuffle.
+    */
+  def curationKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / lit(KAnonCharBucket)).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("class_size"),
+        (col("class_size") >= KAnonK).as("k_anonymous"),
+        round(lit(1.0) / col("class_size"), 4).as("reident_risk"))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  val curationKAnonymityOracle: String =
+    s"""SELECT lang, source, n_chars // $KAnonCharBucket AS len_bucket,
+      |       COUNT(*) AS class_size,
+      |       COUNT(*) >= $KAnonK AS k_anonymous,
+      |       round(1.0 / COUNT(*), 4) AS reident_risk
+      |FROM documents
+      |GROUP BY lang, source, len_bucket
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_k_anonymity" -> (curationKAnonymity _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_dsir_weights" -> (textDsirWeights _),
     "text_rag_chunks" -> (textRagChunks _),
@@ -1744,6 +1781,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "curation_k_anonymity" -> curationKAnonymityOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_dsir_weights" -> textDsirWeightsOracle,
     "text_rag_chunks" -> textRagChunksOracle,

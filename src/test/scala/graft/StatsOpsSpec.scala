@@ -82,4 +82,32 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum ==
       Tables.documents(spark, dir).count())
   }
+
+  test("hll intersection: bound boolean holds at two scale steps and the " +
+      "exact inclusion-exclusion is internally consistent") {
+    for (d <- Seq(dir, TestSpark.sfDirMid)) {
+      val rows = StatsOps.qHllIntersection(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("inter_ok"), s"sketch bound violated at $d: $r")
+        val (a, b, i) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+          r.getAs[Long]("exact_inter"))
+        assert(i >= 0 && i <= math.min(a, b), s"impossible intersection: $r")
+      }
+    }
+  }
+
+  test("dd quantiles: every alpha-bound boolean holds per group at two " +
+      "scale steps") {
+    for (d <- Seq(dir, TestSpark.sfDirMid)) {
+      val rows = StatsOps.qDdQuantiles(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        Seq("ok_p50", "ok_p95", "ok_p99").foreach(c =>
+          assert(r.getAs[Boolean](c), s"$c false at $d: $r"))
+        assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p95_exact"))
+        assert(r.getAs[Double]("p95_exact") <= r.getAs[Double]("p99_exact"))
+      }
+    }
+  }
 }
