@@ -1744,7 +1744,81 @@ object TextOps {
       |GROUP BY lang, source, len_bucket
       |ORDER BY lang, source, len_bucket""".stripMargin
 
+  /** Sources compared by the KS drift gate. */
+  val KsSourceA = "src1"
+  val KsSourceB = "src2"
+
+  /** Two-sample Kolmogorov–Smirnov drift test between two sources'
+    * quality-score distributions — the distribution-drift gate a
+    * curation pipeline runs when a feed changes upstream (a mean shift
+    * is caught by [[curationSourceStats]]; KS catches shape changes at
+    * equal means). D = max |F_A − F_B| over the pooled support: scores
+    * round to 4 dp and group per distinct value (ties pooled), the two
+    * empirical CDFs come from cumulative window sums over that
+    * DISTINCT-VALUE table — bounded by the rounded score space (≤ 10⁴
+    * rows), so the unpartitioned cumulative window is a bounded-table
+    * sort, not a data-scale one; the only corpus-touching stage is the
+    * per-value count shuffle. The drift flag compares against the
+    * α = 0.05 critical value 1.36·√((n_A+n_B)/(n_A·n_B)), both sides
+    * rounded before the compare so the boolean cannot sit on an ulp.
+    */
+  def curationDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("source"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("v"))
+    val perV = scored.groupBy(col("v"))
+      .agg(sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perV
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("diff",
+        abs(sum(col("c1")).over(wCum) / col("n1")
+          - sum(col("c2")).over(wCum) / col("n2")))
+      .groupBy(col("n1"), col("n2"))
+      .agg(round(max(col("diff")), 4).as("ks_d"))
+      .withColumn("ks_crit",
+        round(lit(1.36) * sqrt((col("n1") + col("n2"))
+          / (col("n1") * col("n2"))), 4))
+      .select(col("n1"), col("n2"), col("ks_d"), col("ks_crit"),
+        (col("ks_d") > col("ks_crit")).as("drifted"))
+  }
+
+  val curationDriftKsOracle: String =
+    s"""WITH scored AS (
+      |  SELECT source,
+      |         round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |               / len(string_split(text, ' ')), 4) AS v
+      |  FROM documents WHERE source IN ('$KsSourceA', '$KsSourceB')),
+      |perv AS (
+      |  SELECT v,
+      |         SUM(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END) AS c1,
+      |         SUM(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END) AS c2
+      |  FROM scored GROUP BY v),
+      |cum AS (
+      |  SELECT SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
+      |         abs(SUM(c1) OVER w * 1.0 / SUM(c1) OVER ()
+      |           - SUM(c2) OVER w * 1.0 / SUM(c2) OVER ()) AS diff
+      |  FROM perv WINDOW w AS (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (
+      |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |         round(MAX(diff), 4) AS ks_d
+      |  FROM cum GROUP BY n1, n2)
+      |SELECT n1, n2, ks_d,
+      |       round(1.36 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 4) AS ks_crit,
+      |       ks_d > round(1.36 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 4)
+      |         AS drifted
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_drift_ks" -> (curationDriftKs _),
     "curation_k_anonymity" -> (curationKAnonymity _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_dsir_weights" -> (textDsirWeights _),
@@ -1781,6 +1855,7 @@ object TextOps {
     "text_bigrams" -> (textBigrams _))
 
   def oracles: Map[String, String] = Map(
+    "curation_drift_ks" -> curationDriftKsOracle,
     "curation_k_anonymity" -> curationKAnonymityOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_dsir_weights" -> textDsirWeightsOracle,

@@ -207,12 +207,77 @@ object TimeSeriesOps {
       |FROM base FULL OUTER JOIN change ON base.user_id = change.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Detrended-residual anomaly detection on the per-type daily series —
+    * the time-series complement of [[EventOps.eventsOutliers]]'s global
+    * median/MAD cut: a centered 7-day moving average estimates the local
+    * trend, the residual's per-type z-score flags days that break from
+    * their OWN neighborhood (a level shift the global cut would absorb).
+    * Both the trend (explicit SUM/COUNT over the ROWS frame) and the
+    * z-score (explicit co-moment algebra, sample variance, NULL-guarded)
+    * avoid opaque AVG/STDDEV so the arithmetic is identical in both
+    * engines; residuals are rounded before feeding the moments, and the
+    * flag thresholds the ROUNDED z so the boolean cannot sit on a
+    * cross-engine ulp. All window stages run over the calendar-bounded
+    * daily table — the one data-touching shuffle is the daily rollup.
+    */
+  def eventsAnomalyResidual(spark: SparkSession, dir: String): DataFrame = {
+    val wTrend = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val wType = Window.partitionBy(col("event_type"))
+    val resid = daily(spark, dir)
+      .withColumn("trend",
+        sum(col("x")).over(wTrend) / count(col("x")).over(wTrend))
+      .withColumn("resid", round(col("x") - col("trend"), 4))
+    val scored = resid
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("s1", sum(col("resid")).over(wType))
+      .withColumn("s2", sum(col("resid") * col("resid")).over(wType))
+      .withColumn("varr",
+        (col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n") * (col("n") - 1)))
+      .withColumn("z",
+        when(col("varr") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("resid") - col("s1") / col("n"))
+            / sqrt(col("varr")), 4)))
+    scored.select(col("event_type"), col("day"), col("x"),
+      col("resid"), col("z"),
+      coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsAnomalyResidualOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |t AS (
+      |  SELECT event_type, day, x,
+      |         round(x - SUM(x) OVER w / COUNT(x) OVER w, 4) AS resid
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |m AS (
+      |  SELECT *, COUNT(*) OVER wt AS n,
+      |         SUM(resid) OVER wt AS s1,
+      |         SUM(resid * resid) OVER wt AS s2
+      |  FROM t WINDOW wt AS (PARTITION BY event_type)),
+      |v AS (
+      |  SELECT *, (n * s2 - s1 * s1) / (n * (n - 1)) AS varr FROM m),
+      |z AS (
+      |  SELECT event_type, day, x, resid,
+      |         CASE WHEN varr <= 0 THEN NULL
+      |              ELSE round((resid - s1 / n) / sqrt(varr), 4) END AS z
+      |  FROM v)
+      |SELECT event_type, day, x, resid, z,
+      |       COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_residual" -> (eventsAnomalyResidual _),
     "events_ewma" -> (eventsEwma _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_anomaly_residual" -> eventsAnomalyResidualOracle,
     "events_ewma" -> eventsEwmaOracle,
     "events_autocorr" -> eventsAutocorrOracle,
     "events_merge_upsert" -> eventsMergeUpsertOracle)
