@@ -1977,7 +1977,81 @@ object EventOps {
       |  ON p.user_id = dim.user_id AND p.us >= dim.eff_from
       |ORDER BY p.event_id""".stripMargin
 
+  /** Streaming percentile monitoring (TwsQuantileJob: one DDSketch
+    * buffer per key on transformWithState ValueState), driven
+    * END-TO-END and reconciled against BOTH ground truths in one
+    * report: the streamed final sketch must (a) equal the batch
+    * `dd_sketch` aggregate BIT-FOR-BIT — DDSketch state is a pure
+    * function of the observed multiset, so wave carving must not move
+    * it — and (b) land inside the hard relative-α bound of the exact
+    * `percentile_disc` order statistics. DuckDB reproduces the exact
+    * columns; both reconciliation results ride as constant-true
+    * booleans (the q_approx_agg convention).
+    */
+  def eventsQuantileStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withMicros(Tables.events(spark, dir))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / StatefulChunks + 1
+    val alpha = StatsOps.DdAlpha
+    val streamed = withRocksDb(spark) {
+      driveWaves(spark,
+        ev.withColumn("wave", expr(s"(ms - $lo) div $width")),
+        "event_type STRING, value DOUBLE, ms LONG", StatefulChunks.toLong,
+        "tws_ddq") { src =>
+        import src.sparkSession.implicits._
+        graft.streaming.TwsQuantileJob.quantiles(
+          src.select(col("event_type").as("key"), col("value"))
+            .as[graft.streaming.ValObs], alpha)
+          .toDF()
+      }
+    }
+    // final cumulative report per key = the emission with the largest n
+    val wFin = Window.partitionBy(col("key")).orderBy(col("n").desc)
+    val fin = streamed.withColumn("rk", row_number().over(wFin))
+      .filter(col("rk") === 1)
+      .select(col("key").as("event_type"), col("n"),
+        col("p50"), col("p95"), col("p99"))
+    graft.functions.DdSketch.register(spark)
+    val batch = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr(s"dd_sketch(value, $alpha)").as("sk"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("p50_exact"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+          .as("p95_exact"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+          .as("p99_exact"),
+        count(lit(1)).as("n_rows"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est - exact) <= lit(alpha * 1.001) * exact
+    fin.join(batch, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        col("p50_exact"), col("p95_exact"), col("p99_exact"),
+        (col("n") === col("n_rows")).as("n_matches"),
+        (col("p50") === col("sk.p50") && col("p95") === col("sk.p95") &&
+          col("p99") === col("sk.p99")).as("stream_equals_batch"),
+        ok(col("p50"), col("p50_exact")).as("ok_p50"),
+        ok(col("p95"), col("p95_exact")).as("ok_p95"),
+        ok(col("p99"), col("p99_exact")).as("ok_p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsQuantileStreamOracle: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |       quantile_disc(value, 0.5) AS p50_exact,
+      |       quantile_disc(value, 0.95) AS p95_exact,
+      |       quantile_disc(value, 0.99) AS p99_exact,
+      |       TRUE AS n_matches, TRUE AS stream_equals_batch,
+      |       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quantile_stream" -> (eventsQuantileStream _),
     "events_scd2_lookup" -> (eventsScd2Lookup _),
     "events_quota_stream" -> (eventsQuotaStream _),
     "events_variant_props" -> (eventsVariantProps _),
@@ -2016,6 +2090,7 @@ object EventOps {
     "events_hourly_pivot" -> (eventsHourlyPivot _))
 
   def oracles: Map[String, String] = Map(
+    "events_quantile_stream" -> eventsQuantileStreamOracle,
     "events_scd2_lookup" -> eventsScd2LookupOracle,
     "events_quota_stream" -> eventsQuotaStreamOracle,
     "events_variant_props" -> eventsVariantPropsOracle,
