@@ -331,7 +331,267 @@ object StatsOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Benford first-digit audit over order totals — the fraud / synthetic
+    * -data tripwire: naturally-occurring amounts follow log10(1 + 1/d)
+    * first-digit frequencies, and a per-digit chi-square contribution
+    * localizes which digit breaks the law. Map-only digit extraction +
+    * one 9-group aggregate — nothing here grows with scale except the
+    * scan.
+    *
+    * The first significant digit comes from the STRING form (first
+    * [1-9] of the shortest-roundtrip decimal rendering, which both
+    * engines produce) rather than `floor(x / 10^floor(log10 x))` —
+    * the float route can misclassify values a ulp below a power of 10,
+    * the string route cannot (scientific notation keeps leading digits,
+    * so even an E-form rendering yields the same first digit). The
+    * expected proportion is rounded to 6 places BEFORE the chi-square
+    * algebra so a libm log10 ulp cannot propagate.
+    */
+  def qBenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = regexp_replace(
+      col("o_totalprice").cast("string"), "[^1-9]", "")
+    val counts = Tables.orders(spark, dir)
+      .select(digits.as("ds"))
+      .filter(length(col("ds")) >= 1) // ANSI-safe: cast only nonempty
+      .select(substring(col("ds"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("exp_p", round(log(10.0,
+        lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("obs_p"),
+        col("exp_p"),
+        round(pow(col("n").cast("double") / col("total") - col("exp_p"), 2)
+          / col("exp_p") * col("total"), 2).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordAuditOracle: String =
+    """WITH ds AS (
+      |  SELECT regexp_replace(CAST(o_totalprice AS VARCHAR),
+      |                        '[^1-9]', '', 'g') AS s
+      |  FROM orders),
+      |c AS (
+      |  SELECT CAST(substr(s, 1, 1) AS INTEGER) AS digit, COUNT(*) AS n
+      |  FROM ds WHERE len(s) >= 1
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT digit, n, SUM(n) OVER () AS total,
+      |         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_p
+      |  FROM c)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE) / total, 4) AS obs_p,
+      |       exp_p,
+      |       round(pow(CAST(n AS DOUBLE) / total - exp_p, 2)
+      |             / exp_p * total, 2) AS chi2_term
+      |FROM t ORDER BY digit""".stripMargin
+
+  /** Deterministic A/B experiment read-out: users are hash-split into
+    * two arms (user_id parity — the assignment every experimentation
+    * platform derives from a stable user key), the per-user metric is
+    * the mean `click` value, and the arms are compared with a Welch
+    * t-statistic from explicit co-moment sums. Two key-space-bounded
+    * aggregates (user rollup, then a 2-row arm rollup) — the only
+    * data-touching shuffle is on user_id, and the t-test itself runs on
+    * two rows regardless of scale.
+    *
+    * Per-user means are rounded BEFORE the arm moments (the
+    * [[TimeSeriesOps]] float discipline: bound the sum-order drift at
+    * the narrowest point), variance is the explicit `(n·s2 − s1²) /
+    * (n·(n−1))` form, and the significance boolean thresholds the
+    * ROUNDED t so it cannot sit on a cross-engine ulp.
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(round(avg(col("value")), 5).as("m"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("varr", (col("n") * col("s2") - col("s1") * col("s1"))
+        / (col("n") * (col("n") - 1)))
+    val t = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n0"),
+      sum(when(col("arm") === 1, col("n"))).as("n1"),
+      sum(when(col("arm") === 0, col("mean"))).as("m0"),
+      sum(when(col("arm") === 1, col("mean"))).as("m1"),
+      sum(when(col("arm") === 0, col("varr"))).as("v0"),
+      sum(when(col("arm") === 1, col("varr"))).as("v1"))
+    t.select(col("n0"), col("n1"),
+      round(col("m0"), 4).as("mean_control"),
+      round(col("m1"), 4).as("mean_treat"),
+      round((col("m1") - col("m0"))
+        / sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 4).as("t_stat"))
+      .withColumn("significant", abs(col("t_stat")) > 1.96)
+  }
+
+  val eventsAbTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, round(AVG(value), 5) AS m,
+      |         CAST(user_id % 2 AS INTEGER) AS arm
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |a AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(m) AS s1, SUM(m * m) AS s2
+      |  FROM u GROUP BY arm),
+      |s AS (
+      |  SELECT arm, n, s1 / n AS mean,
+      |         (n * s2 - s1 * s1) / (n * (n - 1)) AS varr
+      |  FROM a),
+      |w AS (
+      |  SELECT SUM(CASE WHEN arm = 0 THEN n END) AS n0,
+      |         SUM(CASE WHEN arm = 1 THEN n END) AS n1,
+      |         SUM(CASE WHEN arm = 0 THEN mean END) AS m0,
+      |         SUM(CASE WHEN arm = 1 THEN mean END) AS m1,
+      |         SUM(CASE WHEN arm = 0 THEN varr END) AS v0,
+      |         SUM(CASE WHEN arm = 1 THEN varr END) AS v1
+      |  FROM s)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |       round(m0, 4) AS mean_control,
+      |       round(m1, 4) AS mean_treat,
+      |       round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat,
+      |       abs(round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4)) > 1.96
+      |         AS significant
+      |FROM w""".stripMargin
+
+  /** Source-concentration audit: the Lorenz curve + Gini coefficient of
+    * character mass across document sources — the "is our corpus
+    * dominated by three crawls?" gate beside the per-source mean-shift
+    * stats. All mass arithmetic stays in exact BIGINT (n_chars sums,
+    * rank-weighted sums), so the sort order and the Gini numerator are
+    * integer-exact in both engines; doubles appear only in the final
+    * ratios. Gini uses the sorted-rank identity
+    * `G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n` over sources sorted ascending
+    * (tie-broken by name). One |sources|-sized aggregate then
+    * window math over the tiny report — nothing scales with documents
+    * except the rollup scan.
+    */
+  def curationGini(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("mass"), count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("mass"), col("source"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(wCum))
+      .withColumn("total", sum(col("mass")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("iwx", sum(col("rank") * col("mass")).over(wAll))
+      .select(col("source"), col("n_docs"), col("mass"), col("rank"),
+        round(col("cum_mass").cast("double") / col("total"), 4)
+          .as("lorenz_cum_share"),
+        round(lit(2.0) * col("iwx") / (col("n") * col("total"))
+          - (col("n") + lit(1)).cast("double") / col("n"), 4).as("gini"))
+      .orderBy(col("rank"))
+  }
+
+  val curationGiniOracle: String =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass,
+      |         COUNT(*) AS n_docs
+      |  FROM documents GROUP BY source),
+      |rk AS (
+      |  SELECT source, n_docs, mass,
+      |         row_number() OVER (ORDER BY mass, source) AS rank,
+      |         SUM(mass) OVER (ORDER BY mass, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_mass
+      |  FROM s),
+      |r AS (
+      |  SELECT *, CAST(SUM(mass) OVER () AS BIGINT) AS total,
+      |         COUNT(*) OVER () AS n,
+      |         CAST(SUM(rank * mass) OVER () AS BIGINT) AS iwx
+      |  FROM rk)
+      |SELECT source, n_docs, mass, rank,
+      |       round(CAST(cum_mass AS DOUBLE) / total, 4) AS lorenz_cum_share,
+      |       round(2.0 * iwx / (n * total)
+      |             - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+      |FROM r ORDER BY rank""".stripMargin
+
+  /** Decile lift table — the model-evaluation read-out for a ranking
+    * score (here: per-user total `click` value ranking, `purchase` as
+    * the conversion label): users are split into score deciles
+    * (ntile 10, tie-broken by user_id so the split is deterministic in
+    * both engines), and each decile reports its conversion rate, lift
+    * over the base rate, and cumulative capture of all converters.
+    * Shapes: one user_id rollup (the only data-touching shuffle), then
+    * window math over |users| rows and a 10-row aggregate. Scores are
+    * rounded BEFORE ranking so sum-order noise cannot reorder ties.
+    */
+  def eventsDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("event_type") === "click", col("value"))
+          .otherwise(lit(0.0))), 5).as("score"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+    val wRank = Window.orderBy(col("score").desc, col("user_id"))
+    val deciles = perUser
+      .withColumn("decile", ntile(10).over(wRank))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_conv", sum(col("n_conv")).over(wAll))
+      .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_users"), 4)
+          .as("conv_rate"),
+        round((col("n_conv").cast("double") / col("n_users"))
+          / (col("tot_conv").cast("double") / col("tot_users")), 4)
+          .as("lift"),
+        round(col("cum_conv").cast("double") / col("tot_conv"), 4)
+          .as("cum_capture"))
+      .orderBy(col("decile"))
+  }
+
+  val eventsDecileLiftOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         round(SUM(CASE WHEN event_type = 'click' THEN value
+      |                        ELSE 0.0 END), 5) AS score,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS converted
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT ntile(10) OVER (ORDER BY score DESC, user_id) AS decile,
+      |         converted
+      |  FROM u),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n_users,
+      |         CAST(SUM(converted) AS BIGINT) AS n_conv
+      |  FROM d GROUP BY decile),
+      |t AS (
+      |  SELECT decile, n_users, n_conv,
+      |         CAST(SUM(n_users) OVER () AS BIGINT) AS tot_users,
+      |         CAST(SUM(n_conv) OVER () AS BIGINT) AS tot_conv,
+      |         CAST(SUM(n_conv) OVER (ORDER BY decile
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum_conv
+      |  FROM g)
+      |SELECT decile, n_users, n_conv,
+      |       round(CAST(n_conv AS DOUBLE) / n_users, 4) AS conv_rate,
+      |       round((CAST(n_conv AS DOUBLE) / n_users)
+      |             / (CAST(tot_conv AS DOUBLE) / tot_users), 4) AS lift,
+      |       round(CAST(cum_conv AS DOUBLE) / tot_conv, 4) AS cum_capture
+      |FROM t ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_gini" -> (curationGini _),
+    "events_decile_lift" -> (eventsDecileLift _),
+    "q_benford_audit" -> (qBenfordAudit _),
+    "events_ab_test" -> (eventsAbTest _),
     "q_hll_intersection" -> (qHllIntersection _),
     "q_dd_quantiles" -> (qDdQuantiles _),
     "q_observe_audit" -> (qObserveAudit _),
@@ -340,6 +600,10 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "curation_gini" -> curationGiniOracle,
+    "events_decile_lift" -> eventsDecileLiftOracle,
+    "q_benford_audit" -> qBenfordAuditOracle,
+    "events_ab_test" -> eventsAbTestOracle,
     "q_hll_intersection" -> qHllIntersectionOracle,
     "q_dd_quantiles" -> qDdQuantilesOracle,
     "q_observe_audit" -> qObserveAuditOracle,

@@ -270,13 +270,292 @@ object TimeSeriesOps {
       |       COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
       |FROM z ORDER BY event_type, day""".stripMargin
 
+  /** Calendar gap-fill with linear interpolation — the resample operator
+    * every metrics warehouse needs before windowed math is valid: a
+    * sparse per-(user, type) daily series (≈35% of user-type-day cells
+    * are observed in the fixture) is densified to the full calendar
+    * between each series' first and last observation, and the holes are
+    * filled by linear interpolation between the bracketing observed days.
+    *
+    * Plan shape: one shuffle on (user_id, event_type) builds the sparse
+    * daily rollup; the calendar is GENERATED per group (sequence +
+    * explode — map-side, never a cross join against a calendar table);
+    * prev/next observed neighbors come from two frames of the SAME
+    * window sort (last/first over a (day, x) struct, ignoreNulls — one
+    * sort, no self-join). Every missing day is strictly between two
+    * observed days by construction (the calendar is bounded by min/max
+    * observed day per group), so the interpolation never sees a NULL
+    * neighbor. At 100 TB the filled table is |users|·|types|·|days| —
+    * linear in the key space, not the event count, and each group's
+    * calendar explode is local to its reducer.
+    *
+    * Float discipline: the observed series is rounded BEFORE
+    * interpolation; the interpolation expression `pv + (nv - pv) * (Δd /
+    * Δn)` is the same literal tree in both engines (date differences are
+    * exact integers), so the doubles match bit-for-bit before the final
+    * round(4). That is necessary but NOT sufficient: the interpolated
+    * values live on the rational grid (multiples of 1e-5 / Δn), which
+    * LANDS EXACTLY ON the 4-decimal .00005 rounding boundary whenever Δn
+    * divides the scaled gap — and there Spark's decimal-string HALF_UP
+    * and DuckDB's binary-double rounding legitimately disagree (observed
+    * in the fixture: 21.17375 → 21.1738 vs 21.1737). The ε = 5e-10
+    * tie-break nudge (applied in BOTH engines) is one decade below the
+    * grid's minimum off-boundary distance (≥ 5e-9 for Δn ≤ 1000) and
+    * five decades above double noise, so it moves boundary values
+    * deterministically up without ever flipping an off-boundary value.
+    * The user_id % 29 == 3 slice bounds the driver-compared output
+    * (~800 rows at sf0.01) while keeping the operator itself unbounded —
+    * the filter pushes to the parquet scan.
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") % 29 === 3)
+    val sparse = ev
+      .withColumn("day", to_date(timestamp_micros(Tables.eventMicros(ev))))
+      .groupBy(col("user_id"), col("event_type"), col("day"))
+      .agg(round(sum(col("value")), 5).as("x"))
+    val cal = sparse.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+          .as("day"))
+    val filled = cal.join(sparse, Seq("user_id", "event_type", "day"), "left")
+    val ord = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("day"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+    val known = when(col("x").isNotNull,
+      struct(col("day").as("d"), col("x").as("v")))
+    filled
+      .withColumn("p", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("x").isNotNull.as("observed"),
+        round(when(col("x").isNotNull, col("x"))
+          .otherwise(col("p.v") + (col("nx.v") - col("p.v")) *
+            (datediff(col("day"), col("p.d")).cast("double") /
+              datediff(col("nx.d"), col("p.d")).cast("double")))
+          + lit(5e-10), 4)
+          .as("x_filled"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  val eventsGapFillOracle: String =
+    """WITH d AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+      |         round(SUM(value), 5) AS x
+      |  FROM events WHERE user_id % 29 = 3
+      |  GROUP BY user_id, event_type, day),
+      |b AS (
+      |  SELECT user_id, event_type, min(day) AS mn, max(day) AS mx
+      |  FROM d GROUP BY user_id, event_type),
+      |cal AS (
+      |  SELECT user_id, event_type,
+      |         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+      |                                     CAST(mx AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |f AS (
+      |  SELECT c.user_id, c.event_type, c.day, d.x
+      |  FROM cal c LEFT JOIN d USING (user_id, event_type, day)),
+      |n AS (
+      |  SELECT user_id, event_type, day, x,
+      |    last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    last_value(x IGNORE NULLS) OVER wp AS pv,
+      |    first_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wn AS nd,
+      |    first_value(x IGNORE NULLS) OVER wn AS nv
+      |  FROM f WINDOW
+      |    wp AS (PARTITION BY user_id, event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY user_id, event_type ORDER BY day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_type, day, x IS NOT NULL AS observed,
+      |       round((CASE WHEN x IS NOT NULL THEN x
+      |              ELSE pv + (nv - pv) *
+      |                   (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+      |              END) + 5e-10, 4) AS x_filled
+      |FROM n ORDER BY user_id, event_type, day""".stripMargin
+
+  /** Rolling exact median (trailing 7 days) of the per-type daily series
+    * — the robust smoother that, unlike [[eventsEwma]], ignores a single
+    * spike entirely. Exact, not a sketch: the ROWS frame is bounded (≤7
+    * values), so collecting it into a sorted array is O(1) per row and
+    * the plan stays one window sort over the calendar-bounded daily
+    * table. The even-count branch averages the two middle elements with
+    * the SAME `(lo + hi) / 2.0` tree in both engines — deliberately NOT
+    * DuckDB's `median()`, whose quantile interpolation (`lo + (hi - lo)
+    * * 0.5`) can differ from the average in the last ulp. The midpoint
+    * lives on the 5e-6 grid, which can land exactly on the 4-decimal
+    * rounding boundary where the engines' round() implementations
+    * disagree — the ε = 5e-10 tie-break (both engines; see
+    * [[eventsGapFill]]) moves boundary values deterministically up.
+    */
+  def eventsRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val arr = sort_array(collect_list(col("x")).over(w))
+    daily(spark, dir)
+      .withColumn("a", arr)
+      .select(col("event_type"), col("day"), col("x"),
+        round(when(size(col("a")) % 2 === 1,
+            element_at(col("a"), ((size(col("a")) + 1) / 2).cast("int")))
+          .otherwise((element_at(col("a"), (size(col("a")) / 2).cast("int")) +
+            element_at(col("a"), (size(col("a")) / 2 + 1).cast("int")))
+            / lit(2.0)) + lit(5e-10), 4)
+          .as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsRollingMedianOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |l AS (
+      |  SELECT event_type, day, x,
+      |         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+      |  FROM d)
+      |SELECT event_type, day, x,
+      |       round((CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+      |              ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2.0 END)
+      |             + 5e-10, 4) AS med7
+      |FROM l ORDER BY event_type, day""".stripMargin
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern (day minus dense row_number is constant
+    * within a run) every retention dashboard computes. One shuffle on
+    * user_id serves the distinct, the window sort, and both rollups;
+    * per-user state is the active-day list, bounded by the calendar.
+    */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val active = ev
+      .select(col("user_id"),
+        to_date(timestamp_micros(Tables.eventMicros(ev))).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    active
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsStreaksOracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |         day - CAST(row_number() OVER
+      |           (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      |  FROM a),
+      |runs AS (
+      |  SELECT user_id, anchor, COUNT(*) AS len
+      |  FROM g GROUP BY user_id, anchor)
+      |SELECT user_id, MAX(len) AS longest_streak,
+      |       COUNT(*) AS n_streaks,
+      |       CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** CUSUM changepoint localization — the level-shift detector that
+    * complements [[eventsAnomalyResidual]] (which flags single days and
+    * ABSORBS sustained shifts into the trend): the cumulative sum of
+    * mean-centered daily values peaks in absolute value exactly where
+    * the series' level changes, so `argmax |S_i|` localizes the break.
+    * Output per type: the changepoint day, the peak CUSUM, and the
+    * before/after means with their shift.
+    *
+    * Plan: the daily rollup is the only data-touching shuffle; the
+    * CUSUM window, the argmax rank, and the before/after conditional
+    * rollup all run over the calendar-bounded daily table, with the
+    * 1-row-per-type changepoint broadcast back. The argmax ranks by the
+    * ROUNDED |S| (sum-order noise in the centered cumsum is ~1e-11;
+    * ranking raw doubles could flip near-ties across engines) with the
+    * day as a deterministic tiebreak. S and the split means live on the
+    * 1e-5/n rational grid (round-5 inputs, mean denominator n), which
+    * can land exactly on the round-4 boundary — every rounded output
+    * carries the ε = 5e-10 tie-break (see [[eventsGapFill]]; ε is ~50×
+    * the cumsum noise and ~300× under the grid's off-boundary gap).
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val d = daily(spark, dir)
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = wType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cusum = d
+      .withColumn("mu", sum(col("x")).over(wType) / count(lit(1)).over(wType))
+      .withColumn("s", sum(col("x") - col("mu")).over(wCum))
+      .withColumn("s_abs", round(abs(col("s")) + lit(5e-10), 4))
+    val cp = cusum
+      .withColumn("rn", row_number().over(
+        wType.orderBy(col("s_abs").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        round(col("s") + lit(5e-10), 4).as("s_peak"))
+    d.join(broadcast(cp), Seq("event_type"))
+      .groupBy(col("event_type"), col("cp_day"), col("s_peak"))
+      .agg(
+        round(sum(when(col("day") <= col("cp_day"), col("x")))
+          / count(when(col("day") <= col("cp_day"), lit(1))) + lit(5e-10), 4)
+          .as("mean_before"),
+        round(sum(when(col("day") > col("cp_day"), col("x")))
+          / count(when(col("day") > col("cp_day"), lit(1))) + lit(5e-10), 4)
+          .as("mean_after"))
+      .withColumn("shift", round(col("mean_after") - col("mean_before"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsChangepointOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |c AS (
+      |  SELECT event_type, day, x,
+      |         SUM(x - mu) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM (SELECT *, SUM(x) OVER wt / COUNT(*) OVER wt AS mu
+      |        FROM d WINDOW wt AS (PARTITION BY event_type))),
+      |cp AS (
+      |  SELECT event_type, day AS cp_day, round(s + 5e-10, 4) AS s_peak
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY round(abs(s) + 5e-10, 4) DESC, day) AS rn FROM c)
+      |  WHERE rn = 1)
+      |SELECT d.event_type, cp_day, s_peak,
+      |       round(SUM(CASE WHEN day <= cp_day THEN x END)
+      |             / COUNT(CASE WHEN day <= cp_day THEN 1 END) + 5e-10, 4)
+      |         AS mean_before,
+      |       round(SUM(CASE WHEN day > cp_day THEN x END)
+      |             / COUNT(CASE WHEN day > cp_day THEN 1 END) + 5e-10, 4)
+      |         AS mean_after,
+      |       round(round(SUM(CASE WHEN day > cp_day THEN x END)
+      |                   / COUNT(CASE WHEN day > cp_day THEN 1 END) + 5e-10, 4)
+      |             - round(SUM(CASE WHEN day <= cp_day THEN x END)
+      |                     / COUNT(CASE WHEN day <= cp_day THEN 1 END) + 5e-10, 4), 4)
+      |         AS shift
+      |FROM d JOIN cp ON d.event_type = cp.event_type
+      |GROUP BY d.event_type, cp_day, s_peak
+      |ORDER BY d.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> (eventsChangepoint _),
+    "events_gap_fill" -> (eventsGapFill _),
+    "events_rolling_median" -> (eventsRollingMedian _),
+    "events_streaks" -> (eventsStreaks _),
     "events_anomaly_residual" -> (eventsAnomalyResidual _),
     "events_ewma" -> (eventsEwma _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_changepoint" -> eventsChangepointOracle,
+    "events_gap_fill" -> eventsGapFillOracle,
+    "events_rolling_median" -> eventsRollingMedianOracle,
+    "events_streaks" -> eventsStreaksOracle,
     "events_anomaly_residual" -> eventsAnomalyResidualOracle,
     "events_ewma" -> eventsEwmaOracle,
     "events_autocorr" -> eventsAutocorrOracle,

@@ -97,6 +97,73 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("benford audit: digits partition the orders, observed and expected " +
+      "proportions each sum to 1, and chi-square terms are non-negative") {
+    val rows = StatsOps.qBenfordAudit(spark, dir).collect()
+    val digits = rows.map(_.getAs[Int]("digit")).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9), digits.mkString(","))
+    assert(digits.distinct.length == digits.length)
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders,
+      s"digit counts must partition the ${nOrders} orders")
+    val obsSum = rows.map(_.getAs[Double]("obs_p")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-2, s"obs_p sums to $obsSum")
+    // sum_d log10(1 + 1/d) telescopes to log10(10) = 1 exactly
+    if (digits.length == 9) {
+      val expSum = rows.map(_.getAs[Double]("exp_p")).sum
+      assert(math.abs(expSum - 1.0) < 1e-4, s"exp_p sums to $expSum")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0, r.toString))
+  }
+
+  test("ab test: one row, arms partition the click users, and the " +
+      "significance boolean thresholds the reported t") {
+    val rows = StatsOps.eventsAbTest(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val clickUsers = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == clickUsers)
+    val t = r.getAs[Double]("t_stat")
+    assert(!t.isNaN && !t.isInfinite, s"t_stat must be finite: $t")
+    assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+  }
+
+  test("gini: Lorenz curve is monotone to 1.0 and the coefficient " +
+      "stays in [0, 1)") {
+    val rows = StatsOps.curationGini(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("lorenz_cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "Lorenz curve must be nondecreasing")
+    assert(math.abs(shares.last - 1.0) < 1e-9, s"last share ${shares.last}")
+    val gini = rows.head.getAs[Double]("gini")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("gini") - gini) < 1e-9))
+    assert(gini >= 0.0 - 1e-9 && gini < 1.0, s"gini $gini")
+    val totalDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+  }
+
+  test("decile lift: deciles partition the users, capture is monotone " +
+      "to 1.0, and lift times base rate gives the decile rate") {
+    val rows = StatsOps.eventsDecileLift(spark, dir).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    val caps = rows.map(_.getAs[Double]("cum_capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(caps.last - 1.0) < 1e-9, s"final capture ${caps.last}")
+    val base = rows.map(_.getAs[Long]("n_conv")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_users")).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("lift") * base -
+        r.getAs[Double]("conv_rate")) < 2e-4, r.toString)
+    }
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {

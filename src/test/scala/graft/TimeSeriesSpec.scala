@@ -51,6 +51,107 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("gap_fill: each series is a contiguous calendar bounded by observed " +
+      "days, and every interpolated value sits inside its bracket") {
+    val rows = TimeSeriesOps.eventsGapFill(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(byKey.nonEmpty)
+    var sawInterp = false
+    byKey.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      // contiguous calendar: row count == span in days
+      val span = sorted.last.getAs[java.sql.Date]("day").toLocalDate.toEpochDay -
+        sorted.head.getAs[java.sql.Date]("day").toLocalDate.toEpochDay + 1
+      assert(sorted.length.toLong == span, s"calendar has holes: $span vs ${sorted.length}")
+      // boundaries are observed by construction
+      assert(sorted.head.getAs[Boolean]("observed"), "first day must be observed")
+      assert(sorted.last.getAs[Boolean]("observed"), "last day must be observed")
+      // interpolated values inside the bracketing observed values
+      var i = 0
+      while (i < sorted.length) {
+        if (!sorted(i).getAs[Boolean]("observed")) {
+          sawInterp = true
+          val prev = sorted.take(i).reverse.find(_.getAs[Boolean]("observed")).get
+          val next = sorted.drop(i + 1).find(_.getAs[Boolean]("observed")).get
+          val (lo, hi) = (math.min(prev.getAs[Double]("x_filled"),
+            next.getAs[Double]("x_filled")),
+            math.max(prev.getAs[Double]("x_filled"), next.getAs[Double]("x_filled")))
+          val v = sorted(i).getAs[Double]("x_filled")
+          assert(v >= lo - 1e-3 && v <= hi + 1e-3,
+            s"interpolation $v escapes bracket [$lo, $hi]")
+        }
+        i += 1
+      }
+    }
+    assert(sawInterp, "fixture must exercise at least one interpolated day")
+  }
+
+  test("rolling_median: the median stays inside the trailing window " +
+      "envelope and heads equal their own x") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+    val rows = TimeSeriesOps.eventsRollingMedian(spark, dir)
+      .withColumn("lo", min(col("x")).over(w))
+      .withColumn("hi", max(col("x")).over(w))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("med7")
+      assert(m >= r.getAs[Double]("lo") - 1e-6 && m <= r.getAs[Double]("hi") + 1e-6,
+        s"median outside window envelope: $r")
+      if (r.getAs[Int]("rn") == 1)
+        assert(math.abs(m - BigDecimal(r.getAs[Double]("x"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"head median must equal its own x: $r")
+    }
+  }
+
+  test("streaks: per-user accounting is consistent and matches the " +
+      "distinct active-day count") {
+    val rows = TimeSeriesOps.eventsStreaks(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    val expect = ev.select(col("user_id"),
+        to_date(timestamp_micros(Tables.eventMicros(ev))).as("day"))
+      .distinct().groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val (longest, nStreaks, active) = (r.getAs[Long]("longest_streak"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("active_days"))
+      assert(longest >= 1 && longest <= active, r.toString)
+      assert(nStreaks >= 1 && active >= nStreaks, r.toString)
+      // n_streaks runs of total length active_days: longest >= ceil(avg)
+      assert(longest * nStreaks >= active, r.toString)
+      assert(expect(r.getAs[Long]("user_id")) == active,
+        s"active_days disagrees with distinct day count: $r")
+    }
+  }
+
+  test("changepoint: one row per type, the break sits inside the " +
+      "calendar, and the shift is the rounded mean difference") {
+    val rows = TimeSeriesOps.eventsChangepoint(spark, dir).collect()
+    val types = Tables.events(spark, dir)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == types, s"${rows.length} rows vs $types types")
+    val ev = Tables.events(spark, dir)
+    val span = ev.agg(
+      min(to_date(timestamp_micros(Tables.eventMicros(ev)))).as("mn"),
+      max(to_date(timestamp_micros(Tables.eventMicros(ev)))).as("mx")).head()
+    rows.foreach { r =>
+      val cp = r.getAs[java.sql.Date]("cp_day")
+      assert(!cp.before(span.getAs[java.sql.Date]("mn")) &&
+        !cp.after(span.getAs[java.sql.Date]("mx")), s"cp outside span: $r")
+      val (b, a, s) = (r.getAs[Double]("mean_before"),
+        r.getAs[Double]("mean_after"), r.getAs[Double]("shift"))
+      assert(math.abs(s - BigDecimal(a - b).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, r.toString)
+    }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
