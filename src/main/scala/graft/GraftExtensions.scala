@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, SortedIntersectCount, ZInterleave}
+import graft.functions.{CosineSimilarity, JaroWinkler, SortedIntersectCount, ZInterleave}
 
 /** Session-extension entry point for the engine: installs the custom
   * Catalyst functions into any session built with
@@ -54,6 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"z_interleave16(a, b) takes exactly 2 arguments, got ${exprs.length}")
         ZInterleave(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[JaroWinkler].getCanonicalName,
+        null,
+        "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler string similarity in [0, 1]",
+        ""),
+      exprs => {
+        require(exprs.length == 2,
+          s"jaro_winkler(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        JaroWinkler(exprs.head, exprs(1))
       }))
     e.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1606,7 +1606,49 @@ object DedupOps {
       |FROM per CROSS JOIN tot
       |ORDER BY split""".stripMargin
 
+  /** Fuzzy record linkage over the part-name catalog with the native
+    * [[graft.functions.JaroWinkler]] expression — the duplicate class
+    * exact and shingle dedup both misprice: human-entered near-identical
+    * names ("small gizmo" / "small widget") that share a weighted
+    * prefix. The key scale move is collapsing to the DISTINCT name
+    * catalog FIRST (one groupBy carrying the per-name part count): the
+    * quadratic pair enumeration then runs over the bounded catalog
+    * (64 names at any sf — vocabulary-sized, like the BPE/tfidf ops),
+    * never over rows, and parts rejoin by exact equality only. The
+    * within-catalog cross is an intentional broadcast nested-loop of a
+    * tiny side; the JW kernel itself is a codegen'd static call, so the
+    * pair loop stays inside WholeStageCodegen. Threshold compares the
+    * ROUNDED score (repo float discipline), keeping exact matches out
+    * (jw < 1.0) so the report is purely the near-miss surface.
+    */
+  def dedupFuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("p_name").as("n1"), col("n_parts").as("parts1"))
+    val b = names.select(col("p_name").as("n2"), col("n_parts").as("parts2"))
+    a.join(b, col("n1") < col("n2"))
+      .withColumn("jw", round(expr("jaro_winkler(n1, n2)"), 4))
+      .filter(col("jw") >= 0.8 && col("jw") < 1.0)
+      .select(col("n1"), col("n2"), col("jw"), col("parts1"), col("parts2"))
+      .orderBy(col("n1"), col("n2"))
+  }
+
+  val dedupFuzzyLinkageOracle: String =
+    """WITH names AS (
+      |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+      |p AS (
+      |  SELECT a.p_name AS n1, b.p_name AS n2,
+      |         a.n_parts AS parts1, b.n_parts AS parts2
+      |  FROM names a JOIN names b ON a.p_name < b.p_name)
+      |SELECT n1, n2, round(jaro_winkler_similarity(n1, n2), 4) AS jw,
+      |       parts1, parts2
+      |FROM p
+      |WHERE round(jaro_winkler_similarity(n1, n2), 4) >= 0.8
+      |  AND round(jaro_winkler_similarity(n1, n2), 4) < 1.0
+      |ORDER BY n1, n2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_linkage" -> (dedupFuzzyLinkage _),
     "dedup_leakage_split" -> (dedupLeakageSplit _),
     "dedup_prefix_join" -> (dedupPrefixJoin _),
     "dedup_top_spans" -> (dedupTopSpans _),
@@ -1629,6 +1671,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_fuzzy_linkage" -> dedupFuzzyLinkageOracle,
     "dedup_leakage_split" -> dedupLeakageSplitOracle,
     "dedup_top_spans" -> dedupTopSpansOracle,
     "dedup_exact_substr" -> dedupExactSubstrOracle,

@@ -832,7 +832,89 @@ object MultimodalOps {
       |LEFT JOIN pm ON d.doc_id = pm.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** Shot-boundary detection over the synthesized frame stream — the
+    * video-segmentation shape (per-frame signature → adjacent-frame
+    * difference → threshold → gaps-and-islands shots) on the same
+    * deterministic document-byte "video" the frame sampler uses. The
+    * per-frame signature is the frame's space count (an exact integer
+    * both engines compute as `len − len(replace(f, ' ', ''))`); a shot
+    * boundary fires where the signature jumps by ≥ 3 from the previous
+    * frame, and consecutive same-shot frames collapse via the cumulative
+    * boundary-flag island id.
+    *
+    * Plan: the frame explode is map-side (sequence over the
+    * length-derived count, ≤ MaxFrames per media); ONE shuffle on
+    * media_id serves the frame-order window, the island rollup, and the
+    * per-media report. Real video swaps the signature column for a
+    * decoded-histogram distance; everything downstream is unchanged.
+    */
+  def multimodalShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        col("text"), length(col("text")).cast("long").as("len"))
+      .select(col("media_id"), col("text"),
+        explode(when(col("len") > 0,
+          sequence(lit(0L),
+            least(ceil(col("len") / lit(FrameBytes.toDouble)).cast("long"),
+              lit(MaxFrames.toLong)) - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
+      .withColumn("f",
+        expr(s"substring(text, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)"))
+      .select(col("media_id"), col("frame_idx"),
+        (length(col("f")) - length(regexp_replace(col("f"), " ", "")))
+          .cast("long").as("sig"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val shots = frames
+      .withColumn("boundary",
+        when(abs(col("sig") - lag(col("sig"), 1).over(w)) >= 3, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("boundary")).over(wCum))
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(count(lit(1)).as("shot_len"))
+    shots
+      .groupBy(col("media_id"))
+      .agg(sum(col("shot_len")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("shot_len")).as("longest_shot"))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalShotDetectOracle: String =
+    s"""WITH fr AS (
+      |  SELECT doc_id AS media_id, text,
+      |         unnest(range(0, least(CAST(ceil(strlen(text) / $FrameBytes.0)
+      |                                    AS BIGINT), $MaxFrames)))
+      |           AS frame_idx
+      |  FROM documents),
+      |sig AS (
+      |  SELECT media_id, frame_idx,
+      |         strlen(f) - strlen(replace(f, ' ', '')) AS sig
+      |  FROM (SELECT media_id, frame_idx,
+      |          substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT),
+      |                 $FrameBytes) AS f
+      |        FROM fr)),
+      |b AS (
+      |  SELECT media_id, frame_idx, sig,
+      |         CASE WHEN abs(sig - lag(sig) OVER
+      |             (PARTITION BY media_id ORDER BY frame_idx)) >= 3
+      |           THEN 1 ELSE 0 END AS boundary
+      |  FROM sig),
+      |isl AS (
+      |  SELECT media_id,
+      |         SUM(boundary) OVER (PARTITION BY media_id ORDER BY frame_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+      |  FROM b),
+      |sh AS (
+      |  SELECT media_id, shot_id, COUNT(*) AS shot_len
+      |  FROM isl GROUP BY media_id, shot_id)
+      |SELECT media_id, CAST(SUM(shot_len) AS BIGINT) AS n_frames,
+      |       COUNT(*) AS n_shots,
+      |       CAST(MAX(shot_len) AS BIGINT) AS longest_shot
+      |FROM sh GROUP BY media_id ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_shot_detect" -> (multimodalShotDetect _),
     "multimodal_audio_activity" -> (multimodalAudioActivity _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -842,6 +924,7 @@ object MultimodalOps {
     "multimodal_image_dedup" -> (multimodalImageDedup _))
 
   def oracles: Map[String, String] = Map(
+    "multimodal_shot_detect" -> multimodalShotDetectOracle,
     "multimodal_audio_activity" -> multimodalAudioActivityOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,

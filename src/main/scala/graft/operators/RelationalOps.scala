@@ -1389,7 +1389,71 @@ object RelationalOps {
       |       len(list_filter(v, x -> x > 0.5)) > 0 AS has_gt_half
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Market-basket affinity — co-occurrence lift over order line items,
+    * the classic association-rule read-out (support / confidence / lift
+    * per part pair). The pair expansion is the SAFE quadratic: items
+    * collapse to distinct (order, part) first, and the self-join
+    * explodes only within an order (≤7 items in the schema → ≤21 pairs
+    * per order, a per-key constant), so the pair stream is linear in
+    * orders at any scale; the pair rollup and the per-part order counts
+    * are ordinary partial-agg shuffles, and the two count joins
+    * broadcast the |parts|-sized side. All ratios derive from exact
+    * integers, so both engines divide identical doubles; each rounded
+    * ratio carries the ε = 5e-10 tie-break because small count
+    * denominators CAN land a ratio exactly on the round-4 boundary
+    * (k/160 = 0.00625-style), where decimal-string and binary rounding
+    * disagree.
+    */
+  def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
+    val a = items.select(col("ok"), col("pk").as("p1"))
+    val b = items.select(col("ok"), col("pk").as("p2"))
+    val pairs = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 3)
+    pairs
+      .join(broadcast(perPart.select(col("pk").as("p1"), col("pc").as("c1"))),
+        Seq("p1"))
+      .join(broadcast(perPart.select(col("pk").as("p2"), col("pc").as("c2"))),
+        Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_n"), col("c1"), col("c2"),
+        round(col("pair_n").cast("double") / col("n_orders") + lit(5e-10), 4)
+          .as("support"),
+        round(col("pair_n").cast("double") / col("c1") + lit(5e-10), 4)
+          .as("confidence"),
+        round(col("pair_n").cast("double") * col("n_orders")
+          / (col("c1") * col("c2")) + lit(5e-10), 4).as("lift"))
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  val qBasketAffinityOracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pc AS (SELECT pk, COUNT(*) AS c FROM items GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_n
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 3)
+      |SELECT p1, p2, pair_n, c1.c AS c1, c2.c AS c2,
+      |       round(CAST(pair_n AS DOUBLE) / n_orders + 5e-10, 4) AS support,
+      |       round(CAST(pair_n AS DOUBLE) / c1.c + 5e-10, 4) AS confidence,
+      |       round(CAST(pair_n AS DOUBLE) * n_orders
+      |             / (c1.c * c2.c) + 5e-10, 4) AS lift
+      |FROM pairs
+      |JOIN pc c1 ON c1.pk = p1
+      |JOIN pc c2 ON c2.pk = p2
+      |CROSS JOIN n
+      |ORDER BY p1, p2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_affinity" -> (qBasketAffinity _),
     "q_higher_order_funcs" -> (qHigherOrderFuncs _),
     "q_skew_metrics" -> (qSkewMetrics _),
     "q_moments" -> (qMoments _),
@@ -1431,6 +1495,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_basket_affinity" -> qBasketAffinityOracle,
     "q_higher_order_funcs" -> qHigherOrderFuncsOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_full_outer" -> qFullOuterOracle,

@@ -524,6 +524,15 @@ object StatsOps {
     * Shapes: one user_id rollup (the only data-touching shuffle), then
     * window math over |users| rows and a 10-row aggregate. Scores are
     * rounded BEFORE ranking so sum-order noise cannot reorder ties.
+    *
+    * Scale note: the exact global ntile is a single-partition sort of
+    * the |users| rollup — fine to ~10⁸ rows (a 12-byte (score, id) pair
+    * per user), which the rollup reaches only at extreme user counts.
+    * Past that, the drop-in scale path is the two-pass counted-bucket
+    * rank (per-score-bucket counts → broadcast cumulative offsets →
+    * local rank + offset), trading the exact tie order inside one
+    * 1e-5-score bucket for full parallelism; the oracle pins the exact
+    * form, so the swap belongs behind a size threshold, not here.
     */
   def eventsDecileLift(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
@@ -587,7 +596,86 @@ object StatsOps {
       |       round(CAST(cum_conv AS DOUBLE) / tot_conv, 4) AS cum_capture
       |FROM t ORDER BY decile""".stripMargin
 
+  /** Token-budget waterfilling — the mixture allocator that caps
+    * dominant sources: given a global budget B (half the corpus mass
+    * here, integer-exact `total DIV 2`), find the water level L such
+    * that `Σ min(mass_s, L) = B`; sources under L keep everything,
+    * sources over L are capped AT L. Complements [[curationGini]] (the
+    * audit) and `sample_token_budget` (the per-shard greedy fill):
+    * this is the cross-source OPTIMAL cap, closed-form per sorted
+    * segment — for the i-th source ascending, the candidate level
+    * `L_i = (B − cum_{i−1}) / (n − i + 1)` is valid iff it falls in
+    * [mass_{i−1}, mass_i], and exactly one candidate is (or B covers
+    * everything). All inputs to L are exact BIGINTs, so both engines
+    * derive the identical double and every downstream min/flag agrees
+    * bit-for-bit. Window math over the |sources|-sized rollup only.
+    */
+  def curationWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+    val ord = Window.orderBy(col("mass"), col("source"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ranked = s
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cum", sum(col("mass")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("mass")).over(wAll))
+      .withColumn("budget", (col("total") / 2).cast("long"))
+      .withColumn("prev_mass",
+        coalesce(lag(col("mass"), 1).over(ord), lit(0L)))
+      .withColumn("cand",
+        (col("budget") - (col("cum") - col("mass"))).cast("double")
+          / (col("n") - col("i") + 1))
+      .withColumn("valid",
+        col("cand") >= col("prev_mass").cast("double") &&
+          col("cand") <= col("mass").cast("double"))
+    val level = ranked
+      .withColumn("lvl",
+        when(col("budget") >= col("total"), col("total").cast("double"))
+          .otherwise(max(when(col("valid"), col("cand"))).over(wAll)))
+    level.select(col("source"), col("mass"), col("budget"),
+      round(least(col("mass").cast("double"), col("lvl")) + lit(5e-10), 2)
+        .as("alloc"),
+      (col("mass").cast("double") > col("lvl")).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  val curationWaterfillOracle: String =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source, mass,
+      |         row_number() OVER (ORDER BY mass, source) AS i,
+      |         CAST(SUM(mass) OVER (ORDER BY mass, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum,
+      |         COUNT(*) OVER () AS n,
+      |         CAST(SUM(mass) OVER () AS BIGINT) AS total,
+      |         CAST(COALESCE(lag(mass) OVER (ORDER BY mass, source), 0)
+      |           AS BIGINT) AS prev_mass
+      |  FROM s),
+      |c AS (
+      |  SELECT *, total // 2 AS budget,
+      |         CAST(total // 2 - (cum - mass) AS DOUBLE) / (n - i + 1)
+      |           AS cand
+      |  FROM r),
+      |v AS (
+      |  SELECT *, cand >= CAST(prev_mass AS DOUBLE)
+      |            AND cand <= CAST(mass AS DOUBLE) AS valid
+      |  FROM c),
+      |l AS (
+      |  SELECT *, CASE WHEN budget >= total THEN CAST(total AS DOUBLE)
+      |            ELSE MAX(CASE WHEN valid THEN cand END) OVER () END AS lvl
+      |  FROM v)
+      |SELECT source, mass, CAST(budget AS BIGINT) AS budget,
+      |       round(least(CAST(mass AS DOUBLE), lvl) + 5e-10, 2) AS alloc,
+      |       CAST(mass AS DOUBLE) > lvl AS capped
+      |FROM l ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_waterfill" -> (curationWaterfill _),
     "curation_gini" -> (curationGini _),
     "events_decile_lift" -> (eventsDecileLift _),
     "q_benford_audit" -> (qBenfordAudit _),
@@ -600,6 +688,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "curation_waterfill" -> curationWaterfillOracle,
     "curation_gini" -> curationGiniOracle,
     "events_decile_lift" -> eventsDecileLiftOracle,
     "q_benford_audit" -> qBenfordAuditOracle,

@@ -541,7 +541,81 @@ object TimeSeriesOps {
       |GROUP BY d.event_type, cp_day, s_peak
       |ORDER BY d.event_type""".stripMargin
 
+  /** Per-type OLS linear trend + one-week-ahead forecast — the simplest
+    * member of the forecasting family, deliberately closed-form (unlike
+    * a recursive Holt smoother, whose per-engine rounding accumulates):
+    * slope/intercept/R² come from explicit co-moment sums over
+    * (day-index, x) pairs, and the forecast extrapolates the fitted
+    * line 7 days past the horizon. Day indices are exact integers
+    * (row_number − 1), x is the round-5 daily series, and all five sums
+    * come out of ONE aggregate over the calendar-bounded daily table —
+    * two window-free shuffles total (the daily rollup, the 5-row type
+    * rollup). Zero-variance series (constant x or single day) yield
+    * NULL slope/R², not NaN.
+    */
+  def eventsTrendForecast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pts = daily(spark, dir)
+      .withColumn("t", (row_number().over(w) - 1).cast("double"))
+    val mo = pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("x")).as("stx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("dt", col("n") * col("stt") - col("st") * col("st"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("cov", col("n") * col("stx") - col("st") * col("sx"))
+    mo.select(col("event_type"), col("n"),
+      when(col("dt") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("cov") / col("dt"), 4)).as("slope"),
+      when(col("dt") <= 0, lit(null).cast("double"))
+        .otherwise(round((col("sx") - (col("cov") / col("dt")) * col("st"))
+          / col("n"), 4)).as("intercept"),
+      when(col("dt") <= 0 || col("dx") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("cov") * col("cov") / (col("dt") * col("dx")), 4))
+        .as("r2"),
+      when(col("dt") <= 0, lit(null).cast("double"))
+        .otherwise(round((col("sx") - (col("cov") / col("dt")) * col("st"))
+          / col("n")
+          + (col("cov") / col("dt")) * (col("n") + lit(6)), 4))
+        .as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsTrendForecastOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |p AS (
+      |  SELECT event_type, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |              - 1 AS DOUBLE) AS t
+      |  FROM d),
+      |mo AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         SUM(t) AS st, SUM(x) AS sx,
+      |         SUM(t * t) AS stt, SUM(t * x) AS stx, SUM(x * x) AS sxx
+      |  FROM p GROUP BY event_type),
+      |k AS (
+      |  SELECT *, n * stt - st * st AS dt,
+      |         n * sxx - sx * sx AS dx,
+      |         n * stx - st * sx AS cov
+      |  FROM mo)
+      |SELECT event_type, n,
+      |       CASE WHEN dt <= 0 THEN NULL
+      |            ELSE round(cov / dt, 4) END AS slope,
+      |       CASE WHEN dt <= 0 THEN NULL
+      |            ELSE round((sx - (cov / dt) * st) / n, 4) END AS intercept,
+      |       CASE WHEN dt <= 0 OR dx <= 0 THEN NULL
+      |            ELSE round(cov * cov / (dt * dx), 4) END AS r2,
+      |       CASE WHEN dt <= 0 THEN NULL
+      |            ELSE round((sx - (cov / dt) * st) / n
+      |                       + (cov / dt) * (n + 6), 4) END AS forecast_7d
+      |FROM k ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trend_forecast" -> (eventsTrendForecast _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_rolling_median" -> (eventsRollingMedian _),
@@ -552,6 +626,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_trend_forecast" -> eventsTrendForecastOracle,
     "events_changepoint" -> eventsChangepointOracle,
     "events_gap_fill" -> eventsGapFillOracle,
     "events_rolling_median" -> eventsRollingMedianOracle,

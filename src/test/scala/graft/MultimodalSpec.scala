@@ -252,4 +252,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(windows.sum == total, "window energies do not sum to total sumSq")
     assert(windows.length == ((payload.length + win - 1) / win))
   }
+
+  test("shot detection: shots partition the frame stream and frame counts " +
+      "match the sampler's cap") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val rows = MultimodalOps.multimodalShotDetect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var multiShot = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val expFrames = math.min(
+        math.ceil(lens(id) / MultimodalOps.FrameBytes.toDouble).toLong,
+        MultimodalOps.MaxFrames.toLong)
+      assert(r.getAs[Long]("n_frames") == expFrames, s"frame count: $r")
+      val (nShots, longest) =
+        (r.getAs[Long]("n_shots"), r.getAs[Long]("longest_shot"))
+      assert(nShots >= 1 && nShots <= r.getAs[Long]("n_frames"), r.toString)
+      assert(longest >= 1 && longest <= r.getAs[Long]("n_frames"), r.toString)
+      // n_shots runs covering n_frames: longest >= ceil(avg run)
+      assert(longest * nShots >= r.getAs[Long]("n_frames"), r.toString)
+      if (nShots > 1) multiShot += 1
+    }
+    assert(multiShot > 0, "fixture must exercise at least one boundary")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, StatsOps}
+import graft.operators.{DedupOps, RelationalOps, StatsOps}
 
 /** Semantic invariants for the corpus-statistics operators, beyond the
   * DuckDB oracle hash check.
@@ -161,6 +161,46 @@ class StatsOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(math.abs(r.getAs[Double]("lift") * base -
         r.getAs[Double]("conv_rate")) < 2e-4, r.toString)
+    }
+  }
+
+  test("waterfill: allocations exhaust the budget, uncapped sources keep " +
+      "their mass, and capped sources share one level") {
+    val rows = StatsOps.curationWaterfill(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val total = rows.map(_.getAs[Long]("mass")).sum
+    assert(budget == total / 2)
+    val allocSum = rows.map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(allocSum - budget) < rows.length * 0.011 + 1.0,
+      s"allocations sum to $allocSum, budget $budget")
+    val (capped, uncapped) = rows.partition(_.getAs[Boolean]("capped"))
+    uncapped.foreach(r => assert(
+      math.abs(r.getAs[Double]("alloc") - r.getAs[Long]("mass")) < 1e-6,
+      s"uncapped source must keep its mass: $r"))
+    // a half-mass budget over near-uniform sources caps everything at
+    // the common level; skewed masses leave a tail uncapped — both are
+    // correct waterfills, so only the shared-level law is universal
+    assert(capped.nonEmpty, "half-mass budget must cap at least one source")
+    val levels = capped.map(_.getAs[Double]("alloc")).distinct
+    assert(levels.length == 1, s"capped sources at different levels: ${levels.toSeq}")
+    capped.foreach(r => assert(levels.head <= r.getAs[Long]("mass"), r.toString))
+    uncapped.foreach(r => assert(r.getAs[Long]("mass") <= levels.head + 1e-6,
+      s"uncapped source above the water level: $r"))
+  }
+
+  test("basket affinity: counts nest (pair <= min part count) and the " +
+      "ratio columns are consistent") {
+    val rows = RelationalOps.qBasketAffinity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pn, c1, c2) = (r.getAs[Long]("pair_n"), r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"))
+      assert(pn >= 3 && pn <= math.min(c1, c2), r.toString)
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"), r.toString)
+      val (sup, conf) = (r.getAs[Double]("support"), r.getAs[Double]("confidence"))
+      assert(conf >= sup - 1e-9, s"confidence below support: $r")
+      assert(r.getAs[Double]("lift") > 0.0, r.toString)
     }
   }
 

@@ -152,6 +152,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("trend forecast: R-squared is a proportion and the forecast " +
+      "extrapolates the fitted line") {
+    val rows = TimeSeriesOps.eventsTrendForecast(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("r2"))) {
+        val r2 = r.getAs[Double]("r2")
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r")
+      }
+      if (!r.isNullAt(r.fieldIndex("slope"))) {
+        val line = r.getAs[Double]("intercept") +
+          r.getAs[Double]("slope") * (r.getAs[Long]("n") + 6)
+        // slope/intercept are rounded independently of forecast_7d, so
+        // agreement is to rounding granularity amplified by the horizon
+        assert(math.abs(r.getAs[Double]("forecast_7d") - line) < 0.01 *
+          (r.getAs[Long]("n") + 7), s"forecast off the fitted line: $r")
+      }
+    }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
