@@ -72,6 +72,55 @@ object SimilarityOps {
       |FROM r WHERE rk <= $TopK
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Filtered vector search — top-k under a metadata predicate (here:
+    * corpus restricted to English documents via the vec_id = doc_id
+    * link), the retrieval shape every RAG stack needs ("nearest chunks
+    * WHERE tenant/lang/date"). The filter applies BEFORE scoring: the
+    * corpus side joins the pushed-down `lang = 'en'` projection of
+    * documents (a key-equality join on the shared id — shuffle-free
+    * when both sides are bucketed/co-partitioned at scale), so the
+    * expensive cosine loop touches only surviving vectors — pre-filter
+    * semantics, not the post-filter k-starvation trap (filtering AFTER
+    * top-k can return < k rows). Scoring/ranking contract is identical
+    * to [[simTopkBruteforce]]; at scale the same predicate composes
+    * with the IVF cell layout (probe cells, then filter within cell).
+    */
+  def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val en = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val corpus = e.join(en, e("vec_id") === en("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
+    val s = scored(spark, dir, corpus, queries)
+      .withColumn("sim", round(col("sim_raw"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    s.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simFilteredTopkOracle: String =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $NumQueries),
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM q
+      |  JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  JOIN en ON c.vec_id = en.doc_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY sim DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+      |FROM r WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Codebook sizing: nlist grows as sqrt(corpus), the standard IVF rule
     * (balances assignment cost n*nlist against per-probe cell size
     * n/nlist).
@@ -1633,6 +1682,7 @@ object SimilarityOps {
     "sim_pagerank" -> (simPagerank _),
     "dedup_transitive_reach" -> (dedupTransitiveReach _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_filtered_topk" -> (simFilteredTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -1652,6 +1702,7 @@ object SimilarityOps {
     "dedup_transitive_reach" -> dedupTransitiveReachOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
+    "sim_filtered_topk" -> simFilteredTopkOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_lsh_topk" -> simLshTopkOracle,

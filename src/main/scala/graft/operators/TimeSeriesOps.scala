@@ -614,7 +614,62 @@ object TimeSeriesOps {
       |                       + (cov / dt) * (n + 6), 4) END AS forecast_7d
       |FROM k ORDER BY event_type""".stripMargin
 
+  /** STL-lite seasonal decomposition: x = trend + seasonal + residual
+    * per (type, day) — trend is the centered 7-day moving average,
+    * seasonal is the day-of-week mean of the detrended series (the
+    * additive weekly profile), residual is what's left. Each component
+    * is ROUNDED before feeding the next (the repo float discipline at
+    * its narrowest points), and the seasonal means carry the ε = 5e-10
+    * tie-break — with ~4 samples per (type, weekday) cell the mean's
+    * rational denominator is SMALL, exactly the regime where round-4
+    * boundaries land (see [[eventsGapFill]]). Weekday indexing uses
+    * Spark `weekday` (0 = Monday) = DuckDB `isodow − 1`. All three
+    * stages are windows/rollups over the calendar-bounded daily table;
+    * one data-touching shuffle.
+    */
+  def eventsStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val wTrend = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val detr = daily(spark, dir)
+      .withColumn("trend", round(
+        sum(col("x")).over(wTrend) / count(lit(1)).over(wTrend)
+          + lit(5e-10), 4))
+      .withColumn("detrend", round(col("x") - col("trend"), 4))
+      .withColumn("dow", weekday(col("day")).cast("long"))
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    detr
+      .withColumn("seasonal", round(
+        sum(col("detrend")).over(wDow) / count(lit(1)).over(wDow)
+          + lit(5e-10), 4))
+      .select(col("event_type"), col("day"), col("dow"), col("x"),
+        col("trend"), col("seasonal"),
+        round(col("detrend") - col("seasonal"), 4).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsStlDecomposeOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |t AS (
+      |  SELECT event_type, day, x,
+      |         round(SUM(x) OVER w / COUNT(x) OVER w + 5e-10, 4) AS trend
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT *, round(x - trend, 4) AS detrend,
+      |         CAST(isodow(day) - 1 AS BIGINT) AS dow
+      |  FROM t),
+      |s AS (
+      |  SELECT *, round(SUM(detrend) OVER wd / COUNT(*) OVER wd + 5e-10, 4)
+      |           AS seasonal
+      |  FROM dt WINDOW wd AS (PARTITION BY event_type, dow))
+      |SELECT event_type, day, dow, x, trend, seasonal,
+      |       round(detrend - seasonal, 4) AS resid
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stl_decompose" -> (eventsStlDecompose _),
     "events_trend_forecast" -> (eventsTrendForecast _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_gap_fill" -> (eventsGapFill _),
@@ -626,6 +681,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_stl_decompose" -> eventsStlDecomposeOracle,
     "events_trend_forecast" -> eventsTrendForecastOracle,
     "events_changepoint" -> eventsChangepointOracle,
     "events_gap_fill" -> eventsGapFillOracle,

@@ -85,4 +85,24 @@ class RerankSpec extends AnyFunSuite {
     assert(best.exists { case (k, v) => rawBest(k) != v },
       "margin rescale never changed any winner — suspicious for a hubby corpus")
   }
+
+  test("filtered top-k: pre-filter semantics — every hit satisfies the " +
+      "predicate, k is never starved, and the exact search dominates") {
+    val filtered = SimilarityOps.simFilteredTopk(spark, dir).collect()
+    val en = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered.length ==
+      SimilarityOps.NumQueries * SimilarityOps.TopK,
+      "pre-filter search must return full k per query (no starvation)")
+    filtered.foreach(r => assert(en(r.getAs[Long]("vec_id")),
+      s"hit escapes the lang predicate: $r"))
+    val bfBest = SimilarityOps.simTopkBruteforce(spark, dir)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    filtered.filter(_.getAs[Long]("rk") == 1).foreach { r =>
+      assert(r.getAs[Double]("sim") <= bfBest(r.getAs[Long]("query_id")) + 1e-9,
+        s"filtered best beats the unrestricted best: $r")
+    }
+  }
 }

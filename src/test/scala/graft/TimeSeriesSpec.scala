@@ -172,6 +172,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("stl decompose: components reassemble to x within rounding and " +
+      "residuals cancel within each weekday cell") {
+    val rows = TimeSeriesOps.eventsStlDecompose(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      assert(dow >= 0 && dow <= 6, r.toString)
+      val re = r.getAs[Double]("x") - r.getAs[Double]("trend") -
+        r.getAs[Double]("seasonal") - r.getAs[Double]("resid")
+      assert(math.abs(re) < 3e-4, s"components do not reassemble: $r")
+    }
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")))
+      .foreach { case (k, rs) =>
+        val s = rs.map(_.getAs[Double]("resid")).sum
+        assert(math.abs(s) < rs.length * 2e-4 + 1e-6,
+          s"weekday-cell residuals do not cancel at $k: $s")
+      }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
