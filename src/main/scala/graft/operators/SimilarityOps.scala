@@ -121,6 +121,141 @@ object SimilarityOps {
       |FROM r WHERE rk <= $TopK
       |ORDER BY query_id, rk""".stripMargin
 
+  /** MMR shortlist width (candidates per query entering the greedy). */
+  val MmrShortlist = 10
+
+  /** MMR diversity re-rank (Maximal Marginal Relevance, λ = 1/2): pick
+    * 3 results per query greedily, each step maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_picked` — the retrieval op that
+    * stops a RAG context window from filling with near-duplicates of
+    * one passage. The greedy is inherently sequential, but its depth is
+    * the OUTPUT size (3), not the data: each unrolled step is a join
+    * over the per-query shortlist (10 candidates), so the whole rerank
+    * is shortlist-quadratic per query and embarrassingly parallel
+    * across queries; only the shortlist selection touches the corpus.
+    * λ = 1/2 is an exact binary fraction, every score is rounded to 6dp
+    * before its argmax (vec_id tiebreak), and the rank-1 score is the
+    * plain relevance (empty penalty set).
+    */
+  def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
+    val rel = scored(spark, dir, e, queries)
+      .withColumn("rel", round(col("sim_raw"), 6))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val short = rel
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= MmrShortlist)
+      .select(col("query_id"), col("vec_id"), col("rel"))
+    val sv = short.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val pair = sv.as("a").join(sv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("v"), col("b.vec_id").as("u"),
+        round(expr("cosine_similarity(a.embedding, b.embedding)"), 6)
+          .as("ps"))
+    val s1 = short.withColumn("rk1", row_number().over(wShort))
+      .filter(col("rk1") === 1)
+      .select(col("query_id"), col("vec_id").as("v1"),
+        col("rel").as("rel1"))
+    val pairR = pair.select(col("query_id").as("pq"), col("v"),
+      col("u"), col("ps"))
+    val c2 = short.join(s1, "query_id").filter(col("vec_id") =!= col("v1"))
+      .join(pairR, col("query_id") === col("pq")
+        && col("vec_id") === col("v") && col("u") === col("v1"))
+      .withColumn("score", round(lit(0.5) * col("rel")
+        - lit(0.5) * col("ps"), 6))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val s2 = c2.withColumn("prk", row_number().over(wPick))
+      .filter(col("prk") === 1)
+      .select(col("query_id"), col("vec_id").as("v2"),
+        col("score").as("score2"))
+    val c3 = short
+      .join(s1, "query_id").join(s2, "query_id")
+      .filter(col("vec_id") =!= col("v1") && col("vec_id") =!= col("v2"))
+      .join(pairR, col("query_id") === col("pq")
+        && col("vec_id") === col("v")
+        && (col("u") === col("v1") || col("u") === col("v2")))
+      .groupBy(col("query_id"), col("vec_id"), col("rel"))
+      .agg(max(col("ps")).as("pen"))
+      .withColumn("score", round(lit(0.5) * col("rel")
+        - lit(0.5) * col("pen"), 6))
+    val s3 = c3.withColumn("prk", row_number().over(wPick))
+      .filter(col("prk") === 1)
+      .select(col("query_id"), col("vec_id").as("v3"),
+        col("score").as("score3"))
+    val out1 = s1.select(col("query_id"), lit(1L).as("rk"),
+      col("v1").as("vec_id"), col("rel1").as("mmr"))
+    val out2 = s2.select(col("query_id"), lit(2L).as("rk"),
+      col("v2").as("vec_id"), col("score2").as("mmr"))
+    val out3 = s3.select(col("query_id"), lit(3L).as("rk"),
+      col("v3").as("vec_id"), col("score3").as("mmr"))
+    out1.unionByName(out2).unionByName(out3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simMmrRerankOracle: String =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $NumQueries),
+      |rel AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.embedding,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6)
+      |           AS rel
+      |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+      |short AS (
+      |  SELECT query_id, vec_id, embedding, rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY rel DESC, vec_id) AS srk FROM rel)
+      |  WHERE srk <= $MmrShortlist),
+      |pair AS (
+      |  SELECT a.query_id, a.vec_id AS v, b.vec_id AS u,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6)
+      |           AS ps
+      |  FROM short a JOIN short b
+      |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+      |s1 AS (
+      |  SELECT query_id, vec_id AS v1, rel AS rel1 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY rel DESC, vec_id) AS rk1 FROM short)
+      |  WHERE rk1 = 1),
+      |c2 AS (
+      |  SELECT s.query_id, s.vec_id, s.rel,
+      |         round(0.5 * s.rel - 0.5 * p.ps, 6) AS score
+      |  FROM short s
+      |  JOIN s1 ON s.query_id = s1.query_id AND s.vec_id <> s1.v1
+      |  JOIN pair p ON p.query_id = s.query_id AND p.v = s.vec_id
+      |             AND p.u = s1.v1),
+      |s2 AS (
+      |  SELECT query_id, vec_id AS v2, score AS score2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, vec_id) AS prk FROM c2)
+      |  WHERE prk = 1),
+      |c3 AS (
+      |  SELECT s.query_id, s.vec_id, s.rel,
+      |         round(0.5 * s.rel - 0.5 * MAX(p.ps), 6) AS score
+      |  FROM short s
+      |  JOIN s1 ON s.query_id = s1.query_id AND s.vec_id <> s1.v1
+      |  JOIN s2 ON s.query_id = s2.query_id AND s.vec_id <> s2.v2
+      |  JOIN pair p ON p.query_id = s.query_id AND p.v = s.vec_id
+      |             AND (p.u = s1.v1 OR p.u = s2.v2)
+      |  GROUP BY s.query_id, s.vec_id, s.rel),
+      |s3 AS (
+      |  SELECT query_id, vec_id AS v3, score AS score3 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, vec_id) AS prk FROM c3)
+      |  WHERE prk = 1)
+      |SELECT query_id, rk, vec_id, mmr FROM (
+      |  SELECT query_id, 1 AS rk, v1 AS vec_id, rel1 AS mmr FROM s1
+      |  UNION ALL
+      |  SELECT query_id, 2 AS rk, v2 AS vec_id, score2 AS mmr FROM s2
+      |  UNION ALL
+      |  SELECT query_id, 3 AS rk, v3 AS vec_id, score3 AS mmr FROM s3)
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Codebook sizing: nlist grows as sqrt(corpus), the standard IVF rule
     * (balances assignment cost n*nlist against per-probe cell size
     * n/nlist).
@@ -1683,6 +1818,7 @@ object SimilarityOps {
     "dedup_transitive_reach" -> (dedupTransitiveReach _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_filtered_topk" -> (simFilteredTopk _),
+    "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -1703,6 +1839,7 @@ object SimilarityOps {
     "dedup_semantic" -> dedupSemanticOracle,
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_filtered_topk" -> simFilteredTopkOracle,
+    "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_lsh_topk" -> simLshTopkOracle,

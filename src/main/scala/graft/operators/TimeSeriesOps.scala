@@ -668,7 +668,80 @@ object TimeSeriesOps {
       |       round(detrend - seasonal, 4) AS resid
       |FROM s ORDER BY event_type, day""".stripMargin
 
+  /** Rolling-origin forecast backtest — the honesty check on
+    * [[eventsTrendForecast]]: for every day with ≥ 14 days of history,
+    * fit the OLS line on STRICTLY PRIOR days (cumulative co-moment sums
+    * over a PRECEDING-only frame — no leakage by construction) and
+    * score the one-step-ahead prediction; report per-type MAE and WAPE
+    * (weighted absolute percentage error — Σ|err|/Σ|x|, robust to
+    * near-zero days where MAPE explodes).
+    *
+    * The cumulative sums are WINDOW sums in day order, so both engines
+    * accumulate in the same sequence — bit-identical doubles even for
+    * the float series (unlike groupBy sums, whose partial-agg order is
+    * engine-dependent); day indices are exact integers. One shuffle;
+    * everything else is the calendar-bounded window pass. The final
+    * per-type means carry the ε tie-break (small denominators).
+    */
+  def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPrior = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val pts = daily(spark, dir)
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+    val fit = pts
+      .withColumn("n0", count(lit(1)).over(wPrior).cast("double"))
+      .withColumn("st", sum(col("t")).over(wPrior))
+      .withColumn("sx", sum(col("x")).over(wPrior))
+      .withColumn("stt", sum(col("t") * col("t")).over(wPrior))
+      .withColumn("stx", sum(col("t") * col("x")).over(wPrior))
+      .filter(col("n0") >= 14)
+      .withColumn("dt", col("n0") * col("stt") - col("st") * col("st"))
+      .withColumn("slope",
+        (col("n0") * col("stx") - col("st") * col("sx")) / col("dt"))
+      .withColumn("pred",
+        (col("sx") - col("slope") * col("st")) / col("n0")
+          + col("slope") * col("t"))
+      .withColumn("err", abs(col("x") - col("pred")))
+    fit.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(col("err")) / count(lit(1)) + lit(5e-10), 4).as("mae"),
+        round(sum(col("err")) / sum(abs(col("x"))) * 100 + lit(5e-10), 4)
+          .as("wape_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsForecastBacktestOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |p AS (
+      |  SELECT event_type, day, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |              - 1 AS DOUBLE) AS t
+      |  FROM d),
+      |c AS (
+      |  SELECT event_type, day, x, t,
+      |         CAST(COUNT(*) OVER w AS DOUBLE) AS n0,
+      |         SUM(t) OVER w AS st, SUM(x) OVER w AS sx,
+      |         SUM(t * t) OVER w AS stt, SUM(t * x) OVER w AS stx
+      |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |f AS (
+      |  SELECT *, n0 * stt - st * st AS dt FROM c WHERE n0 >= 14),
+      |s AS (
+      |  SELECT *, (n0 * stx - st * sx) / dt AS slope FROM f),
+      |e AS (
+      |  SELECT event_type,
+      |         abs(x - ((sx - slope * st) / n0 + slope * t)) AS err,
+      |         abs(x) AS ax
+      |  FROM s)
+      |SELECT event_type, COUNT(*) AS n_evals,
+      |       round(SUM(err) / COUNT(*) + 5e-10, 4) AS mae,
+      |       round(SUM(err) / SUM(ax) * 100 + 5e-10, 4) AS wape_pct
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_stl_decompose" -> (eventsStlDecompose _),
     "events_trend_forecast" -> (eventsTrendForecast _),
     "events_changepoint" -> (eventsChangepoint _),
@@ -681,6 +754,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_forecast_backtest" -> eventsForecastBacktestOracle,
     "events_stl_decompose" -> eventsStlDecomposeOracle,
     "events_trend_forecast" -> eventsTrendForecastOracle,
     "events_changepoint" -> eventsChangepointOracle,

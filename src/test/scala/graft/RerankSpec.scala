@@ -86,6 +86,30 @@ class RerankSpec extends AnyFunSuite {
       "margin rescale never changed any winner — suspicious for a hubby corpus")
   }
 
+  test("mmr rerank: greedy laws — rank-1 is the relevance argmax, picks " +
+      "are distinct, step scores decay, and diversity actually bites") {
+    val mmr = SimilarityOps.simMmrRerank(spark, dir).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    val bf = SimilarityOps.simTopkBruteforce(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    var diverged = false
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L), s"q$q")
+      val picks = sorted.map(_.getAs[Long]("vec_id"))
+      assert(picks.distinct.length == 3, s"repeated pick at q$q")
+      val brute = bf(q).sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("vec_id"))
+      assert(picks.head == brute.head,
+        s"rank-1 must be the pure relevance argmax at q$q")
+      // growing penalty set + shrinking pool => step scores cannot rise
+      assert(sorted(1).getAs[Double]("mmr") >= sorted(2).getAs[Double]("mmr") - 1e-9,
+        s"step-3 score beats step-2 at q$q")
+      if (picks.toSeq != brute.take(3).toSeq) diverged = true
+    }
+    assert(diverged, "MMR never diverged from plain top-3 — penalty inert")
+  }
+
   test("filtered top-k: pre-filter semantics — every hit satisfies the " +
       "predicate, k is never starved, and the exact search dominates") {
     val filtered = SimilarityOps.simFilteredTopk(spark, dir).collect()

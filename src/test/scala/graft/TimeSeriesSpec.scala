@@ -191,6 +191,22 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
   }
 
+  test("forecast backtest: evaluation windows are leakage-free by count " +
+      "and the error metrics are nonnegative") {
+    val rows = TimeSeriesOps.eventsForecastBacktest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, dir)
+      .select(to_date(timestamp_micros(Tables.eventMicros(
+        Tables.events(spark, dir)))).as("day"))
+      .distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_evals") == days - 14,
+        s"each type evaluates exactly the post-warmup days: $r")
+      assert(r.getAs[Double]("mae") >= 0.0, r.toString)
+      assert(r.getAs[Double]("wape_pct") >= 0.0, r.toString)
+    }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
