@@ -256,6 +256,109 @@ object SimilarityOps {
       |  SELECT query_id, 3 AS rk, v3 AS vec_id, score3 AS mmr FROM s3)
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Depth of each retrieval list entering the RRF fusion. */
+  val RrfDepth = 20
+  /** The standard RRF dampening constant (Cormack et al.). */
+  val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a DENSE list (cosine
+    * over embeddings) and a LEXICAL list (token Jaccard between the
+    * query's document text and each candidate's text), the two-tower
+    * shape every production RAG search runs — embeddings catch
+    * paraphrase, lexical catches exact terms, and RRF merges them
+    * WITHOUT score calibration: `Σ 1/(k + rank)` over the lists each
+    * doc appears in, so only ranks matter and the lists' incomparable
+    * score scales never meet. Both lists are depth-bounded (top-20 per
+    * query) BEFORE the fusion join, so the fused frame is
+    * |queries|·2·depth regardless of corpus size; the lexical Jaccard
+    * uses distinct-token set algebra (|∩| / (|A|+|B|−|∩|), exact
+    * integers) and every rank is taken over a rounded score with a
+    * doc-id tiebreak.
+    */
+  def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " "))
+        .as("toks"))
+    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val dense = scored(spark, dir, e, queries)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .withColumn("rank_d", row_number().over(wD))
+      .filter(col("rank_d") <= RrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_d"))
+    val qToks = broadcast(docs.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks")))
+    val wL = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac").desc, col("doc_id"))
+    val lexical = qToks.join(docs, col("doc_id") =!= col("query_id"))
+      .withColumn("inter",
+        size(array_intersect(col("qtoks"), col("toks"))).cast("double"))
+      .withColumn("jac", round(col("inter")
+        / (size(col("qtoks")) + size(col("toks")) - col("inter"))
+        + lit(5e-10), 6))
+      .withColumn("rank_l", row_number().over(wL))
+      .filter(col("rank_l") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("rank_l"))
+    val fused = dense.join(lexical, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_d")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("rank_l")), lit(0.0))
+          + lit(5e-10), 6))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("rrf"),
+        col("rank_d").cast("long").as("rank_d"),
+        col("rank_l").cast("long").as("rank_l"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simHybridRrfOracle: String =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $NumQueries),
+      |dense AS (
+      |  SELECT query_id, vec_id AS doc_id, rank_d FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY sim DESC, vec_id) AS rank_d
+      |    FROM (SELECT q.vec_id AS query_id, c.vec_id,
+      |            round(list_cosine_similarity(
+      |              CAST(q.embedding AS DOUBLE[]),
+      |              CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |          FROM q JOIN embeddings c ON q.vec_id <> c.vec_id))
+      |  WHERE rank_d <= $RrfDepth),
+      |toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |lexical AS (
+      |  SELECT query_id, doc_id, rank_l FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY jac DESC, doc_id) AS rank_l
+      |    FROM (SELECT a.doc_id AS query_id, b.doc_id,
+      |            round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+      |              / (len(a.t) + len(b.t)
+      |                 - len(list_intersect(a.t, b.t))) + 5e-10, 6) AS jac
+      |          FROM toks a JOIN toks b ON b.doc_id <> a.doc_id
+      |          WHERE a.doc_id < $NumQueries))
+      |  WHERE rank_l <= $RrfDepth),
+      |fused AS (
+      |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+      |         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+      |         d.rank_d, l.rank_l,
+      |         round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + d.rank_d), 0.0)
+      |               + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rank_l), 0.0)
+      |               + 5e-10, 6) AS rrf
+      |  FROM dense d FULL OUTER JOIN lexical l
+      |    ON d.query_id = l.query_id AND d.doc_id = l.doc_id)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+      |       CAST(rank_d AS BIGINT) AS rank_d, CAST(rank_l AS BIGINT) AS rank_l
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+      |WHERE rk <= $TopK
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Codebook sizing: nlist grows as sqrt(corpus), the standard IVF rule
     * (balances assignment cost n*nlist against per-probe cell size
     * n/nlist).
@@ -1819,6 +1922,7 @@ object SimilarityOps {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_filtered_topk" -> (simFilteredTopk _),
     "sim_mmr_rerank" -> (simMmrRerank _),
+    "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_quantized" -> (simIvfQuantized _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -1840,6 +1944,7 @@ object SimilarityOps {
     "sim_topk_bruteforce" -> simTopkBruteforceOracle,
     "sim_filtered_topk" -> simFilteredTopkOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
+    "sim_hybrid_rrf" -> simHybridRrfOracle,
     "sim_ivf_topk" -> simIvfTopkOracle,
     "sim_ivf_quantized" -> simIvfQuantizedOracle,
     "sim_lsh_topk" -> simLshTopkOracle,

@@ -674,7 +674,136 @@ object StatsOps {
       |       CAST(mass AS DOUBLE) > lvl AS capped
       |FROM l ORDER BY source""".stripMargin
 
+  /** Difference-in-differences — the causal read-out [[eventsAbTest]]
+    * cannot give when arms differ at baseline: users split by the
+    * stable-key parity arm, time split at mid-window, per-(user,
+    * period) mean value rounded FIRST, then the four (arm × period)
+    * cell means and `DiD = (T_post − T_pre) − (C_post − C_pre)`. Two
+    * key-space-bounded rollups (user-period, then 4 cells); the cell
+    * means and DiD carry the ε tie-break (small denominators).
+    */
+  def eventsDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev
+      .withColumn("period",
+        when(to_date(timestamp_micros(Tables.eventMicros(ev)))
+          < lit("2024-01-16").cast("date"), lit("pre")).otherwise(lit("post")))
+      .groupBy(col("user_id"), col("period"))
+      .agg(round(avg(col("value")), 5).as("m"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val cells = perUser.groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+      .withColumn("mean", col("s") / col("n"))
+    cells.agg(
+      round(sum(when(col("arm") === 0 && col("period") === "pre",
+        col("mean"))) + lit(5e-10), 4).as("c_pre"),
+      round(sum(when(col("arm") === 0 && col("period") === "post",
+        col("mean"))) + lit(5e-10), 4).as("c_post"),
+      round(sum(when(col("arm") === 1 && col("period") === "pre",
+        col("mean"))) + lit(5e-10), 4).as("t_pre"),
+      round(sum(when(col("arm") === 1 && col("period") === "post",
+        col("mean"))) + lit(5e-10), 4).as("t_post"))
+      .withColumn("did", round((col("t_post") - col("t_pre"))
+        - (col("c_post") - col("c_pre")), 4))
+  }
+
+  val eventsDiffInDiffOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+      |           THEN 'pre' ELSE 'post' END AS period,
+      |         value
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id, period, round(AVG(value), 5) AS m,
+      |         CAST(user_id % 2 AS INTEGER) AS arm
+      |  FROM u GROUP BY user_id, period),
+      |c AS (
+      |  SELECT arm, period, COUNT(*) AS n, SUM(m) AS s,
+      |         SUM(m) / COUNT(*) AS mean
+      |  FROM pu GROUP BY arm, period),
+      |w AS (
+      |  SELECT
+      |    round(SUM(CASE WHEN arm = 0 AND period = 'pre' THEN mean END)
+      |          + 5e-10, 4) AS c_pre,
+      |    round(SUM(CASE WHEN arm = 0 AND period = 'post' THEN mean END)
+      |          + 5e-10, 4) AS c_post,
+      |    round(SUM(CASE WHEN arm = 1 AND period = 'pre' THEN mean END)
+      |          + 5e-10, 4) AS t_pre,
+      |    round(SUM(CASE WHEN arm = 1 AND period = 'post' THEN mean END)
+      |          + 5e-10, 4) AS t_post
+      |  FROM c)
+      |SELECT c_pre, c_post, t_pre, t_post,
+      |       round((t_post - t_pre) - (c_post - c_pre), 4) AS did
+      |FROM w""".stripMargin
+
+  /** Cohen's kappa between two deterministic document-quality
+    * "annotators" (the lexical-diversity rule and the length rule) —
+    * the inter-rater agreement gate a labeling pipeline runs before
+    * trusting silver labels. All four confusion cells are exact
+    * integers; observed and chance agreement are exact-integer ratios
+    * (identical doubles both engines), κ = (p_o − p_e)/(1 − p_e) with
+    * the ε tie-break on the rounded outputs. Map-only labeling + one
+    * 4-cell rollup.
+    */
+  def curationCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val labeled = Tables.documents(spark, dir)
+      .select(
+        (size(array_distinct(toks)).cast("double") / size(toks) >= 0.5)
+          .as("a"),
+        (col("n_chars") >= 300).as("b"))
+    val cells = labeled.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    cells
+      .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast("double") / (col("n") * col("n")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po") + lit(5e-10), 4).as("p_observed"),
+        round(col("pe") + lit(5e-10), 4).as("p_chance"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe"))
+          + lit(5e-10), 4).as("kappa"))
+  }
+
+  val curationCohensKappaOracle: String =
+    """WITH l AS (
+      |  SELECT CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) >= 0.5 AS a,
+      |         n_chars >= 300 AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n11,
+      |         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n10,
+      |         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n01,
+      |         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n00
+      |  FROM l),
+      |k AS (
+      |  SELECT *,
+      |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+      |    CAST((n11 + n10) * (n11 + n01)
+      |         + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n) AS pe
+      |  FROM c)
+      |SELECT n, n11, n10, n01, n00,
+      |       round(po + 5e-10, 4) AS p_observed,
+      |       round(pe + 5e-10, 4) AS p_chance,
+      |       round((po - pe) / (1.0 - pe) + 5e-10, 4) AS kappa
+      |FROM k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_diff_in_diff" -> (eventsDiffInDiff _),
+    "curation_cohens_kappa" -> (curationCohensKappa _),
     "curation_waterfill" -> (curationWaterfill _),
     "curation_gini" -> (curationGini _),
     "events_decile_lift" -> (eventsDecileLift _),
@@ -688,6 +817,8 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "events_diff_in_diff" -> eventsDiffInDiffOracle,
+    "curation_cohens_kappa" -> curationCohensKappaOracle,
     "curation_waterfill" -> curationWaterfillOracle,
     "curation_gini" -> curationGiniOracle,
     "events_decile_lift" -> eventsDecileLiftOracle,

@@ -110,6 +110,31 @@ class RerankSpec extends AnyFunSuite {
     assert(diverged, "MMR never diverged from plain top-3 — penalty inert")
   }
 
+  test("hybrid rrf: fused ranks are dense, scores reassemble from the " +
+      "member ranks, and both lists contribute") {
+    val rows = SimilarityOps.simHybridRrf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq, s"ranks not dense at q$q")
+      sorted.foreach { r =>
+        val d = Option(r.getAs[java.lang.Long]("rank_d")).map(_.toLong)
+        val l = Option(r.getAs[java.lang.Long]("rank_l")).map(_.toLong)
+        assert(d.nonEmpty || l.nonEmpty, s"hit in neither list: $r")
+        val expect = d.map(x => 1.0 / (SimilarityOps.RrfK + x)).getOrElse(0.0) +
+          l.map(x => 1.0 / (SimilarityOps.RrfK + x)).getOrElse(0.0)
+        assert(math.abs(r.getAs[Double]("rrf") - expect) < 2e-6,
+          s"rrf does not reassemble from member ranks: $r")
+      }
+    }
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("rank_d"))),
+      "no lexical-only hit in any top list — dense list swallowed the fusion")
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("rank_l"))),
+      "no dense-only hit in any top list — lexical list swallowed the fusion")
+  }
+
   test("filtered top-k: pre-filter semantics — every hit satisfies the " +
       "predicate, k is never starved, and the exact search dominates") {
     val filtered = SimilarityOps.simFilteredTopk(spark, dir).collect()

@@ -204,6 +204,29 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohen's kappa: confusion cells partition the corpus and kappa " +
+      "reassembles from its own cells") {
+    val r = StatsOps.curationCohensKappa(spark, dir).collect().head
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == Tables.documents(spark, dir).count())
+    assert(n11 + n10 + n01 + n00 == n, "cells must partition the corpus")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n.toDouble * n)
+    assert(math.abs(r.getAs[Double]("p_observed") - po) < 1e-3)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-3)
+    assert(r.getAs[Double]("kappa") <= 1.0 + 1e-9)
+  }
+
+  test("diff-in-diff: the estimate is exactly the rounded cell algebra") {
+    val r = StatsOps.eventsDiffInDiff(spark, dir).collect().head
+    val did = (r.getAs[Double]("t_post") - r.getAs[Double]("t_pre")) -
+      (r.getAs[Double]("c_post") - r.getAs[Double]("c_pre"))
+    assert(math.abs(r.getAs[Double]("did") -
+      BigDecimal(did).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9, r.toString)
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {
