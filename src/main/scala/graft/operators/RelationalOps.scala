@@ -1452,7 +1452,55 @@ object RelationalOps {
       |CROSS JOIN n
       |ORDER BY p1, p2""".stripMargin
 
+  /** Pareto skyline — the multi-objective "best documents" frontier
+    * (maximize length AND lexical diversity simultaneously): a point
+    * survives iff nothing else is ≥ in both objectives and > in one.
+    * The engine runs the SORTED-WINDOW formulation, not the naive
+    * quadratic: collapse to per-length maxima (one groupBy on the
+    * value-domain-bounded length), take the running max over strictly
+    * longer lengths (one window over that bounded table), and a point
+    * is on the skyline iff it achieves its length's maximum ratio AND
+    * beats every longer length's maximum. O(n + |lengths| log) vs the
+    * oracle's O(n²) NOT EXISTS — the SAME frontier from two
+    * independent formulations, which is the differential value. Ratio
+    * comparisons happen on the raw doubles (exact-integer divisions,
+    * identical in both engines); only the output column is rounded.
+    */
+  def qParetoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("r"))
+    val perLen = pts.groupBy(col("n_chars")).agg(max(col("r")).as("mr"))
+    val wLonger = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perLen
+      .withColumn("g", max(col("mr")).over(wLonger))
+      .filter(col("g").isNull || col("mr") > col("g"))
+      .select(col("n_chars"), col("mr"))
+    pts.join(broadcast(frontier), Seq("n_chars"))
+      .filter(col("r") === col("mr"))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("r") + lit(5e-10), 4).as("diversity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qParetoSkylineOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS r
+      |  FROM documents)
+      |SELECT a.doc_id, a.n_chars, round(a.r + 5e-10, 4) AS diversity
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE (b.n_chars >= a.n_chars AND b.r > a.r)
+      |     OR (b.n_chars > a.n_chars AND b.r >= a.r))
+      |ORDER BY a.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_skyline" -> (qParetoSkyline _),
     "q_basket_affinity" -> (qBasketAffinity _),
     "q_higher_order_funcs" -> (qHigherOrderFuncs _),
     "q_skew_metrics" -> (qSkewMetrics _),
@@ -1495,6 +1543,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_pareto_skyline" -> qParetoSkylineOracle,
     "q_basket_affinity" -> qBasketAffinityOracle,
     "q_higher_order_funcs" -> qHigherOrderFuncsOracle,
     "q_unpivot" -> qUnpivotOracle,

@@ -801,7 +801,79 @@ object StatsOps {
       |       round((po - pe) / (1.0 - pe) + 5e-10, 4) AS kappa
       |FROM k""".stripMargin
 
+  /** Kaplan–Meier time-to-conversion curve — survival analysis with
+    * right-censoring, the read-out a naive "mean days to purchase"
+    * gets wrong because users who never converted are CENSORED, not
+    * failures: a user's event time is their FIRST purchase day, users
+    * with no purchase stay in the risk set until the observation
+    * horizon and never count as events. The risk set entering day t is
+    * everyone who hasn't converted before t (N minus the prior-day
+    * cumulative events — one window over the per-day rollup), the
+    * hazard is d_t / n_t, and the curve is the running product
+    * Π(1 − hazard), computed as exp(Σ ln(·)) — a cumulative WINDOW
+    * sum, so both engines accumulate the (≤ libm-ulp apart) log terms
+    * in the same order and the ε tie-break absorbs the residue at
+    * round-4. A day whose events EXHAUST the risk set (hazard = 1 — in
+    * the fixture every user eventually converts, so the last event day
+    * does) would feed ln(0), where the engines diverge (NULL vs −inf vs
+    * error); that term is NULL-guarded out of the sum and the survival
+    * pinned to exactly 0.0 — the mathematically correct curve value.
+    * Everything after the per-user rollup is calendar-bounded.
+    */
+  def eventsSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val firstBuy = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(timestamp_micros(Tables.eventMicros(ev))))
+        .as("t"))
+    val perDay = firstBuy.groupBy(col("t"))
+      .agg(count(lit(1)).as("d"))
+    val wOrd = Window.orderBy(col("t"))
+    val wPrior = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    perDay.crossJoin(broadcast(users))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("d")).over(wPrior), lit(0L)))
+      .withColumn("hazard", round(col("d").cast("double") / col("n_risk")
+        + lit(5e-10), 6))
+      .withColumn("lnterm", when(col("d") < col("n_risk"),
+        log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+      .withColumn("survival",
+        when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wCum))
+            + lit(5e-10), 4)))
+      .select(col("t"), col("n_risk"), col("d"), col("hazard"),
+        col("survival"))
+      .orderBy(col("t"))
+  }
+
+  val eventsSurvivalKmOracle: String =
+    """WITH n AS (
+      |  SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+      |fb AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS t
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |c AS (SELECT t, COUNT(*) AS d FROM fb GROUP BY t),
+      |r AS (
+      |  SELECT t, d,
+      |         n_users - COALESCE(SUM(d) OVER (ORDER BY t
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_risk
+      |  FROM c CROSS JOIN n)
+      |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+      |       round(CAST(d AS DOUBLE) / n_risk + 5e-10, 6) AS hazard,
+      |       CASE WHEN d = n_risk THEN 0.0
+      |            ELSE round(exp(SUM(CASE WHEN d < n_risk
+      |                THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+      |              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW)) + 5e-10, 4) END AS survival
+      |FROM r ORDER BY t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival_km" -> (eventsSurvivalKm _),
     "events_diff_in_diff" -> (eventsDiffInDiff _),
     "curation_cohens_kappa" -> (curationCohensKappa _),
     "curation_waterfill" -> (curationWaterfill _),
@@ -817,6 +889,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "events_survival_km" -> eventsSurvivalKmOracle,
     "events_diff_in_diff" -> eventsDiffInDiffOracle,
     "curation_cohens_kappa" -> curationCohensKappaOracle,
     "curation_waterfill" -> curationWaterfillOracle,

@@ -227,6 +227,55 @@ class StatsOpsSpec extends AnyFunSuite {
       < 1e-9, r.toString)
   }
 
+  test("kaplan-meier: the risk set telescopes by the event counts and " +
+      "survival is nonincreasing to the exhaustion point") {
+    val rows = StatsOps.eventsSurvivalKm(spark, dir).collect()
+      .sortBy(_.getAs[java.sql.Date]("t").getTime)
+    assert(rows.nonEmpty)
+    val buyers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("d")).sum == buyers,
+      "events must partition the converters")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") <=
+          a.getAs[Long]("n_risk") - a.getAs[Long]("d"),
+          s"risk set must shrink by at least the events: $a -> $b")
+        assert(b.getAs[Double]("survival") <=
+          a.getAs[Double]("survival") + 1e-9,
+          s"survival must be nonincreasing: $a -> $b")
+      case _ =>
+    }
+    val last = rows.last
+    if (last.getAs[Long]("d") == last.getAs[Long]("n_risk"))
+      assert(last.getAs[Double]("survival") == 0.0,
+        "exhausted risk set must pin survival to zero")
+  }
+
+  test("pareto skyline: no survivor dominates another and every " +
+      "non-survivor is dominated by a survivor") {
+    val toks = split(col("text"), " ")
+    val pts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sky = RelationalOps.qParetoSkyline(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(sky.nonEmpty && sky.size < pts.length)
+    def dominates(b: (Long, Long, Double), a: (Long, Long, Double)) =
+      (b._2 >= a._2 && b._3 > a._3) || (b._2 > a._2 && b._3 >= a._3)
+    val skyPts = pts.filter(p => sky(p._1))
+    skyPts.foreach { a =>
+      assert(!skyPts.exists(b => b._1 != a._1 && dominates(b, a)),
+        s"skyline point dominated within the frontier: $a")
+    }
+    pts.filterNot(p => sky(p._1)).foreach { a =>
+      assert(skyPts.exists(b => dominates(b, a)),
+        s"non-skyline point undominated by the frontier: $a")
+    }
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {
