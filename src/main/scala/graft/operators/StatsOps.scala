@@ -872,7 +872,53 @@ object StatsOps {
       |                    AND CURRENT ROW)) + 5e-10, 4) END AS survival
       |FROM r ORDER BY t""".stripMargin
 
+  /** Experiment power analysis — the design-side companion to
+    * [[eventsAbTest]]: from the live per-user metric variance, report
+    * the minimum detectable effect at the CURRENT sample size and the
+    * per-arm n REQUIRED to detect a unit effect, both at α = 0.05 /
+    * 80% power (z constants 1.96 and 0.84, the standard two-sided
+    * approximation `n = 2σ²(z_α + z_β)² / δ²`). Pooled variance comes
+    * from the same explicit co-moment algebra as the t-test; the
+    * required-n ceiling is taken on identical doubles in both engines.
+    * One user rollup, then scalar math.
+    */
+  def eventsPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(round(avg(col("value")), 5).as("m"))
+    val mo = perUser.agg(count(lit(1)).as("n"),
+      sum(col("m")).as("s1"), sum(col("m") * col("m")).as("s2"))
+      .withColumn("varr", (col("n") * col("s2") - col("s1") * col("s1"))
+        / (col("n") * (col("n") - 1)))
+    // 2.8 as ONE literal, not 1.96 + 0.84 — the sum differs from the
+    // closest-double-to-2.8 by an ulp and the oracle writes 2.8
+    val z = lit(2.8)
+    mo.select(col("n").as("n_users"),
+      round(col("varr") + lit(5e-10), 4).as("pooled_var"),
+      round(z * sqrt(lit(2.0) * col("varr")
+        / (col("n") / 2).cast("long")) + lit(5e-10), 4).as("mde_now"),
+      ceil(lit(2.0) * col("varr") * z * z).cast("long")
+        .as("n_per_arm_for_unit_effect"))
+  }
+
+  val eventsPowerAnalysisOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, round(AVG(value), 5) AS m
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |mo AS (
+      |  SELECT COUNT(*) AS n, SUM(m) AS s1, SUM(m * m) AS s2 FROM u),
+      |v AS (
+      |  SELECT n, (n * s2 - s1 * s1) / (n * (n - 1)) AS varr FROM mo)
+      |SELECT n AS n_users,
+      |       round(varr + 5e-10, 4) AS pooled_var,
+      |       round(2.8 * sqrt(2.0 * varr / (n // 2)) + 5e-10, 4) AS mde_now,
+      |       CAST(ceil(2.0 * varr * 2.8 * 2.8) AS BIGINT)
+      |         AS n_per_arm_for_unit_effect
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_survival_km" -> (eventsSurvivalKm _),
     "events_diff_in_diff" -> (eventsDiffInDiff _),
     "curation_cohens_kappa" -> (curationCohensKappa _),
@@ -889,6 +935,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "events_power_analysis" -> eventsPowerAnalysisOracle,
     "events_survival_km" -> eventsSurvivalKmOracle,
     "events_diff_in_diff" -> eventsDiffInDiffOracle,
     "curation_cohens_kappa" -> curationCohensKappaOracle,

@@ -740,7 +740,54 @@ object TimeSeriesOps {
       |       round(SUM(err) / SUM(ax) * 100 + 5e-10, 4) AS wape_pct
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Rolling 7-day DISTINCT active users per type — the sliding
+    * distinct-count that a plain window CANNOT partial-aggregate
+    * (distinct isn't mergeable across frames), solved with the
+    * explode-to-buckets pattern: each distinct (type, user, day)
+    * presence emits the ≤ 7 output days whose trailing window covers
+    * it (map-side, constant fan-out), and one exact distinct-count
+    * rollup per (type, output-day) finishes the job. Cost is 7× the
+    * presence table — linear at any scale, no per-day self-joins, no
+    * quadratic window recompute; the approximate twin at extreme
+    * cardinality is the staged-HLL rollup (`q_sketch_rollup`).
+    */
+  def eventsRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val presence = ev
+      .select(col("event_type"),
+        col("user_id"),
+        to_date(timestamp_micros(Tables.eventMicros(ev))).as("day"))
+      .distinct()
+    val bounds = broadcast(presence.agg(max(col("day")).as("mx")))
+    presence
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), 6), expr("interval 1 day"))).as("out_day"))
+      .crossJoin(bounds)
+      .filter(col("out_day") <= col("mx"))
+      .groupBy(col("event_type"), col("out_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsRollingDistinctOracle: String =
+    """WITH p AS (
+      |  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |mx AS (SELECT MAX(day) AS mx FROM p),
+      |b AS (
+      |  SELECT event_type, user_id,
+      |         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |             CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+      |           AS day
+      |  FROM p)
+      |SELECT event_type, day, COUNT(DISTINCT user_id) AS u7
+      |FROM b CROSS JOIN mx WHERE day <= mx
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_distinct" -> (eventsRollingDistinct _),
     "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_stl_decompose" -> (eventsStlDecompose _),
     "events_trend_forecast" -> (eventsTrendForecast _),
@@ -754,6 +801,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_rolling_distinct" -> eventsRollingDistinctOracle,
     "events_forecast_backtest" -> eventsForecastBacktestOracle,
     "events_stl_decompose" -> eventsStlDecomposeOracle,
     "events_trend_forecast" -> eventsTrendForecastOracle,

@@ -276,6 +276,19 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("power analysis: detectable effect shrinks with n and the " +
+      "required n is consistent with the variance") {
+    val r = StatsOps.eventsPowerAnalysis(spark, dir).collect().head
+    val (v, mde) = (r.getAs[Double]("pooled_var"), r.getAs[Double]("mde_now"))
+    assert(v > 0 && mde > 0, r.toString)
+    val nReq = r.getAs[Long]("n_per_arm_for_unit_effect")
+    assert(nReq >= math.floor(2.0 * v * 2.8 * 2.8).toLong &&
+      nReq <= math.ceil(2.0 * v * 2.8 * 2.8).toLong + 1, r.toString)
+    // at the required n, the detectable effect is (about) the unit
+    val mdeAtReq = 2.8 * math.sqrt(2.0 * v / nReq)
+    assert(mdeAtReq <= 1.0 + 0.05, s"required n does not reach unit MDE: $r")
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {

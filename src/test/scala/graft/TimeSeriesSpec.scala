@@ -207,6 +207,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling distinct: the 7-day count brackets between the daily " +
+      "count and the user universe") {
+    val ev = Tables.events(spark, dir)
+    val dailyU = ev.select(col("event_type"),
+        to_date(timestamp_micros(Tables.eventMicros(ev))).as("day"),
+        col("user_id"))
+      .distinct().groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString) ->
+        r.getLong(2)).toMap
+    val users = ev.select("user_id").distinct().count()
+    val rows = TimeSeriesOps.eventsRollingDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var widened = false
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString)
+      val u7 = r.getAs[Long]("u7")
+      val u1 = dailyU.getOrElse(key, 0L)
+      assert(u7 >= u1, s"window count below the single day at $key")
+      assert(u7 <= users, s"window count above the universe at $key")
+      if (u7 > u1) widened = true
+    }
+    assert(widened, "the 7-day window never widened past one day")
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
