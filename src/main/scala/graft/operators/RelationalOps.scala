@@ -1499,7 +1499,63 @@ object RelationalOps {
       |     OR (b.n_chars > a.n_chars AND b.r >= a.r))
       |ORDER BY a.doc_id""".stripMargin
 
+  /** ABC (Pareto) classification — the inventory-analytics standard:
+    * parts ranked by revenue, class A = the head covering 80% of
+    * cumulative revenue share, B = to 95%, C = the tail. Revenue stays
+    * in EXACT money cents… here doubles rounded to 2dp before the
+    * cumulative share so the class boundary compares a deterministic
+    * quantity; the share itself gets the ε tie-break. One partial-agg
+    * shuffle on partkey, then a window over the |parts|-sized rollup
+    * (value-domain table at any sf), and a 3-row class summary join.
+    */
+  def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+    val wOrd = Window.orderBy(col("revenue").desc, col("l_partkey"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val classed = rev
+      .withColumn("cum_share",
+        round(sum(col("revenue")).over(wCum) / sum(col("revenue")).over(wAll)
+          + lit(5e-10), 6))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise(lit("C")))
+    classed.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("revenue")) + lit(5e-10), 2).as("class_revenue"),
+        round(min(col("cum_share")) + lit(5e-10), 6).as("share_lo"),
+        round(max(col("cum_share")) + lit(5e-10), 6).as("share_hi"))
+      .orderBy(col("abc_class"))
+  }
+
+  val qAbcAnalysisOracle: String =
+    """WITH r AS (
+      |  SELECT l_partkey,
+      |         round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      |  SELECT l_partkey, revenue,
+      |         round(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               / SUM(revenue) OVER () + 5e-10, 6) AS cum_share
+      |  FROM r),
+      |k AS (
+      |  SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
+      |                 WHEN cum_share <= 0.95 THEN 'B'
+      |                 ELSE 'C' END AS abc_class
+      |  FROM c)
+      |SELECT abc_class, COUNT(*) AS n_parts,
+      |       round(SUM(revenue) + 5e-10, 2) AS class_revenue,
+      |       round(MIN(cum_share) + 5e-10, 6) AS share_lo,
+      |       round(MAX(cum_share) + 5e-10, 6) AS share_hi
+      |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abc_analysis" -> (qAbcAnalysis _),
     "q_pareto_skyline" -> (qParetoSkyline _),
     "q_basket_affinity" -> (qBasketAffinity _),
     "q_higher_order_funcs" -> (qHigherOrderFuncs _),
@@ -1543,6 +1599,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_abc_analysis" -> qAbcAnalysisOracle,
     "q_pareto_skyline" -> qParetoSkylineOracle,
     "q_basket_affinity" -> qBasketAffinityOracle,
     "q_higher_order_funcs" -> qHigherOrderFuncsOracle,

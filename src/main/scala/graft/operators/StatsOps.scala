@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -917,7 +917,86 @@ object StatsOps {
       |         AS n_per_arm_for_unit_effect
       |FROM v""".stripMargin
 
+  /** Pairwise Pearson correlation matrix over four lineitem measures in
+    * ONE aggregate pass — the wide-aggregation pattern: all 15 moment
+    * sums (4 firsts, 4 squares, 6 cross-products, count) come out of a
+    * single partial+final HashAggregate over one scan, then the 6
+    * correlations are scalar algebra on a 1-row frame unpivoted to
+    * long form. The naive per-pair `corr()` calls would scan 6× and
+    * hide the moment algebra behind engine-specific implementations;
+    * explicit co-moments are the cross-engine-stable form. NULL-guarded
+    * zero variance; round-4 + ε on the outputs.
+    */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("q"), col("l_extendedprice").as("p"),
+      col("l_discount").as("d"), col("l_tax").as("t"))
+    val m = li.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+      sum(col("d")).as("sd"), sum(col("t")).as("st"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"), sum(col("t") * col("t")).as("stt"),
+      sum(col("q") * col("p")).as("sqp"), sum(col("q") * col("d")).as("sqd"),
+      sum(col("q") * col("t")).as("sqt"), sum(col("p") * col("d")).as("spd"),
+      sum(col("p") * col("t")).as("spt"), sum(col("d") * col("t")).as("sdt"))
+    def corr(sab: Column, sa: Column, sb: Column,
+        saa: Column, sbb: Column): Column = {
+      val cov = col("n") * sab - sa * sb
+      val va = col("n") * saa - sa * sa
+      val vb = col("n") * sbb - sb * sb
+      when(va <= 0 || vb <= 0, lit(null).cast("double"))
+        .otherwise(round(cov / sqrt(va * vb) + lit(5e-10), 4))
+    }
+    m.select(
+      corr(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("qty_price"),
+      corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("qty_discount"),
+      corr(col("sqt"), col("sq"), col("st"), col("sqq"), col("stt")).as("qty_tax"),
+      corr(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("price_discount"),
+      corr(col("spt"), col("sp"), col("st"), col("spp"), col("stt")).as("price_tax"),
+      corr(col("sdt"), col("sd"), col("st"), col("sdd"), col("stt")).as("discount_tax"))
+      .selectExpr("stack(6, 'qty_price', qty_price, 'qty_discount', " +
+        "qty_discount, 'qty_tax', qty_tax, 'price_discount', price_discount, " +
+        "'price_tax', price_tax, 'discount_tax', discount_tax) " +
+        "AS (pair, pearson)")
+      .orderBy(col("pair"))
+  }
+
+  val qCorrMatrixOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |         SUM(l_quantity) AS sq, SUM(l_extendedprice) AS sp,
+      |         SUM(l_discount) AS sd, SUM(l_tax) AS st,
+      |         SUM(l_quantity * l_quantity) AS sqq,
+      |         SUM(l_extendedprice * l_extendedprice) AS spp,
+      |         SUM(l_discount * l_discount) AS sdd,
+      |         SUM(l_tax * l_tax) AS stt,
+      |         SUM(l_quantity * l_extendedprice) AS sqp,
+      |         SUM(l_quantity * l_discount) AS sqd,
+      |         SUM(l_quantity * l_tax) AS sqt,
+      |         SUM(l_extendedprice * l_discount) AS spd,
+      |         SUM(l_extendedprice * l_tax) AS spt,
+      |         SUM(l_discount * l_tax) AS sdt
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT * FROM (
+      |    SELECT 'qty_price' AS pair, sqp AS sab, sq AS sa, sp AS sb,
+      |           sqq AS saa, spp AS sbb, n FROM m
+      |    UNION ALL SELECT 'qty_discount', sqd, sq, sd, sqq, sdd, n FROM m
+      |    UNION ALL SELECT 'qty_tax', sqt, sq, st, sqq, stt, n FROM m
+      |    UNION ALL SELECT 'price_discount', spd, sp, sd, spp, sdd, n FROM m
+      |    UNION ALL SELECT 'price_tax', spt, sp, st, spp, stt, n FROM m
+      |    UNION ALL SELECT 'discount_tax', sdt, sd, st, sdd, stt, n FROM m))
+      |SELECT pair,
+      |       CASE WHEN n * saa - sa * sa <= 0 OR n * sbb - sb * sb <= 0
+      |            THEN NULL
+      |            ELSE round((n * sab - sa * sb)
+      |                   / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+      |                   + 5e-10, 4) END AS pearson
+      |FROM w ORDER BY pair""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> (qCorrMatrix _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_survival_km" -> (eventsSurvivalKm _),
     "events_diff_in_diff" -> (eventsDiffInDiff _),
@@ -935,6 +1014,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "q_corr_matrix" -> qCorrMatrixOracle,
     "events_power_analysis" -> eventsPowerAnalysisOracle,
     "events_survival_km" -> eventsSurvivalKmOracle,
     "events_diff_in_diff" -> eventsDiffInDiffOracle,

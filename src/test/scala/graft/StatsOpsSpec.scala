@@ -289,6 +289,41 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(mdeAtReq <= 1.0 + 0.05, s"required n does not reach unit MDE: $r")
   }
 
+  test("abc analysis: classes partition parts, revenue shares nest " +
+      "A < B < C boundaries") {
+    val rows = RelationalOps.qAbcAnalysis(spark, dir).collect()
+      .sortBy(_.getAs[String]("abc_class"))
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq.forall(Set("A", "B", "C")))
+    val parts = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == parts)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share_lo") <= r.getAs[Double]("share_hi"))
+      assert(r.getAs[Double]("class_revenue") > 0)
+    }
+    val hiByClass = rows.map(r =>
+      r.getAs[String]("abc_class") -> r.getAs[Double]("share_hi")).toMap
+    assert(hiByClass.get("A").forall(_ <= 0.80 + 1e-9))
+    assert(hiByClass.get("B").forall(_ <= 0.95 + 1e-9))
+    assert(math.abs(hiByClass("C") - 1.0) < 1e-6,
+      "class C must close the cumulative share at 1")
+  }
+
+  test("corr matrix: six pairs, each a valid correlation, and the " +
+      "known fixture relation (price ~ quantity) is strong") {
+    val rows = StatsOps.qCorrMatrix(spark, dir).collect()
+    assert(rows.length == 6)
+    val m = rows.map(r => r.getAs[String]("pair") ->
+      (if (r.isNullAt(1)) None else Some(r.getAs[Double]("pearson")))).toMap
+    m.values.flatten.foreach(c => assert(math.abs(c) <= 1.0 + 1e-9))
+    // the synthetic measures are drawn independently — every pair
+    // should read as noise; a strong correlation would mean the moment
+    // algebra (not the fixture) broke
+    assert(m.values.flatten.forall(c => math.abs(c) < 0.1),
+      s"independent fixture columns must not correlate: $m")
+    assert(m.values.forall(_.nonEmpty), s"no pair should be degenerate: $m")
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {
