@@ -1554,7 +1554,50 @@ object RelationalOps {
       |       round(MAX(cum_share) + 5e-10, 6) AS share_hi
       |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin
 
+  /** Duplicate-payment candidates — the finance-audit pair sweep: two
+    * orders from the SAME customer, close in amount (≤ 5000) and close
+    * in time (≤ 30 days), ranked by amount gap. The pair explosion is
+    * the bounded per-key quadratic (the [[qBasketAffinity]] discipline):
+    * the equality key o_custkey caps each cell at that customer's
+    * order count, so the pair stream is linear in customers at any
+    * scale — never a price- or date-range cross join. Amount/date
+    * predicates compare raw exact values; only output columns round.
+    */
+  def qDuplicatePayments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("d"))
+    val a = o.select(col("o_custkey"), col("o_orderkey").as("k1"),
+      col("o_totalprice").as("p1"), col("d").as("d1"))
+    val b = o.select(col("o_custkey"), col("o_orderkey").as("k2"),
+      col("o_totalprice").as("p2"), col("d").as("d2"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("k1") < col("k2")
+        && abs(col("p1") - col("p2")) <= 5000.0
+        && abs(datediff(col("d1"), col("d2"))) <= 30)
+      .select(col("o_custkey"), col("k1"), col("k2"),
+        round(col("p1"), 2).as("p1"), round(col("p2"), 2).as("p2"),
+        round(abs(col("p1") - col("p2")) + lit(5e-10), 2).as("amount_gap"),
+        abs(datediff(col("d1"), col("d2"))).cast("long").as("day_gap"))
+      .orderBy(col("o_custkey"), col("k1"), col("k2"))
+  }
+
+  val qDuplicatePaymentsOracle: String =
+    """SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+      |       round(a.o_totalprice, 2) AS p1, round(b.o_totalprice, 2) AS p2,
+      |       round(abs(a.o_totalprice - b.o_totalprice) + 5e-10, 2)
+      |         AS amount_gap,
+      |       CAST(abs(datediff('day', CAST(a.o_orderdate AS DATE),
+      |                CAST(b.o_orderdate AS DATE))) AS BIGINT) AS day_gap
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      | AND abs(a.o_totalprice - b.o_totalprice) <= 5000.0
+      | AND abs(datediff('day', CAST(a.o_orderdate AS DATE),
+      |          CAST(b.o_orderdate AS DATE))) <= 30
+      |ORDER BY a.o_custkey, k1, k2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_duplicate_payments" -> (qDuplicatePayments _),
     "q_abc_analysis" -> (qAbcAnalysis _),
     "q_pareto_skyline" -> (qParetoSkyline _),
     "q_basket_affinity" -> (qBasketAffinity _),
@@ -1599,6 +1642,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_duplicate_payments" -> qDuplicatePaymentsOracle,
     "q_abc_analysis" -> qAbcAnalysisOracle,
     "q_pareto_skyline" -> qParetoSkylineOracle,
     "q_basket_affinity" -> qBasketAffinityOracle,

@@ -995,7 +995,68 @@ object StatsOps {
       |                   + 5e-10, 4) END AS pearson
       |FROM w ORDER BY pair""".stripMargin
 
+  /** Bot-likeness scoring from inter-arrival regularity — the abuse
+    * gate: humans arrive bursty (coefficient of variation of gaps ≈ 1,
+    * exponential-ish), schedulers arrive regular (cv → 0). Gaps are
+    * integer SECONDS (each timestamp floored to seconds FIRST, then
+    * differenced — the order matters and both engines mirror it), so
+    * every moment sum is integer-exact in BIGINT regardless of
+    * aggregation order; doubles appear only at the final divisions.
+    * One user_id shuffle serves the lag window and the rollup. The
+    * regularity flag thresholds the ROUNDED cv.
+    */
+  def eventsBotScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .withColumn("us", Tables.eventMicros(ev))
+      .withColumn("s", expr("us div 1000000"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .withColumn("mean_gap_s",
+        round(col("sg").cast("double") / col("n_gaps") + lit(5e-10), 2))
+      .withColumn("cv", round(
+        sqrt((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+          .cast("double") / (col("n_gaps") * (col("n_gaps") - 1)))
+          / (col("sg").cast("double") / col("n_gaps")) + lit(5e-10), 4))
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_s"), col("cv"),
+        (col("cv") < 0.85).as("is_regular"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsBotScoreOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |         sec - lag(sec) OVER (PARTITION BY user_id
+      |           ORDER BY sec, event_id) AS gap
+      |  FROM s),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n_gaps,
+      |         CAST(SUM(gap) AS BIGINT) AS sg,
+      |         CAST(SUM(gap * gap) AS BIGINT) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_gaps,
+      |       round(CAST(sg AS DOUBLE) / n_gaps + 5e-10, 2) AS mean_gap_s,
+      |       round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+      |               / (n_gaps * (n_gaps - 1)))
+      |             / (CAST(sg AS DOUBLE) / n_gaps) + 5e-10, 4) AS cv,
+      |       round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+      |               / (n_gaps * (n_gaps - 1)))
+      |             / (CAST(sg AS DOUBLE) / n_gaps) + 5e-10, 4) < 0.85
+      |         AS is_regular
+      |FROM m ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_score" -> (eventsBotScore _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_survival_km" -> (eventsSurvivalKm _),
@@ -1014,6 +1075,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "events_bot_score" -> eventsBotScoreOracle,
     "q_corr_matrix" -> qCorrMatrixOracle,
     "events_power_analysis" -> eventsPowerAnalysisOracle,
     "events_survival_km" -> eventsSurvivalKmOracle,

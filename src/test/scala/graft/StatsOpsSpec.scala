@@ -324,6 +324,32 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(m.values.forall(_.nonEmpty), s"no pair should be degenerate: $m")
   }
 
+  test("bot score: gap accounting telescopes (n_gaps = events - 1) and " +
+      "the flag thresholds the reported cv") {
+    val rows = StatsOps.eventsBotScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") ==
+        perUser(r.getAs[Long]("user_id")) - 1, r.toString)
+      val cv = r.getAs[Double]("cv")
+      assert(cv >= 0 && r.getAs[Double]("mean_gap_s") > 0, r.toString)
+      assert(r.getAs[Boolean]("is_regular") == (cv < 0.85), r.toString)
+    }
+  }
+
+  test("duplicate payments: every pair is canonical, same-customer, and " +
+      "inside both tolerance windows") {
+    val rows = RelationalOps.qDuplicatePayments(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k1") < r.getAs[Long]("k2"), r.toString)
+      assert(r.getAs[Double]("amount_gap") <= 5000.0 + 0.01, r.toString)
+      assert(r.getAs[Long]("day_gap") <= 30, r.toString)
+    }
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {
