@@ -255,4 +255,51 @@ class ScaleSpec extends AnyFunSuite {
       s"$hits hits exceed the df-cap bound (${batchSpans * DedupOps.MaxSpanDf}) " +
         "— postings fan-out no longer bounded?")
   }
+
+  /** Growth tripwires for the continuation pair/explode operators: each
+    * has a designed bound (per-key cell, bounded catalog, constant
+    * fan-out) that a silent rewrite could break into a data-quadratic.
+    * A 10x data step (sf0.001 -> sf0.01) must grow the intermediate
+    * linearly-ish, never ~100x.
+    */
+  test("pair and explode operators grow linearly across a 10x data step") {
+    import graft.operators.DedupOps
+    // measure the DESIGNED-LINEAR intermediate (the pre-threshold pair /
+    // explode stream), not the thresholded output, across sf0.01 -> sf0.1
+    def ratio(f: String => Long): Double =
+      f(TestSpark.sfDirBig).toDouble / math.max(f(TestSpark.sfDirMid), 1L)
+
+    // basket pairs: bounded per order cell (<= items^2/2 each)
+    val basket = ratio { d =>
+      val items = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk")).count()
+    }
+    // duplicate payments: bounded per customer cell
+    val dup = ratio { d =>
+      val o = Tables.orders(spark, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+      o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey")).count()
+    }
+    // fuzzy linkage: |catalog|^2 with a FIXED 64-name catalog -> ~flat
+    val fuzzy = ratio(d => DedupOps.dedupFuzzyLinkage(spark, d).count())
+    // rolling distinct: 7x presence explode over the (type, user, day) grid
+    val roll = ratio { d =>
+      val ev = Tables.events(spark, d)
+      ev.select(col("event_type"), col("user_id"),
+          to_date(timestamp_micros(Tables.eventMicros(ev))).as("day"))
+        .distinct().count() * 7
+    }
+    info(f"10x growth ratios — basket $basket%.1f, duplicate-pay $dup%.1f, " +
+      f"fuzzy $fuzzy%.1f, rolling-distinct-explode $roll%.1f")
+    // generous linear-ish ceilings; a quadratic blowup would read ~100x
+    assert(basket <= 20.0, f"basket pair growth $basket%.1fx looks quadratic")
+    assert(dup <= 20.0, f"duplicate-payment growth $dup%.1fx looks quadratic")
+    assert(fuzzy <= 5.0, f"fuzzy-linkage growth $fuzzy%.1fx — catalog no longer bounded?")
+    assert(roll <= 20.0, f"rolling-distinct growth $roll%.1fx — fan-out no longer constant?")
+  }
 }
