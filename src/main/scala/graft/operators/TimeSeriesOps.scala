@@ -786,7 +786,50 @@ object TimeSeriesOps {
       |GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Window-navigation completeness sweep — the remaining analytic
+    * window functions differentially pinned in one query: first/last/
+    * nth_value over the full frame, cume_dist and percent_rank over the
+    * value ordering (tie-stable BY DEFINITION: both count order-peers,
+    * so equal x gives equal output regardless of within-tie order), and
+    * lead with an explicit default at the partition edge. One window
+    * sort over the calendar-bounded daily table.
+    */
+  def qWindowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wFull = wDay.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    daily(spark, dir)
+      .select(col("event_type"), col("day"), col("x"),
+        first(col("x")).over(wFull).as("first_x"),
+        last(col("x")).over(wFull).as("last_x"),
+        nth_value(col("x"), 3).over(wFull).as("third_x"),
+        round(cume_dist().over(wVal) + lit(5e-10), 4).as("cd"),
+        round(percent_rank().over(wVal) + lit(5e-10), 4).as("pr"),
+        lead(col("x"), 1, -1.0).over(wDay).as("next_x"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qWindowNavigationOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day)
+      |SELECT event_type, day, x,
+      |       first_value(x) OVER wf AS first_x,
+      |       last_value(x) OVER wf AS last_x,
+      |       nth_value(x, 3) OVER wf AS third_x,
+      |       round(cume_dist() OVER wv + 5e-10, 4) AS cd,
+      |       round(percent_rank() OVER wv + 5e-10, 4) AS pr,
+      |       lead(x, 1, -1.0) OVER wd AS next_x
+      |FROM d WINDOW
+      |  wf AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wv AS (PARTITION BY event_type ORDER BY x),
+      |  wd AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_navigation" -> (qWindowNavigation _),
     "events_rolling_distinct" -> (eventsRollingDistinct _),
     "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -801,6 +844,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "q_window_navigation" -> qWindowNavigationOracle,
     "events_rolling_distinct" -> eventsRollingDistinctOracle,
     "events_forecast_backtest" -> eventsForecastBacktestOracle,
     "events_stl_decompose" -> eventsStlDecomposeOracle,

@@ -464,4 +464,48 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum ==
       graft.Tables.documents(spark, dir).count(), "bin counts lose docs")
   }
+
+  test("correlation matrix: all fifteen moments come from ONE scan and " +
+      "one partial+final aggregate — never six per-pair passes") {
+    val df = graft.operators.StatsOps.qCorrMatrix(spark, dir)
+    df.collect()
+    // count scans in the FINAL adaptive plan only (toString appends the
+    // initial plan section, which would double-count the same scan)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"corr matrix must read lineitem exactly once:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected map-side partial moments before the shuffle")
+    assert(!plan.contains("Join"), s"no join belongs in a one-pass matrix:\n$plan")
+  }
+
+  test("rolling distinct: the explode-to-buckets plan has NO join and " +
+      "exactly one data-touching scan") {
+    val plan = finalPlan(
+      graft.operators.TimeSeriesOps.eventsRollingDistinct(spark, dir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"sliding distinct must not self-join per day:\n$plan")
+    assert(plan.contains("Generate"), s"expected the sequence explode:\n$plan")
+  }
+
+  test("filtered vector search pushes the language predicate to the " +
+      "documents scan, before any scoring") {
+    val plan = finalPlan(
+      graft.operators.SimilarityOps.simFilteredTopk(spark, dir))
+    assert(plan.contains("EqualTo(lang,en)") || plan.contains("lang), en"),
+      s"lang filter not pushed to the scan:\n$plan")
+  }
+
+  test("fuzzy linkage collapses to the name catalog BEFORE the pair " +
+      "sweep: the nested-loop sides are aggregates, not raw scans") {
+    val plan = finalPlan(
+      graft.operators.DedupOps.dedupFuzzyLinkage(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the bounded catalog cross:\n$plan")
+    // both inputs to the pair join must pass through the distinct-name
+    // aggregate; a raw-scan side would be the row-quadratic rewrite
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"pair sides must be catalog aggregates:\n$plan")
+  }
 }
