@@ -1055,7 +1055,49 @@ object StatsOps {
       |         AS is_regular
       |FROM m ORDER BY user_id""".stripMargin
 
+  /** Temperature-scaled mixture weights (α = 0.7) — the multilingual
+    * sampling rule (mBERT / XLM-R lineage): raw language shares p_i are
+    * flattened to `p_i^α / Σ p_j^α`, up-sampling tails without letting
+    * heads dominate. Reports raw vs temperature shares and the
+    * up/down-sampling factor per language. |langs|-bounded rollup; the
+    * pow/ratio chain is the same literal tree both engines and every
+    * output rounds with the ε tie-break.
+    */
+  def curationTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    byLang
+      .withColumn("p", col("n_docs").cast("double")
+        / sum(col("n_docs")).over(wAll))
+      .withColumn("pa", pow(col("p"), 0.7))
+      .withColumn("q", col("pa") / sum(col("pa")).over(wAll))
+      .select(col("lang"), col("n_docs"),
+        round(col("p") + lit(5e-10), 4).as("raw_share"),
+        round(col("q") + lit(5e-10), 4).as("temp_share"),
+        round(col("q") / col("p") + lit(5e-10), 4).as("boost"))
+      .orderBy(col("lang"))
+  }
+
+  val curationTemperatureMixOracle: String =
+    """WITH b AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |p AS (
+      |  SELECT lang, n_docs,
+      |         CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p
+      |  FROM b),
+      |a AS (
+      |  SELECT *, pow(p, 0.7) AS pa FROM p),
+      |q AS (
+      |  SELECT *, pa / SUM(pa) OVER () AS q FROM a)
+      |SELECT lang, n_docs,
+      |       round(p + 5e-10, 4) AS raw_share,
+      |       round(q + 5e-10, 4) AS temp_share,
+      |       round(q / p + 5e-10, 4) AS boost
+      |FROM q ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_temperature_mix" -> (curationTemperatureMix _),
     "events_bot_score" -> (eventsBotScore _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
@@ -1075,6 +1117,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "curation_temperature_mix" -> curationTemperatureMixOracle,
     "events_bot_score" -> eventsBotScoreOracle,
     "q_corr_matrix" -> qCorrMatrixOracle,
     "events_power_analysis" -> eventsPowerAnalysisOracle,

@@ -828,7 +828,94 @@ object TimeSeriesOps {
       |  wd AS (PARTITION BY event_type ORDER BY day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Composed 7-day-ahead seasonal forecast — the production shape that
+    * neither piece gives alone: the OLS line ([[eventsTrendForecast]])
+    * extrapolates the level, the day-of-week profile
+    * ([[eventsStlDecompose]]'s seasonal) modulates each target day.
+    * `pred(h) = intercept + slope·(n−1+h) + seasonal(dow(last_day+h))`
+    * for h = 1..7. Both component fits reuse their operators' exact
+    * algebra (moments from one rollup, seasonal means over the rounded
+    * detrended series), the horizon fan-out is a 7-element explode per
+    * type, and the seasonal lookup is a broadcast join on (type, dow).
+    */
+  def eventsSeasonalForecast(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pts = daily(spark, dir)
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+    val fit = pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("day")).as("last_day"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("x")).as("stx"))
+      .withColumn("dt", col("n") * col("stt") - col("st") * col("st"))
+      .withColumn("slope",
+        (col("n") * col("stx") - col("st") * col("sx")) / col("dt"))
+      .withColumn("icept",
+        (col("sx") - col("slope") * col("st")) / col("n"))
+    val wTrend = wOrd.rowsBetween(-3, 3)
+    val seasonal = daily(spark, dir)
+      .withColumn("trend", round(
+        sum(col("x")).over(wTrend) / count(lit(1)).over(wTrend)
+          + lit(5e-10), 4))
+      .withColumn("detrend", round(col("x") - col("trend"), 4))
+      .withColumn("dow", weekday(col("day")).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg((sum(col("detrend")) / count(lit(1))).as("s"))
+    val horizon = fit
+      .select(col("event_type"), col("n"), col("last_day"),
+        col("slope"), col("icept"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("target_day", expr("date_add(last_day, h)"))
+      .withColumn("dow", weekday(col("target_day")).cast("long"))
+    horizon.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("h"), col("target_day"),
+        round(col("icept")
+          + col("slope") * (col("n") - lit(1) + col("h"))
+          + col("s") + lit(5e-10), 4).as("pred"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val eventsSeasonalForecastOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 5) AS x
+      |  FROM events GROUP BY event_type, day),
+      |p AS (
+      |  SELECT event_type, day, x,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |              - 1 AS DOUBLE) AS t
+      |  FROM d),
+      |fit AS (
+      |  SELECT event_type, COUNT(*) AS n, MAX(day) AS last_day,
+      |         SUM(t) AS st, SUM(x) AS sx,
+      |         SUM(t * t) AS stt, SUM(t * x) AS stx
+      |  FROM p GROUP BY event_type),
+      |k AS (
+      |  SELECT *, (n * stx - st * sx) / (n * stt - st * st) AS slope
+      |  FROM fit),
+      |ic AS (
+      |  SELECT *, (sx - slope * st) / n AS icept FROM k),
+      |tr AS (
+      |  SELECT event_type, day, x,
+      |         round(SUM(x) OVER w / COUNT(x) OVER w + 5e-10, 4) AS trend
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |sea AS (
+      |  SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+      |         SUM(round(x - trend, 4)) / COUNT(*) AS s
+      |  FROM tr GROUP BY event_type, CAST(isodow(day) - 1 AS BIGINT)),
+      |hz AS (
+      |  SELECT ic.event_type, h,
+      |         last_day + CAST(h AS INTEGER) AS target_day,
+      |         icept, slope, n
+      |  FROM ic CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h))
+      |SELECT hz.event_type, h, target_day,
+      |       round(icept + slope * (n - 1 + h) + s + 5e-10, 4) AS pred
+      |FROM hz JOIN sea ON sea.event_type = hz.event_type
+      |        AND sea.dow = CAST(isodow(target_day) - 1 AS BIGINT)
+      |ORDER BY hz.event_type, h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_forecast" -> (eventsSeasonalForecast _),
     "q_window_navigation" -> (qWindowNavigation _),
     "events_rolling_distinct" -> (eventsRollingDistinct _),
     "events_forecast_backtest" -> (eventsForecastBacktest _),
@@ -844,6 +931,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_seasonal_forecast" -> eventsSeasonalForecastOracle,
     "q_window_navigation" -> qWindowNavigationOracle,
     "events_rolling_distinct" -> eventsRollingDistinctOracle,
     "events_forecast_backtest" -> eventsForecastBacktestOracle,

@@ -350,6 +350,22 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: both share columns are distributions and the " +
+      "boost strictly favors tail languages") {
+    val rows = StatsOps.curationTemperatureMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-2)
+    val byShare = rows.sortBy(_.getAs[Double]("raw_share"))
+    byShare.sliding(2).foreach {
+      case Array(tail, head) =>
+        if (tail.getAs[Double]("raw_share") < head.getAs[Double]("raw_share"))
+          assert(tail.getAs[Double]("boost") >= head.getAs[Double]("boost") - 1e-9,
+            s"temperature must up-weight the smaller language: $tail vs $head")
+      case _ =>
+    }
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {

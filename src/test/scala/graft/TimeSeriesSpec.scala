@@ -232,6 +232,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(widened, "the 7-day window never widened past one day")
   }
 
+  test("seasonal forecast: a full 7-day horizon per type starting the " +
+      "day after the calendar ends") {
+    val rows = TimeSeriesOps.eventsSeasonalForecast(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+    val lastDay = ev.agg(max(to_date(timestamp_micros(
+      Tables.eventMicros(ev))))).head().getAs[java.sql.Date](0)
+      .toLocalDate
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("h"))
+      assert(sorted.map(_.getAs[Int]("h")).toSeq == (1 to 7), s"type $t")
+      sorted.foreach { r =>
+        assert(r.getAs[java.sql.Date]("target_day").toLocalDate ==
+          lastDay.plusDays(r.getAs[Int]("h")), s"horizon misaligned: $r")
+        assert(!r.getAs[Double]("pred").isNaN, r.toString)
+      }
+    }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
