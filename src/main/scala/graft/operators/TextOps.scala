@@ -579,6 +579,60 @@ object TextOps {
       |       CAST(CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
       |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix — the eval read-out on top of
+    * [[textLangId]]: per (true, predicted) cell counts with the
+    * row-normalized rate (the diagonal is per-language recall), the
+    * report that says WHERE the classifier confuses rather than just
+    * how often. Rollup over the classifier's per-doc output — adds one
+    * key-space-sized aggregate; the ε tie-break guards the
+    * small-denominator rates.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    textLangId(spark, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(w))
+      .select(col("lang"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("row_total") + lit(5e-10), 4)
+          .as("rate"),
+        (col("lang") === col("predicted")).as("is_diagonal"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val textLangidConfusionOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |profile AS (
+      |  SELECT p_lang, tok FROM (
+      |    SELECT lang AS p_lang, tok, COUNT(*) AS cnt,
+      |           row_number() OVER (PARTITION BY lang
+      |             ORDER BY COUNT(*) DESC, tok) AS rk
+      |    FROM tok GROUP BY lang, tok)
+      |  WHERE rk <= 10),
+      |doctok AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS overlap
+      |  FROM doctok d JOIN profile p ON d.tok = p.tok
+      |  GROUP BY d.doc_id, d.lang, p.p_lang),
+      |best AS (
+      |  SELECT lang, p_lang AS predicted FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |              ORDER BY overlap DESC, p_lang) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |cells AS (
+      |  SELECT lang, predicted, COUNT(*) AS n
+      |  FROM best GROUP BY lang, predicted)
+      |SELECT lang, predicted, n,
+      |       round(CAST(n AS DOUBLE)
+      |             / SUM(n) OVER (PARTITION BY lang) + 5e-10, 4) AS rate,
+      |       lang = predicted AS is_diagonal
+      |FROM cells ORDER BY lang, predicted""".stripMargin
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set
     * (bag-of-words normalization), with the number of documents sharing
     * each fingerprint — the cheap first pass of fuzzy dedup.
@@ -1851,6 +1905,7 @@ object TextOps {
     "curation_funnel" -> (curationFunnel _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_fingerprint" -> (textFingerprint _),
     "text_bigrams" -> (textBigrams _))
 
@@ -1888,6 +1943,7 @@ object TextOps {
     "curation_funnel" -> curationFunnelOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,
+    "text_langid_confusion" -> textLangidConfusionOracle,
     "text_fingerprint" -> textFingerprintOracle,
     "text_bigrams" -> textBigramsOracle)
 }

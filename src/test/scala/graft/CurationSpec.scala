@@ -239,4 +239,19 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(v => v >= -1.0 && v <= 1.0),
       "score escaped [-1, 1]")
   }
+
+  test("langid confusion: cells partition the classified docs and each " +
+      "row's rates sum to one") {
+    val rows = TextOps.textLangidConfusion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val classified = TextOps.textLangId(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == classified,
+      "confusion cells must partition the classified docs")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val s = rs.map(_.getAs[Double]("rate")).sum
+      assert(math.abs(s - 1.0) < 1e-2, s"rates for $l sum to $s")
+    }
+    rows.foreach(r => assert(r.getAs[Boolean]("is_diagonal") ==
+      (r.getAs[String]("lang") == r.getAs[String]("predicted")), r.toString))
+  }
 }
