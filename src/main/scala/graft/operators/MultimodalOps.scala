@@ -832,6 +832,76 @@ object MultimodalOps {
       |LEFT JOIN pm ON d.doc_id = pm.doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** Audio perceptual-fingerprint dedup — the audio twin of the aHash
+    * image dedup: the sign of each consecutive window-energy DELTA
+    * becomes one fingerprint bit (delta-sign signatures survive
+    * amplitude scaling, the property that makes them perceptual), and
+    * media sharing a fingerprint group into duplicate clusters. The
+    * energies come through the REAL RIFF/WAVE codec partition-parallel;
+    * the fingerprint fold is an integer window+aggregate (exact in both
+    * engines); grouping is one fingerprint-key shuffle. A production
+    * system widens to per-band energies — the plumbing is unchanged.
+    */
+  def multimodalAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val energies = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("audio/wav").as("mime"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val container = Wav.encode(Wav.samplesFromBytes(r.payload), 8000)
+        Wav.decodeWindowEnergies(container, AudioWinSamples)
+          .fold(_ => Iterator.empty[(Long, Int, Long)],
+            arr => arr.iterator.zipWithIndex.map {
+              case (e, w) => (r.media_id, w, e)
+            })
+      }
+      .toDF("media_id", "w", "energy")
+    val wOrd = Window.partitionBy(col("media_id")).orderBy(col("w"))
+    val fps = energies
+      .withColumn("prev", lag(col("energy"), 1).over(wOrd))
+      .filter(col("prev").isNotNull && col("w") <= 32)
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("energy") > col("prev"),
+        expr("shiftleft(1L, w - 1)")).otherwise(lit(0L))).as("fp"),
+        count(lit(1)).as("n_bits"))
+    fps.groupBy(col("fp"), col("n_bits"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("first_media"),
+        max(col("media_id")).as("last_media"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("fp"), col("n_bits"))
+  }
+
+  val multimodalAudioDedupOracle: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, CAST(unnest(range(1, strlen(text) + 1)) AS INT) AS p,
+      |         text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, (p - 1) // $AudioWinSamples AS w,
+      |         SUM(CAST((ascii(substr(text, p, 1)) - 128) * 256 AS BIGINT)
+      |             * CAST((ascii(substr(text, p, 1)) - 128) * 256 AS BIGINT))
+      |           AS energy
+      |  FROM pos GROUP BY doc_id, w),
+      |d AS (
+      |  SELECT doc_id, w, energy,
+      |         lag(energy) OVER (PARTITION BY doc_id ORDER BY w) AS prev
+      |  FROM e),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN energy > prev
+      |                       THEN 1::BIGINT << (w - 1) ELSE 0 END)
+      |              AS BIGINT) AS fp,
+      |         COUNT(*) AS n_bits
+      |  FROM d WHERE prev IS NOT NULL AND w <= 32
+      |  GROUP BY doc_id)
+      |SELECT fp, n_bits, COUNT(*) AS n_media,
+      |       MIN(doc_id) AS first_media, MAX(doc_id) AS last_media
+      |FROM fp GROUP BY fp, n_bits HAVING COUNT(*) >= 2
+      |ORDER BY fp, n_bits""".stripMargin
+
   /** Shot-boundary detection over the synthesized frame stream — the
     * video-segmentation shape (per-frame signature → adjacent-frame
     * difference → threshold → gaps-and-islands shots) on the same
@@ -915,6 +985,7 @@ object MultimodalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_shot_detect" -> (multimodalShotDetect _),
+    "multimodal_audio_dedup" -> (multimodalAudioDedup _),
     "multimodal_audio_activity" -> (multimodalAudioActivity _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -925,6 +996,7 @@ object MultimodalOps {
 
   def oracles: Map[String, String] = Map(
     "multimodal_shot_detect" -> multimodalShotDetectOracle,
+    "multimodal_audio_dedup" -> multimodalAudioDedupOracle,
     "multimodal_audio_activity" -> multimodalAudioActivityOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_features" -> multimodalFeaturesOracle,

@@ -253,6 +253,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(windows.length == ((payload.length + win - 1) / win))
   }
 
+  test("audio dedup: clusters are genuine (>= 2 media), fingerprints fit " +
+      "their bit budget, and the signature matches a direct codec fold") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val rows = MultimodalOps.multimodalAudioDedup(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture must surface duplicate clusters")
+    rows.foreach { r =>
+      val (fp, bits, n) = (r.getAs[Long]("fp"), r.getAs[Long]("n_bits"),
+        r.getAs[Long]("n_media"))
+      assert(n >= 2, r.toString)
+      assert(fp >= 0 && fp < (1L << bits.toInt), s"fp escapes bit budget: $r")
+      assert(r.getAs[Long]("first_media") < r.getAs[Long]("last_media"))
+    }
+    // direct-codec recomputation for one clustered document
+    val doc = Tables.documents(spark, dir)
+      .filter(col("doc_id") === rows.head.getAs[Long]("first_media"))
+      .select("text").collect().head.getString(0)
+    val energies = MultimodalOps.Wav.decodeWindowEnergies(
+      MultimodalOps.Wav.encode(
+        MultimodalOps.Wav.samplesFromBytes(doc.getBytes("UTF-8")), 8000),
+      MultimodalOps.AudioWinSamples).toOption.get
+    val expectFp = energies.sliding(2).zipWithIndex.collect {
+      case (Array(a, b), i) if b > a => 1L << i
+    }.sum
+    assert(expectFp == rows.head.getAs[Long]("fp"),
+      s"engine fingerprint disagrees with the direct codec fold")
+  }
+
   test("shot detection: shots partition the frame stream and frame counts " +
       "match the sampler's cap") {
     import org.apache.spark.sql.functions._
