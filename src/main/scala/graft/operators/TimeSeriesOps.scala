@@ -914,7 +914,83 @@ object TimeSeriesOps {
       |        AND sea.dow = CAST(isodow(target_day) - 1 AS BIGINT)
       |ORDER BY hz.event_type, h""".stripMargin
 
+  /** Weekly cohort LTV curve — the revenue companion to the count-based
+    * cohort retention: users grouped by FIRST-PURCHASE week, purchase
+    * revenue accumulated by cohort age in weeks, reported as cumulative
+    * revenue per cohort member. Whether a cohort's curve keeps rising
+    * (compounding value) or flattens (one-and-done) is the growth
+    * readout counts cannot give. Two key-space rollups (user first-week,
+    * then cohort-week × age) plus one cumulative window over the
+    * weeks×weeks-bounded curve table; cohort sizes broadcast back. The
+    * cumulative sum is a WINDOW accumulation (engine-identical order);
+    * per-member division carries the ε tie-break.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val days = ev.select(col("user_id"), col("event_type"), col("value"),
+      to_date(timestamp_micros(Tables.eventMicros(ev))).as("d"))
+    // cohort by FIRST-PURCHASE week (acquisition = first conversion):
+    // first-activity weeks all collapse to week one in a dense fixture,
+    // while conversion weeks genuinely spread the cohorts
+    val firstWeek = days.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("d"))).cast("date").as("cohort_week"))
+    val sizes = firstWeek.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = days.filter(col("event_type") === "purchase")
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("d"), col("cohort_week")) / 7).cast("long")
+          .as("age_week"))
+      .agg(round(sum(col("value")), 5).as("week_rev"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum_rev", sum(col("week_rev")).over(wCum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("age_week"), col("cohort_users"),
+        round(col("week_rev") + lit(5e-10), 2).as("week_rev"),
+        round(col("cum_rev") + lit(5e-10), 2).as("cum_rev"),
+        round(col("cum_rev") / col("cohort_users") + lit(5e-10), 4)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  val eventsCohortLtvOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |fw AS (
+      |  SELECT user_id,
+      |         CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+      |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+      |sz AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_users
+      |  FROM fw GROUP BY cohort_week),
+      |rev AS (
+      |  SELECT cohort_week,
+      |         CAST(floor((d - cohort_week) / 7) AS BIGINT) AS age_week,
+      |         round(SUM(value), 5) AS week_rev
+      |  FROM e JOIN fw USING (user_id)
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY cohort_week, age_week),
+      |c AS (
+      |  SELECT *, SUM(week_rev) OVER (PARTITION BY cohort_week
+      |           ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND CURRENT ROW) AS cum_rev
+      |  FROM rev)
+      |SELECT CAST(c.cohort_week AS STRING) AS cohort_week, age_week,
+      |       cohort_users,
+      |       round(week_rev + 5e-10, 2) AS week_rev,
+      |       round(cum_rev + 5e-10, 2) AS cum_rev,
+      |       round(cum_rev / cohort_users + 5e-10, 4) AS ltv_per_user
+      |FROM c JOIN sz ON sz.cohort_week = c.cohort_week
+      |ORDER BY cohort_week, age_week""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_seasonal_forecast" -> (eventsSeasonalForecast _),
     "q_window_navigation" -> (qWindowNavigation _),
     "events_rolling_distinct" -> (eventsRollingDistinct _),
@@ -931,6 +1007,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_cohort_ltv" -> eventsCohortLtvOracle,
     "events_seasonal_forecast" -> eventsSeasonalForecastOracle,
     "q_window_navigation" -> qWindowNavigationOracle,
     "events_rolling_distinct" -> eventsRollingDistinctOracle,

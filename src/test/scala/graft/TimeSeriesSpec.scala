@@ -252,6 +252,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort ltv: curves are cumulative-monotone, per-user value is " +
+      "the cumulative over the cohort size, and cohorts partition buyers") {
+    val rows = TimeSeriesOps.eventsCohortLtv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val buyers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_week"))
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_users")).sum
+      == buyers, "cohort sizes must partition the buyers")
+    byCohort.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age_week"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Double]("cum_rev") >= a.getAs[Double]("cum_rev") - 1e-6,
+            s"cumulative revenue fell in cohort $c")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val expect = r.getAs[Double]("cum_rev") / r.getAs[Long]("cohort_users")
+        assert(math.abs(r.getAs[Double]("ltv_per_user") - expect) < 1e-3,
+          s"ltv inconsistent with its own cells: $r")
+      }
+    }
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
