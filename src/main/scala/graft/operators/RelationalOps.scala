@@ -1509,39 +1509,52 @@ object RelationalOps {
     * (value-domain table at any sf), and a 3-row class summary join.
     */
   def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    // money discipline: each LINE rounds to integer cents first (one
+    // multiplication — the identical double in both engines — plus a
+    // 1e-6 step off any sub-ulp half-cent), then every aggregate up the
+    // chain is an exact BIGINT fold. Summing 2dp doubles instead
+    // accumulates order-dependent noise ABOVE the cent grid at scale
+    // (observed 4e-2 at sf0.1 over a 2.4e10 sum), and even per-part
+    // round(sum, 2) flips boundary parts across engines.
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
-    val wOrd = Window.orderBy(col("revenue").desc, col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100 + lit(1e-6)).cast("long")).as("cents"))
+    val wOrd = Window.orderBy(col("cents").desc, col("l_partkey"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy()
     val classed = rev
       .withColumn("cum_share",
-        round(sum(col("revenue")).over(wCum) / sum(col("revenue")).over(wAll)
-          + lit(5e-10), 6))
+        round(sum(col("cents")).over(wCum).cast("double")
+          / sum(col("cents")).over(wAll) + lit(5e-10), 6))
       .withColumn("abc_class",
         when(col("cum_share") <= 0.80, "A")
           .when(col("cum_share") <= 0.95, "B")
           .otherwise(lit("C")))
     classed.groupBy(col("abc_class"))
       .agg(count(lit(1)).as("n_parts"),
-        round(sum(col("revenue")) + lit(5e-10), 2).as("class_revenue"),
+        sum(col("cents")).as("class_cents"),
         round(min(col("cum_share")) + lit(5e-10), 6).as("share_lo"),
         round(max(col("cum_share")) + lit(5e-10), 6).as("share_hi"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("class_cents") / lit(100.0), 2).as("class_revenue"),
+        col("share_lo"), col("share_hi"))
       .orderBy(col("abc_class"))
   }
 
   val qAbcAnalysisOracle: String =
     """WITH r AS (
       |  SELECT l_partkey,
-      |         round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |                             * 100 + 1e-6) AS BIGINT)) AS BIGINT)
+      |           AS cents
       |  FROM lineitem GROUP BY l_partkey),
       |c AS (
-      |  SELECT l_partkey, revenue,
-      |         round(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+      |  SELECT l_partkey, cents,
+      |         round(CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |               / SUM(revenue) OVER () + 5e-10, 6) AS cum_share
+      |               AS DOUBLE)
+      |               / SUM(cents) OVER () + 5e-10, 6) AS cum_share
       |  FROM r),
       |k AS (
       |  SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
@@ -1549,7 +1562,7 @@ object RelationalOps {
       |                 ELSE 'C' END AS abc_class
       |  FROM c)
       |SELECT abc_class, COUNT(*) AS n_parts,
-      |       round(SUM(revenue) + 5e-10, 2) AS class_revenue,
+      |       round(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS class_revenue,
       |       round(MIN(cum_share) + 5e-10, 6) AS share_lo,
       |       round(MAX(cum_share) + 5e-10, 6) AS share_hi
       |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin
