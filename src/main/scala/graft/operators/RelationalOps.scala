@@ -1609,7 +1609,55 @@ object RelationalOps {
       |          CAST(b.o_orderdate AS DATE))) <= 30
       |ORDER BY a.o_custkey, k1, k2""".stripMargin
 
+  /** Ship-delay SLA report — fulfillment latency distribution per order
+    * priority: exact integer day delays (order date → line ship date),
+    * average from an integer-exact sum, interpolated p50/p90 (the
+    * `percentile` ↔ `quantile_cont` pairing the percentile query
+    * established), and the 30-day breach rate from integer counts. One
+    * orderkey join (co-partitionable/bucketable at scale) feeding one
+    * 5-group rollup.
+    */
+  def qShipDelaySla(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("odate")).cast("long").as("delay"))
+    d.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("delay")).as("sd"),
+        expr("percentile(delay, 0.5)").as("p50_delay"),
+        expr("percentile(delay, 0.9)").as("p90_delay"),
+        sum(when(col("delay") > 30, 1L).otherwise(0L)).as("breaches"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        round(col("sd").cast("double") / col("n_lines") + lit(5e-10), 2)
+          .as("avg_delay"),
+        col("p50_delay"), col("p90_delay"),
+        round(col("breaches").cast("double") / col("n_lines") + lit(5e-10), 4)
+          .as("breach_rate"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qShipDelaySlaOracle: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |         datediff('day', CAST(o_orderdate AS DATE),
+      |                  CAST(l_shipdate AS DATE)) AS delay
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |       round(CAST(SUM(delay) AS DOUBLE) / COUNT(*) + 5e-10, 2)
+      |         AS avg_delay,
+      |       quantile_cont(delay, 0.5) AS p50_delay,
+      |       quantile_cont(delay, 0.9) AS p90_delay,
+      |       round(CAST(SUM(CASE WHEN delay > 30 THEN 1 ELSE 0 END)
+      |                  AS DOUBLE) / COUNT(*) + 5e-10, 4) AS breach_rate
+      |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_delay_sla" -> (qShipDelaySla _),
     "q_duplicate_payments" -> (qDuplicatePayments _),
     "q_abc_analysis" -> (qAbcAnalysis _),
     "q_pareto_skyline" -> (qParetoSkyline _),
@@ -1655,6 +1703,7 @@ object RelationalOps {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracles: Map[String, String] = Map(
+    "q_ship_delay_sla" -> qShipDelaySlaOracle,
     "q_duplicate_payments" -> qDuplicatePaymentsOracle,
     "q_abc_analysis" -> qAbcAnalysisOracle,
     "q_pareto_skyline" -> qParetoSkylineOracle,
