@@ -989,7 +989,62 @@ object TimeSeriesOps {
       |FROM c JOIN sz ON sz.cohort_week = c.cohort_week
       |ORDER BY cohort_week, age_week""".stripMargin
 
+  /** Error-budget burn-rate alerting (the SRE-workbook multi-window
+    * rule): with a 20% error budget, page when the SHORT window burns
+    * fast (1-hour burn rate > 2×) AND the LONG window confirms it isn't
+    * a blip (trailing-6-hour burn > 1.5×) — the two-window AND is what
+    * kills both flappy pages and slow-burn blindness. Hourly integer
+    * (errors, total) pairs come from one rollup; the trailing window is
+    * an integer ROWS frame (exact in both engines); burn rates are
+    * integer ratios rounded with the ε tie-break BEFORE the alert
+    * compares. Calendar-bounded everything after the rollup.
+    */
+  def eventsBurnRateAlert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .withColumn("hr", date_trunc("hour",
+        timestamp_micros(Tables.eventMicros(ev))))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+    val w6 = Window.orderBy(col("hr")).rowsBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("e6", sum(col("e")).over(w6))
+      .withColumn("burn_1h", round(lit(5.0) * col("e") / col("n")
+        + lit(5e-10), 4))
+      .withColumn("burn_6h", round(lit(5.0) * col("e6") / col("n6")
+        + lit(5e-10), 4))
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("e"), col("burn_1h"), col("burn_6h"),
+        (col("burn_1h") > 2.0 && col("burn_6h") > 1.5).as("page"))
+      .orderBy(col("hour"))
+  }
+
+  val eventsBurnRateAlertOracle: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS e
+      |  FROM events GROUP BY hr),
+      |wdw AS (
+      |  SELECT hr, n, e,
+      |         CAST(SUM(n) OVER w AS BIGINT) AS n6,
+      |         CAST(SUM(e) OVER w AS BIGINT) AS e6
+      |  FROM h WINDOW w AS (ORDER BY hr
+      |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n, e,
+      |         round(CAST(5 AS DOUBLE) * e / n + 5e-10, 4) AS burn_1h,
+      |         round(CAST(5 AS DOUBLE) * e6 / n6 + 5e-10, 4) AS burn_6h
+      |  FROM wdw)
+      |SELECT hour, n, e, burn_1h, burn_6h,
+      |       burn_1h > 2.0 AND burn_6h > 1.5 AS page
+      |FROM b ORDER BY hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_burn_rate_alert" -> (eventsBurnRateAlert _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_seasonal_forecast" -> (eventsSeasonalForecast _),
     "q_window_navigation" -> (qWindowNavigation _),
@@ -1007,6 +1062,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_burn_rate_alert" -> eventsBurnRateAlertOracle,
     "events_cohort_ltv" -> eventsCohortLtvOracle,
     "events_seasonal_forecast" -> eventsSeasonalForecastOracle,
     "q_window_navigation" -> qWindowNavigationOracle,

@@ -278,6 +278,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("burn rate: the page flag is exactly the two-window AND and " +
+      "error counts stay within totals") {
+    val rows = TimeSeriesOps.eventsBurnRateAlert(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e") <= r.getAs[Long]("n"), r.toString)
+      val (b1, b6) = (r.getAs[Double]("burn_1h"), r.getAs[Double]("burn_6h"))
+      assert(b1 >= 0 && b6 >= 0, r.toString)
+      assert(r.getAs[Boolean]("page") == (b1 > 2.0 && b6 > 1.5), r.toString)
+    }
+    val totalE = Tables.events(spark, dir)
+      .filter(col("event_type") === "error").count()
+    assert(rows.map(_.getAs[Long]("e")).sum == totalE,
+      "hourly error counts must partition the error events")
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
