@@ -72,4 +72,25 @@ class FixtureSpec extends AnyFunSuite {
       s"n_chars regenerated as ${s("n_chars").dataType} — checksum " +
         "folds and length filters assume BIGINT")
   }
+
+  test("columns the continuation operators dispatch on hold their types") {
+    val ev = Tables.events(spark, TestSpark.sfDir).schema
+    assert(ev("user_id").dataType == LongType,
+      "user_id type drift — parity arms, streaks, and cohort keys assume BIGINT")
+    assert(ev("value").dataType == DoubleType,
+      "events.value drift — the round-5 float discipline assumes DOUBLE")
+    assert(ev("event_type").dataType == StringType)
+    val p = Tables.part(spark, TestSpark.sfDir).schema
+    assert(p("p_name").dataType == StringType,
+      "p_name drift — the Jaro-Winkler linkage catalog is string-keyed")
+    val o = Tables.orders(spark, TestSpark.sfDir).schema
+    assert(o("o_totalprice").dataType == DoubleType,
+      "o_totalprice drift — Benford digit extraction and duplicate-payment " +
+        "tolerances assume DOUBLE")
+    val d = Tables.documents(spark, TestSpark.sfDir).schema
+    assert(d("lang").dataType == StringType &&
+      d("source").dataType == StringType,
+      "lang/source drift — mixture, Gini, waterfill, and confusion " +
+        "rollups assume string keys")
+  }
 }
