@@ -1043,7 +1043,84 @@ object TimeSeriesOps {
       |       burn_1h > 2.0 AND burn_6h > 1.5 AS page
       |FROM b ORDER BY hour""".stripMargin
 
+  /** Conversion-lag distribution — the "how fast do signups become
+    * buyers" read-out the funnel COUNT queries cannot give: per user,
+    * the first purchase AT OR AFTER the first signup, the lag bucketed
+    * into the product-ops bands (hour / day / week / longer), with each
+    * band's share and cumulative share of converters. Lags are exact
+    * integer micros differenced then floored to seconds (one
+    * representative integer per user — no float anywhere until the
+    * final shares); two user-keyed aggregates and a join share ONE
+    * user_id exchange.
+    */
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val us = ev.withColumn("us", Tables.eventMicros(ev))
+    val signup = us.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+    val firstBuy = us.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("us") >= col("t0"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("us")).as("t1"))
+    val lagged = firstBuy
+      .withColumn("lag_s", expr("(t1 - t0) div 1000000"))
+      .withColumn("bucket",
+        when(col("lag_s") < 3600, "a_under_1h")
+          .when(col("lag_s") < 86400, "b_under_1d")
+          .when(col("lag_s") < 604800, "c_under_7d")
+          .otherwise(lit("d_over_7d")))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lagged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"))
+      .withColumn("share", round(col("n_users").cast("double")
+        / sum(col("n_users")).over(wAll) + lit(5e-10), 4))
+      .withColumn("cum_share", round(sum(col("n_users")).over(wCum)
+        .cast("double") / sum(col("n_users")).over(wAll) + lit(5e-10), 4))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsConversionLagOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, MIN(us) AS t0 FROM u
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT u.user_id, t0, MIN(us) AS t1
+      |  FROM u JOIN s USING (user_id)
+      |  WHERE event_type = 'purchase' AND us >= t0
+      |  GROUP BY u.user_id, t0),
+      |l AS (
+      |  SELECT user_id, (t1 - t0) // 1000000 AS lag_s FROM p),
+      |b AS (
+      |  SELECT CASE WHEN lag_s < 3600 THEN 'a_under_1h'
+      |              WHEN lag_s < 86400 THEN 'b_under_1d'
+      |              WHEN lag_s < 604800 THEN 'c_under_7d'
+      |              ELSE 'd_over_7d' END AS bucket,
+      |         lag_s
+      |  FROM l),
+      |g AS (
+      |  SELECT bucket, COUNT(*) AS n_users,
+      |         CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+      |         CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, n_users, min_lag_s, max_lag_s,
+      |       round(CAST(n_users AS DOUBLE) / SUM(n_users) OVER ()
+      |             + 5e-10, 4) AS share,
+      |       round(CAST(SUM(n_users) OVER (ORDER BY bucket
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS DOUBLE) / SUM(n_users) OVER () + 5e-10, 4)
+      |         AS cum_share
+      |FROM g ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_conversion_lag" -> (eventsConversionLag _),
     "events_burn_rate_alert" -> (eventsBurnRateAlert _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_seasonal_forecast" -> (eventsSeasonalForecast _),
@@ -1062,6 +1139,7 @@ object TimeSeriesOps {
     "events_merge_upsert" -> (eventsMergeUpsert _))
 
   def oracles: Map[String, String] = Map(
+    "events_conversion_lag" -> eventsConversionLagOracle,
     "events_burn_rate_alert" -> eventsBurnRateAlertOracle,
     "events_cohort_ltv" -> eventsCohortLtvOracle,
     "events_seasonal_forecast" -> eventsSeasonalForecastOracle,

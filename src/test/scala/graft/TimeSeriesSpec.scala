@@ -294,6 +294,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       "hourly error counts must partition the error events")
   }
 
+  test("conversion lag: buckets partition the converters, bounds respect " +
+      "the band edges, and cumulative share closes at 1") {
+    val rows = TimeSeriesOps.eventsConversionLag(spark, dir).collect()
+      .sortBy(_.getAs[String]("bucket"))
+    assert(rows.nonEmpty)
+    val edges = Map("a_under_1h" -> (0L, 3600L),
+      "b_under_1d" -> (3600L, 86400L),
+      "c_under_7d" -> (86400L, 604800L),
+      "d_over_7d" -> (604800L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = edges(r.getAs[String]("bucket"))
+      assert(r.getAs[Long]("min_lag_s") >= lo &&
+        r.getAs[Long]("max_lag_s") < hi, s"band edges violated: $r")
+      assert(r.getAs[Long]("min_lag_s") <= r.getAs[Long]("max_lag_s"))
+    }
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-6,
+      "cumulative share must close at 1")
+    val caps = rows.map(_.getAs[Double]("cum_share"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
   test("merge_upsert: statuses partition the keys, deletions null the " +
       "value, and every event-horizon user appears exactly once") {
     val out = TimeSeriesOps.eventsMergeUpsert(spark, dir).collect()
