@@ -1096,7 +1096,59 @@ object StatsOps {
       |       round(q / p + 5e-10, 4) AS boost
       |FROM q ORDER BY lang""".stripMargin
 
+  /** Per-source metric-bias audit: the Pearson correlation between
+    * document length and lexical diversity WITHIN each source — the
+    * segment-level complement of [[qCorrMatrix]]'s global pass. A
+    * quality metric that secretly tracks length in one crawl but not
+    * another will skew any length-balanced sample; the per-segment
+    * correlation is the tripwire. Same one-pass wide aggregation (all
+    * five co-moment sums per source in a single partial+final
+    * HashAggregate), NULL-guarded degenerate segments, round-4 + ε.
+    */
+  def curationBiasAudit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"),
+        col("n_chars").cast("double").as("x"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("y"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("vx") * col("vy")) + lit(5e-10), 4))
+          .as("len_diversity_corr"))
+      .orderBy(col("source"))
+  }
+
+  val curationBiasAuditOracle: String =
+    """WITH s AS (
+      |  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+      |         SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM s GROUP BY source),
+      |v AS (
+      |  SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+      |  FROM m)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+      |            ELSE round((n * sxy - sx * sy) / sqrt(vx * vy) + 5e-10, 4)
+      |            END AS len_diversity_corr
+      |FROM v ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_bias_audit" -> (curationBiasAudit _),
     "curation_temperature_mix" -> (curationTemperatureMix _),
     "events_bot_score" -> (eventsBotScore _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1117,6 +1169,7 @@ object StatsOps {
     "curation_quantile_norm" -> (curationQuantileNorm _))
 
   def oracles: Map[String, String] = Map(
+    "curation_bias_audit" -> curationBiasAuditOracle,
     "curation_temperature_mix" -> curationTemperatureMixOracle,
     "events_bot_score" -> eventsBotScoreOracle,
     "q_corr_matrix" -> qCorrMatrixOracle,

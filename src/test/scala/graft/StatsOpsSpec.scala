@@ -366,6 +366,23 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bias audit: one row per source, doc counts partition the corpus, " +
+      "and the fixture's length-diversity anticorrelation shows up") {
+    val rows = StatsOps.curationBiasAudit(spark, dir).collect()
+    val sources = Tables.documents(spark, dir)
+      .select("source").distinct().count()
+    assert(rows.length.toLong == sources)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, dir).count())
+    val corrs = rows.filterNot(_.isNullAt(2)).map(_.getAs[Double](2))
+    assert(corrs.nonEmpty)
+    corrs.foreach(c => assert(math.abs(c) <= 1.0 + 1e-9))
+    // longer word-soup docs repeat more tokens -> diversity falls with
+    // length; a mostly-negative profile is the expected fixture shape
+    assert(corrs.count(_ < 0) > corrs.length / 2,
+      s"expected predominantly negative correlations: ${corrs.toSeq}")
+  }
+
   test("dd quantiles: every alpha-bound boolean holds per group at two " +
       "scale steps") {
     for (d <- Seq(dir, TestSpark.sfDirMid)) {
