@@ -67,6 +67,8 @@ object MaintenanceOps {
     // recursive: partitioned datasets keep their files in key=value
     // subdirectories, which a flat listing would sum to zero bytes
     var bytes = 0L
+    var estSplits = 0L
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val base = fs.makeQualified(path).toString
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
@@ -75,12 +77,18 @@ object MaintenanceOps {
       // a part file under a stale _temporary/ dir (aborted prior write)
       // has an ordinary leaf name but must not count toward the total
       val rel = s.getPath.toString.stripPrefix(base)
-      if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+      if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))) {
         bytes += s.getLen
+        // per-file split estimate (files never share a split): an upper
+        // bound on the scan's partition count, read off the listing we
+        // already hold instead of instantiating the RDD lineage. Spark
+        // bin-packs small files, so actual <= estimate; over-estimating
+        // only ever picks the shuffle-free coalesce branch.
+        estSplits += math.max(1L, (s.getLen + maxSplit - 1) / maxSplit)
+      }
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
-    val current = df.rdd.getNumPartitions
-    val sized = if (n <= current) df.coalesce(n) else df.repartition(n)
+    val sized = if (n <= estSplits) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(outDir)
     n
   }

@@ -362,10 +362,11 @@ object StatsOps {
       .withColumn("exp_p", round(log(10.0,
         lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("total"), 4).as("obs_p"),
+        round(col("n").cast("double") / col("total") + lit(5e-10), 4)
+          .as("obs_p"),
         col("exp_p"),
         round(pow(col("n").cast("double") / col("total") - col("exp_p"), 2)
-          / col("exp_p") * col("total"), 2).as("chi2_term"))
+          / col("exp_p") * col("total") + lit(5e-10), 2).as("chi2_term"))
       .orderBy(col("digit"))
   }
 
@@ -383,10 +384,10 @@ object StatsOps {
       |         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_p
       |  FROM c)
       |SELECT digit, n,
-      |       round(CAST(n AS DOUBLE) / total, 4) AS obs_p,
+      |       round(CAST(n AS DOUBLE) / total + 5e-10, 4) AS obs_p,
       |       exp_p,
       |       round(pow(CAST(n AS DOUBLE) / total - exp_p, 2)
-      |             / exp_p * total, 2) AS chi2_term
+      |             / exp_p * total + 5e-10, 2) AS chi2_term
       |FROM t ORDER BY digit""".stripMargin
 
   /** Deterministic A/B experiment read-out: users are hash-split into
@@ -485,10 +486,11 @@ object StatsOps {
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("iwx", sum(col("rank") * col("mass")).over(wAll))
       .select(col("source"), col("n_docs"), col("mass"), col("rank"),
-        round(col("cum_mass").cast("double") / col("total"), 4)
+        round(col("cum_mass").cast("double") / col("total") + lit(5e-10), 4)
           .as("lorenz_cum_share"),
         round(lit(2.0) * col("iwx") / (col("n") * col("total"))
-          - (col("n") + lit(1)).cast("double") / col("n"), 4).as("gini"))
+          - (col("n") + lit(1)).cast("double") / col("n") + lit(5e-10), 4)
+          .as("gini"))
       .orderBy(col("rank"))
   }
 
@@ -510,9 +512,10 @@ object StatsOps {
       |         CAST(SUM(rank * mass) OVER () AS BIGINT) AS iwx
       |  FROM rk)
       |SELECT source, n_docs, mass, rank,
-      |       round(CAST(cum_mass AS DOUBLE) / total, 4) AS lorenz_cum_share,
+      |       round(CAST(cum_mass AS DOUBLE) / total + 5e-10, 4)
+      |         AS lorenz_cum_share,
       |       round(2.0 * iwx / (n * total)
-      |             - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+      |             - CAST(n + 1 AS DOUBLE) / n + 5e-10, 4) AS gini
       |FROM r ORDER BY rank""".stripMargin
 
   /** Decile lift table — the model-evaluation read-out for a ranking
@@ -555,13 +558,13 @@ object StatsOps {
       .withColumn("tot_conv", sum(col("n_conv")).over(wAll))
       .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
       .select(col("decile"), col("n_users"), col("n_conv"),
-        round(col("n_conv").cast("double") / col("n_users"), 4)
+        round(col("n_conv").cast("double") / col("n_users") + lit(5e-10), 4)
           .as("conv_rate"),
         round((col("n_conv").cast("double") / col("n_users"))
-          / (col("tot_conv").cast("double") / col("tot_users")), 4)
-          .as("lift"),
-        round(col("cum_conv").cast("double") / col("tot_conv"), 4)
-          .as("cum_capture"))
+          / (col("tot_conv").cast("double") / col("tot_users"))
+          + lit(5e-10), 4).as("lift"),
+        round(col("cum_conv").cast("double") / col("tot_conv")
+          + lit(5e-10), 4).as("cum_capture"))
       .orderBy(col("decile"))
   }
 
@@ -590,10 +593,12 @@ object StatsOps {
       |           AS BIGINT) AS cum_conv
       |  FROM g)
       |SELECT decile, n_users, n_conv,
-      |       round(CAST(n_conv AS DOUBLE) / n_users, 4) AS conv_rate,
+      |       round(CAST(n_conv AS DOUBLE) / n_users + 5e-10, 4) AS conv_rate,
       |       round((CAST(n_conv AS DOUBLE) / n_users)
-      |             / (CAST(tot_conv AS DOUBLE) / tot_users), 4) AS lift,
-      |       round(CAST(cum_conv AS DOUBLE) / tot_conv, 4) AS cum_capture
+      |             / (CAST(tot_conv AS DOUBLE) / tot_users) + 5e-10, 4)
+      |         AS lift,
+      |       round(CAST(cum_conv AS DOUBLE) / tot_conv + 5e-10, 4)
+      |         AS cum_capture
       |FROM t ORDER BY decile""".stripMargin
 
   /** Token-budget waterfilling — the mixture allocator that caps
@@ -898,7 +903,11 @@ object StatsOps {
       round(col("varr") + lit(5e-10), 4).as("pooled_var"),
       round(z * sqrt(lit(2.0) * col("varr")
         / (col("n") / 2).cast("long")) + lit(5e-10), 4).as("mde_now"),
-      ceil(lit(2.0) * col("varr") * z * z).cast("long")
+      // round-6 the ceil argument: varr comes from partial sums whose
+      // accumulation order is engine/partitioning dependent, and an
+      // unrounded 2·varr·2.8² an ulp under an integer would flip the
+      // ceiling by 1 across engines
+      ceil(round(lit(2.0) * col("varr") * z * z, 6)).cast("long")
         .as("n_per_arm_for_unit_effect"))
   }
 
@@ -913,7 +922,7 @@ object StatsOps {
       |SELECT n AS n_users,
       |       round(varr + 5e-10, 4) AS pooled_var,
       |       round(2.8 * sqrt(2.0 * varr / (n // 2)) + 5e-10, 4) AS mde_now,
-      |       CAST(ceil(2.0 * varr * 2.8 * 2.8) AS BIGINT)
+      |       CAST(ceil(round(2.0 * varr * 2.8 * 2.8, 6)) AS BIGINT)
       |         AS n_per_arm_for_unit_effect
       |FROM v""".stripMargin
 
@@ -924,8 +933,13 @@ object StatsOps {
     * correlations are scalar algebra on a 1-row frame unpivoted to
     * long form. The naive per-pair `corr()` calls would scan 6× and
     * hide the moment algebra behind engine-specific implementations;
-    * explicit co-moments are the cross-engine-stable form. NULL-guarded
-    * zero variance; round-4 + ε on the outputs.
+    * explicit co-moments at least make the algebra identical in both
+    * engines. NOTE the raw-double sums themselves remain
+    * accumulation-order dependent (~1e-12 relative drift); stability
+    * here leans on round-4 + ε absorbing that drift, NOT on the
+    * co-moment form — ops with tighter output precision should round
+    * inputs before summing (the [[TimeSeriesOps]] discipline) instead
+    * of copying this pattern. NULL-guarded zero variance.
     */
   def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
@@ -1103,7 +1117,10 @@ object StatsOps {
     * another will skew any length-balanced sample; the per-segment
     * correlation is the tripwire. Same one-pass wide aggregation (all
     * five co-moment sums per source in a single partial+final
-    * HashAggregate), NULL-guarded degenerate segments, round-4 + ε.
+    * HashAggregate), NULL-guarded degenerate segments, round-4 + ε —
+    * with [[qCorrMatrix]]'s caveat: the raw-double sums are
+    * accumulation-order dependent, and it is the round+ε that absorbs
+    * the drift, not the co-moment algebra.
     */
   def curationBiasAudit(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")

@@ -40,13 +40,23 @@ object TextOps {
     * scale.
     */
   def spread(df: DataFrame): DataFrame = {
-    // streaming frames pass through: .rdd is illegal there, and
-    // micro-batch parallelism is the source/trigger's job — an
-    // unconditional per-batch shuffle is exactly what this gate exists
-    // to avoid
+    // streaming frames pass through: micro-batch parallelism is the
+    // source/trigger's job — an unconditional per-batch shuffle is
+    // exactly what this gate exists to avoid
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    // estimate the scan's split count from the optimizer's size
+    // statistics (total relation bytes / files.maxPartitionBytes) —
+    // reading a number the planner computes anyway, instead of
+    // instantiating the physical RDD lineage (`df.rdd`) for a query
+    // that never runs as an RDD. Over-estimating merely skips a
+    // repartition a big scan doesn't need; the small-input case
+    // (bytes << one split) is the one that must trigger, and does.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = (bytes / maxSplit) + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Distinct shingles per doc as (doc_id, shingle) pairs. */

@@ -12,7 +12,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("WAV round-trip: encode then decode recovers exact sample statistics") {
     // non-ASCII bytes too: the codec is byte-based, not char-based
-    val payload = "héllo wörld ÿ".getBytes("ISO-8859-1")
+    val payload = "héllo wörld \u0001ÿ".getBytes("ISO-8859-1")
     val samples = Wav.samplesFromBytes(payload)
     val wav = Wav.encode(samples, 8000)
     val info = Wav.decode(wav).toOption.get
@@ -274,7 +274,10 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.Wav.encode(
         MultimodalOps.Wav.samplesFromBytes(doc.getBytes("UTF-8")), 8000),
       MultimodalOps.AudioWinSamples).toOption.get
-    val expectFp = energies.sliding(2).zipWithIndex.collect {
+    // mirror the operator's w <= 32 bit cap: a fixture doc with > 33
+    // energy windows would otherwise add uncapped (and past i=63,
+    // silently wrapping) 1L << i terms the engine never emits
+    val expectFp = energies.take(33).sliding(2).zipWithIndex.collect {
       case (Array(a, b), i) if b > a => 1L << i
     }.sum
     assert(expectFp == rows.head.getAs[Long]("fp"),

@@ -259,8 +259,8 @@ class ScaleSpec extends AnyFunSuite {
   /** Growth tripwires for the continuation pair/explode operators: each
     * has a designed bound (per-key cell, bounded catalog, constant
     * fan-out) that a silent rewrite could break into a data-quadratic.
-    * A 10x data step (sf0.001 -> sf0.01) must grow the intermediate
-    * linearly-ish, never ~100x.
+    * A 10x data step (sf0.01 -> sf0.1, i.e. sfDirMid -> sfDirBig) must
+    * grow the intermediate linearly-ish, never ~100x.
     */
   test("pair and explode operators grow linearly across a 10x data step") {
     import graft.operators.DedupOps

@@ -97,9 +97,13 @@ def main(sf_dir, out_dir):
                 print(f"         spark-only: {only_g}")
             if only_e:
                 print(f"         oracle-only: {only_e}")
-    print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked queries match ==")
+    n_checked = len([n for n in names if n in oracle])
+    print(f"== {n_ok}/{n_checked} oracle-checked queries match ==")
     if n_typed_bad:
         print(f"== {n_typed_bad} oracle(s) with int128-backed columns — driver would hash-fail ==")
+        sys.exit(1)
+    # gate semantics for tools/triscale.sh: any mismatch is a non-zero exit
+    if n_ok < n_checked:
         sys.exit(1)
 
 
