@@ -31,7 +31,29 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
       MultimodalOps.queries ++ JoinOps.queries ++ RangeJoinOps.queries ++
       SourceOps.queries ++ StatsOps.queries ++ TimeSeriesOps.queries ++
-      graft.fuzz.QueryFuzz.queries
+      graft.fuzz.QueryFuzz.queries ++ graft.fuzz.StreamFuzz.queries
+
+  /** The oracle-driven STREAMING drives: queries whose wall time is
+    * dominated by micro-batch/trigger machinery (wave staging, state
+    * store commits, watermark advancement), not operator cost. Bench
+    * reports them in their own `streaming_sec` subtotal so the batch
+    * headline stays comparable round over round — adding a drive must
+    * not read as a batch regression. BenchSplitSpec asserts every name
+    * here exists in [[queries]], so registry drift cannot silently
+    * misclassify.
+    */
+  val streamingQueries: Set[String] = Set(
+    "events_window_stream", "events_quantile_stream", "events_quota_stream",
+    "events_pattern_stream", "events_firstseen_stream",
+    "events_attribution_stream", "events_attribution_outer",
+    "events_attribution_rollup", "events_dedup_stream",
+    "events_sessionize_stateful", "events_sessionize_tws",
+    "events_sessionize_warm", "source_jsonl_stream_rt",
+    // the flagship e2e poll drives a real PollingSource poll/restart
+    // sequence — wall time is poll rounds, not the consumer plan
+    "weather_e2e_poll") ++
+    // every streaming-fuzz seed is a wave drive by construction
+    graft.fuzz.StreamFuzz.registeredSeeds.map(s => s"fuzz_q$s")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +63,5 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ EventOps.oracles ++
       MultimodalOps.oracles ++ JoinOps.oracles ++ RangeJoinOps.oracles ++
       SourceOps.oracles ++ StatsOps.oracles ++ TimeSeriesOps.oracles ++
-      graft.fuzz.QueryFuzz.oracles
+      graft.fuzz.QueryFuzz.oracles ++ graft.fuzz.StreamFuzz.oracles
 }

@@ -1,0 +1,396 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.EventOps
+
+import scala.util.Random
+
+/** Differential fuzzing of the STREAMING state machine — the surface the
+  * hand-built oracle drives cover with one scenario each: seeded
+  * generators pick watermark delay, window geometry, and a RANDOM wave
+  * carving of the events fixture (pure md5 shuffle, or time-buckets with
+  * md5 jitter), drive the real micro-batch machinery through
+  * [[EventOps.driveWaves]], and check the finalized output against a
+  * DuckDB oracle that REPLAYS Spark's watermark semantics in plain SQL.
+  *
+  * Unlike the ascending-wave drives (where no row is ever late), random
+  * carving makes rows arrive out of order, so the late-data drop path,
+  * watermark lag, and cross-batch state merging all execute on every
+  * seed. The oracle encodes the exact semantics pinned empirically by
+  * WmProbeSpec against Spark 4.1:
+  *
+  *  - One released wave == one micro-batch (single staged file per
+  *    wave, no maxFilesPerTrigger). Empty waves produce no batch.
+  *  - The watermark DURING batch k is `E(k) = max(0, runningMax(max
+  *    event ms of batches 0..k-1) - delay)`; it appears in progress as
+  *    `eventTime.watermark`.
+  *  - LATE-ROW FILTERING lags one batch (SPARK-40925, two-watermark
+  *    policy): batch k filters with `L(k) = E(k-1)` — the running max
+  *    through batch k-2 minus delay. In the oracle this is a running
+  *    MAX window over `2 PRECEDING`.
+  *  - Streaming windowed aggregation drops a (row, window) pair iff
+  *    `window_end <= L` (window-based: a row whose own time is below
+  *    the watermark still counts into a window straddling it).
+  *  - transformWithState drops a row iff `eventTs <= L` (row-based,
+  *    inclusive boundary).
+  *  - Within a batch, input rows are processed BEFORE event-time
+  *    timers fire, so a row landing in a bucket that closes in the
+  *    same batch is counted into the closing report, not split.
+  *
+  * Because emission is append-on-finalize and the late filter lags the
+  * eviction watermark by exactly one batch, no window/bucket can emit
+  * twice (proved in the Scaladoc of each family below), so the
+  * finalized output is a pure function of {kept rows} — which is what
+  * makes the oracle expressible as batch SQL.
+  *
+  * Scale shape: identical to the covered operators — the corpus-sized
+  * work is one distributed staging write + the streaming job's own
+  * keyed shuffles; the carving hash is map-side; `driveWaves`' 1-file
+  * staging is the oracle harness's arrival simulation, not the
+  * production path.
+  */
+object StreamFuzz {
+
+  /** Seed floors, one per family (disjoint ranges — a new family never
+    * changes an earlier seed's rendering, the QueryFuzz convention).
+    */
+  val AggSeedFloor = 12000L
+  val QuotaSeedFloor = 12500L
+
+  case class SGen(seed: Long,
+      build: (SparkSession, String) => DataFrame, sql: String)
+
+  /** Watermark-delay menu in ms. Shuffle carving randomizes arrival
+    * completely, so the lagged watermark sits near the global max from
+    * batch 2 on — small delays would drop nearly everything; the
+    * shuffle menu starts at 6 h so every seed keeps a meaningful rows
+    * subset AND drops a meaningful rows subset. Jitter carving keeps
+    * arrival loosely time-ordered (disorder bounded by one time
+    * bucket), so small delays exercise the drop path without draining
+    * the stream.
+    */
+  private val ShuffleDelaysMs = Seq(6L * 3600000, 24L * 3600000, 72L * 3600000)
+  private val JitterDelaysMs = Seq(0L, 60000L, 3600000L)
+
+  /** The Spark half of the carving (DuckDB twin: [[waveSql]]): shuffle
+    * hashes the ingestion id into a uniform wave; jitter buckets time
+    * ascending and nudges each row ±1 bucket. `lo`/`width` are the
+    * fixture's global min ms and the time-bucket width (jitter only).
+    */
+  private def carving(mode: String, seed: Long, nWaves: Int,
+      lo: Long, width: Long): org.apache.spark.sql.Column =
+    mode match {
+      case "shuffle" =>
+        expr(s"conv(substring(md5(concat(cast(event_id as string)," +
+          s" '_s$seed')), 1, 15), 16, 10)").cast("long") % nWaves
+      case _ => // jitter: ascending time buckets, each row nudged ±1
+        val j = expr(s"conv(substring(md5(concat(cast(event_id as string)," +
+          s" '_j$seed')), 1, 15), 16, 10)").cast("long") % 3 - 1
+        least(greatest(expr(s"(ms - ${lo}L) div ${width}L") + j,
+          lit(0L)), lit(nWaves - 1L))
+    }
+
+  /** The DuckDB carving twin of [[carving]]'s Column: shuffle hashes the
+    * ingestion id; jitter buckets on the `lo`/`w` columns the bounds CTE
+    * carries through `raw`.
+    */
+  private def waveSql(mode: String, seed: Long, nWaves: Int): String =
+    mode match {
+      case "shuffle" =>
+        s"CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) ||" +
+          s" '_s$seed'), 1, 15) AS BIGINT) % $nWaves"
+      case _ =>
+        s"LEAST(GREATEST((ms - lo) // w + " +
+          s"(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_j$seed')," +
+          s" 1, 15) AS BIGINT) % 3 - 1), 0), ${nWaves - 1})"
+    }
+
+  /** Fixture bounds CTE for jitter mode: the same lo / bucket-width the
+    * Scala side computes with one driver `agg` head.
+    */
+  private def boundsCte(nWaves: Int): String =
+    s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+      |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+      |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+      |  FROM events),""".stripMargin
+
+  /** The lagged-watermark CTEs shared by both families' oracles:
+    * `b` = per-(non-empty-)wave max ms — the batch sequence; `l` = the
+    * late-filter watermark each batch actually applied, `E(k-1)` =
+    * running max through batch k-2 minus delay (NULL -> 0 for the
+    * first two batches, where the watermark is still the initial 0).
+    */
+  private def lateWmCtes(delayMs: Long): String =
+    s"""b AS (SELECT wave, MAX(ms) AS mx FROM e GROUP BY wave),
+      |l AS (SELECT wave,
+      |        COALESCE(GREATEST(MAX(mx) OVER (ORDER BY wave
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |          - $delayMs, 0), 0) AS lwm
+      |      FROM b)""".stripMargin
+
+  /** Family A — streaming sliding-window aggregation under random
+    * arrival. Geometry: width = m * slide (m in 1..2), so each kept row
+    * lands in m windows; the oracle unnests the m covering starts and
+    * keeps pairs with `ws + width > L(batch)`.
+    *
+    * No-duplicate-emission argument: window W emits at the first batch
+    * N with `W.end <= E(N)`; any later row for W arrives at batch
+    * M > N and is filtered because `L(M) = E(M-1) >= E(N) >= W.end`.
+    */
+  private[graft] case class AggP(nWaves: Int, mode: String, delay: Long,
+      slide: Long, m: Int) {
+    def width: Long = m * slide
+  }
+
+  private[graft] def aggP(seed: Long): AggP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    AggP(nWaves, mode, delay,
+      Seq(300000L, 900000L, 3600000L)(rnd.nextInt(3)), 1 + rnd.nextInt(2))
+  }
+
+  private def genAgg(seed: Long): SGen = {
+    val p = aggP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val slide = p.slide; val m = p.m; val width = p.width
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("event_type"),
+          expr("us div 1000").as("ms"), col("value"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val margin = delay + 3 * width + 10000000L
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          ("\u0000s1", hi + margin, 0.0, nWaves.toLong),
+          ("\u0000s2", hi + 2 * margin, 0.0, nWaves + 1L))
+          .toDF("event_type", "ms", "value", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "event_type STRING, ms LONG, value DOUBLE", nWaves + 2L,
+        s"sfz_agg_$seed") { src =>
+        src.select(col("event_type"), timestamp_millis(col("ms")).as("t"),
+            col("value"))
+          .withWatermark("t", s"$delay milliseconds")
+          .groupBy(window(col("t"), s"$width milliseconds",
+            s"$slide milliseconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")) * (lit(1.0) + lit(1e-12)), 2)
+              .as("sum_value"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"), col("sum_value"))
+      }
+        .filter(!col("event_type").startsWith("\u0000"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
+    // identical carving + lagged watermark replayed in DuckDB; jitter
+    // mode carries the fixture bounds (lo, bucket width w) through the
+    // raw CTE so the carving reads exactly like the Scala twin
+    val starts = (0 until m)
+      .map(k => s"(ms // $slide) * $slide - ${k.toLong * slide}")
+      .mkString("[", ", ", "]")
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms, value
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT event_type, ms, value, ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |x AS (
+        |  SELECT event_type, unnest($starts) AS ws, value, wave FROM e),
+        |p AS (
+        |  SELECT x.event_type, x.ws, x.value, l.lwm
+        |  FROM x JOIN l USING (wave))
+        |SELECT ws AS window_start_ms, event_type, COUNT(*) AS n,
+        |       round(SUM(value) * (1.0 + 1e-12), 2) AS sum_value
+        |FROM p WHERE ws + $width > lwm
+        |GROUP BY ws, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** Family B — transformWithState admission quotas (MapState by time
+    * bucket + event-time timers) under random arrival. The oracle keeps
+    * rows with `ms > L(batch)` and re-counts buckets in batch SQL.
+    *
+    * No-duplicate-report argument: bucket h sweeps at the first batch N
+    * with `h + bucket <= E(N)`; a later row for h at batch M > N has
+    * `ms < h + bucket <= E(N) <= E(M-1) = L(M)` — filtered (inclusive
+    * boundary), so the swept bucket never reopens. Rows landing in the
+    * sweeping batch itself are counted first (input-before-timers,
+    * probed).
+    */
+  private[graft] case class QuotaP(nWaves: Int, mode: String, delay: Long,
+      bucket: Long, cap: Long)
+
+  private[graft] def quotaP(seed: Long): QuotaP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    QuotaP(nWaves, mode, delay,
+      Seq(3600000L, 6L * 3600000L, 24L * 3600000L)(rnd.nextInt(3)),
+      Seq(1L, 2L, 5L)(rnd.nextInt(3)))
+  }
+
+  private def genQuota(seed: Long): SGen = {
+    val p = quotaP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket; val cap = p.cap
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val margin = delay + 3 * bucket + 10000000L
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, 0.0, nWaves.toLong),
+          (-2L, hi + 2 * margin, 0.0, nWaves + 1L))
+          .toDF("key", "ms", "value", "wave"))
+      EventOps.withRocksDb(spark) {
+        EventOps.driveWaves(spark, frame,
+          "key LONG, ms LONG, value DOUBLE", nWaves + 2L,
+          s"sfz_quota_$seed", statePartitions = 4) { src =>
+          graft.streaming.TwsQuotaJob.quota(
+            src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
+              col("value")).as[graft.streaming.KeyedEvent],
+            bucket, cap, s"$delay milliseconds").toDF()
+        }
+      }
+        .filter(col("key") >= 0L)
+        .select(col("key").as("user_id"), col("hour_ms"),
+          col("n_events"), col("n_admitted"), col("n_throttled"))
+        .orderBy(col("user_id"), col("hour_ms"))
+    }
+
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, ms, ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |kept AS (
+        |  SELECT e.user_id, e.ms FROM e JOIN l USING (wave)
+        |  WHERE e.ms > l.lwm)
+        |SELECT user_id, (ms // $bucket) * $bucket AS hour_ms,
+        |       COUNT(*) AS n_events,
+        |       LEAST(COUNT(*), $cap) AS n_admitted,
+        |       COUNT(*) - LEAST(COUNT(*), $cap) AS n_throttled
+        |FROM kept GROUP BY user_id, hour_ms
+        |ORDER BY user_id, hour_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** The kept-rows frame shared by both IN-SPARK batch twins: the
+    * carved events plus each row's lagged late-filter watermark `lwm`.
+    * The watermark table is |waves| rows, so its single-partition
+    * ordering window is trivial and the join back is a broadcast.
+    */
+  private def keptBase(spark: SparkSession, dir: String, mode: String,
+      seed: Long, nWaves: Int, delay: Long,
+      keyed: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = EventOps.withMicros(Tables.events(spark, dir))
+    val ev = if (keyed)
+      ev0.select(col("event_id"), col("user_id").as("key"),
+        expr("us div 1000").as("ms"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    else
+      ev0.select(col("event_id"), col("event_type"),
+        expr("us div 1000").as("ms"), col("value"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / nWaves + 1
+    val e = ev.withColumn("wave",
+      carving(mode, seed, nWaves, bounds.getLong(0), bWidth))
+      .drop("event_id")
+    val wPrev2 = Window.orderBy(col("wave"))
+      .rowsBetween(Window.unboundedPreceding, -2)
+    val l = e.groupBy(col("wave")).agg(max(col("ms")).as("mx"))
+      .select(col("wave"),
+        coalesce(greatest(max(col("mx")).over(wPrev2) - lit(delay),
+          lit(0L)), lit(0L)).as("lwm"))
+    e.join(broadcast(l), Seq("wave"))
+  }
+
+  /** IN-SPARK batch twin of the Family A drive — the oracle SQL's
+    * semantics replayed with DataFrame ops, so StreamFuzzSpec can sweep
+    * seeds differentially without DuckDB: streaming machinery vs batch
+    * plan, same engine, byte-equal expected.
+    */
+  def aggTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val p = aggP(seed)
+      val base = keptBase(spark, dir, p.mode, seed, p.nWaves, p.delay,
+        keyed = false)
+      base
+        .withColumn("ws", explode(array((0 until p.m).map(k =>
+          expr(s"(ms div ${p.slide}) * ${p.slide} - ${k * p.slide}")): _*)))
+        .filter(col("ws") + p.width > col("lwm"))
+        .groupBy(col("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * (lit(1.0) + lit(1e-12)), 2)
+            .as("sum_value"))
+        .select(col("ws").as("window_start_ms"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
+  /** IN-SPARK batch twin of the Family B drive. */
+  def quotaTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val p = quotaP(seed)
+      val base = keptBase(spark, dir, p.mode, seed, p.nWaves, p.delay,
+        keyed = true)
+      base
+        .filter(col("ms") > col("lwm"))
+        .groupBy(col("key").as("user_id"),
+          (expr(s"ms div ${p.bucket}") * p.bucket).as("hour_ms"))
+        .agg(count(lit(1)).as("n_events"),
+          least(count(lit(1)), lit(p.cap)).as("n_admitted"),
+          (count(lit(1)) - least(count(lit(1)), lit(p.cap)))
+            .as("n_throttled"))
+        .orderBy(col("user_id"), col("hour_ms"))
+    }
+
+  /** Deterministic per-seed rendering (same contract as
+    * [[QueryFuzz.generate]]).
+    */
+  def generate(seed: Long): SGen =
+    if (seed >= QuotaSeedFloor) genQuota(seed) else genAgg(seed)
+
+  /** Fixed seeds registered in SparkEntry for the driver's DuckDB
+    * differential check. Chosen to cover both carvings and several
+    * delay/geometry combinations per family; StreamFuzzSpec sweeps the
+    * same seeds in-suite at sf0.001.
+    */
+  val registeredSeeds: Seq[Long] =
+    Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).build).toMap
+
+  def oracles: Map[String, String] =
+    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).sql).toMap
+}

@@ -20,7 +20,7 @@ object EventOps {
   /** Session gap: a new session starts after 4 h of user inactivity. */
   val SessionGapMicros: Long = 4L * 3600 * 1000000
 
-  private def withMicros(df: DataFrame): DataFrame =
+  private[graft] def withMicros(df: DataFrame): DataFrame =
     df.withColumn("us", Tables.eventMicros(df))
 
   /** JSON property extraction (the reference's from_json analog over the
@@ -260,7 +260,7 @@ object EventOps {
     * Ascending time-bucket waves mean no row is ever late, which is what
     * makes every drive's oracle expressible as plain batch SQL.
     */
-  private def driveWaves(spark: SparkSession, rows: DataFrame,
+  private[graft] def driveWaves(spark: SparkSession, rows: DataFrame,
       schema: String, nWaves: Long, name: String,
       statePartitions: Int = 1)(
       transform: DataFrame => DataFrame): DataFrame = {
@@ -291,7 +291,7 @@ object EventOps {
     * transformWithState drives — the new API does not run on the
     * HDFS-backed default), restoring the caller's provider after.
     */
-  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+  private[graft] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
@@ -679,8 +679,8 @@ object EventOps {
     val width = (hi - lo) / StatefulChunks + 1
     val frame = ev.withColumn("wave", expr(s"(ms - $lo) div $width"))
       .unionByName(Seq(
-        (" s1", hi + 2 * SlideWidthMs, 0.0, StatefulChunks.toLong),
-        (" s2", hi + 4 * SlideWidthMs, 0.0, StatefulChunks + 1L))
+        ("\u0000s1", hi + 2 * SlideWidthMs, 0.0, StatefulChunks.toLong),
+        ("\u0000s2", hi + 4 * SlideWidthMs, 0.0, StatefulChunks + 1L))
         .toDF("event_type", "ms", "value", "wave"))
     driveWaves(spark, frame, "event_type STRING, ms LONG, value DOUBLE",
       StatefulChunks + 2L, "win_stream") { src =>
@@ -693,7 +693,7 @@ object EventOps {
         .select(unix_millis(col("window.start")).as("window_start_ms"),
           col("event_type"), col("n"), col("sum_value"))
     }
-      .filter(!col("event_type").startsWith(" "))
+      .filter(!col("event_type").startsWith("\u0000"))
       .orderBy(col("window_start_ms"), col("event_type"))
   }
 

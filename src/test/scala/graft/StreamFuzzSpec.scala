@@ -1,0 +1,44 @@
+package graft
+
+import graft.fuzz.StreamFuzz
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential sweep of the streaming fuzz families: each seed's REAL
+  * micro-batch drive (file-source waves, watermark machinery, state
+  * stores) must byte-match its in-Spark batch twin — the lagged-
+  * watermark replay [[StreamFuzz.aggTwin]]/[[StreamFuzz.quotaTwin]].
+  * The driver's DuckDB gate checks the registered seeds against an
+  * independent engine; this suite widens the seed range (including
+  * seeds NOT registered in SparkEntry) so generator changes are
+  * exercised beyond the curated eight.
+  */
+class StreamFuzzSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def check(seed: Long,
+      twin: Long => (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Unit = {
+    val drive = StreamFuzz.generate(seed).build(spark, dir).collect()
+    val batch = twin(seed)(spark, dir).collect()
+    assert(drive.length == batch.length,
+      s"seed $seed: drive ${drive.length} rows vs twin ${batch.length}")
+    assert(drive.nonEmpty, s"seed $seed: vacuous (0 rows)")
+    drive.zip(batch).zipWithIndex.foreach { case ((d, b), i) =>
+      assert(d == b, s"seed $seed row $i: drive $d != twin $b")
+    }
+  }
+
+  // registered + unregistered seeds, both families, both carvings
+  Seq(12000L, 12002L, 12004L, 12005L).foreach { s =>
+    test(s"agg drive matches batch twin (seed $s, ${StreamFuzz.aggP(s)})") {
+      check(s, StreamFuzz.aggTwin)
+    }
+  }
+
+  Seq(12500L, 12501L, 12504L, 12505L).foreach { s =>
+    test(s"quota drive matches batch twin (seed $s, ${StreamFuzz.quotaP(s)})") {
+      check(s, StreamFuzz.quotaTwin)
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Spark's exact late-row boundary semantics for (a) streaming
+  * windowed aggregation and (b) transformWithState, with boundary-exact
+  * rows driven through tiny file-source wave streams. The streaming-fuzz
+  * oracles ([[graft.fuzz.StreamFuzz]]) encode exactly these rules — if a
+  * Spark upgrade changes any of them, THIS suite names the rule that
+  * moved before the fuzz seeds go red en masse.
+  *
+  * Pinned rules (Spark 4.1, SPARK-40925 two-watermark policy):
+  *  1. Late filtering in batch N uses the PREVIOUS batch's watermark
+  *     L(N) = E(N-1); eviction/timers use the current E(N).
+  *  2. Windowed aggregation drops a (row, window) pair iff
+  *     window_end <= L — a row below the watermark still counts into a
+  *     window straddling it.
+  *  3. transformWithState drops a row iff eventTime <= L (inclusive).
+  *  4. Within a batch, input rows are processed before event-time
+  *     timers fire.
+  */
+class WmProbeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def drive(rows: Seq[(String, Long, Long)], name: String,
+      nWaves: Long, rocks: Boolean = false)(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(s"wmprobe_$name").toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val prev = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled",
+      "spark.sql.streaming.stateStore.providerClass")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    if (rocks) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val df = rows.toDF("etype", "ms", "wave")
+      df.repartition(1).write.partitionBy("wave").parquet(s"$root/stage")
+      val src = spark.readStream.schema("etype STRING, ms LONG")
+        .parquet(srcDir)
+      val q = transform(src).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try {
+        (0L until nWaves).foreach { w =>
+          val wd = new java.io.File(s"$root/stage/wave=$w")
+          Option(wd.listFiles).getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+              case (f, k) => java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(s"$srcDir/w${w}_$k.parquet"))
+            }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).collect().toSeq
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("windowed agg: late filter lags one batch and is window-end based") {
+    // delay 0; wave2's late wm = watermark DURING wave1 = 20000 (wave0's
+    // max), NOT 30000 (wave1's max) — rule 1. Of wave2's rows:
+    //   x t=19999 win [19000,20000): end 20000 <= 20000 -> DROPPED
+    //   w t=18999 win [18000,19000): end below           -> DROPPED
+    //   y t=20000 win [20000,21000): end 21000 > 20000   -> KEPT even
+    //     though its own t == wm (rule 2: window-based, not row-based)
+    //   z t=20001 same window                            -> KEPT
+    val rows = Seq(
+      ("adv", 20000L, 0L), ("adv2", 30000L, 1L),
+      ("x", 19999L, 2L), ("y", 20000L, 2L), ("z", 20001L, 2L),
+      ("w", 18999L, 2L),
+      ("s1", 60000L, 3L), ("s2", 90000L, 4L))
+    val out = drive(rows, "probe_agg", 5) { src =>
+      src.select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "0 seconds")
+        .groupBy(window(col("t"), "1 second"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"), unix_millis(col("window.start")).as("ws"),
+          col("n"))
+    }
+    val emitted = out.map(_.getString(0)).toSet
+    assert(emitted == Set("adv", "adv2", "y", "z"),
+      s"late-filter rule moved: emitted $emitted")
+  }
+
+  test("transformWithState: late filter lags one batch, row-based, " +
+      "inclusive boundary") {
+    // wave2's late wm = 20000: key1 t=19999 dropped, key2 t=20000
+    // dropped (INCLUSIVE boundary), key3 t=20001 kept — rule 3.
+    val rows = Seq(
+      ("100", 20000L, 0L), ("101", 30000L, 1L),
+      ("1", 19999L, 2L), ("2", 20000L, 2L), ("3", 20001L, 2L),
+      ("-1", 60000L, 3L), ("-2", 90000L, 4L))
+    val out = drive(rows, "probe_tws", 5, rocks = true) { src =>
+      import spark.implicits._
+      graft.streaming.TwsQuotaJob.quota(
+        src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(col("ms")).as("eventTs"),
+          lit(0.0).as("value")).as[graft.streaming.KeyedEvent],
+        bucketMs = 1000L, cap = 10L, delay = "0 seconds").toDF()
+    }
+    val keys = out.map(_.getLong(0)).toSet
+    assert(keys == Set(3L, 100L, 101L),
+      s"tws late-filter rule moved: reported keys $keys")
+  }
+
+  test("transformWithState: input rows are processed before timers fire") {
+    // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
+    // advances wm past the bucket's pending timer. Input-first => ONE
+    // report with n=2; timer-first would split it — rule 4.
+    val rows = Seq(
+      ("5", 1000L, 0L), ("6", 50000L, 1L),
+      ("5", 1500L, 2L),
+      ("-1", 90000L, 3L), ("-2", 130000L, 4L))
+    val out = drive(rows, "probe_tws_order", 5, rocks = true) { src =>
+      import spark.implicits._
+      graft.streaming.TwsQuotaJob.quota(
+        src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(col("ms")).as("eventTs"),
+          lit(0.0).as("value")).as[graft.streaming.KeyedEvent],
+        bucketMs = 1000L, cap = 10L, delay = "0 seconds").toDF()
+    }
+    val k5 = out.filter(_.getLong(0) == 5L)
+    assert(k5.length == 1 && k5.head.getLong(2) == 2L,
+      s"input-vs-timer ordering moved: key-5 reports $k5")
+  }
+}
