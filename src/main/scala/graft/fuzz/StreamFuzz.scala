@@ -39,11 +39,13 @@ import scala.util.Random
   *    timers fire, so a row landing in a bucket that closes in the
   *    same batch is counted into the closing report, not split.
   *
-  * Because emission is append-on-finalize and the late filter lags the
-  * eviction watermark by exactly one batch, no window/bucket can emit
-  * twice (proved in the Scaladoc of each family below), so the
-  * finalized output is a pure function of {kept rows} — which is what
-  * makes the oracle expressible as batch SQL.
+  * For families A/B, emission is append-on-finalize and no window/
+  * bucket can emit twice (proved in each family's Scaladoc), so the
+  * finalized output is a pure function of {kept rows} and the oracle is
+  * one batch aggregate. Family C (session windows) is NOT such a pure
+  * function — a kept row can re-open an overlapping session after
+  * emission — so its oracle replays the batch sequence stage by stage
+  * (see [[genSession]]).
   *
   * Scale shape: identical to the covered operators — the corpus-sized
   * work is one distributed staging write + the streaming job's own
@@ -58,6 +60,7 @@ object StreamFuzz {
     */
   val AggSeedFloor = 12000L
   val QuotaSeedFloor = 12500L
+  val SessionSeedFloor = 13000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -303,6 +306,214 @@ object StreamFuzz {
     SGen(seed, build, sql)
   }
 
+  private[graft] case class SessionP(nWaves: Int, mode: String,
+      delay: Long, gap: Long)
+
+  private[graft] def sessionP(seed: Long): SessionP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    SessionP(nWaves, mode, delay,
+      Seq(3600000L, 4L * 3600000L, 12L * 3600000L)(rnd.nextInt(3)))
+  }
+
+  /** Family C — native `session_window` aggregation (the merging
+    * SessionWindowStateStore — a third state machine: per-row sessions
+    * merged across batches) under random arrival. Pinned semantics
+    * (WmProbeSpec): a row is dropped iff its pre-merge session end
+    * `ms + gap <= L` (end-based, inclusive); rows exactly `gap` apart
+    * MERGE (inclusive boundary), `gap + 1` splits; a session is EMITTED
+    * at the first batch whose eviction watermark E(k) reaches its
+    * merged end (inclusive).
+    *
+    * Unlike families A/B, the finalized output is NOT a pure function
+    * of the kept rows: the kept filter is `ms + gap > L`, so a kept row
+    * can land BELOW an already-emitted session's end (`ms in
+    * (L - gap, e]`) and re-open an OVERLAPPING new session — the real
+    * drive produces overlapping per-key session rows (observed on the
+    * fixture). The oracle therefore REPLAYS the batch sequence: one
+    * generated stage per wave, each re-sessionizing the still-open rows
+    * (window functions partitioned by (key, open)), then marking
+    * components whose end <= E(k) as emitted at stage k — empty waves
+    * produce no batch, so their stage carries a has-batch guard and
+    * passes through. Stage count = nWaves + 2 <= 8; the unroll is
+    * generated, never hand-maintained.
+    */
+  private def genSession(seed: Long): SGen = {
+    val p = sessionP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val gap = p.gap
+    val margin = delay + 3 * gap + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, 0.0, nWaves.toLong),
+          (-2L, hi + 2 * margin, 0.0, nWaves + 1L))
+          .toDF("key", "ms", "value", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "key LONG, ms LONG, value DOUBLE", nWaves + 2L,
+        s"sfz_sess_$seed") { src =>
+        src.select(col("key"), timestamp_millis(col("ms")).as("t"),
+            col("value"))
+          .withWatermark("t", s"$delay milliseconds")
+          .groupBy(session_window(col("t"), s"$gap milliseconds"),
+            col("key"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")) * (lit(1.0) + lit(1e-12)), 2)
+              .as("sum_value"))
+          .select(col("key").as("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("n_events"), col("sum_value"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+
+    // one generated replay stage per wave: stage k re-sessionizes the
+    // open rows and emits components whose end <= E(k) (the eviction
+    // watermark of batch k = running max event ms over batches < k,
+    // minus delay), guarded on the wave actually having rows (no batch
+    // => no eviction). The (user_id, open) window partition keeps
+    // closed/unarrived rows inert without a filtered window.
+    def stage(k: Long, prev: String): String = {
+      val ek = s"(SELECT COALESCE(GREATEST(MAX(mx) - $delay, 0), 0)" +
+        s" FROM b WHERE wave < $k)"
+      val hasBatch = s"(SELECT COUNT(*) FROM b WHERE wave = $k) > 0"
+      s"""s$k AS (
+        |  SELECT user_id, ms, value, wave,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN $k ELSE est END AS est,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN sid ELSE esid END AS esid
+        |  FROM (
+        |    SELECT *, MAX(ms) OVER (PARTITION BY user_id, open, sid)
+        |              + $gap AS comp_end
+        |    FROM (
+        |      SELECT *, SUM(ns) OVER (PARTITION BY user_id, open ORDER BY ms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM (
+        |        SELECT *, CASE WHEN NOT open THEN NULL
+        |          WHEN lag(ms) OVER (PARTITION BY user_id, open ORDER BY ms)
+        |            IS NULL THEN 1
+        |          WHEN ms - lag(ms) OVER (PARTITION BY user_id, open
+        |            ORDER BY ms) > $gap THEN 1 ELSE 0 END AS ns
+        |        FROM (SELECT user_id, ms, value, wave, est, esid,
+        |                (est IS NULL AND wave <= $k) AS open
+        |              FROM $prev)))))""".stripMargin
+    }
+    val nStages = nWaves + 2
+    val stages = (0L until nStages)
+      .map(k => stage(k, if (k == 0) "s_init" else s"s${k - 1}"))
+      .mkString(",\n")
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms, value
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, ms, value, ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |b0 AS (SELECT wave, MAX(ms) AS mx FROM e GROUP BY wave),
+        |hb AS (SELECT MAX(ms) AS hi FROM e),
+        |b AS (SELECT * FROM b0
+        |      UNION ALL SELECT $nWaves, hi + $margin FROM hb
+        |      UNION ALL SELECT ${nWaves + 1}, hi + 2 * $margin FROM hb),
+        |l AS (SELECT wave,
+        |        COALESCE(GREATEST(MAX(mx) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |          - $delay, 0), 0) AS lwm
+        |      FROM b),
+        |kept AS (
+        |  SELECT e.user_id, e.ms, e.value, e.wave FROM e JOIN l USING (wave)
+        |  WHERE e.ms + $gap > l.lwm),
+        |s_init AS (
+        |  SELECT user_id, ms, value, wave,
+        |         CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS esid
+        |  FROM kept),
+        |$stages
+        |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + $gap AS end_ms,
+        |       COUNT(*) AS n_events,
+        |       round(SUM(value) * (1.0 + 1e-12), 2) AS sum_value
+        |FROM s${nStages - 1} GROUP BY user_id, est, esid
+        |ORDER BY user_id, start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family C drive: the same staged replay
+    * as the DuckDB oracle, looped over the wave sequence. The per-batch
+    * max-event-time table (|waves| rows — watermarks are driven by ALL
+    * arriving rows, late ones included, because event-time stats are
+    * collected upstream of the late filter) is collected driver-side to
+    * produce the per-stage eviction scalars — harness bookkeeping, not
+    * a data collect.
+    */
+  def sessionTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = sessionP(seed)
+      val margin = p.delay + 3 * p.gap + 10000000L
+      val base = keptBase(spark, dir, p.mode, seed, p.nWaves, p.delay,
+        keyed = true)
+      val realMx: Map[Long, Long] = base.groupBy(col("wave"))
+        .agg(max(col("ms")).as("mx")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hi = realMx.values.max
+      val mxByWave = realMx +
+        (p.nWaves.toLong -> (hi + margin)) +
+        ((p.nWaves + 1).toLong -> (hi + 2 * margin))
+      def ewm(k: Long): Long = {
+        val prior = mxByWave.filter(_._1 < k).values
+        if (prior.isEmpty) 0L else math.max(0L, prior.max - p.delay)
+      }
+      var df = base.filter(col("ms") + p.gap > col("lwm"))
+        .select(col("key"), col("ms"), col("value"), col("wave"))
+        .withColumn("est", lit(null).cast("long"))
+        .withColumn("esid", lit(null).cast("long"))
+      (0L until (p.nWaves + 2L)).foreach { k =>
+        val hasBatch = mxByWave.contains(k)
+        val wOpen = Window.partitionBy(col("key"), col("open"))
+          .orderBy(col("ms"))
+        val wCum = wOpen.rowsBetween(Window.unboundedPreceding, 0)
+        val wComp = Window.partitionBy(col("key"), col("open"), col("sid"))
+        df = df
+          .withColumn("open", col("est").isNull && col("wave") <= k)
+          .withColumn("ns", when(!col("open"), lit(null))
+            .when(lag(col("ms"), 1).over(wOpen).isNull, 1)
+            .when(col("ms") - lag(col("ms"), 1).over(wOpen) > p.gap, 1)
+            .otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(wCum))
+          .withColumn("comp_end", max(col("ms")).over(wComp) + p.gap)
+          .withColumn("emit",
+            col("open") && lit(hasBatch) && col("comp_end") <= ewm(k))
+          .withColumn("est", when(col("emit"), k).otherwise(col("est")))
+          .withColumn("esid", when(col("emit"), col("sid"))
+            .otherwise(col("esid")))
+          .drop("open", "ns", "sid", "comp_end", "emit")
+      }
+      df.groupBy(col("key"), col("est"), col("esid"))
+        .agg(min(col("ms")).as("start_ms"),
+          (max(col("ms")) + p.gap).as("end_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")) * (lit(1.0) + lit(1e-12)), 2)
+            .as("sum_value"))
+        .select(col("key").as("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+
   /** The kept-rows frame shared by both IN-SPARK batch twins: the
     * carved events plus each row's lagged late-filter watermark `lwm`.
     * The watermark table is |waves| rows, so its single-partition
@@ -378,7 +589,9 @@ object StreamFuzz {
     * [[QueryFuzz.generate]]).
     */
   def generate(seed: Long): SGen =
-    if (seed >= QuotaSeedFloor) genQuota(seed) else genAgg(seed)
+    if (seed >= SessionSeedFloor) genSession(seed)
+    else if (seed >= QuotaSeedFloor) genQuota(seed)
+    else genAgg(seed)
 
   /** Fixed seeds registered in SparkEntry for the driver's DuckDB
     * differential check. Chosen to cover both carvings and several
@@ -386,7 +599,8 @@ object StreamFuzz {
     * same seeds in-suite at sf0.001.
     */
   val registeredSeeds: Seq[Long] =
-    Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L)
+    Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
+      13000L, 13001L, 13002L, 13003L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).build).toMap

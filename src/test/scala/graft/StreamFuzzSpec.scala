@@ -41,4 +41,11 @@ class StreamFuzzSpec extends AnyFunSuite {
       check(s, StreamFuzz.quotaTwin)
     }
   }
+
+  Seq(13000L, 13002L, 13005L, 13006L).foreach { s =>
+    test(s"session drive matches staged-replay twin " +
+        s"(seed $s, ${StreamFuzz.sessionP(s)})") {
+      check(s, StreamFuzz.sessionTwin)
+    }
+  }
 }

@@ -112,6 +112,83 @@ class WmProbeSpec extends AnyFunSuite {
       s"tws late-filter rule moved: reported keys $keys")
   }
 
+  test("session-window agg: late filter lags one batch; boundary and " +
+      "cross-batch merge semantics") {
+    // delay 15000ms; wave2's late wm = E(wave1) = 20000 - 15000 = 5000.
+    // gap 1000. Rows in wave2:
+    //   c1 t=3999  end 4999 <= 5000 -> dropped under end-based rule
+    //   c2 t=4000  end 5000 == lwm  -> boundary discriminator
+    //   c3 t=4500  end 5500 > 5000 but t < lwm -> kept iff window-based
+    //   m  t=10500 merges with wave0's m t=10000 (within gap) iff kept
+    //     state merging works across batches
+    val rows = Seq(
+      ("adv", 20000L, 0L), ("m", 10000L, 0L),
+      // gap-boundary pins: q's rows sit exactly gap apart (MERGE — the
+      // boundary is inclusive), p's one ms further (split)
+      ("q", 6000L, 0L), ("q", 7000L, 0L),
+      ("p", 8000L, 0L), ("p", 9001L, 0L),
+      ("adv2", 40000L, 1L),
+      ("c1", 3999L, 2L), ("c2", 4000L, 2L), ("c3", 4500L, 2L),
+      ("m", 10500L, 2L),
+      ("s1", 90000L, 3L), ("s2", 140000L, 4L))
+    val out = drive(rows, "probe_sess", 5) { src =>
+      src.select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "15 seconds")
+        .groupBy(session_window(col("t"), "1 second"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"),
+          unix_millis(col("session_window.start")).as("ss"),
+          unix_millis(col("session_window.end")).as("se"), col("n"))
+    }
+    val byKey = out.groupBy(_.getString(0))
+    // pinned: c1 (end < lwm) and c2 (end == lwm) dropped — the filter is
+    // per-row-session END based and INCLUSIVE; c3 kept even though its
+    // own t < lwm (window-based, like the sliding-window agg)
+    val emitted = out.map(_.getString(0)).toSet
+    assert(emitted == Set("adv", "adv2", "c3", "m", "q", "p"),
+      s"session late-filter rule moved: emitted $emitted")
+    // gap boundary: exactly-gap-apart rows MERGE (the merge test is
+    // diff <= gap, INCLUSIVE — pinned empirically); gap+1 splits
+    assert(byKey("q").length == 1 && byKey("q").head.getLong(3) == 2L,
+      s"exact-gap merge rule moved: ${byKey("q")}")
+    assert(byKey("p").length == 2, s"gap+1 split rule moved: ${byKey("p")}")
+    // merge must produce ONE session for m covering both rows
+    val m = byKey.getOrElse("m", Seq.empty)
+    assert(m.length == 1 && m.head.getLong(3) == 2L &&
+      m.head.getLong(1) == 10000L && m.head.getLong(2) == 11500L,
+      s"cross-batch session merge moved: $m")
+  }
+
+  test("session-window agg: eviction boundary and post-emission re-open") {
+    // delay 0, gap 1000. A's session [1000,2000) pends until E reaches
+    // 2000 (wave2's batch, E = max-through-wave1 = 2000): emitted there
+    // iff the eviction test is end <= E (inclusive). Wave3 then delivers
+    // A t=1500 — kept (ms+gap=2500 > L(3)=2000) and BELOW the emitted
+    // end: if A emitted at wave2, output is TWO overlapping sessions;
+    // if eviction were strict (<), they'd merge into one.
+    val rows = Seq(
+      ("A", 1000L, 0L),
+      ("B", 2000L, 1L),
+      ("B2", 50000L, 2L),
+      ("A", 1500L, 3L),
+      ("s1", 90000L, 4L), ("s2", 130000L, 5L))
+    val out = drive(rows, "probe_sess_evict", 6) { src =>
+      src.select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "0 seconds")
+        .groupBy(session_window(col("t"), "1 second"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"),
+          unix_millis(col("session_window.start")).as("ss"),
+          unix_millis(col("session_window.end")).as("se"), col("n"))
+    }
+    val a = out.filter(_.getString(0) == "A")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    info(s"EVICT OUT: $a")
+    assert(a == Seq((1000L, 2000L, 1L), (1500L, 2500L, 1L)),
+      s"session eviction boundary moved (expected inclusive end<=E, " +
+        s"overlapping outputs): $a")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
