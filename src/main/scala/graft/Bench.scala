@@ -39,6 +39,31 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // The per-query map outgrew what log capture reliably holds (r5's
+    // record kept 78/181 entries), so the FULL record goes to a file —
+    // bench_detail.json next to the working dir, overridable — and the
+    // stdout line stays a compact summary that can never be cut mid-map.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/bench_detail.json")
+    // Load LAST round's per-query map BEFORE this run overwrites the
+    // file — the self-reporting regression tripwire's baseline. Guard
+    // on the recorded sf: comparing an sf0.1 round against a leftover
+    // sf0.01 dev run would flag every query as a fake 10x regression.
+    val prevQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(detailPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sameSf = s"\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0 || !sameSf) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
     val p1 = onePass(); val p2 = onePass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // locale-safe rounding: no String.format, whose decimal separator varies
@@ -52,20 +77,33 @@ object Bench {
     // worse, never better.
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    // The per-query map outgrew what log capture reliably holds (r5's
-    // record kept 78/181 entries), so the FULL record goes to a file —
-    // bench_detail.json next to the working dir, overridable — and the
-    // stdout line stays a compact summary that can never be cut mid-map.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/bench_detail.json")
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"total_sec":${r3(total)}}"""
+    // Round-over-round comparability: the 14 oracle-driven streaming
+    // drives are wall-clock dominated by micro-batch/trigger machinery
+    // (r7's 13 drives cost 57 s of a 192 s headline), so adding one
+    // reads as a fake batch regression. Split the headline.
+    val isStream = (k: String) => SparkEntry.streamingQueries.contains(k)
+    val batchSec = results.collect {
+      case (k, v) if v >= 0 && !isStream(k) => v }.sum
+    val streamSec = results.collect {
+      case (k, v) if v >= 0 && isStream(k) => v }.sum
+    // Self-reported regressions vs the PREVIOUS detail file: >1.5x AND
+    // >= 0.5 s now (sub-second movers are host noise at min-of-2 scale
+    // — r7's only >1.5x movers were all sub-second). New queries have
+    // no baseline and never appear here.
+    val regressions = results.toSeq.sortBy(_._1).collect {
+      case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
+          v > 1.5 * prevQueries(k) =>
+        s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)}}"""
+    }.mkString("{", ",", "}")
+    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"total_sec":${r3(total)}"""
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // stderr carries the per-query map too, as a second capture channel
     System.err.println(s"[bench-detail] $detail")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"detail":"$detailPath","total_sec":${r3(total)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$summary,"detail":"$detailPath"}""")
     spark.stop()
   }
 }
