@@ -61,6 +61,7 @@ object StreamFuzz {
   val AggSeedFloor = 12000L
   val QuotaSeedFloor = 12500L
   val SessionSeedFloor = 13000L
+  val JoinSeedFloor = 13500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -585,11 +586,176 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("hour_ms"))
     }
 
+  private[graft] case class JoinP(nWaves: Int, mode: String, delay: Long,
+      window: Long, joinType: String)
+
+  private[graft] def joinP(seed: Long): JoinP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    JoinP(nWaves, mode, delay,
+      Seq(600000L, 3600000L, 21600000L)(rnd.nextInt(3)),
+      if (rnd.nextBoolean()) "inner" else "left_outer")
+  }
+
+  /** Family D — stream-stream interval join (StreamingSymmetricHashJoin,
+    * a fourth state machine: two watermarked sides, condition-derived
+    * state eviction) under random arrival. The carved frame keeps only
+    * view/click events; the drive splits it into two watermarked sides
+    * and interval-joins clicks to views within `window`.
+    *
+    * Pinned semantics (WmProbeSpec): each side drops late input on its
+    * OWN event time, inclusive (`ts <= L`), with the lagged watermark —
+    * NOT on a condition-extended horizon — and the query's watermark is
+    * the MIN across both sides' watermark operators. Purity: a pair
+    * (v, c) can never be lost to eviction — a view evicted at batch K
+    * requires `v.ts + window < E(K)`, so any later kept click has
+    * `c.ts > L(M) >= E(K) > v.ts + window`, outside the interval (and
+    * symmetrically for clicks) — so inner output = kept_v JOIN kept_c,
+    * and the outer's null-extension is the same join's unmatched side
+    * (an unmatched view emits exactly once, at eviction; the matching
+    * click that would contradict it is impossible by the same bound).
+    */
+  private def genJoin(seed: Long): SGen = {
+    val p = joinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val window = p.window
+    val margin = delay + 3 * window + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_join_$seed") { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(col("ms")).as("view_ts"))
+          .withWatermark("view_ts", s"$delay milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        views.join(clicks,
+          expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+            s"click_ts <= view_ts + interval $window millisecond"),
+          p.joinType)
+          .select(col("vuser").as("user_id"),
+            unix_millis(col("view_ts")).as("view_ms"),
+            unix_millis(col("click_ts")).as("click_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+    }
+
+    // two-sided watermark: the lagged L is the MIN of the two sides'
+    // running maxes (each over ITS rows in batches <= k-2); a side with
+    // no rows yet pins L to the initial 0. The jitter bounds are over
+    // the view/click SUBSET — the Scala side computes lo/hi after the
+    // event-type filter, and one boundary row on the full-table bounds
+    // flips wave (caught by seed 13501's first DuckDB run).
+    val joinBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") joinBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+        |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, e.ms
+        |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)
+        |SELECT v.user_id AS user_id, v.ms AS view_ms, c.ms AS click_ms
+        |FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+        |${if (p.joinType == "inner") "JOIN" else "LEFT JOIN"}
+        |  (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.ms >= v.ms
+        |     AND c.ms <= v.ms + $window
+        |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family D drive. */
+  def joinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = joinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+      val v = kept.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ms").as("view_ms"))
+      val c = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ms").as("click_ms"))
+      v.join(c, col("user_id") === col("cuser") &&
+          col("click_ms") >= col("view_ms") &&
+          col("click_ms") <= col("view_ms") + p.window,
+        p.joinType)
+        .select(col("user_id"), col("view_ms"), col("click_ms"))
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]).
     */
   def generate(seed: Long): SGen =
-    if (seed >= SessionSeedFloor) genSession(seed)
+    if (seed >= JoinSeedFloor) genJoin(seed)
+    else if (seed >= SessionSeedFloor) genSession(seed)
     else if (seed >= QuotaSeedFloor) genQuota(seed)
     else genAgg(seed)
 
@@ -600,7 +766,7 @@ object StreamFuzz {
     */
   val registeredSeeds: Seq[Long] =
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
-      13000L, 13001L, 13002L, 13003L)
+      13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).build).toMap

@@ -48,4 +48,11 @@ class StreamFuzzSpec extends AnyFunSuite {
       check(s, StreamFuzz.sessionTwin)
     }
   }
+
+  Seq(13500L, 13502L, 13503L, 13504L).foreach { s =>
+    test(s"interval-join drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.joinP(s)})") {
+      check(s, StreamFuzz.joinTwin)
+    }
+  }
 }

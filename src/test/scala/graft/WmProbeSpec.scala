@@ -189,6 +189,118 @@ class WmProbeSpec extends AnyFunSuite {
         s"overlapping outputs): $a")
   }
 
+  test("stream-stream interval join: per-side late-input drop rules") {
+    // One source split into views (etype 'v<user>') and clicks ('c<user>'),
+    // inner-joined on user with c.ts in [v.ts, v.ts+1000]. delay 0;
+    // wave2's lagged wm L = 20000. Cases (user: v.ts/c.ts):
+    //   u1 18999/18999  u2 19000/19999  u3 19500/20000
+    //   u4 20000/20500  u5 20001/20900  u6 15000/15500
+    // Which pairs emerge pins whether each side drops on its own ts vs
+    // a condition-derived state watermark.
+    val rows = Seq(
+      ("v0", 20000L, 0L), ("c0", 20000L, 0L),
+      ("v0", 30000L, 1L), ("c0", 30000L, 1L),
+      ("v1", 18999L, 2L), ("c1", 18999L, 2L),
+      ("v2", 19000L, 2L), ("c2", 19999L, 2L),
+      ("v3", 19500L, 2L), ("c3", 20000L, 2L),
+      ("v4", 20000L, 2L), ("c4", 20500L, 2L),
+      ("v5", 20001L, 2L), ("c5", 20900L, 2L),
+      ("v6", 15000L, 2L), ("c6", 15500L, 2L),
+      ("v9", 60000L, 3L), ("c9", 60000L, 3L),
+      ("v8", 90000L, 4L), ("c8", 90000L, 4L))
+    val out = drive(rows, "probe_join", 5) { src =>
+      val tagged = src.select(
+        substring(col("etype"), 1, 1).as("side"),
+        substring(col("etype"), 2, 10).as("user"),
+        timestamp_millis(col("ms")).as("t"))
+      val views = tagged.filter(col("side") === "v")
+        .select(col("user"), col("t").as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = tagged.filter(col("side") === "c")
+        .select(col("user").as("cuser"), col("t").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+        expr("user = cuser AND click_ts >= view_ts AND " +
+          "click_ts <= view_ts + interval 1 second"))
+        .select(col("user"), unix_millis(col("view_ts")).as("vms"),
+          unix_millis(col("click_ts")).as("cms"))
+    }
+    // pinned: both sides drop late input on their OWN event time with the
+    // lagged watermark, inclusive (ts <= L) — u4's view at ts == L was
+    // dropped even though its join horizon extended past L; only u5
+    // (both sides strictly above L) paired. Sentinel/advance pairs (0,
+    // 9, 8) self-join at equal ts.
+    val users = out.map(_.getString(0)).toSet
+    assert(users == Set("0", "5", "8", "9"),
+      s"join late-input rule moved: $users")
+  }
+
+  test("stream-stream join: global watermark is the MIN across sides") {
+    // wave0 advances views to 20000 but clicks only to 10000 -> the
+    // query's watermark is min = 10000. Wave2's lagged L is therefore
+    // 10000: a view at 15000 is kept (paired with click 15200) even
+    // though the VIEW-side watermark alone (20000) would drop it.
+    val rows = Seq(
+      ("v0", 20000L, 0L), ("c0", 10000L, 0L),
+      ("v0", 30000L, 1L), ("c0", 30000L, 1L),
+      ("v1", 15000L, 2L), ("c1", 15200L, 2L),
+      ("v9", 60000L, 3L), ("c9", 60000L, 3L),
+      ("v8", 90000L, 4L), ("c8", 90000L, 4L))
+    val out = drive(rows, "probe_join_min", 5) { src =>
+      val tagged = src.select(
+        substring(col("etype"), 1, 1).as("side"),
+        substring(col("etype"), 2, 10).as("user"),
+        timestamp_millis(col("ms")).as("t"))
+      val views = tagged.filter(col("side") === "v")
+        .select(col("user"), col("t").as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = tagged.filter(col("side") === "c")
+        .select(col("user").as("cuser"), col("t").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+        expr("user = cuser AND click_ts >= view_ts AND " +
+          "click_ts <= view_ts + interval 1 second"))
+        .select(col("user"), unix_millis(col("view_ts")).as("vms"),
+          unix_millis(col("click_ts")).as("cms"))
+    }
+    val users = out.map(_.getString(0)).toSet
+    assert(users.contains("1"),
+      s"min-watermark policy moved: u1 dropped, emitted $users")
+  }
+
+  test("stream-stream LEFT OUTER join: late filter and null-extension") {
+    // delay 0; wave2 has L=20000 (lagged), E=30000 (current). Rows
+    // between the two discriminate which watermark the outer join's
+    // late-input filter uses: u1 pair at 25000/25100, u2 view 25200
+    // with no click (unmatched candidate), u3 view 19999 (below L).
+    val rows = Seq(
+      ("v0", 20000L, 0L), ("c0", 20000L, 0L),
+      ("v0", 30000L, 1L), ("c0", 30000L, 1L),
+      ("v1", 25000L, 2L), ("c1", 25100L, 2L),
+      ("v2", 25200L, 2L),
+      ("v3", 19999L, 2L),
+      ("v9", 60000L, 3L), ("c9", 60000L, 3L),
+      ("v8", 90000L, 4L), ("c8", 90000L, 4L))
+    val out = drive(rows, "probe_join_outer", 5) { src =>
+      val tagged = src.select(
+        substring(col("etype"), 1, 1).as("side"),
+        substring(col("etype"), 2, 10).as("user"),
+        timestamp_millis(col("ms")).as("t"))
+      val views = tagged.filter(col("side") === "v")
+        .select(col("user"), col("t").as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = tagged.filter(col("side") === "c")
+        .select(col("user").as("cuser"), col("t").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+        expr("user = cuser AND click_ts >= view_ts AND " +
+          "click_ts <= view_ts + interval 1 second"), "left_outer")
+        .select(col("user"), unix_millis(col("view_ts")).as("vms"),
+          unix_millis(col("click_ts")).as("cms"))
+    }
+    info(s"OUTER ROWS: ${out.sortBy(_.getString(0)).mkString("; ")}")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
