@@ -46,13 +46,31 @@ object TextOps {
     if (df.isStreaming) return df
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
-    // estimate the scan's split count from the optimizer's size
-    // statistics (total relation bytes / files.maxPartitionBytes) —
-    // reading a number the planner computes anyway, instead of
-    // instantiating the physical RDD lineage (`df.rdd`) for a query
-    // that never runs as an RDD. Over-estimating merely skips a
-    // repartition a big scan doesn't need; the small-input case
-    // (bytes << one split) is the one that must trigger, and does.
+    // an input with an EXPLICIT wide repartition passes through — read
+    // it off the analyzed logical tree (walking partition-preserving
+    // projections/filters), no RDD instantiation and no physical
+    // planning needed (AQE wraps the physical tree, hiding
+    // outputPartitioning until execution)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      LogicalPlan, Project, Repartition, RepartitionByExpression}
+    @scala.annotation.tailrec
+    def plannedParts(p: LogicalPlan): Option[Int] = p match {
+      case r: Repartition if r.shuffle => Some(r.numPartitions)
+      case r: RepartitionByExpression => r.optNumPartitions
+      case pr: Project => plannedParts(pr.child)
+      case f: LFilter => plannedParts(f.child)
+      case _ => None
+    }
+    if (plannedParts(df.queryExecution.analyzed).exists(_ >= target))
+      return df
+    // scans report UnknownPartitioning(0); estimate their split count
+    // from the optimizer's size statistics (total relation bytes /
+    // files.maxPartitionBytes) — reading a number the planner computes
+    // anyway, instead of instantiating the physical RDD lineage
+    // (`df.rdd`) for a query that never runs as an RDD. Over-estimating
+    // merely skips a repartition a big scan doesn't need; the
+    // small-input case (bytes << one split) is the one that must
+    // trigger, and does.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
     val estSplits = (bytes / maxSplit) + 1

@@ -39,7 +39,7 @@ class EntrySpec extends AnyFunSuite {
       DedupOps.queries, SimilarityOps.queries, EventOps.queries,
       MultimodalOps.queries, JoinOps.queries, RangeJoinOps.queries,
       SourceOps.queries, StatsOps.queries, TimeSeriesOps.queries,
-      graft.fuzz.QueryFuzz.queries)
+      graft.fuzz.QueryFuzz.queries, graft.fuzz.StreamFuzz.queries)
     // first: this test's module list must track SparkEntry's union (a
     // 10th module added there but not here is list drift, not shadowing)
     val unionKeys = moduleMaps.flatMap(_.keys).toSet
