@@ -67,7 +67,7 @@ object MaintenanceOps {
     // recursive: partitioned datasets keep their files in key=value
     // subdirectories, which a flat listing would sum to zero bytes
     var bytes = 0L
-    var estSplits = 0L
+    var nFiles = 0L
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val base = fs.makeQualified(path).toString
     val it = fs.listFiles(path, true)
@@ -79,16 +79,26 @@ object MaintenanceOps {
       val rel = s.getPath.toString.stripPrefix(base)
       if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))) {
         bytes += s.getLen
-        // per-file split estimate (files never share a split): an upper
-        // bound on the scan's partition count, read off the listing we
-        // already hold instead of instantiating the RDD lineage. Spark
-        // bin-packs small files, so actual <= estimate; over-estimating
-        // only ever picks the shuffle-free coalesce branch.
-        estSplits += math.max(1L, (s.getLen + maxSplit - 1) / maxSplit)
+        nFiles += 1
       }
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
-    val sized = if (n <= estSplits) df.coalesce(n) else df.repartition(n)
+    // coalesce(n) cannot RAISE the partition count above the scan's, so it
+    // is only safe when n is at or below a LOWER bound on the scan's
+    // partition count. Spark bin-packs splits into partitions of
+    // maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore))
+    // over the open-cost-padded byte total, so the packed partition count
+    // is >= ceil(paddedBytes / maxSplitBytes); many small files (padded
+    // total below n * maxSplitBytes) correctly fall through to the
+    // repartition branch instead of silently writing too few large files.
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val padded = bytes + nFiles * openCost
+    val bytesPerCore =
+      padded / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplitBytes = math.min(maxSplit, math.max(openCost, bytesPerCore))
+    val scanPartsLo =
+      math.max(1L, (padded + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
+    val sized = if (n <= scanPartsLo) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(outDir)
     n
   }

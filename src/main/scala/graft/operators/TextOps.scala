@@ -56,7 +56,11 @@ object TextOps {
     @scala.annotation.tailrec
     def plannedParts(p: LogicalPlan): Option[Int] = p match {
       case r: Repartition if r.shuffle => Some(r.numPartitions)
+      // no explicit count means "run at spark.sql.shuffle.partitions" —
+      // still an explicit wide repartition whose by-expression
+      // co-partitioning a stacked round-robin shuffle would destroy
       case r: RepartitionByExpression => r.optNumPartitions
+        .orElse(Some(sess.sessionState.conf.numShufflePartitions))
       case pr: Project => plannedParts(pr.child)
       case f: LFilter => plannedParts(f.child)
       case _ => None

@@ -299,6 +299,23 @@ class WmProbeSpec extends AnyFunSuite {
           unix_millis(col("click_ts")).as("cms"))
     }
     info(s"OUTER ROWS: ${out.sortBy(_.getString(0)).mkString("; ")}")
+    // Family D's left_outer oracle rests on exactly these rules — assert
+    // them so a Spark upgrade changing null-extension is NAMED here:
+    val byUser = out.groupBy(_.getString(0))
+    val u1 = byUser.getOrElse("1", Seq.empty)
+    assert(u1.map(r => (r.getLong(1), r.getLong(2))) == Seq((25000L, 25100L)),
+      s"u1 must pair exactly once: $u1")
+    val u2 = byUser.getOrElse("2", Seq.empty)
+    assert(u2.length == 1 && u2.head.getLong(1) == 25200L &&
+      u2.head.isNullAt(2),
+      s"unmatched view must null-extend EXACTLY once at eviction: $u2")
+    assert(!byUser.contains("3"),
+      s"late view (own ts <= lagged L) must be filtered: ${byUser.get("3")}")
+    Seq("9", "8").foreach { u =>
+      val s = byUser.getOrElse(u, Seq.empty)
+      assert(s.length == 1 && !s.head.isNullAt(2),
+        s"sentinel pair u$u must self-join matched, not null-extend: $s")
+    }
   }
 
   test("transformWithState: input rows are processed before timers fire") {
