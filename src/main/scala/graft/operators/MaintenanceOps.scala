@@ -85,19 +85,27 @@ object MaintenanceOps {
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
     // coalesce(n) cannot RAISE the partition count above the scan's, so it
     // is only safe when n is at or below a LOWER bound on the scan's
-    // partition count. Spark bin-packs splits into partitions of
-    // maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore))
-    // over the open-cost-padded byte total, so the packed partition count
-    // is >= ceil(paddedBytes / maxSplitBytes); many small files (padded
-    // total below n * maxSplitBytes) correctly fall through to the
-    // repartition branch instead of silently writing too few large files.
+    // partition count. Spark's greedy packing closes a partition when the
+    // open-cost-PADDED running size plus the next split would exceed
+    // maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore)),
+    // so the REAL bytes in any packed partition never exceed maxSplitBytes
+    // (padded >= real at the admission check) — the true lower bound on
+    // the scan's partition count is the UNPADDED ceil(bytes/maxSplitBytes).
+    // Padding the numerator (the r9 bug) turned this into an OVERestimate:
+    // one small file "lower-bounded" to 2 partitions, coalesce(2) silently
+    // capped at the actual 1, and the returned count lied. bytesPerCore
+    // still uses the padded total and minPartitionNum, matching
+    // FilePartition.maxSplitBytes exactly.
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val padded = bytes + nFiles * openCost
-    val bytesPerCore =
-      padded / math.max(1, spark.sparkContext.defaultParallelism)
+    val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(spark.sessionState.conf
+        .getConf(org.apache.spark.sql.internal.SQLConf.LEAF_NODE_DEFAULT_PARALLELISM)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val bytesPerCore = padded / math.max(1, minPartitionNum)
     val maxSplitBytes = math.min(maxSplit, math.max(openCost, bytesPerCore))
     val scanPartsLo =
-      math.max(1L, (padded + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
+      math.max(1L, (bytes + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
     val sized = if (n <= scanPartsLo) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(outDir)
     n

@@ -57,6 +57,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(split).exceptAll(src).isEmpty)
   }
 
+  test("compact on many small files honors the returned count (unpadded " +
+      "scan-partition lower bound: open-cost padding must not fake " +
+      "coalesce headroom)") {
+    val frag = Files.createTempDirectory("frag_small").toString
+    val out = Files.createTempDirectory("sized_small").toString
+    // 64 tiny files: real bytes ~1 MB but open-cost padding adds 256 MB,
+    // so the r9 padded "lower bound" claimed ~64 scan partitions while
+    // the real scan packs everything into 1 — coalesce(n) then capped
+    // silently and wrote fewer files than it returned
+    spark.range(200000).toDF("id")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val path = new org.apache.hadoop.fs.Path(frag)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inBytes = fs.listStatus(path).filter(_.isFile)
+      .filterNot(s => s.getPath.getName.startsWith("_")).map(_.getLen).sum
+    // target = a third of the input -> n = 3, far below the padded
+    // pseudo-bound but above the true one (1): must take the repartition
+    // branch and actually write 3 files
+    val written = MaintenanceOps.compact(spark, frag, out,
+      targetFileBytes = (inBytes + 2) / 3)
+    assert(written == 3, s"expected 3 target-sized files, computed $written")
+    val after = MaintenanceOps.fileStats(spark, out).head()
+    assert(after.getAs[Long]("n_files") == written.toLong,
+      s"returned $written but wrote ${after.getAs[Long]("n_files")} file(s)")
+  }
+
   test("compact output files land near the byte target (on-disk sizing, " +
       "not the optimizer's in-memory estimate)") {
     val frag = Files.createTempDirectory("frag3").toString
