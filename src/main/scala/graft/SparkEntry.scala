@@ -52,8 +52,9 @@ object SparkEntry {
     // the flagship e2e poll drives a real PollingSource poll/restart
     // sequence — wall time is poll rounds, not the consumer plan
     "weather_e2e_poll") ++
-    // every streaming-fuzz seed is a wave drive by construction
-    graft.fuzz.StreamFuzz.registeredSeeds.map(s => s"fuzz_q$s")
+    // every streaming-fuzz drive (plain, restart, multi-file) is a wave
+    // drive by construction
+    graft.fuzz.StreamFuzz.queryNames
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

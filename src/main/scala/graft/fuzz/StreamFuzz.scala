@@ -66,6 +66,28 @@ object StreamFuzz {
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
 
+  /** Harness-side knobs a seed can be re-driven under WITHOUT changing
+    * its semantics — the finalized output (and therefore the seed's
+    * DuckDB oracle) must be invariant to all of them:
+    *
+    *  - `restart`: kill the query right after releasing the wave past
+    *    the midpoint (no processAllAvailable — its batch is un-awaited)
+    *    and resume from the checkpoint into an exactly-once file sink.
+    *  - `filesPerWave`: stage each wave as several salted files, so
+    *    micro-batches are multi-file and multi-partition at the source.
+    *  - `statePartitions`: override the shuffle/state partition count
+    *    (family default otherwise) — keyed state must be partition-
+    *    count-invariant.
+    *
+    * `tag` keeps the drive's memory-sink/checkpoint name disjoint from
+    * the plain rendering of the same seed (e.g. `sfz_agg_r12000`).
+    */
+  case class DriveCfg(tag: String = "", restart: Boolean = false,
+      filesPerWave: Int = 1, statePartitions: Option[Int] = None) {
+    def killAfter(nWaves: Int): Option[Long] =
+      if (restart) Some(nWaves / 2L) else None
+  }
+
   /** Watermark-delay menu in ms. Shuffle carving randomizes arrival
     * completely, so the lagged watermark sits near the global max from
     * batch 2 on — small delays would drop nearly everything; the
@@ -158,7 +180,7 @@ object StreamFuzz {
       Seq(300000L, 900000L, 3600000L)(rnd.nextInt(3)), 1 + rnd.nextInt(2))
   }
 
-  private def genAgg(seed: Long): SGen = {
+  private def genAgg(seed: Long, cfg: DriveCfg): SGen = {
     val p = aggP(seed)
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val slide = p.slide; val m = p.m; val width = p.width
@@ -180,7 +202,10 @@ object StreamFuzz {
           .toDF("event_type", "ms", "value", "wave"))
       EventOps.driveWaves(spark, frame,
         "event_type STRING, ms LONG, value DOUBLE", nWaves + 2L,
-        s"sfz_agg_$seed") { src =>
+        s"sfz_agg_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
         src.select(col("event_type"), timestamp_millis(col("ms")).as("t"),
             col("value"))
           .withWatermark("t", s"$delay milliseconds")
@@ -249,7 +274,7 @@ object StreamFuzz {
       Seq(1L, 2L, 5L)(rnd.nextInt(3)))
   }
 
-  private def genQuota(seed: Long): SGen = {
+  private def genQuota(seed: Long, cfg: DriveCfg): SGen = {
     val p = quotaP(seed)
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val bucket = p.bucket; val cap = p.cap
@@ -273,7 +298,10 @@ object StreamFuzz {
       EventOps.withRocksDb(spark) {
         EventOps.driveWaves(spark, frame,
           "key LONG, ms LONG, value DOUBLE", nWaves + 2L,
-          s"sfz_quota_$seed", statePartitions = 4) { src =>
+          s"sfz_quota_${cfg.tag}$seed",
+          statePartitions = cfg.statePartitions.getOrElse(4),
+          filesPerWave = cfg.filesPerWave,
+          restartAfter = cfg.killAfter(nWaves)) { src =>
           graft.streaming.TwsQuotaJob.quota(
             src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
               col("value")).as[graft.streaming.KeyedEvent],
@@ -342,7 +370,7 @@ object StreamFuzz {
     * passes through. Stage count = nWaves + 2 <= 8; the unroll is
     * generated, never hand-maintained.
     */
-  private def genSession(seed: Long): SGen = {
+  private def genSession(seed: Long, cfg: DriveCfg): SGen = {
     val p = sessionP(seed)
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val gap = p.gap
@@ -365,7 +393,10 @@ object StreamFuzz {
           .toDF("key", "ms", "value", "wave"))
       EventOps.driveWaves(spark, frame,
         "key LONG, ms LONG, value DOUBLE", nWaves + 2L,
-        s"sfz_sess_$seed") { src =>
+        s"sfz_sess_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
         src.select(col("key"), timestamp_millis(col("ms")).as("t"),
             col("value"))
           .withWatermark("t", s"$delay milliseconds")
@@ -618,7 +649,7 @@ object StreamFuzz {
     * (an unmatched view emits exactly once, at eviction; the matching
     * click that would contradict it is impossible by the same bound).
     */
-  private def genJoin(seed: Long): SGen = {
+  private def genJoin(seed: Long, cfg: DriveCfg): SGen = {
     val p = joinP(seed)
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val window = p.window
@@ -643,7 +674,10 @@ object StreamFuzz {
           .toDF("user_id", "event_type", "ms", "wave"))
       EventOps.driveWaves(spark, frame,
         "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
-        s"sfz_join_$seed") { src =>
+        s"sfz_join_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("vuser"),
             timestamp_millis(col("ms")).as("view_ts"))
@@ -751,13 +785,14 @@ object StreamFuzz {
     }
 
   /** Deterministic per-seed rendering (same contract as
-    * [[QueryFuzz.generate]]).
+    * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
+    * the oracle SQL is cfg-independent by construction.
     */
-  def generate(seed: Long): SGen =
-    if (seed >= JoinSeedFloor) genJoin(seed)
-    else if (seed >= SessionSeedFloor) genSession(seed)
-    else if (seed >= QuotaSeedFloor) genQuota(seed)
-    else genAgg(seed)
+  def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
+    if (seed >= JoinSeedFloor) genJoin(seed, cfg)
+    else if (seed >= SessionSeedFloor) genSession(seed, cfg)
+    else if (seed >= QuotaSeedFloor) genQuota(seed, cfg)
+    else genAgg(seed, cfg)
 
   /** Fixed seeds registered in SparkEntry for the driver's DuckDB
     * differential check. Chosen to cover both carvings and several
@@ -768,9 +803,39 @@ object StreamFuzz {
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L)
 
+  /** One seed per family re-driven with a mid-stream kill + checkpoint
+    * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
+    * through the file sink's exactly-once commit, so the finalized output
+    * must STILL equal the plain rendering's DuckDB oracle — the
+    * checkpointed-recovery contract of the reference's foreachBatch
+    * pipeline (weather_processor.py:144-151) under differential test.
+    */
+  val restartSeeds: Seq[Long] = Seq(12000L, 12500L, 13001L, 13500L)
+
+  /** One seed per family re-driven with 3 salted files per wave and a
+    * non-default state-partition count (`fuzz_m*`): batches become
+    * multi-file and keyed state spreads over several store partitions;
+    * output must be invariant — same oracle as the plain rendering.
+    */
+  val multiSeeds: Seq[Long] = Seq(12001L, 12502L, 13002L, 13501L)
+
+  private val RestartCfg = DriveCfg(tag = "r", restart = true)
+  private val MultiCfg =
+    DriveCfg(tag = "m", filesPerWave = 3, statePartitions = Some(2))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).build).toMap
+    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).build).toMap ++
+      restartSeeds.map(s => s"fuzz_r$s" -> generate(s, RestartCfg).build) ++
+      multiSeeds.map(s => s"fuzz_m$s" -> generate(s, MultiCfg).build)
 
   def oracles: Map[String, String] =
-    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).sql).toMap
+    registeredSeeds.map(s => s"fuzz_q$s" -> generate(s).sql).toMap ++
+      restartSeeds.map(s => s"fuzz_r$s" -> generate(s).sql) ++
+      multiSeeds.map(s => s"fuzz_m$s" -> generate(s).sql)
+
+  /** Every drive name the fuzz layer registers in SparkEntry. */
+  def queryNames: Set[String] =
+    (registeredSeeds.map(s => s"fuzz_q$s") ++
+      restartSeeds.map(s => s"fuzz_r$s") ++
+      multiSeeds.map(s => s"fuzz_m$s")).toSet
 }

@@ -215,8 +215,22 @@ object EventOps {
     * the corpus scan, runs exactly once). Returns wave id -> staged
     * files.
     */
-  private def stageWaves(df: DataFrame, stage: String): Unit =
-    df.repartition(1).write.partitionBy("wave").parquet(stage)
+  private def stageWaves(df: DataFrame, stage: String,
+      filesPerWave: Int = 1): Unit =
+    if (filesPerWave <= 1)
+      df.repartition(1).write.partitionBy("wave").parquet(stage)
+    else {
+      // multi-file waves: scatter each wave's rows across a deterministic
+      // content-hash salt so the dynamic-partition write emits several
+      // files per wave directory — one released wave is STILL one
+      // micro-batch (all its files land before processAllAvailable; no
+      // maxFilesPerTrigger), but the source now plans multi-file,
+      // multi-partition batches. Hash salting (not round-robin) keeps
+      // the carving reproducible run to run.
+      val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerWave))
+      df.repartition(filesPerWave * 8, col("wave"), salt)
+        .write.partitionBy("wave").parquet(stage)
+    }
 
   /** Recursively delete a harness scratch root once its drive is done —
     * the staged waves and checkpoint often live on tmpfs (RAM), and the
@@ -262,29 +276,65 @@ object EventOps {
     */
   private[graft] def driveWaves(spark: SparkSession, rows: DataFrame,
       schema: String, nWaves: Long, name: String,
-      statePartitions: Int = 1)(
+      statePartitions: Int = 1, filesPerWave: Int = 1,
+      restartAfter: Option[Long] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     val root = harnessTempDir(s"graft_${name}_")
     val (stage, srcDir) = (s"$root/stage", s"$root/src")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    stageWaves(rows, stage)
+    stageWaves(rows, stage, filesPerWave)
     try {
       withHarnessConf(spark, statePartitions) {
-        val src = spark.readStream.schema(schema).parquet(srcDir)
-        val q = transform(src)
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name)
-          .option("checkpointLocation", s"$root/ckpt")
-          .start()
+        // restart drives write to the exactly-once FILE sink (the memory
+        // sink is not fault-tolerant: a recovered batch is never re-added
+        // to its table, so post-crash equality could not be asserted);
+        // plain drives keep the memory sink the specs and SparkEntry read
+        def startQuery() = {
+          val src = spark.readStream.schema(schema).parquet(srcDir)
+          val w = transform(src).writeStream.outputMode("append")
+            .queryName(name)
+            .option("checkpointLocation", s"$root/ckpt")
+          (if (restartAfter.isEmpty) w.format("memory")
+           else w.format("parquet").option("path", s"$root/out")).start()
+        }
+        var q = startQuery()
         try {
           (0L until nWaves).foreach { w =>
             releaseWave(stage, srcDir, w)
-            q.processAllAvailable()
+            restartAfter match {
+              case Some(k) if w == k + 1 =>
+                // crash point: wave k+1's files are on disk but the batch
+                // is NOT awaited — stop() lands before or mid-flight, so
+                // the offset log holds no commit for it and the restarted
+                // query must replay it; the file sink's metadata log makes
+                // that replay exactly-once regardless of where the stop
+                // actually interrupted
+                q.stop()
+                q = startQuery()
+                q.processAllAvailable()
+              case _ => q.processAllAvailable()
+            }
           }
+          // per-batch state-store row totals (summed across state
+          // operators) for this drive, read off the query's progress ring
+          // buffer — synchronous by the time processAllAvailable returns
+          graft.streaming.DriveTelemetry.record(name,
+            q.recentProgress.toSeq.groupBy(_.batchId).toSeq.sortBy(_._1)
+              .map { case (_, ps) =>
+                val p = ps.last
+                if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
+                else p.stateOperators.map(_.numRowsTotal).sum
+              })
         } finally q.stop()
+        if (restartAfter.isEmpty) spark.table(name)
+        else {
+          // materialize off the harness scratch dir before it is deleted
+          val out = spark.read.parquet(s"$root/out")
+          val local = java.util.Arrays.asList(out.collect(): _*)
+          spark.createDataFrame(local, out.schema)
+        }
       }
     } finally deleteHarnessDir(root)
-    spark.table(name)
   }
 
   /** Runs `body` with the RocksDB state store provider (required by the

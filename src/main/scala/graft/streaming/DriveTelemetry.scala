@@ -3,13 +3,14 @@ package graft.streaming
 import scala.collection.concurrent.TrieMap
 
 /** Session-global side channel for the oracle-harness streaming drives:
-  * each [[graft.operators.EventOps!.driveWaves]] run records its
+  * every [[graft.operators.EventOps!.driveWaves]] run records its
   * per-micro-batch state-store row totals (summed across state
-  * operators, read off `StreamingQueryProgress.stateOperators`). Two
-  * consumers: Bench emits the per-drive PEAK into `bench_detail.json`
-  * (the bounded-state claim as a recorded number, not just Scaladoc),
-  * and StateTelemetrySpec asserts the series DROPS after the sentinel
-  * eviction waves — watermark-horizon eviction observed, not argued.
+  * operators, read off the query's progress ring buffer) just before the
+  * drive stops. Two consumers: Bench emits the per-drive PEAK into
+  * `bench_detail.json` as `state_peaks` (the bounded-state claim as a
+  * recorded number, not just Scaladoc), and StateTelemetrySpec asserts
+  * the series DROPS after the sentinel eviction waves — watermark-horizon
+  * eviction observed, not argued.
   *
   * Keys are the drive names passed to driveWaves (e.g. `sfz_agg_12000`,
   * `events_window_stream`); a re-run overwrites its previous series, so

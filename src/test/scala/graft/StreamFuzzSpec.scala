@@ -13,13 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * exercised beyond the curated eight.
   */
 class StreamFuzzSpec extends AnyFunSuite {
+  import StreamFuzz.DriveCfg
   private val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
   private def check(seed: Long,
       twin: Long => (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Unit = {
-    val drive = StreamFuzz.generate(seed).build(spark, dir).collect()
+        => org.apache.spark.sql.DataFrame,
+      cfg: DriveCfg = DriveCfg()): Unit = {
+    val drive = StreamFuzz.generate(seed, cfg).build(spark, dir).collect()
     val batch = twin(seed)(spark, dir).collect()
     assert(drive.length == batch.length,
       s"seed $seed: drive ${drive.length} rows vs twin ${batch.length}")
@@ -28,6 +30,13 @@ class StreamFuzzSpec extends AnyFunSuite {
       assert(d == b, s"seed $seed row $i: drive $d != twin $b")
     }
   }
+
+  private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame =
+    if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
+    else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
+    else if (seed >= StreamFuzz.QuotaSeedFloor) StreamFuzz.quotaTwin
+    else StreamFuzz.aggTwin
 
   // registered + unregistered seeds, both families, both carvings
   Seq(12000L, 12002L, 12004L, 12005L).foreach { s =>
@@ -53,6 +62,35 @@ class StreamFuzzSpec extends AnyFunSuite {
     test(s"interval-join drive matches batch twin " +
         s"(seed $s, ${StreamFuzz.joinP(s)})") {
       check(s, StreamFuzz.joinTwin)
+    }
+  }
+
+  // ---- harness-knob invariance: the same 16 seeds re-driven at a SECOND
+  // partition config (3 state partitions, 2 salted files per wave) must
+  // still match their twins — keyed streaming state is partition-count-
+  // and file-layout-invariant, and a released wave stays one micro-batch
+  // however many files carry it. (The registered fuzz_m* renderings put
+  // one seed per family under the driver's DuckDB gate as well.)
+  private val MpCfg =
+    DriveCfg(tag = "mp", filesPerWave = 2, statePartitions = Some(3))
+
+  Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
+      13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L)
+    .foreach { s =>
+      test(s"drive output invariant at 3 state partitions x 2 files/wave " +
+          s"(seed $s)") {
+        check(s, twinFor(s), MpCfg)
+      }
+    }
+
+  // ---- crash-recovery: kill the query right after releasing the wave
+  // past the midpoint (its batch un-awaited), resume from the checkpoint
+  // into the exactly-once file sink — the finalized output must equal the
+  // uninterrupted rendering's twin. One seed per family; the registered
+  // fuzz_r* renderings additionally face the DuckDB oracle.
+  StreamFuzz.restartSeeds.foreach { s =>
+    test(s"mid-stream kill + checkpoint resume preserves output (seed $s)") {
+      check(s, twinFor(s), DriveCfg(tag = "rt", restart = true))
     }
   }
 }
