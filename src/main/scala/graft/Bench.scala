@@ -1,6 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
 object Bench {
+
+  /** Parse a bench detail JSON with a real JSON reader (json4s ships on
+    * the Spark classpath) — the r8/r9 regex scrape silently dropped
+    * entries and could never hold nested maps. Returns (per-query
+    * seconds, per-query shuffle bytes, sf dir).
+    */
+  private def parseDetail(txt: String): (Map[String, Double], Map[String, Long], String) = {
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    val j = JsonMethods.parse(txt)
+    val qs = j \ "queries" match {
+      case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    val sb = j \ "shuffle_bytes" match {
+      case JObject(fs) =>
+        fs.flatMap { case (k, v) => num(v).map(k -> _.toLong) }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+    (qs, sb, sf)
+  }
+
+  /** The regression baseline is the LAST ROUND'S COMMITTED detail — the
+    * bench_detail.json content at the most recent driver round commit
+    * (subject ".*verdict/advice/correctness/bench") — never the working
+    * file, which any local dev run overwrites (the r8/r9 tripwire cried
+    * wolf precisely because its baseline was whatever ran last on this
+    * host). Falls back to the working file if git or the round commit is
+    * unavailable.
+    */
+  private def baselineText(repoDir: String, workingFile: String): Option[String] = {
+    def git(args: String*): Option[String] = try {
+      val p = new ProcessBuilder(
+        (Seq("git", "-C", repoDir) ++ args): _*).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Exception => None }
+    val fromRound = for {
+      log <- git("log", "-n", "40", "--format=%H%x09%s", "--",
+        "bench_detail.json")
+      hit <- log.linesIterator.map(_.split('\t')).collectFirst {
+        case Array(h, s) if s.contains("verdict/advice/correctness/bench") => h
+      }
+      txt <- git("show", s"$hit:bench_detail.json")
+    } yield txt
+    fromRound.orElse(try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(workingFile)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => None })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,6 +76,29 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle-bytes-written meter: task metrics summed by a
+    // listener, read as a settled delta around each query. Shuffle bytes
+    // are (near-)deterministic for a fixed plan, so a >1.2x move is a
+    // PLAN regression even when wall time hides inside host noise.
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    // listener events post asynchronously; wait (outside the timed span)
+    // until the counter is quiet so the delta attributes to the right query
+    def settledShuffle(): Long = {
+      var prev = shuffleAcc.get(); var stable = 0; var waited = 0
+      while (stable < 3 && waited < 400) {
+        Thread.sleep(5); waited += 5
+        val cur = shuffleAcc.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
     // Warm-up (untimed): prime parquet file indexes/footers and JIT the
     // common codegen paths so the first timed query doesn't absorb
     // session start-up cost.
@@ -29,74 +114,91 @@ object Bench {
     // Two passes, report the per-query minimum: this VM shows heavy
     // run-to-run noise (host CPU steal / IO stalls), and min-of-2 is the
     // standard de-noised steady-state estimate.
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      // drop caches left by the previous query so timings are independent
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // a broken query must surface as -1, never as a plausible timing
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def onePass(): Map[String, (Double, Long)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        // drop caches left by the previous query so timings are independent
+        spark.catalog.clearCache()
+        val sBefore = settledShuffle()
+        val t0 = System.nanoTime()
+        // a broken query must surface as -1, never as a plausible timing
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        name -> (sec, math.max(0L, settledShuffle() - sBefore))
+      }
     // The per-query map outgrew what log capture reliably holds (r5's
     // record kept 78/181 entries), so the FULL record goes to a file —
     // bench_detail.json next to the working dir, overridable — and the
     // stdout line stays a compact summary that can never be cut mid-map.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")
-    // Load LAST round's per-query map BEFORE this run overwrites the
-    // file — the self-reporting regression tripwire's baseline. Guard
-    // on the recorded sf: comparing an sf0.1 round against a leftover
-    // sf0.01 dev run would flag every query as a fake 10x regression.
-    val prevQueries: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(detailPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val sameSf = s"\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      val qStart = txt.indexOf("\"queries\":{")
-      if (qStart < 0 || !sameSf) Map.empty
-      else {
-        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
-        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val repoDir = Option(java.nio.file.Paths.get(detailPath).getParent)
+      .map(_.toString).getOrElse("/root/repo")
+    // Baseline guard on the recorded sf: comparing an sf0.1 round against
+    // a leftover sf0.01 dev run would flag every query as a fake 10x
+    // regression.
+    val (prevQueries, prevShuffle) =
+      baselineText(repoDir, detailPath).map(parseDetail) match {
+        case Some((q, s, sf)) if sf == sfDir => (q, s)
+        case _ => (Map.empty[String, Double], Map.empty[String, Long])
       }
-    } catch { case _: Exception => Map.empty }
 
     val p1 = onePass(); val p2 = onePass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // time: min of the passes (de-noised); shuffle bytes: max (a pass
+    // whose listener missed a tail event can only under-count)
+    val results = p1.map { case (k, (v, _)) => k -> math.min(v, p2(k)._1) }
+    val shuffles = p1.map { case (k, (_, b)) => k -> math.max(b, p2(k)._2) }
     // locale-safe rounding: no String.format, whose decimal separator varies
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
+    val sbJson = shuffles.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    // per-drive peak state-store rows (DriveTelemetry, recorded by
+    // driveWaves) — the bounded-state claim as a number; last pass wins
+    val peaksJson = graft.streaming.DriveTelemetry.peaks.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    // the authoritative streaming-drive name list, for downstream
+    // classifiers (tools/scaling_report.py) — name-substring guessing
+    // misfiled the fuzz drives
+    val streamNames = SparkEntry.streamingQueries.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     // Failure-honest headline: -1.0 sentinels are EXCLUDED from the sum
     // (summing them made r6's 26-failure run look faster than r5) and
     // surfaced as n_failed — a broken query can only make the report
     // worse, never better.
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    // Round-over-round comparability: the 14 oracle-driven streaming
-    // drives are wall-clock dominated by micro-batch/trigger machinery
-    // (r7's 13 drives cost 57 s of a 192 s headline), so adding one
-    // reads as a fake batch regression. Split the headline.
+    // Round-over-round comparability: the oracle-driven streaming drives
+    // are wall-clock dominated by micro-batch/trigger machinery, so
+    // adding one reads as a fake batch regression. Split the headline.
     val isStream = (k: String) => SparkEntry.streamingQueries.contains(k)
     val batchSec = results.collect {
       case (k, v) if v >= 0 && !isStream(k) => v }.sum
     val streamSec = results.collect {
       case (k, v) if v >= 0 && isStream(k) => v }.sum
-    // Self-reported regressions vs the PREVIOUS detail file: >1.5x AND
-    // >= 0.5 s now (sub-second movers are host noise at min-of-2 scale
-    // — r7's only >1.5x movers were all sub-second). New queries have
+    // Self-reported regressions vs the last ROUND's committed detail:
+    // wall time >1.5x AND >= 0.5 s now (sub-second movers are host noise
+    // at min-of-2 scale), plus shuffle bytes >1.2x AND >= 1 MiB now
+    // (plan regressions that hide inside wall noise). New queries have
     // no baseline and never appear here.
-    val regressions = results.toSeq.sortBy(_._1).collect {
+    val timeRegs = results.toSeq.sortBy(_._1).collect {
       case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
           v > 1.5 * prevQueries(k) =>
         s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)}}"""
-    }.mkString("{", ",", "}")
+    }
+    val shuffleRegs = shuffles.toSeq.sortBy(_._1).collect {
+      case (k, b) if b >= (1L << 20) && prevShuffle.getOrElse(k, 0L) > 0 &&
+          b > 1.2 * prevShuffle(k).toDouble =>
+        s""""$k#shuffle":{"prev":${prevShuffle(k)},"now":$b}"""
+    }
+    val regressions = (timeRegs ++ shuffleRegs).mkString("{", ",", "}")
     val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"total_sec":${r3(total)}"""
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$summary}"""
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"state_peaks":$peaksJson,"streaming_queries":$streamNames,$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

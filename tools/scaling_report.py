@@ -23,16 +23,28 @@ Exit code 1 if any batch query is flagged.
 import json
 import sys
 
+# fallback only, for detail files predating the emitted name list:
+# substring guessing misfiles fuzz drives and events_attribution_outer
 STREAM_MARKERS = ("_stream", "_stateful", "_tws", "_warm", "_poll")
 
 
 def load(path):
     d = json.load(open(path))
-    return {k: v for k, v in d["queries"].items() if v >= 0}
+    return ({k: v for k, v in d["queries"].items() if v >= 0},
+            set(d.get("streaming_queries", [])))
 
 
 def main(argv):
-    small, big = load(argv[1]), load(argv[2])
+    (small, stream_small), (big, stream_big) = load(argv[1]), load(argv[2])
+    # the authoritative classification is SparkEntry.streamingQueries,
+    # emitted by Bench into the detail file (union: either file knowing a
+    # query is a drive is enough)
+    stream_names = stream_small | stream_big
+
+    def is_streaming(k):
+        if stream_names:
+            return k in stream_names
+        return any(m in k for m in STREAM_MARKERS)
     data_ratio = float(argv[3]) if len(argv) > 3 else 10.0
     out_path = argv[4] if len(argv) > 4 else "/root/repo/scaling_report.json"
     flag_ratio = 1.2 * data_ratio
@@ -41,7 +53,7 @@ def main(argv):
         r = big[k] / small[k] if small[k] > 0 else float("inf")
         entry = {"query": k, "small_sec": small[k], "big_sec": big[k],
                  "growth": round(r, 2)}
-        if any(m in k for m in STREAM_MARKERS):
+        if is_streaming(k):
             streaming.append(entry)
         else:
             rows.append(entry)
