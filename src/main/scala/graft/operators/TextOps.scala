@@ -56,11 +56,13 @@ object TextOps {
     @scala.annotation.tailrec
     def plannedParts(p: LogicalPlan): Option[Int] = p match {
       case r: Repartition if r.shuffle => Some(r.numPartitions)
-      // no explicit count means "run at spark.sql.shuffle.partitions" —
-      // still an explicit wide repartition whose by-expression
-      // co-partitioning a stacked round-robin shuffle would destroy
-      case r: RepartitionByExpression => r.optNumPartitions
-        .orElse(Some(sess.sessionState.conf.numShufflePartitions))
+      // ANY by-expression repartition passes through regardless of its
+      // declared count: the caller's co-partitioning outweighs the
+      // parallelism floor, and under AQE the executed count may be
+      // coalesced far below the declared one anyway — stacking a
+      // round-robin shuffle would destroy exactly the layout the caller
+      // asked for
+      case _: RepartitionByExpression => Some(Int.MaxValue)
       case pr: Project => plannedParts(pr.child)
       case f: LFilter => plannedParts(f.child)
       case _ => None

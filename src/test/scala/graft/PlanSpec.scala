@@ -256,6 +256,19 @@ class PlanSpec extends AnyFunSuite {
       "spread repartitioned an input that already had enough splits")
   }
 
+  test("spread passes through ANY by-expression repartition — a stacked " +
+      "round-robin would destroy the caller's co-partitioning even when " +
+      "the declared count is below the parallelism floor") {
+    val byExpr = spark.range(1000).toDF("doc_id")
+      .repartition(2, org.apache.spark.sql.functions.col("doc_id"))
+    assert(graft.operators.TextOps.spread(byExpr) eq byExpr,
+      "spread stacked a shuffle on a narrow by-expression repartition")
+    val byExprNoCount = spark.range(1000).toDF("doc_id")
+      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+    assert(graft.operators.TextOps.spread(byExprNoCount) eq byExprNoCount,
+      "spread stacked a shuffle on a count-less by-expression repartition")
+  }
+
   test("cohort retention: first-seen day and activity set share ONE " +
       "user_id exchange — no self-join, no second events shuffle") {
     val plan = finalPlan(
