@@ -62,6 +62,7 @@ object StreamFuzz {
   val QuotaSeedFloor = 12500L
   val SessionSeedFloor = 13000L
   val JoinSeedFloor = 13500L
+  val DedupSeedFloor = 14000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -784,12 +785,129 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
     }
 
+  private[graft] case class DedupP(nWaves: Int, mode: String, delay: Long,
+      bucket: Long)
+
+  private[graft] def dedupP(seed: Long): DedupP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    DedupP(nWaves, mode, delay,
+      Seq(3600000L, 21600000L, 86400000L)(rnd.nextInt(3)))
+  }
+
+  /** Family E — streaming deduplication (StreamingDeduplicateExec, a
+    * fifth state machine: one state row per distinct key, evicted by the
+    * event-time column in the dedup key) under random arrival. The drive
+    * floors each row's time to a bucket and dedups on (key, bucket);
+    * output is the distinct (key, bucket) set with only key columns
+    * projected, so within-batch "first row wins" nondeterminism cannot
+    * surface.
+    *
+    * Pinned semantics (WmProbeSpec dedup probe): late filter lags one
+    * batch, is row-based and INCLUSIVE (`bt <= L` dropped — on the
+    * BUCKET time, the watermarked column). Purity: re-emission after
+    * state eviction is impossible — eviction of (k, bt) at batch N needs
+    * `bt <= E(N)`, and a later retry kept at batch M > N needs
+    * `bt > L(M) = E(M-1) >= E(N)`, a contradiction — so the finalized
+    * output is exactly DISTINCT over the kept rows, one batch aggregate
+    * in the oracle (floor is monotone, so per-wave max bucket = floored
+    * per-wave max and the lagged-watermark CTEs apply to `bt` verbatim).
+    */
+  private def genDedup(seed: Long, cfg: DriveCfg): SGen = {
+    val p = dedupP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val margin = delay + 3 * bucket + 10000000L
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, nWaves.toLong),
+          (-2L, hi + 2 * margin, nWaves + 1L))
+          .toDF("key", "ms", "wave"))
+      EventOps.driveWaves(spark, frame, "key LONG, ms LONG", nWaves + 2L,
+        s"sfz_dedup_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        src.select(col("key"),
+            timestamp_millis(expr(s"(ms div ${bucket}L) * ${bucket}L"))
+              .as("bt"))
+          .withWatermark("bt", s"$delay milliseconds")
+          .dropDuplicates("key", "bt")
+          .select(col("key").as("user_id"),
+            unix_millis(col("bt")).as("bucket_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("bucket_ms"))
+    }
+
+    // `e` exposes the BUCKET time as `ms`, so the shared lagged-watermark
+    // CTEs apply unchanged; kept = strict > (inclusive drop), output =
+    // plain DISTINCT (purity per the Scaladoc argument)
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, (ms // $bucket) * $bucket AS ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |kept AS (
+        |  SELECT e.user_id, e.ms FROM e JOIN l USING (wave)
+        |  WHERE e.ms > l.lwm)
+        |SELECT DISTINCT user_id, ms AS bucket_ms FROM kept
+        |ORDER BY user_id, bucket_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family E drive. */
+  def dedupTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = dedupP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+        .withColumn("bt", expr(s"(ms div ${p.bucket}L) * ${p.bucket}L"))
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("bt")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - lit(p.delay),
+            lit(0L)), lit(0L)).as("lwm"))
+      e.join(broadcast(l), Seq("wave"))
+        .filter(col("bt") > col("lwm"))
+        .select(col("key").as("user_id"), col("bt").as("bucket_ms"))
+        .distinct()
+        .orderBy(col("user_id"), col("bucket_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= JoinSeedFloor) genJoin(seed, cfg)
+    if (seed >= DedupSeedFloor) genDedup(seed, cfg)
+    else if (seed >= JoinSeedFloor) genJoin(seed, cfg)
     else if (seed >= SessionSeedFloor) genSession(seed, cfg)
     else if (seed >= QuotaSeedFloor) genQuota(seed, cfg)
     else genAgg(seed, cfg)
@@ -801,7 +919,8 @@ object StreamFuzz {
     */
   val registeredSeeds: Seq[Long] =
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
-      13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L)
+      13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
+      14000L, 14001L, 14002L, 14003L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -810,14 +929,14 @@ object StreamFuzz {
     * checkpointed-recovery contract of the reference's foreachBatch
     * pipeline (weather_processor.py:144-151) under differential test.
     */
-  val restartSeeds: Seq[Long] = Seq(12000L, 12500L, 13001L, 13500L)
+  val restartSeeds: Seq[Long] = Seq(12000L, 12500L, 13001L, 13500L, 14001L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
     * multi-file and keyed state spreads over several store partitions;
     * output must be invariant — same oracle as the plain rendering.
     */
-  val multiSeeds: Seq[Long] = Seq(12001L, 12502L, 13002L, 13501L)
+  val multiSeeds: Seq[Long] = Seq(12001L, 12502L, 13002L, 13501L, 14002L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

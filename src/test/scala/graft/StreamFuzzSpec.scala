@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
+    if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
+    else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
     else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
     else if (seed >= StreamFuzz.QuotaSeedFloor) StreamFuzz.quotaTwin
     else StreamFuzz.aggTwin
@@ -65,6 +66,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(14000L, 14002L, 14004L, 14005L).foreach { s =>
+    test(s"streaming-dedup drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.dedupP(s)})") {
+      check(s, StreamFuzz.dedupTwin)
+    }
+  }
+
   // ---- harness-knob invariance: the same 16 seeds re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -75,7 +83,8 @@ class StreamFuzzSpec extends AnyFunSuite {
     DriveCfg(tag = "mp", filesPerWave = 2, statePartitions = Some(3))
 
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
-      13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L)
+      13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
+      14000L, 14005L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

@@ -112,6 +112,96 @@ class WmProbeSpec extends AnyFunSuite {
       s"tws late-filter rule moved: reported keys $keys")
   }
 
+  test("streaming dropDuplicates (event-time in key): late filter lags " +
+      "one batch, row-based, inclusive; exactly-once across batches and " +
+      "at the eviction boundary") {
+    // wave2's late wm = E(1) = 20000 (wave0's max). Of wave2's rows:
+    //   x t=19999 -> DROPPED (late);  y t=20000 -> DROPPED (INCLUSIVE
+    //   boundary, row-based — unlike windowed agg, which would keep a
+    //   boundary row whose window straddles the wm)
+    //   z t=20001 -> KEPT
+    //   d t=25000 -> duplicate of wave1's d: suppressed by dedup state
+    //   e t=20000 -> its wave0 twin's state was evicted when E reached
+    //     20000, but the late filter (t <= L, same bound) rejects the
+    //     retry first — the inclusive row filter is exactly what makes
+    //     re-emission after eviction impossible, so the finalized output
+    //     is a pure function of the kept rows (Family E's oracle shape)
+    val rows = Seq(
+      ("adv", 20000L, 0L), ("e", 20000L, 0L),
+      ("adv2", 30000L, 1L), ("d", 25000L, 1L),
+      ("x", 19999L, 2L), ("y", 20000L, 2L), ("z", 20001L, 2L),
+      ("d", 25000L, 2L), ("e", 20000L, 2L),
+      ("s1", 60000L, 3L), ("s2", 90000L, 4L))
+    val out = drive(rows, "probe_dedup", 5) { src =>
+      src.select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "0 seconds")
+        .dropDuplicates("etype", "t")
+        .select(col("etype"), unix_millis(col("t")).as("ms"))
+    }
+    val counts = out.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.size }
+    assert(counts == Map("adv" -> 1, "e" -> 1, "adv2" -> 1, "d" -> 1,
+        "z" -> 1, "s1" -> 1, "s2" -> 1),
+      s"dedup late-filter rule moved: $counts")
+  }
+
+  test("dropDuplicatesWithinWatermark: TTL state (expiry = first-seen " +
+      "event time + delay, never refreshed by duplicates), re-emission " +
+      "iff L(w) >= expiry (inclusive eviction), inclusive late drop") {
+    // delay 10s. Wave maxes: 21000, 40000, ..., so L(2) = 21000-10000 =
+    // 11000 and L(3) = 40000-10000 = 30000 (late wm lags one batch,
+    // rule 1). Functional re-emission rule under test: a retry in batch
+    // w emits iff the state stored at its last emission (expiry =
+    // that emission's event time + delay) has been evicted by the end
+    // of batch w-1 — and eviction is INCLUSIVE (batch n removes
+    // expiry <= E(n)), so the functional rule is L(w) >= expiry
+    // (E(w-1) = L(w)). Both probe discoveries below are encoded in the
+    // Family F oracle verbatim.
+    //   k0 t=0 at wave0: the inclusive late filter applies against the
+    //      INITIAL watermark 0 too (t <= 0 dropped in batch 0, leaving
+    //      no state) — a first-probe discovery; re-emits fresh at wave3
+    //   k1 exp 20000: wave2 L=11000 -> suppressed; wave3 L=30000 -> emit
+    //   k2 exp 11000: wave2 L=11000 -> BOUNDARY: evicted at end of
+    //      batch 1 (11000 <= E(1)=11000, inclusive) -> RE-EMITS at
+    //      wave2 (new exp 36000), then wave3 L=30000 < 36000 ->
+    //      suppressed. A strict eviction would instead give
+    //      {1000, 46000} — the probe's first run showed {1000, 26000},
+    //      pinning inclusive.
+    //   k4 exp 11000, duplicate at wave1 t=25000: the dup is processed
+    //      BEFORE batch 1's end-of-batch eviction sweep (state still
+    //      present -> suppressed, pinning eviction-after-processing),
+    //      and does NOT refresh the expiry -> evicted end of batch 1,
+    //      wave3 re-emits (a refresh to 35000 would suppress)
+    //   x 10999 / y 11000 at wave2: late, t <= L inclusive -> dropped,
+    //      and a dropped-late row leaves NO state -> both re-emit fresh
+    //      at wave3; z 11001 kept
+    val rows = Seq(
+      ("adv", 21000L, 0L), ("k0", 0L, 0L), ("k1", 10000L, 0L),
+      ("k2", 1000L, 0L), ("k4", 1000L, 0L),
+      ("adv2", 40000L, 1L), ("k4", 25000L, 1L),
+      ("k1", 26000L, 2L), ("k2", 26000L, 2L),
+      ("x", 10999L, 2L), ("y", 11000L, 2L), ("z", 11001L, 2L),
+      ("k1", 46000L, 3L), ("k2", 46000L, 3L), ("k4", 50000L, 3L),
+      ("x", 50001L, 3L), ("y", 50002L, 3L), ("k0", 50003L, 3L),
+      ("s1", 90000L, 4L), ("s2", 120000L, 5L))
+    val out = drive(rows, "probe_dedup_wm", 6) { src =>
+      src.select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "10 seconds")
+        .dropDuplicatesWithinWatermark("etype")
+        .select(col("etype"), unix_millis(col("t")).as("ms"))
+    }
+    val got = out.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val want = Map(
+      "adv" -> Set(21000L), "adv2" -> Set(40000L),
+      "k0" -> Set(50003L),
+      "k1" -> Set(10000L, 46000L), "k2" -> Set(1000L, 26000L),
+      "k4" -> Set(1000L, 50000L),
+      "x" -> Set(50001L), "y" -> Set(50002L), "z" -> Set(11001L),
+      "s1" -> Set(90000L), "s2" -> Set(120000L))
+    assert(got == want, s"dedup-within-wm rule moved: $got")
+  }
+
   test("session-window agg: late filter lags one batch; boundary and " +
       "cross-batch merge semantics") {
     // delay 15000ms; wave2's late wm = E(wave1) = 20000 - 15000 = 5000.
