@@ -63,6 +63,7 @@ object StreamFuzz {
   val SessionSeedFloor = 13000L
   val JoinSeedFloor = 13500L
   val DedupSeedFloor = 14000L
+  val DedupWmSeedFloor = 14500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -901,12 +902,188 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("bucket_ms"))
     }
 
+  private[graft] case class DedupWmP(nWaves: Int, mode: String, w0: Long,
+      delay: Long)
+
+  private[graft] def dedupWmP(seed: Long): DedupWmP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 4 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val w0 = Seq(3600000L, 21600000L)(rnd.nextInt(2))
+    // 2*delay in {w0/2, 1.5*w0, 3*w0}: re-emission needs an appearance
+    // gap g with (g-2)*w0 + (jmax - j_key) >= 2*delay, so each tier
+    // re-emits at a different gap and the largest tier's boundary case
+    // (j_key == that wave's max jitter, Δ == 0) lands exactly on the
+    // INCLUSIVE eviction bound the probe pinned
+    DedupWmP(nWaves, mode, w0, w0 * Seq(1L, 3L, 6L)(rnd.nextInt(3)) / 4)
+  }
+
+  /** Per-(key,wave) deterministic jitter within [0, w0/2): the synthetic
+    * timeline's sub-wave offset, hashed from the KEY so every row of one
+    * (key, wave) pair carries the identical event time — within-batch
+    * "first row wins" cannot surface, and the stored TTL expiry is a
+    * pure function of (key, first-kept wave).
+    */
+  private def keyJitterCol(seed: Long, jR: Long): org.apache.spark.sql.Column =
+    expr(s"conv(substring(md5(concat(cast(key as string), '_t$seed')), 1," +
+      s" 15), 16, 10)").cast("long") % jR
+
+  private def keyJitterSql(seed: Long, jR: Long): String =
+    s"CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_t$seed')," +
+      s" 1, 15) AS BIGINT) % $jR"
+
+  /** Keep a (key, wave) appearance iff its pair-hash survives — thins
+    * ~1/3 of appearances so per-key wave sequences have GAPS (dense
+    * shuffle carving would otherwise put every key in every wave and the
+    * re-emission path would starve).
+    */
+  private def presenceCol(seed: Long): org.apache.spark.sql.Column =
+    expr(s"conv(substring(md5(concat(cast(key as string), '_p'," +
+      s" cast(wave as string), '_f$seed')), 1, 15), 16, 10)")
+      .cast("long") % 3 =!= 0
+
+  private def presenceSql(seed: Long): String =
+    s"CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_p' ||" +
+      s" CAST(wave AS VARCHAR) || '_f$seed'), 1, 15) AS BIGINT) % 3 <> 0"
+
+  /** Family F — streaming TTL deduplication
+    * (StreamingDeduplicateWithinWatermarkExec, a sixth state machine:
+    * expiry = first-seen event time + delay, never refreshed by
+    * duplicates, INCLUSIVE eviction sweep after each batch) under random
+    * arrival. The drive rebuilds each row's event time on a synthetic
+    * per-wave timeline t = (wave+1)*w0 + jitter(key), monotone across
+    * waves, so no row is ever late (t - L(w) >= 2*w0 - w0/2 + delay > 0
+    * and t >= w0 > 0 clears the initial-watermark drop) and the oracle
+    * reduces to the probe-pinned re-emission rule alone: a retry in
+    * batch w re-emits iff L(w) >= expiry of its key's last emission
+    * (eviction in batch n removes expiry <= E(n), and E(w-1) = L(w) —
+    * WmProbeSpec's dropDuplicatesWithinWatermark probe). The per-key
+    * emission CHAIN (each emission restarts the TTL) is a sequential
+    * fold over that key's appearances — a recursive CTE in DuckDB, an
+    * `aggregate` higher-order fold in the batch twin.
+    */
+  private def genDedupWm(seed: Long, cfg: DriveCfg): SGen = {
+    val p = dedupWmP(seed)
+    val nWaves = p.nWaves; val jR = p.w0 / 2
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(p.mode, seed, nWaves, lo, bWidth)
+      val margin = 3 * p.delay + 10000000L
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .filter(presenceCol(seed))
+        .withColumn("ms",
+          (col("wave") + 1) * p.w0 + keyJitterCol(seed, jR))
+        .unionByName(Seq(
+          (-1L, (nWaves + 1L) * p.w0 + margin, nWaves.toLong),
+          (-2L, (nWaves + 1L) * p.w0 + 2 * margin, nWaves + 1L))
+          .toDF("key", "ms", "wave"))
+      EventOps.driveWaves(spark, frame, "key LONG, ms LONG", nWaves + 2L,
+        s"sfz_dwm_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        src.select(col("key"), timestamp_millis(col("ms")).as("t"))
+          .withWatermark("t", s"${p.delay} milliseconds")
+          .dropDuplicatesWithinWatermark("key")
+          .select(col("key").as("user_id"), unix_millis(col("t"))
+            .as("emit_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("emit_ms"))
+    }
+
+    // `e` exposes the synthetic per-(key,wave) time as `ms`, so the
+    // shared lagged-watermark CTEs apply unchanged; the recursive `em`
+    // CTE walks each key's appearances in wave order carrying the live
+    // expiry (emission: lwm >= expiry, probe-pinned inclusive; the
+    // anchor always emits — no prior state, expiry seeded at -1)
+    val sql =
+      s"""WITH RECURSIVE ${if (p.mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (p.mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (p.mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |c AS (SELECT user_id, ${waveSql(p.mode, seed, nWaves)} AS wave
+        |      FROM raw),
+        |e AS (SELECT DISTINCT user_id AS key,
+        |        (wave + 1) * ${p.w0} + ${keyJitterSql(seed, jR)} AS ms, wave
+        |      FROM c WHERE ${presenceSql(seed)}),
+        |${lateWmCtes(p.delay)},
+        |a AS (SELECT e.key, e.wave, e.ms, l.lwm,
+        |        ROW_NUMBER() OVER (PARTITION BY e.key ORDER BY e.wave)
+        |          AS idx
+        |      FROM e JOIN l USING (wave)),
+        |em AS (
+        |  SELECT key, idx, ms, TRUE AS emitted,
+        |         ms + ${p.delay} AS expiry
+        |  FROM a WHERE idx = 1
+        |  UNION ALL
+        |  SELECT a.key, a.idx, a.ms, a.lwm >= em.expiry,
+        |         CASE WHEN a.lwm >= em.expiry THEN a.ms + ${p.delay}
+        |              ELSE em.expiry END
+        |  FROM em JOIN a ON a.key = em.key AND a.idx = em.idx + 1)
+        |SELECT key AS user_id, ms AS emit_ms FROM em WHERE emitted
+        |ORDER BY user_id, emit_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family F drive: the same per-key chain
+    * as the recursive oracle CTE, folded with the `aggregate`
+    * higher-order function over each key's wave-sorted appearances.
+    */
+  def dedupWmTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = dedupWmP(seed); val jR = p.w0 / 2
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev
+        .withColumn("wave",
+          carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .filter(presenceCol(seed))
+        .select(col("key"), col("wave"),
+          ((col("wave") + 1) * p.w0 + keyJitterCol(seed, jR)).as("t"))
+        .distinct()
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("t")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - lit(p.delay),
+            lit(0L)), lit(0L)).as("lwm"))
+      e.join(broadcast(l), Seq("wave"))
+        .groupBy(col("key"))
+        .agg(sort_array(collect_list(
+          struct(col("wave"), col("t"), col("lwm")))).as("apps"))
+        .select(col("key").as("user_id"), explode(expr(
+          s"""aggregate(apps,
+             |  named_struct('expiry', CAST(-1 AS BIGINT),
+             |    'emits', CAST(array() AS ARRAY<BIGINT>)),
+             |  (acc, x) -> IF(x.lwm >= acc.expiry,
+             |    named_struct('expiry', x.t + ${p.delay}L,
+             |      'emits', concat(acc.emits, array(x.t))),
+             |    acc),
+             |  acc -> acc.emits)""".stripMargin)).as("emit_ms"))
+        .orderBy(col("user_id"), col("emit_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= DedupSeedFloor) genDedup(seed, cfg)
+    if (seed >= DedupWmSeedFloor) genDedupWm(seed, cfg)
+    else if (seed >= DedupSeedFloor) genDedup(seed, cfg)
     else if (seed >= JoinSeedFloor) genJoin(seed, cfg)
     else if (seed >= SessionSeedFloor) genSession(seed, cfg)
     else if (seed >= QuotaSeedFloor) genQuota(seed, cfg)
@@ -920,7 +1097,7 @@ object StreamFuzz {
   val registeredSeeds: Seq[Long] =
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
-      14000L, 14001L, 14002L, 14003L)
+      14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -929,14 +1106,16 @@ object StreamFuzz {
     * checkpointed-recovery contract of the reference's foreachBatch
     * pipeline (weather_processor.py:144-151) under differential test.
     */
-  val restartSeeds: Seq[Long] = Seq(12000L, 12500L, 13001L, 13500L, 14001L)
+  val restartSeeds: Seq[Long] =
+    Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
     * multi-file and keyed state spreads over several store partitions;
     * output must be invariant — same oracle as the plain rendering.
     */
-  val multiSeeds: Seq[Long] = Seq(12001L, 12502L, 13002L, 13501L, 14002L)
+  val multiSeeds: Seq[Long] =
+    Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

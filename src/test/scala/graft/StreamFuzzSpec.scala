@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
+    if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
+    else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
     else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
     else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
     else if (seed >= StreamFuzz.QuotaSeedFloor) StreamFuzz.quotaTwin
@@ -73,6 +74,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(14500L, 14502L, 14504L, 14505L).foreach { s =>
+    test(s"streaming TTL-dedup (withinWatermark) drive matches batch " +
+        s"twin (seed $s, ${StreamFuzz.dedupWmP(s)})") {
+      check(s, StreamFuzz.dedupWmTwin)
+    }
+  }
+
   // ---- harness-knob invariance: the same 16 seeds re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -84,7 +92,7 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
-      14000L, 14005L)
+      14000L, 14005L, 14500L, 14505L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {
