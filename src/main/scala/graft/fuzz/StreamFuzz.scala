@@ -64,6 +64,7 @@ object StreamFuzz {
   val JoinSeedFloor = 13500L
   val DedupSeedFloor = 14000L
   val DedupWmSeedFloor = 14500L
+  val JoinExtSeedFloor = 15000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -651,8 +652,31 @@ object StreamFuzz {
     * (an unmatched view emits exactly once, at eviction; the matching
     * click that would contradict it is impossible by the same bound).
     */
-  private def genJoin(seed: Long, cfg: DriveCfg): SGen = {
-    val p = joinP(seed)
+  private def genJoin(seed: Long, cfg: DriveCfg): SGen =
+    genJoinWith(joinP(seed), seed, cfg)
+
+  /** Family G — the two stream-stream join types family D leaves out,
+    * FULL OUTER and LEFT SEMI, on the same interval-join geometry and
+    * oracle machinery (genJoinWith is shared; only the join clause and
+    * the output projection differ). Purity extends family D's argument
+    * symmetrically: an unmatched CLICK null-extends exactly once at
+    * click-state eviction (a later kept view that would match it is
+    * impossible — eviction needs the view-side watermark past the
+    * click's match horizon, so any later kept view lies outside the
+    * interval), and a SEMI view emits exactly once iff some kept click
+    * matches (the match is never lost to eviction, so the emitted set
+    * is the EXISTS filter over kept rows). Seed parity picks the type —
+    * even = full_outer, odd = left_semi — so every seed block exercises
+    * both.
+    */
+  private def genJoinExt(seed: Long, cfg: DriveCfg): SGen =
+    genJoinWith(joinPExt(seed), seed, cfg)
+
+  private[graft] def joinPExt(seed: Long): JoinP =
+    joinP(seed).copy(joinType =
+      if (seed % 2 == 0) "full_outer" else "left_semi")
+
+  private def genJoinWith(p: JoinP, seed: Long, cfg: DriveCfg): SGen = {
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val window = p.window
     val margin = delay + 3 * window + 10000000L
@@ -688,16 +712,29 @@ object StreamFuzz {
           .select(col("user_id").as("cuser"),
             timestamp_millis(col("ms")).as("click_ts"))
           .withWatermark("click_ts", s"$delay milliseconds")
-        views.join(clicks,
+        val joined = views.join(clicks,
           expr(s"vuser = cuser AND click_ts >= view_ts AND " +
             s"click_ts <= view_ts + interval $window millisecond"),
           p.joinType)
-          .select(col("vuser").as("user_id"),
-            unix_millis(col("view_ts")).as("view_ms"),
-            unix_millis(col("click_ts")).as("click_ms"))
+        p.joinType match {
+          case "left_semi" =>
+            joined.select(col("vuser").as("user_id"),
+              unix_millis(col("view_ts")).as("view_ms"))
+          case "full_outer" =>
+            joined.select(coalesce(col("vuser"), col("cuser"))
+                .as("user_id"),
+              unix_millis(col("view_ts")).as("view_ms"),
+              unix_millis(col("click_ts")).as("click_ms"))
+          case _ =>
+            joined.select(col("vuser").as("user_id"),
+              unix_millis(col("view_ts")).as("view_ms"),
+              unix_millis(col("click_ts")).as("click_ms"))
+        }
       }
         .filter(col("user_id") >= 0L)
-        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+        .orderBy(
+          (if (p.joinType == "left_semi") Seq("user_id", "view_ms")
+           else Seq("user_id", "view_ms", "click_ms")).map(col): _*)
     }
 
     // two-sided watermark: the lagged L is the MIN of the two sides'
@@ -736,21 +773,49 @@ object StreamFuzz {
         |kept AS (
         |  SELECT e.user_id, e.event_type, e.ms
         |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)
-        |SELECT v.user_id AS user_id, v.ms AS view_ms, c.ms AS click_ms
-        |FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
-        |${if (p.joinType == "inner") "JOIN" else "LEFT JOIN"}
-        |  (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
-        |  ON v.user_id = c.user_id AND c.ms >= v.ms
-        |     AND c.ms <= v.ms + $window
-        |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
+        |${p.joinType match {
+            case "left_semi" =>
+              s"""SELECT v.user_id AS user_id, v.ms AS view_ms
+                 |FROM (SELECT user_id, ms FROM kept
+                 |      WHERE event_type = 'view') v
+                 |WHERE EXISTS (SELECT 1 FROM kept c
+                 |  WHERE c.event_type = 'click' AND c.user_id = v.user_id
+                 |    AND c.ms >= v.ms AND c.ms <= v.ms + $window)
+                 |ORDER BY user_id, view_ms""".stripMargin
+            case "full_outer" =>
+              s"""SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+                 |       v.ms AS view_ms, c.ms AS click_ms
+                 |FROM (SELECT user_id, ms FROM kept
+                 |      WHERE event_type = 'view') v
+                 |FULL JOIN (SELECT user_id, ms FROM kept
+                 |      WHERE event_type = 'click') c
+                 |  ON v.user_id = c.user_id AND c.ms >= v.ms
+                 |     AND c.ms <= v.ms + $window
+                 |ORDER BY user_id, view_ms, click_ms""".stripMargin
+            case t =>
+              s"""SELECT v.user_id AS user_id, v.ms AS view_ms, c.ms AS click_ms
+                 |FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+                 |${if (t == "inner") "JOIN" else "LEFT JOIN"}
+                 |  (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+                 |  ON v.user_id = c.user_id AND c.ms >= v.ms
+                 |     AND c.ms <= v.ms + $window
+                 |ORDER BY v.user_id, view_ms, click_ms""".stripMargin
+          }}""".stripMargin
     SGen(seed, build, sql)
   }
 
   /** IN-SPARK batch twin of the Family D drive. */
   def joinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    joinTwinWith(joinP(seed), seed)
+
+  /** IN-SPARK batch twin of the Family G drive. */
+  def joinExtTwin(seed: Long): (SparkSession, String) => DataFrame =
+    joinTwinWith(joinPExt(seed), seed)
+
+  private def joinTwinWith(p: JoinP, seed: Long)
+      : (SparkSession, String) => DataFrame =
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val p = joinP(seed)
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -778,12 +843,21 @@ object StreamFuzz {
         .select(col("user_id"), col("ms").as("view_ms"))
       val c = kept.filter(col("event_type") === "click")
         .select(col("user_id").as("cuser"), col("ms").as("click_ms"))
-      v.join(c, col("user_id") === col("cuser") &&
+      val joined = v.join(c, col("user_id") === col("cuser") &&
           col("click_ms") >= col("view_ms") &&
           col("click_ms") <= col("view_ms") + p.window,
         p.joinType)
-        .select(col("user_id"), col("view_ms"), col("click_ms"))
-        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+      (p.joinType match {
+        case "left_semi" =>
+          joined.select(col("user_id"), col("view_ms"))
+        case "full_outer" =>
+          joined.select(coalesce(col("user_id"), col("cuser"))
+            .as("user_id"), col("view_ms"), col("click_ms"))
+        case _ =>
+          joined.select(col("user_id"), col("view_ms"), col("click_ms"))
+      }).orderBy(
+        (if (p.joinType == "left_semi") Seq("user_id", "view_ms")
+         else Seq("user_id", "view_ms", "click_ms")).map(col): _*)
     }
 
   private[graft] case class DedupP(nWaves: Int, mode: String, delay: Long,
@@ -1082,7 +1156,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= DedupWmSeedFloor) genDedupWm(seed, cfg)
+    if (seed >= JoinExtSeedFloor) genJoinExt(seed, cfg)
+    else if (seed >= DedupWmSeedFloor) genDedupWm(seed, cfg)
     else if (seed >= DedupSeedFloor) genDedup(seed, cfg)
     else if (seed >= JoinSeedFloor) genJoin(seed, cfg)
     else if (seed >= SessionSeedFloor) genSession(seed, cfg)
@@ -1097,7 +1172,8 @@ object StreamFuzz {
   val registeredSeeds: Seq[Long] =
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
-      14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L)
+      14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L,
+      15000L, 15001L, 15002L, 15003L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1107,7 +1183,7 @@ object StreamFuzz {
     * pipeline (weather_processor.py:144-151) under differential test.
     */
   val restartSeeds: Seq[Long] =
-    Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L)
+    Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -1115,7 +1191,7 @@ object StreamFuzz {
     * output must be invariant — same oracle as the plain rendering.
     */
   val multiSeeds: Seq[Long] =
-    Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L)
+    Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -28,7 +28,8 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
+    if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
+    else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
     else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
     else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
     else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin

@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
+    if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
+    else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
     else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
     else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
     else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
@@ -81,6 +82,16 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // 15009 not 15005: the left_semi rendering of 15005 is vacuous at the
+  // suite's sf0.001 (8 semi rows at sf0.01, 0 here — the 24 h shuffle
+  // delay thins kept clicks below the 1 h match window's density floor)
+  Seq(15000L, 15001L, 15004L, 15009L).foreach { s =>
+    test(s"stream-stream ${StreamFuzz.joinPExt(s).joinType} join drive " +
+        s"matches batch twin (seed $s, ${StreamFuzz.joinPExt(s)})") {
+      check(s, StreamFuzz.joinExtTwin)
+    }
+  }
+
   // ---- harness-knob invariance: the same 16 seeds re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -92,7 +103,7 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
-      14000L, 14005L, 14500L, 14505L)
+      14000L, 14005L, 14500L, 14505L, 15000L, 15011L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {
