@@ -65,6 +65,8 @@ object StreamFuzz {
   val DedupSeedFloor = 14000L
   val DedupWmSeedFloor = 14500L
   val JoinExtSeedFloor = 15000L
+  val ChainSeedFloor = 15500L
+  val UnionSeedFloor = 16000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -676,6 +678,49 @@ object StreamFuzz {
     joinP(seed).copy(joinType =
       if (seed % 2 == 0) "full_outer" else "left_semi")
 
+  /** The WITH-prefix shared by the join-shaped oracles (families D, G,
+    * H): carve view/click rows into waves, replay the two-sided lagged
+    * watermark — L is the MIN of the two sides' running maxes (each
+    * over ITS rows in batches <= k-2); a side with no rows yet pins L
+    * to the initial 0 — and close with the `kept` rows CTE. The jitter
+    * bounds are over the view/click SUBSET — the Scala side computes
+    * lo/hi after the event-type filter, and one boundary row on the
+    * full-table bounds flips wave (caught by seed 13501's first DuckDB
+    * run).
+    */
+  private def joinKeptCtes(mode: String, seed: Long, nWaves: Int,
+      delay: Long): String = {
+    val joinBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    s"""WITH ${if (mode == "jitter") joinBoundsCte else ""}
+      |raw AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+      |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+      |  WHERE event_type IN ('view', 'click')),
+      |e AS (SELECT user_id, event_type, ms,
+      |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+      |bw AS (SELECT wave,
+      |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+      |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+      |       FROM e GROUP BY wave),
+      |l AS (SELECT wave,
+      |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+      |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+      |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+      |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
+      |      FROM bw
+      |      WINDOW lag2 AS (ORDER BY wave
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+      |kept AS (
+      |  SELECT e.user_id, e.event_type, e.ms
+      |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)""".stripMargin
+  }
+
   private def genJoinWith(p: JoinP, seed: Long, cfg: DriveCfg): SGen = {
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val window = p.window
@@ -737,42 +782,8 @@ object StreamFuzz {
            else Seq("user_id", "view_ms", "click_ms")).map(col): _*)
     }
 
-    // two-sided watermark: the lagged L is the MIN of the two sides'
-    // running maxes (each over ITS rows in batches <= k-2); a side with
-    // no rows yet pins L to the initial 0. The jitter bounds are over
-    // the view/click SUBSET — the Scala side computes lo/hi after the
-    // event-type filter, and one boundary row on the full-table bounds
-    // flips wave (caught by seed 13501's first DuckDB run).
-    val joinBoundsCte =
-      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
-        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
-        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
-        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
     val sql =
-      s"""WITH ${if (mode == "jitter") joinBoundsCte else ""}
-        |raw AS (
-        |  SELECT event_id, user_id, event_type,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
-        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
-        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
-        |  WHERE event_type IN ('view', 'click')),
-        |e AS (SELECT user_id, event_type, ms,
-        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
-        |bw AS (SELECT wave,
-        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
-        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
-        |       FROM e GROUP BY wave),
-        |l AS (SELECT wave,
-        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
-        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
-        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
-        |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
-        |      FROM bw
-        |      WINDOW lag2 AS (ORDER BY wave
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
-        |kept AS (
-        |  SELECT e.user_id, e.event_type, e.ms
-        |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)
+      s"""${joinKeptCtes(mode, seed, nWaves, delay)}
         |${p.joinType match {
             case "left_semi" =>
               s"""SELECT v.user_id AS user_id, v.ms AS view_ms
@@ -858,6 +869,150 @@ object StreamFuzz {
       }).orderBy(
         (if (p.joinType == "left_semi") Seq("user_id", "view_ms")
          else Seq("user_id", "view_ms", "click_ms")).map(col): _*)
+    }
+
+  private[graft] case class ChainP(nWaves: Int, mode: String, delay: Long,
+      joinW: Long, aggW: Long)
+
+  private[graft] def chainP(seed: Long): ChainP = {
+    val j = joinP(seed)
+    // independent draw for the rollup width (joinP consumed its RNG)
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    ChainP(j.nWaves, j.mode, j.delay, j.window,
+      Seq(3600000L, 21600000L, 86400000L)(rnd.nextInt(3)))
+  }
+
+  /** Family H — CHAINED stateful operators (an 8th state-machine
+    * surface): the family-D inner interval join FEEDING a tumbling
+    * windowed aggregation inside ONE streaming query, so correctness
+    * requires the watermark to propagate THROUGH the join (Spark 4
+    * multi-stateful support). Random arrival makes this strictly harder
+    * than the ascending hand drive (`events_attribution_rollup`): the
+    * join sides drop late input while the downstream agg evicts on the
+    * join's simulated output watermark.
+    *
+    * Oracle purity, on top of family D's kept-pairs argument (inner
+    * output = kept_v JOIN kept_c, no pair lost to eviction or emitted
+    * twice):
+    *
+    *  - the agg's watermark is the join's PROPAGATED output watermark
+    *    `wm_out = E - joinW` (view state evicts at `v.ts < E - joinW`,
+    *    click state at `c.ts < E`; the propagated value is the min);
+    *  - NO pair is dropped by the agg's late filter into a window that
+    *    has not emitted: every pair the join emits at batch M carries
+    *    `c.ts > E(M-1)` (a kept click, or a stored click that survived
+    *    batch M-1 eviction), while the agg's lagged late filter is
+    *    `wm_out(M-1) <= E(M-1)` — and a (pair, window) is dropped iff
+    *    `W.end <= wm_out(M-1)`, which needs `W.end <= E(M-1) < c.ts`,
+    *    impossible for the window CONTAINING c.ts; such a drop can only
+    *    hit windows already evicted (eviction at batch M-1 used the
+    *    same `wm_out(M-1)`), so emitted windows are never re-fed;
+    *  - a window evicted at batch N (`wm_out(N) >= W.end`) never sees a
+    *    later pair at all: `c.ts > E(M-1) >= E(N) = wm_out(N) + joinW
+    *    >= W.end + joinW > W.end` puts the click outside W.
+    *
+    * The finalized output is therefore the PURE tumbling rollup of the
+    * kept pairs — the oracle closes family D's kept CTE under one
+    * GROUP BY. Sentinel pairs ride through BOTH stateful operators and
+    * are dropped on the sink table (family D's convention) — an
+    * in-query sentinel filter is NOT safe: Catalyst pushes it below the
+    * EventTimeWatermark nodes, the scan eliminates the sentinel rows,
+    * and the watermark freezes with every real window stuck in state.
+    * `sum_lag_ms` sums exact BIGINT click-view gaps — no float
+    * tolerance in the differential compare.
+    */
+  private def genChain(seed: Long, cfg: DriveCfg): SGen = {
+    val p = chainP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val joinW = p.joinW; val aggW = p.aggW
+    val margin = delay + 3 * joinW + 3 * aggW + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_chain_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(col("ms")).as("view_ts"))
+          .withWatermark("view_ts", s"$delay milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        // sentinel pairs ride THROUGH both stateful operators and are
+        // dropped on the sink table below — an in-query filter here
+        // (`vuser >= 0`) gets predicate-pushed below the
+        // EventTimeWatermark nodes (and inferred onto the click side via
+        // the equi-join key), eliminating the sentinel rows AT THE SCAN:
+        // the watermark then never advances and no window ever flushes
+        // (empirically bitten — every sentinel batch read `in=0`)
+        views.join(clicks,
+          expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+            s"click_ts <= view_ts + interval $joinW millisecond"), "inner")
+          .groupBy(col("vuser"), org.apache.spark.sql.functions
+            .window(col("click_ts"), s"$aggW milliseconds"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(unix_millis(col("click_ts")) - unix_millis(col("view_ts")))
+              .as("sum_lag_ms"))
+          .select(col("vuser").as("user_id"),
+            unix_millis(col("window.start")).as("window_start_ms"),
+            col("n_pairs"), col("sum_lag_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("window_start_ms"))
+    }
+
+    val sql =
+      s"""${joinKeptCtes(mode, seed, nWaves, delay)},
+        |pairs AS (
+        |  SELECT v.user_id, v.ms AS view_ms, c.ms AS click_ms
+        |  FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |    ON v.user_id = c.user_id AND c.ms >= v.ms
+        |       AND c.ms <= v.ms + $joinW)
+        |SELECT user_id, (click_ms // $aggW) * $aggW AS window_start_ms,
+        |       COUNT(*) AS n_pairs,
+        |       CAST(SUM(click_ms - view_ms) AS BIGINT) AS sum_lag_ms
+        |FROM pairs GROUP BY user_id, window_start_ms
+        |ORDER BY user_id, window_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family H drive: the family-D inner twin
+    * supplies the kept pairs, closed under the same tumbling rollup.
+    */
+  def chainTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val p = chainP(seed)
+      joinTwinWith(JoinP(p.nWaves, p.mode, p.delay, p.joinW, "inner"),
+          seed)(spark, dir)
+        .groupBy(col("user_id"),
+          expr(s"(click_ms div ${p.aggW}) * ${p.aggW}")
+            .as("window_start_ms"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_ms") - col("view_ms")).as("sum_lag_ms"))
+        .select(col("user_id"), col("window_start_ms"),
+          col("n_pairs"), col("sum_lag_ms"))
+        .orderBy(col("user_id"), col("window_start_ms"))
     }
 
   private[graft] case class DedupP(nWaves: Int, mode: String, delay: Long,
@@ -1151,12 +1306,169 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("emit_ms"))
     }
 
+  private[graft] case class UnionP(nWaves: Int, mode: String,
+      delayV: Long, delayC: Long, width: Long)
+
+  private[graft] def unionP(seed: Long): UnionP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val menu = if (mode == "shuffle") ShuffleDelaysMs else JitterDelaysMs
+    UnionP(nWaves, mode, menu(rnd.nextInt(3)), menu(rnd.nextInt(3)),
+      Seq(3600000L, 21600000L, 86400000L)(rnd.nextInt(3)))
+  }
+
+  /** Family I — UNION of two independently-watermarked branches feeding
+    * one tumbling windowed aggregation, with DIFFERENT per-branch
+    * delays. New surface vs families A (one watermark node) and D (two
+    * nodes, equal delays, at a join): the global watermark under
+    * `multipleWatermarkPolicy=min` is the MIN of the per-NODE values
+    * `max(0, runmax_side - delay_side)` — the min is taken AFTER each
+    * node subtracts its own delay, so the slower-delayed branch gates
+    * eviction for both. The oracle's lagged filter is
+    * `L(k) = max(0, min(runmax_v(k-2) - delayV, runmax_c(k-2) - delayC))`
+    * (`max(0, min(a-dv, b-dc)) = min(max(0, a-dv), max(0, b-dc))`, so
+    * clamp placement is immaterial; a side with no rows yet pins L to
+    * the initial 0 exactly as family D's NULL branch).
+    *
+    * Emission purity is family A's argument verbatim (append windowed
+    * agg, window-end-based drops with the single global lagged
+    * watermark): the finalized output is the pure rollup of (row,
+    * window) pairs with `window_end > L(wave)`.
+    */
+  private def genUnion(seed: Long, cfg: DriveCfg): SGen = {
+    val p = unionP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val width = p.width
+    val margin = p.delayV + p.delayC + 3 * width + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_union_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("event_type"), timestamp_millis(col("ms")).as("t"),
+            col("user_id"))
+          .withWatermark("t", s"${p.delayV} milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("event_type"), timestamp_millis(col("ms")).as("t"),
+            col("user_id"))
+          .withWatermark("t", s"${p.delayC} milliseconds")
+        // no in-query sentinel filter: it would be predicate-pushed
+        // below the EventTimeWatermark nodes and freeze the watermark
+        // (see genChain); sentinels must carry real event_types to pass
+        // the branch split, so they are separated by TIME instead —
+        // their far-future windows are dropped on the sink table below
+        views.unionByName(clicks)
+          .groupBy(org.apache.spark.sql.functions
+            .window(col("t"), s"$width milliseconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"), col("sum_uid"))
+      }
+        .filter(col("window_start_ms") <= hi)
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
+    // family D's carve + per-side running maxes, with PER-SIDE delay
+    // subtraction before the min (the multipleWatermarkPolicy=min value)
+    val joinBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") joinBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2 - ${p.delayV},
+        |               MAX(mc) OVER lag2 - ${p.delayC}), 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING))
+        |SELECT (ms // $width) * $width AS window_start_ms, event_type,
+        |       COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e JOIN l USING (wave)
+        |WHERE (ms // $width) * $width + $width > lwm
+        |GROUP BY window_start_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family I drive. */
+  def unionTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = unionP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2) - p.delayV,
+                max(col("mc")).over(wPrev2) - p.delayC), lit(0L)))
+            .as("lwm"))
+      e.join(broadcast(l), Seq("wave"))
+        .withColumn("window_start_ms",
+          expr(s"(ms div ${p.width}) * ${p.width}"))
+        .filter(col("window_start_ms") + p.width > col("lwm"))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= JoinExtSeedFloor) genJoinExt(seed, cfg)
+    if (seed >= UnionSeedFloor) genUnion(seed, cfg)
+    else if (seed >= ChainSeedFloor) genChain(seed, cfg)
+    else if (seed >= JoinExtSeedFloor) genJoinExt(seed, cfg)
     else if (seed >= DedupWmSeedFloor) genDedupWm(seed, cfg)
     else if (seed >= DedupSeedFloor) genDedup(seed, cfg)
     else if (seed >= JoinSeedFloor) genJoin(seed, cfg)
@@ -1173,7 +1485,8 @@ object StreamFuzz {
     Seq(12000L, 12001L, 12002L, 12003L, 12500L, 12501L, 12502L, 12503L,
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
       14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L,
-      15000L, 15001L, 15002L, 15003L)
+      15000L, 15001L, 15002L, 15003L, 15500L, 15501L, 15502L, 15509L,
+      16000L, 16004L, 16005L, 16010L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1183,7 +1496,8 @@ object StreamFuzz {
     * pipeline (weather_processor.py:144-151) under differential test.
     */
   val restartSeeds: Seq[Long] =
-    Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L)
+    Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
+      16005L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -1191,7 +1505,8 @@ object StreamFuzz {
     * output must be invariant — same oracle as the plain rendering.
     */
   val multiSeeds: Seq[Long] =
-    Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L)
+    Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
+      16010L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

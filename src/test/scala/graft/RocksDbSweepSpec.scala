@@ -9,7 +9,7 @@ import graft.operators.EventOps
   * real 100 TB deployment runs (state larger than executor heap). Two
   * layers:
   *
-  *  - all 16 registered fuzz seeds, driven under RocksDB and checked
+  *  - every registered fuzz seed, driven under RocksDB and checked
   *    against their in-Spark batch twins (the quota family forces
   *    RocksDB internally — transformWithState requires it — so its four
   *    seeds double as idempotence checks of the conf wrap);
@@ -28,7 +28,9 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
+    if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
+    else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
+    else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
     else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
     else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
     else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin

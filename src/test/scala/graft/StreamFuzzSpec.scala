@@ -33,7 +33,9 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
+    if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
+    else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
+    else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
     else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
     else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
     else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
@@ -92,7 +94,26 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
-  // ---- harness-knob invariance: the same 16 seeds re-driven at a SECOND
+  // 15509/15510 not 15503: that rendering is vacuous at the suite's
+  // sf0.001 (4 chain rows at sf0.01, 0 here — the 72 h shuffle delay
+  // starves the 10 min join window); it stays OUT of the registered set
+  Seq(15500L, 15502L, 15509L, 15510L).foreach { s =>
+    test(s"chained join->window-agg drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.chainP(s)})") {
+      check(s, StreamFuzz.chainTwin)
+    }
+  }
+
+  // registered (16000/16005/16010) + unregistered 16007; three of the
+  // four carry DIFFERENT per-branch delays — the family's point
+  Seq(16000L, 16005L, 16007L, 16010L).foreach { s =>
+    test(s"union dual-watermark agg drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.unionP(s)})") {
+      check(s, StreamFuzz.unionTwin)
+    }
+  }
+
+  // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
   // and file-layout-invariant, and a released wave stays one micro-batch
@@ -103,7 +124,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
-      14000L, 14005L, 14500L, 14505L, 15000L, 15011L)
+      14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
+      16000L, 16010L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

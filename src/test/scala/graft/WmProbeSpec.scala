@@ -408,6 +408,89 @@ class WmProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("chained stateful ops: downstream agg evicts on the join's " +
+      "PROPAGATED watermark (E - joinW), not the global E") {
+    // The family-H oracle treats the finalized output as the pure
+    // tumbling rollup of the join's kept pairs; its proof rests on the
+    // downstream agg seeing the join's OUTPUT watermark wm_out = E -
+    // joinW (view state evicts at v.ts < E - joinW, and the simulated
+    // propagation takes the min over sides). Discriminating timeline
+    // (joinW 5 s, aggW 10 s, delay 0): the pair (1000, 2000) lands in
+    // window [0, 10000); after wave 1 the global E is 12000 >= 10000 —
+    // an agg keyed on the GLOBAL watermark would emit the window at
+    // wave 2 — but wm_out = 7000 keeps it in state until E reaches
+    // 15000 (wave 4, driven by wave 3's 16000 maxima). Advance rows use
+    // side-distinct keys so they never pair.
+    import spark.implicits._
+    val rows = Seq(
+      ("v:k1", 1000L, 0L), ("c:k1", 2000L, 0L),
+      ("v:a1", 12000L, 1L), ("c:b1", 12000L, 1L),
+      ("v:a2", 13000L, 2L), ("c:b2", 13000L, 2L),
+      ("v:a3", 16000L, 3L), ("c:b3", 16000L, 3L),
+      ("v:a4", 30000L, 4L), ("c:b4", 30000L, 4L))
+    val root = java.nio.file.Files.createTempDirectory("wmprobe_chain")
+      .toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val prev = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      rows.toDF("etype", "ms", "wave")
+        .repartition(1).write.partitionBy("wave").parquet(s"$root/stage")
+      val src = spark.readStream.schema("etype STRING, ms LONG")
+        .parquet(srcDir)
+      val tagged = src.select(
+        substring(col("etype"), 1, 1).as("side"),
+        substring(col("etype"), 3, 10).as("user"),
+        timestamp_millis(col("ms")).as("t"))
+      val views = tagged.filter(col("side") === "v")
+        .select(col("user"), col("t").as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = tagged.filter(col("side") === "c")
+        .select(col("user").as("cuser"), col("t").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      val out = views.join(clicks,
+        expr("user = cuser AND click_ts >= view_ts AND " +
+          "click_ts <= view_ts + interval 5 seconds"))
+        .groupBy(window(col("click_ts"), "10 seconds"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(unix_millis(col("window.start")).as("ws"), col("n_pairs"))
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("probe_chain")
+        .option("checkpointLocation", s"$root/ckpt").start()
+      val sinkAfterWave = try {
+        (0L until 5L).map { w =>
+          val wd = new java.io.File(s"$root/stage/wave=$w")
+          Option(wd.listFiles).getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+              case (f, k) => java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(s"$srcDir/w${w}_$k.parquet"))
+            }
+          q.processAllAvailable()
+          spark.table("probe_chain").count()
+        }
+      } finally q.stop()
+      info(s"sink rows after each wave: ${sinkAfterWave.mkString(", ")}")
+      assert(sinkAfterWave(2) == 0L,
+        "window [0,10000) emitted while global E (12000) passed its end " +
+          "but the propagated wm_out (7000) had not — the agg is NOT " +
+          "evicting on the join's output watermark anymore")
+      assert(sinkAfterWave(4) == 1L,
+        s"window [0,10000) must emit once wm_out >= 10000 (wave 4): " +
+          s"${sinkAfterWave.mkString(", ")}")
+      val fin = spark.table("probe_chain").collect()
+      assert(fin.length == 1 && fin.head.getLong(0) == 0L &&
+        fin.head.getLong(1) == 1L,
+        s"finalized chain output moved: ${fin.mkString("; ")}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
