@@ -67,6 +67,7 @@ object StreamFuzz {
   val JoinExtSeedFloor = 15000L
   val ChainSeedFloor = 15500L
   val UnionSeedFloor = 16000L
+  val AggAggSeedFloor = 16500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -1461,12 +1462,153 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"), col("event_type"))
     }
 
+  private[graft] case class AggAggP(nWaves: Int, mode: String, delay: Long,
+      w1: Long, k: Int) {
+    def w2: Long = k * w1
+  }
+
+  private[graft] def aggAggP(seed: Long): AggAggP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    AggAggP(nWaves, mode, delay,
+      Seq(900000L, 3600000L, 21600000L)(rnd.nextInt(3)),
+      Seq(4, 6, 24)(rnd.nextInt(3)))
+  }
+
+  /** Family J — windowed aggregation OVER windowed aggregation: a fine
+    * tumbling window (w1) rolled up into an aligned coarse window
+    * (w2 = k * w1) inside ONE streaming query (the second chained-
+    * stateful shape; family H chains join->agg). The first agg's
+    * append-mode output — finalized fine windows — re-windows through
+    * `window(window_time(window), w2)`.
+    *
+    * Purity, on top of family A's kept-rows rule at w1 granularity:
+    *
+    *  - ADMISSION: a fine window W1 emits at the first batch N with
+    *    `E(N) >= W1.end`, so `L_agg2(N) <= E(N-1) < W1.end <= W2.end`
+    *    (aligned containment) — the coarse agg's lagged late filter can
+    *    never drop a fine row into a not-yet-emitted coarse window;
+    *  - NO RE-FEED: W2 evicted at batch M needs `wm_out(M) >= W2.end`
+    *    with `wm_out <= E`; any fine window W1' inside W2 has
+    *    `W1'.end <= W2.end <= E(M)` and therefore emitted AT OR BEFORE
+    *    batch M — a later-arriving fine row for an evicted coarse
+    *    window cannot exist.
+    *
+    * The finalized output is the pure two-level rollup of the kept
+    * (row, W1) pairs; the oracle is family A's kept filter closed under
+    * one GROUP BY at w2 with `n` (kept rows) and `n_fine` (distinct
+    * fine windows) both exact integers. Sentinels use family A's
+    * distinct-etype convention and are dropped on the sink table (an
+    * in-query filter would be pushed below EventTimeWatermark — see
+    * genChain).
+    */
+  private def genAggAgg(seed: Long, cfg: DriveCfg): SGen = {
+    val p = aggAggP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val w1 = p.w1; val w2 = p.w2
+    val margin = delay + 3 * w2 + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          ("\u0000s1", hi + margin, nWaves.toLong),
+          ("\u0000s2", hi + 2 * margin, nWaves + 1L))
+          .toDF("event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_aggagg_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        src.select(col("event_type"), timestamp_millis(col("ms")).as("t"))
+          .withWatermark("t", s"$delay milliseconds")
+          .groupBy(org.apache.spark.sql.functions
+            .window(col("t"), s"$w1 milliseconds"), col("event_type"))
+          .agg(count(lit(1)).as("n1"))
+          .groupBy(org.apache.spark.sql.functions.window(
+            window_time(col("window")), s"$w2 milliseconds")
+            .as("w2win"), col("event_type"))
+          .agg(sum(col("n1")).cast("long").as("n"),
+            count(lit(1)).as("n_fine"))
+          .select(unix_millis(col("w2win.start")).as("window_start_ms"),
+            col("event_type"), col("n"), col("n_fine"))
+      }
+        .filter(!col("event_type").startsWith("\u0000"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
+    // kept (row, W1) pairs per family A's rule (window-end-based drop
+    // with the lagged watermark), re-grouped at w2: n counts kept rows,
+    // n_fine counts the distinct fine windows inside each coarse one
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT event_type, ms, ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |p AS (
+        |  SELECT e.event_type, (e.ms // $w1) * $w1 AS ws1
+        |  FROM e JOIN l USING (wave)
+        |  WHERE (e.ms // $w1) * $w1 + $w1 > l.lwm)
+        |SELECT (ws1 // $w2) * $w2 AS window_start_ms, event_type,
+        |       COUNT(*) AS n, COUNT(DISTINCT ws1) AS n_fine
+        |FROM p GROUP BY window_start_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family J drive. */
+  def aggAggTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = aggAggP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("ms")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - p.delay,
+            lit(0L)), lit(0L)).as("lwm"))
+      e.join(broadcast(l), Seq("wave"))
+        .withColumn("ws1", expr(s"(ms div ${p.w1}) * ${p.w1}"))
+        .filter(col("ws1") + p.w1 > col("lwm"))
+        .groupBy(expr(s"(ws1 div ${p.w2}) * ${p.w2}").as("window_start_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("ws1")).as("n_fine"))
+        .select(col("window_start_ms"), col("event_type"),
+          col("n"), col("n_fine"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= UnionSeedFloor) genUnion(seed, cfg)
+    if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
+    else if (seed >= UnionSeedFloor) genUnion(seed, cfg)
     else if (seed >= ChainSeedFloor) genChain(seed, cfg)
     else if (seed >= JoinExtSeedFloor) genJoinExt(seed, cfg)
     else if (seed >= DedupWmSeedFloor) genDedupWm(seed, cfg)
@@ -1486,7 +1628,7 @@ object StreamFuzz {
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
       14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L,
       15000L, 15001L, 15002L, 15003L, 15500L, 15501L, 15502L, 15509L,
-      16000L, 16004L, 16005L, 16010L)
+      16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1497,7 +1639,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L)
+      16005L, 16501L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -1506,7 +1648,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L)
+      16010L, 16502L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -28,7 +28,8 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
+    if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
+    else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
     else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
     else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin

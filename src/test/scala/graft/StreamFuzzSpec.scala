@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
+    if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
+    else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
     else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
     else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
@@ -113,6 +114,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(16500L, 16501L, 16502L, 16503L).foreach { s =>
+    test(s"windowed-agg-over-agg drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.aggAggP(s)})") {
+      check(s, StreamFuzz.aggAggTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -125,7 +133,7 @@ class StreamFuzzSpec extends AnyFunSuite {
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
-      16000L, 16010L)
+      16000L, 16010L, 16500L, 16503L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {
