@@ -491,6 +491,52 @@ class WmProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("union of two watermark nodes with DIFFERENT delays: global " +
+      "watermark is the min AFTER each node subtracts its own delay") {
+    // Family I's oracle rests on L = min(maxV - delayV, maxC - delayC),
+    // not min(maxV, maxC) - <either delay>. Geometry: v-branch delay 0,
+    // c-branch delay 10 s; wave 0 advances v to 40000 and c to 30000.
+    // Candidate policies give wave-2 lagged L:
+    //   min-after-subtraction: min(40000-0, 30000-10000) = 20000
+    //   min-of-maxes minus min-delay: 30000 - 0      = 30000
+    //   min-of-maxes minus its own (c) delay: 20000  (same here) —
+    // so a second discriminator: wave 1 advances c to 60000 (c-node wm
+    // 50000) while v stays 40000; wave 3's L = min(40000, 50000) =
+    // 40000 under the pinned policy, 40000 - ? under the others. Rows:
+    //   wave 2: x at 20000 (window [20000,21000): end 21000 > 20000 ->
+    //     KEPT under min-after-subtraction; DROPPED if L were 30000)
+    //   wave 3: y at 40000 (window end 41000 > 40000 -> KEPT; a policy
+    //     using c's 50000 would DROP it)
+    val rows = Seq(
+      ("v0", 40000L, 0L), ("c0", 30000L, 0L),
+      ("v1", 40000L, 1L), ("c1", 60000L, 1L),
+      ("x", 20000L, 2L),
+      ("y", 40000L, 3L),
+      ("v9", 200000L, 4L), ("c9", 200000L, 4L),
+      ("v8", 400000L, 5L), ("c8", 400000L, 5L))
+    val out = drive(rows, "probe_union_delays", 6) { src =>
+      val v = src.filter(col("etype").startsWith("v") ||
+          col("etype").isin("x", "y"))
+        .select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "0 seconds")
+      val c = src.filter(col("etype").startsWith("c"))
+        .select(col("etype"), timestamp_millis(col("ms")).as("t"))
+        .withWatermark("t", "10 seconds")
+      v.unionByName(c)
+        .groupBy(window(col("t"), "1 second"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"), unix_millis(col("window.start")).as("ws"),
+          col("n"))
+    }
+    val emitted = out.map(_.getString(0)).toSet
+    assert(emitted.contains("x"),
+      s"x (t=20000, wave-2 L must be min(40000-0, 30000-10000)=20000) " +
+        s"was dropped — the per-node-delay min policy moved: $emitted")
+    assert(emitted.contains("y"),
+      s"y (t=40000, wave-3 L must be min(40000, 50000)=40000, " +
+        s"window-end 41000 > L) was dropped: $emitted")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
