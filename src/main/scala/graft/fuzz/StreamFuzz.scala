@@ -68,6 +68,7 @@ object StreamFuzz {
   val ChainSeedFloor = 15500L
   val UnionSeedFloor = 16000L
   val AggAggSeedFloor = 16500L
+  val Chain3SeedFloor = 17000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -1602,12 +1603,134 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"), col("event_type"))
     }
 
+  private[graft] case class Chain3P(nWaves: Int, mode: String, delay: Long,
+      joinW: Long, w1: Long, k: Int) {
+    def w2: Long = k * w1
+  }
+
+  private[graft] def chain3P(seed: Long): Chain3P = {
+    val j = joinP(seed)
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    Chain3P(j.nWaves, j.mode, j.delay, j.window,
+      Seq(900000L, 3600000L)(rnd.nextInt(2)), Seq(4, 24)(rnd.nextInt(2)))
+  }
+
+  /** Family K — THREE chained stateful operators: the family-D inner
+    * interval join feeding a fine tumbling window (w1) feeding an
+    * aligned coarse rollup (w2 = k * w1), i.e. families H and J
+    * composed in one query — the watermark propagates through TWO
+    * stateful hops. Purity is the composition of both arguments with
+    * the join's output watermark `E - joinW` taking E's role at the
+    * downstream stages:
+    *
+    *  - stage 2 admits every kept pair into its fine window (H's
+    *    argument verbatim) and emits W1 at the first batch N with
+    *    `E(N) - joinW >= W1.end`;
+    *  - stage 3's lagged late filter at that batch is
+    *    `<= E(N-1) - joinW < W1.end <= W2.end` (containment), so fine
+    *    rows only ever drop into coarse windows already evicted, and a
+    *    coarse window evicted at M (`wm(M) >= W2.end`, `wm <= E - joinW`)
+    *    can never see a later fine window (`W1'.end <= W2.end <=
+    *    E(M) - joinW` forces emission at or before M).
+    *
+    * Oracle = family D's kept-pairs CTE closed under the two-level
+    * GROUP BY (kept pairs per coarse window + distinct fine windows).
+    * Sentinels ride through all three operators and are separated by
+    * TIME on the sink table (the output has no user column; far-future
+    * coarse windows start beyond the fixture max — see genUnion).
+    */
+  private def genChain3(seed: Long, cfg: DriveCfg): SGen = {
+    val p = chain3P(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val joinW = p.joinW; val w1 = p.w1; val w2 = p.w2
+    val margin = delay + 3 * joinW + 3 * w2 + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_chain3_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves)) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(col("ms")).as("view_ts"))
+          .withWatermark("view_ts", s"$delay milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        views.join(clicks,
+          expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+            s"click_ts <= view_ts + interval $joinW millisecond"), "inner")
+          .groupBy(org.apache.spark.sql.functions
+            .window(col("click_ts"), s"$w1 milliseconds"))
+          .agg(count(lit(1)).as("n1"))
+          .groupBy(org.apache.spark.sql.functions.window(
+            window_time(col("window")), s"$w2 milliseconds").as("w2win"))
+          .agg(sum(col("n1")).cast("long").as("n_pairs"),
+            count(lit(1)).as("n_fine"))
+          .select(unix_millis(col("w2win.start")).as("window_start_ms"),
+            col("n_pairs"), col("n_fine"))
+      }
+        .filter(col("window_start_ms") <= hi)
+        .orderBy(col("window_start_ms"))
+    }
+
+    val sql =
+      s"""${joinKeptCtes(mode, seed, nWaves, delay)},
+        |pairs AS (
+        |  SELECT ((c.ms // $w1) * $w1) AS ws1
+        |  FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |    ON v.user_id = c.user_id AND c.ms >= v.ms
+        |       AND c.ms <= v.ms + $joinW)
+        |SELECT (ws1 // $w2) * $w2 AS window_start_ms,
+        |       COUNT(*) AS n_pairs, COUNT(DISTINCT ws1) AS n_fine
+        |FROM pairs GROUP BY window_start_ms
+        |ORDER BY window_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family K drive: the family-D inner twin
+    * supplies the kept pairs, closed under the two-level rollup.
+    */
+  def chain3Twin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val p = chain3P(seed)
+      joinTwinWith(JoinP(p.nWaves, p.mode, p.delay, p.joinW, "inner"),
+          seed)(spark, dir)
+        .withColumn("ws1", expr(s"(click_ms div ${p.w1}) * ${p.w1}"))
+        .groupBy(expr(s"(ws1 div ${p.w2}) * ${p.w2}").as("window_start_ms"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ws1")).as("n_fine"))
+        .select(col("window_start_ms"), col("n_pairs"), col("n_fine"))
+        .orderBy(col("window_start_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
+    if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
+    else if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
     else if (seed >= UnionSeedFloor) genUnion(seed, cfg)
     else if (seed >= ChainSeedFloor) genChain(seed, cfg)
     else if (seed >= JoinExtSeedFloor) genJoinExt(seed, cfg)
@@ -1628,7 +1751,8 @@ object StreamFuzz {
       13000L, 13001L, 13002L, 13003L, 13500L, 13501L, 13502L, 13503L,
       14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L,
       15000L, 15001L, 15002L, 15003L, 15500L, 15501L, 15502L, 15509L,
-      16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L)
+      16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L,
+      17001L, 17004L, 17005L, 17007L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1639,7 +1763,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L)
+      16005L, 16501L, 17001L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -1648,7 +1772,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L)
+      16010L, 16502L, 17005L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -28,7 +28,8 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
+    if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
+    else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
     else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
     else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin

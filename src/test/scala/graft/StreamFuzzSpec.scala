@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
+    if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
+    else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
     else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
     else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
@@ -121,6 +122,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(17001L, 17004L, 17005L, 17007L).foreach { s =>
+    test(s"three-op chain (join->fine agg->coarse agg) drive matches " +
+        s"batch twin (seed $s, ${StreamFuzz.chain3P(s)})") {
+      check(s, StreamFuzz.chain3Twin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -133,7 +141,7 @@ class StreamFuzzSpec extends AnyFunSuite {
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
-      16000L, 16010L, 16500L, 16503L)
+      16000L, 16010L, 16500L, 16503L, 17004L, 17007L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {
