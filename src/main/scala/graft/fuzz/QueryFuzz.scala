@@ -728,6 +728,68 @@ object QueryFuzz {
   /** Seed floor for the correlated-scalar-subquery shape. */
   val ScalarSubSeedFloor = 11000L
 
+  /** Set-operation shape: INTERSECT / EXCEPT, DISTINCT and ALL, between
+    * two projections of one table — side A under an optional predicate,
+    * side B additionally halved on another column, with NULLIF-punched
+    * keys. What the family guards: set operations compare NULL = NULL
+    * as EQUAL (null-safe equality — the opposite of join-key semantics
+    * fuzzed at 8000+), and the ALL variants keep bag multiplicities
+    * (min(m1, m2) for INTERSECT ALL, m1 - m2 clamped at 0 for EXCEPT
+    * ALL) where the DISTINCT forms collapse them. Identical SQL
+    * spelling in both dialects; the DataFrame twin maps to
+    * intersect/intersectAll/except/exceptAll. Seed floor 20000 — the
+    * 12000-17999 range belongs to StreamFuzz (shared fuzz_q namespace).
+    */
+  private def genSetOp(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables.filter(_.ints.size >= 2))
+    val kcol = pick(rnd, t.ints)
+    val vcol = pick(rnd, t.ints)
+    val hcol = pick(rnd, t.ints.filter(_ != kcol) match {
+      case Nil => t.ints; case xs => xs
+    })
+    val m = 2 + rnd.nextInt(5)
+    val m2 = 2 + rnd.nextInt(7)
+    val r = rnd.nextInt(m)
+    val op = pick(rnd, Seq("INTERSECT", "INTERSECT ALL", "EXCEPT",
+      "EXCEPT ALL"))
+    val withPred = rnd.nextBoolean()
+    val (predSql, predCol) = predOn(rnd, t.ints, t.doubles)
+    val whereA = if (withPred) s" WHERE $predSql" else ""
+    val whereB = if (withPred) s" WHERE ($predSql) AND $hcol % 2 = 0"
+      else s" WHERE $hcol % 2 = 0"
+    val proj = s"NULLIF($kcol % $m, $r) AS k, $vcol % $m2 AS v"
+    val sql =
+      s"""WITH a AS (SELECT $proj FROM ${t.name}$whereA),
+         |b AS (SELECT $proj FROM ${t.name}$whereB)
+         |SELECT k, v FROM a
+         |$op
+         |SELECT k, v FROM b
+         |ORDER BY k NULLS LAST, v NULLS LAST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base = Tables.table(spark, dir, t.name)
+      def side(extraHalf: Boolean): DataFrame = {
+        val f0 = if (withPred) base.filter(predCol) else base
+        val f = if (extraHalf) f0.filter(col(hcol) % 2 === 0) else f0
+        f.select(expr(s"NULLIF($kcol % $m, $r)").as("k"),
+          (col(vcol) % m2).as("v"))
+      }
+      val a = side(extraHalf = false); val b = side(extraHalf = true)
+      val res = op match {
+        case "INTERSECT" => a.intersect(b)
+        case "INTERSECT ALL" => a.intersectAll(b)
+        case "EXCEPT" => a.except(b)
+        case _ => a.exceptAll(b)
+      }
+      res.orderBy(col("k").asc_nulls_last, col("v").asc_nulls_last)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the set-operation shape (skips past StreamFuzz's
+    * 12000-17999 block — fuzz_q names share one namespace).
+    */
+  val SetOpSeedFloor = 20000L
+
   /** Join-null-semantics shape: LEFT / RIGHT / FULL outer joins over an
     * FK edge where NULLIF punches null KEYS into one or both sides and
     * an optional halved right side manufactures unmatched rows. What
@@ -889,6 +951,7 @@ object QueryFuzz {
     */
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= SetOpSeedFloor) return genSetOp(seed, rnd0)
     if (seed >= ScalarSubSeedFloor) return genScalarSub(seed, rnd0)
     if (seed >= RangeFrameSeedFloor) return genRangeFrame(seed, rnd0)
     if (seed >= EventTimeSeedFloor) return genEventTime(seed, rnd0)
@@ -1138,7 +1201,11 @@ object QueryFuzz {
       10000L, 10001L, 10002L, 10003L, 10004L, 10005L,
       // correlated-scalar-subquery shapes — SQL subquery vs manually
       // decorrelated DataFrame plan (empty group => COUNT 0 / agg NULL)
-      11000L, 11001L, 11002L, 11003L, 11004L, 11005L)
+      11000L, 11001L, 11002L, 11003L, 11004L, 11005L,
+      // set-operation shapes — all four ops, non-vacuous at sf0.001 AND
+      // sf0.01: 20000/20013 EXCEPT ALL, 20003/20012 INTERSECT ALL,
+      // 20008 INTERSECT, 20009 EXCEPT
+      20000L, 20003L, 20008L, 20009L, 20012L, 20013L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
