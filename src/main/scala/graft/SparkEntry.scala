@@ -42,16 +42,17 @@ object SparkEntry {
     * here exists in [[queries]], so registry drift cannot silently
     * misclassify.
     */
-  val streamingQueries: Set[String] = Set(
-    "events_window_stream", "events_quantile_stream", "events_quota_stream",
-    "events_pattern_stream", "events_firstseen_stream",
-    "events_attribution_stream", "events_attribution_outer",
-    "events_attribution_rollup", "events_dedup_stream",
-    "events_sessionize_stateful", "events_sessionize_tws",
-    "events_sessionize_warm", "source_jsonl_stream_rt",
-    // the flagship e2e poll drives a real PollingSource poll/restart
-    // sequence — wall time is poll rounds, not the consumer plan
-    "weather_e2e_poll") ++
+  val streamingQueries: Set[String] =
+    // every EventOps wave drive, by construction: EventOps registers
+    // drives through one drive() helper that feeds BOTH its query map
+    // and streamingQueryNames, and its harness trips at runtime if a
+    // batch-registered query ever reaches the wave machinery (closes
+    // the r10 events_sessionize_window misclassification as a class)
+    EventOps.streamingQueryNames ++
+    Set("source_jsonl_stream_rt",
+      // the flagship e2e poll drives a real PollingSource poll/restart
+      // sequence — wall time is poll rounds, not the consumer plan
+      "weather_e2e_poll") ++
     // every streaming-fuzz drive (plain, restart, multi-file) is a wave
     // drive by construction
     graft.fuzz.StreamFuzz.queryNames

@@ -423,20 +423,25 @@ object DedupOps {
     * pairs — the expensive exactness tier above shingle Jaccard
     * (catches transpositions and small in-place edits shingles blur).
     * O(len²) per pair is affordable ONLY because it runs on the staged,
-    * df-capped candidate pairs, never the corpus: the pair set is
-    * broadcast into two map-side text joins, so the documents scan
-    * stays shuffle-free and the quadratic work is bounded by the
-    * near-dup count. Identical `levenshtein` semantics in both engines
-    * (unit-cost insert/delete/substitute).
+    * df-capped candidate pairs, never the corpus: ONLY the bare 16-byte
+    * (da, db) pair set is broadcast — into BOTH map-side text lookups,
+    * so each documents scan stays shuffle-free — and the two slim
+    * per-side halves then meet in a pairs-keyed shuffle join. Document
+    * text never rides a broadcast (r10's #4: broadcasting the withA
+    * half would ship |pairs| x avg-doc-bytes through the driver), and
+    * the quadratic work is bounded by the near-dup count. Identical
+    * `levenshtein` semantics in both engines (unit-cost
+    * insert/delete/substitute).
     */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val pairs = stagedNgramPairs(spark, dir).select(col("da"), col("db"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val withA = docs.join(broadcast(pairs), col("doc_id") === col("da"))
       .select(col("da"), col("db"), col("text").as("ta"))
-    val withB = docs.join(broadcast(withA), col("doc_id") === col("db"))
-      .select(col("da"), col("db"), col("ta"), col("text").as("tb"))
-    withB.select(col("da"), col("db"),
+    val withB = docs.join(broadcast(pairs), col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("text").as("tb"))
+    withA.join(withB, Seq("da", "db"))
+      .select(col("da"), col("db"),
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
         round(lit(1.0) -
           levenshtein(col("ta"), col("tb")) /
@@ -447,11 +452,13 @@ object DedupOps {
 
   /** Cross-source duplication matrix — "which sources copy which": the
     * verified near-dup pairs joined to both docs' ingestion sources
-    * (broadcast pair set, map-side joins — same bounded shape as
-    * [[dedupEditDistance]]) and rolled up to (source_a, source_b) pair
-    * counts with sources ordered within the pair so the matrix is
-    * upper-triangular. The curation view that decides which source to
-    * de-prioritize; key space is sources², corpus-independent.
+    * (bare pair set broadcast into BOTH source lookups, slim halves
+    * then pairs-keyed shuffle-joined — same broadcast-only-the-pair-ids
+    * shape as [[dedupEditDistance]]) and rolled up to
+    * (source_a, source_b) pair counts with sources ordered within the
+    * pair so the matrix is upper-triangular. The curation view that
+    * decides which source to de-prioritize; key space is sources²,
+    * corpus-independent.
     */
   def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
     val pairs = stagedNgramPairs(spark, dir).select(col("da"), col("db"))
@@ -459,9 +466,9 @@ object DedupOps {
       .select(col("doc_id"), col("source"))
     val withA = src.join(broadcast(pairs), col("doc_id") === col("da"))
       .select(col("da"), col("db"), col("source").as("sa"))
-    val withB = src.join(broadcast(withA), col("doc_id") === col("db"))
-      .select(col("sa"), col("source").as("sb"))
-    withB.select(
+    val withB = src.join(broadcast(pairs), col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("source").as("sb"))
+    withA.join(withB, Seq("da", "db")).select(
         least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))

@@ -669,8 +669,14 @@ object RelationalOps {
       |GROUP BY GROUPING SETS ((r_name), (n_name))
       |ORDER BY region, nation""".stripMargin
 
-  /** TPC-H Q5-shaped 6-table star join: all four dimension sides broadcast,
-    * the two fact tables shuffle once on the order key.
+  /** TPC-H Q5-shaped 6-table star join. Only the genuinely bounded
+    * dimensions (nation: 25 rows, region: 5 rows — fixed at every scale
+    * factor) carry broadcast hints. Customer and supplier grow linearly
+    * with SF (150k / 10k rows per SF unit — multi-billion-row sides at
+    * the 100 TB design point), so they carry NO hint: AQE picks a
+    * broadcast at small SF and a shuffle join once they outgrow the
+    * threshold. A forced `broadcast()` there would override every size
+    * check and OOM building the hash map at scale.
     */
   def qLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -678,8 +684,8 @@ object RelationalOps {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -1396,8 +1402,12 @@ object RelationalOps {
     * explodes only within an order (≤7 items in the schema → ≤21 pairs
     * per order, a per-key constant), so the pair stream is linear in
     * orders at any scale; the pair rollup and the per-part order counts
-    * are ordinary partial-agg shuffles, and the two count joins
-    * broadcast the |parts|-sized side. All ratios derive from exact
+    * are ordinary partial-agg shuffles. The two count joins carry NO
+    * broadcast hint — the per-part count side is |parts|-sized, and part
+    * count grows linearly with SF (200k per SF unit), so forcing a
+    * broadcast would OOM at the 100 TB design point; AQE broadcasts it
+    * at small SF and shuffle-joins beyond the threshold. Only the
+    * 1-row `nOrders` scalar keeps its hint. All ratios derive from exact
     * integers, so both engines divide identical doubles; each rounded
     * ratio carries the ε = 5e-10 tie-break because small count
     * denominators CAN land a ratio exactly on the round-4 boundary
@@ -1417,10 +1427,8 @@ object RelationalOps {
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 3)
     pairs
-      .join(broadcast(perPart.select(col("pk").as("p1"), col("pc").as("c1"))),
-        Seq("p1"))
-      .join(broadcast(perPart.select(col("pk").as("p2"), col("pc").as("c2"))),
-        Seq("p2"))
+      .join(perPart.select(col("pk").as("p1"), col("pc").as("c1")), Seq("p1"))
+      .join(perPart.select(col("pk").as("p2"), col("pc").as("c2")), Seq("p2"))
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("pair_n"), col("c1"), col("c2"),
         round(col("pair_n").cast("double") / col("n_orders") + lit(5e-10), 4)

@@ -120,6 +120,202 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide broadcast-hint hygiene: no hint resolves onto a " +
+      "fact-class scan without a cardinality bounder in between") {
+    // r10 "What's wrong" #2/#3 closed as a CLASS: walk every
+    // batch-registered query's ANALYZED plan (lazy — drives excluded via
+    // streamingQueries, whose builders execute streams eagerly) and flag
+    // any broadcast hint whose subtree reaches a scan of an SF-growing
+    // table unless a global aggregate (<=1 row) or a limit bounds the
+    // cardinality between the hint and the scan. Bounded-by-domain
+    // groupings (chunk ids, event types, sources, band ids...) are
+    // whitelisted BY NAME below with the bounding argument, so a new
+    // query hinting a growing side fails here by default.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BinaryComparison, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val factTables = Set("lineitem", "orders", "customer", "supplier",
+      "part", "documents", "events", "embeddings")
+    // per-row identifiers of the fact tables: a grouping key that traces
+    // to one of these has SF-growing cardinality (the r10 perPart bug:
+    // group by l_partkey). nationkey/regionkey are NOT here — their
+    // domains are fixed (25/5) at every SF.
+    def isFactId(name: String): Boolean = {
+      val n = name.toLowerCase
+      n.endsWith("custkey") || n.endsWith("orderkey") ||
+        n.endsWith("partkey") || n.endsWith("suppkey") ||
+        Set("doc_id", "vec_id", "user_id", "event_id", "session_id")(n)
+    }
+    def stripCasts(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCasts(c.child)
+      case other => other
+    }
+    // a probe filter (bare id column vs literals) pins the side to a
+    // constant set of rows; a content predicate (fn(col) > lit) does not
+    def isProbeConjunct(e: Expression): Boolean = e match {
+      case b: BinaryComparison => (stripCasts(b.left), stripCasts(b.right)) match {
+        case (a: AttributeReference, _: Literal) => isFactId(a.name)
+        case (_: Literal, a: AttributeReference) => isFactId(a.name)
+        case _ => false
+      }
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        isFactId(a.name)
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // trace grouping-key names through Alias definitions in the subtree
+    // to the leaf column names they derive from (name-based fixpoint)
+    def tracedNames(start: Set[String], p: LogicalPlan): Set[String] = {
+      val defs = scala.collection.mutable.Map.empty[String, Set[String]]
+      p.foreach { n =>
+        n.expressions.foreach(_.foreach {
+          case al: Alias =>
+            defs(al.name) =
+              defs.getOrElse(al.name, Set.empty) ++ al.child.references.map(_.name)
+          case _ =>
+        })
+      }
+      var cur = start
+      var grown = true
+      while (grown) {
+        val next = cur ++ cur.flatMap(n => defs.getOrElse(n, Set.empty))
+        grown = next.size > cur.size
+        cur = next
+      }
+      cur
+    }
+    // a filter on a rank-like window column (row_number/rank <= k) is a
+    // per-key top-k: the shortlist-broadcast pattern (matryoshka stage 2,
+    // where the window keys are themselves probe-bounded). Heuristic: a
+    // top-k over UNBOUNDED keys would slip through, but no hint in the
+    // registry broadcasts one — the knn edge list reaches its join by
+    // shuffle, not hint
+    def isRankLimitConjunct(e: Expression, below: LogicalPlan): Boolean = {
+      def rankDefined(name: String): Boolean = {
+        var found = false
+        below.foreach { n =>
+          n.expressions.foreach(_.foreach {
+            case al: Alias if al.name == name =>
+              al.child.foreach {
+                case w: org.apache.spark.sql.catalyst.expressions.WindowExpression =>
+                  w.windowFunction match {
+                    case _: org.apache.spark.sql.catalyst.expressions.RowNumber |
+                         _: org.apache.spark.sql.catalyst.expressions.Rank |
+                         _: org.apache.spark.sql.catalyst.expressions.DenseRank =>
+                      found = true
+                    case _ =>
+                  }
+                case _ =>
+              }
+            case _ =>
+          })
+        }
+        found
+      }
+      e match {
+        case b: BinaryComparison => (stripCasts(b.left), stripCasts(b.right)) match {
+          case (a: AttributeReference, _: Literal) => rankDefined(a.name)
+          case (_: Literal, a: AttributeReference) => rankDefined(a.name)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    def factLeavesUnbounded(p: LogicalPlan): Seq[String] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil // <=1 row
+      case a: Aggregate =>
+        // grouped: bounded iff no grouping key traces to a per-row fact
+        // identifier (per-domain rollups — event_type, source, language,
+        // cell, chunk — stay constant-sized as SF grows)
+        val roots = a.groupingExpressions.flatMap(_.references).map(_.name).toSet
+        if (tracedNames(roots, a.child).exists(isFactId))
+          a.children.flatMap(factLeavesUnbounded)
+        else Nil
+      case _: GlobalLimit | _: LocalLimit => Nil // bounded by the limit
+      case f: Filter if conjuncts(f.condition).exists(isProbeConjunct) => Nil
+      case f: Filter
+          if conjuncts(f.condition).exists(isRankLimitConjunct(_, f.child)) =>
+        Nil
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+            .filter(factTables.contains)
+        case _ => Nil
+      }
+      case other => other.children.flatMap(factLeavesUnbounded)
+    }
+    def hintViolations(p: LogicalPlan): Seq[String] = p match {
+      case h: ResolvedHint
+          if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) =>
+        factLeavesUnbounded(h.child) ++ hintViolations(h.child)
+      case other =>
+        other.children.flatMap(hintViolations) ++
+          other.subqueries.flatMap(hintViolations)
+    }
+    // documented bounded exceptions the structural rule cannot see
+    val whitelist: Map[String, String] = Map(
+      "events_sessionize_late" ->
+        "chunk-max side groups by chunk id (<= StatefulChunks rows)",
+      "events_attribution" ->
+        "chunk-watermark side groups by chunk id (<= StatefulChunks rows)",
+      "sim_bitext_margin" -> ("documented exact evaluator over the label " +
+        "grid; the 100 TB path swaps the grid for ANN k-NN candidate " +
+        "lists and the margin math runs unchanged (SimilarityOps scaladoc)"),
+      "sim_knn_mutual" -> ("documented exact evaluator; at 100 TB pair " +
+        "generation is cell-bounded via the LSH/IVF substrate and the " +
+        "mutuality filter consumes those edge lists (SimilarityOps scaladoc)"))
+    // negative controls: both r10 shapes must be flagged by the walk —
+    // a raw fact-scan hint (q_local_supplier_volume's broadcast(customer))
+    // and a group-by-fact-key hint (q_basket_affinity's broadcast(perPart))
+    import org.apache.spark.sql.functions.{broadcast => bcast, col => c, count => cnt, lit => l}
+    val li = graft.Tables.lineitem(spark, dir)
+    val rawScanHint = li.join(bcast(graft.Tables.customer(spark, dir)),
+      c("l_orderkey") === c("c_custkey"))
+    assert(hintViolations(rawScanHint.queryExecution.analyzed).nonEmpty,
+      "negative control: raw fact-scan hint not flagged")
+    val perPart = li.select(c("l_partkey").as("pk")).groupBy(c("pk"))
+      .agg(cnt(l(1)).as("pc"))
+    val factKeyAggHint = li.join(bcast(perPart), c("l_partkey") === c("pk"))
+    assert(hintViolations(factKeyAggHint.queryExecution.analyzed).nonEmpty,
+      "negative control: group-by-fact-key hint not flagged")
+    val batchNames =
+      (SparkEntry.queries.keySet -- SparkEntry.streamingQueries).toSeq.sorted
+    val bad = batchNames.filterNot(whitelist.contains).flatMap { name =>
+      val analyzed =
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      hintViolations(analyzed).map(t => s"$name -> $t")
+    }
+    assert(bad.isEmpty,
+      s"broadcast hints forced onto SF-growing sides:\n${bad.mkString("\n")}")
+  }
+
+  test("pair-verification broadcasts carry only the 16-byte pair ids, " +
+      "never document text or source columns") {
+    // r10 #4: the second lookup used to broadcast the withA half WITH its
+    // text column (|pairs| x avg-doc-bytes through the driver); now both
+    // lookups broadcast the bare (da, db) set and the slim halves meet in
+    // a pairs-keyed shuffle join
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    def hintOutputs(p: LogicalPlan): Seq[Seq[String]] =
+      (p match {
+        case h: ResolvedHint => Seq(h.child.output.map(_.name))
+        case _ => Nil
+      }) ++ p.children.flatMap(hintOutputs)
+    for (name <- Seq("dedup_edit_distance", "dedup_source_matrix")) {
+      val analyzed = graft.operators.DedupOps.queries(name)(spark, dir)
+        .queryExecution.analyzed
+      val outputs = hintOutputs(analyzed)
+      assert(outputs.nonEmpty, s"$name lost its pair-set broadcasts")
+      val fat = outputs.filterNot(_.toSet.subsetOf(Set("da", "db")))
+      assert(fat.isEmpty,
+        s"$name broadcasts more than the pair ids: $fat")
+    }
+  }
+
   test("late-sessionize watermark join broadcasts the chunk-max side; " +
       "the corpus shuffles only on user_id") {
     val plan = finalPlan(graft.operators.EventOps.eventsSessionizeLate(spark, dir))

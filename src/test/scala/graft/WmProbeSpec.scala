@@ -537,6 +537,79 @@ class WmProbeSpec extends AnyFunSuite {
         s"window-end 41000 > L) was dropped: $emitted")
   }
 
+  test("transformWithState with eventTimeColumnName: a late-but-kept row " +
+      "can be re-emitted with its own time (validation bound is the " +
+      "lagged filter watermark, not the current eviction watermark)") {
+    // Family L's load-bearing rule: the admit processor echoes the kept
+    // row's OWN event time into the re-declared output column. A kept
+    // row's time satisfies ms > L(k) = E(k-1), but can sit BELOW the
+    // current eviction watermark E(k) — if Spark validated emitted times
+    // against E(k), the echo would kill the query. Probe: delay 60000,
+    // wave0 max 100000 => during wave1, E(1) = 40000 and L(1) = 0; the
+    // wave-1 row at ms=30000 is kept (30000 > 0) yet below E(1). The
+    // query must SURVIVE and emit it.
+    val rows = Seq(
+      ("7", 100000L, 0L),
+      ("8", 30000L, 1L),
+      ("-1", 300000L, 2L), ("-2", 500000L, 3L))
+    val out = drive(rows, "probe_tws_etcol", 4, rocks = true) { src =>
+      import spark.implicits._
+      graft.streaming.TwsAdmitJob.admitFirst(
+        src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(col("ms")).as("eventTs"),
+          lit(0.0).as("value")).as[graft.streaming.KeyedEvent],
+        bucketMs = 1000L, delay = "60000 milliseconds").toDF()
+        .select(col("key"), unix_millis(col("viewTs")).as("ms"))
+    }
+    val byKey = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey.get(8L).contains(30000L),
+      s"output event-time validation rule moved (kept-below-E echo): $byKey")
+    assert(byKey.get(7L).contains(100000L), s"echo lost the wave-0 row: $byKey")
+  }
+
+  test("transformWithState output watermark feeds a downstream " +
+      "stream-stream join: pairs form for clicks above the lagged bound " +
+      "and the finalized inner output equals the kept-rows batch join") {
+    // The reverse composition of the chained-ops probe: TWS (admit
+    // first-per-bucket, echoing event time) INTO an interval join.
+    // delay 0, joinW 10000. Waves: v@20000 arrives wave0; c@25000 wave1
+    // (in-window); wave2 carries c@21000 — late bound L(2) = E(1) =
+    // 20000, so the click is KEPT (21000 > 20000) and must still find
+    // the view in state (view evicts only at view_ts < E - joinW).
+    // Wave3 carries c@19000 <= L(3)=25000 — DROPPED despite being
+    // in-window. Finalized pairs: (20000,25000) and (20000,21000).
+    val rows = Seq(
+      ("v", 20000L, 0L),
+      ("c", 25000L, 1L),
+      ("c", 21000L, 2L),
+      ("c", 19000L, 3L),
+      ("sv", 300000L, 4L), ("sc", 300000L, 4L),
+      ("sv2", 500000L, 5L), ("sc2", 500000L, 5L))
+    val out = drive(rows, "probe_tws_join", 6, rocks = true) { src =>
+      import spark.implicits._
+      val views = graft.streaming.TwsAdmitJob.admitFirst(
+        src.filter(col("etype").startsWith("v") || col("etype").startsWith("sv"))
+          .select(lit(1L).as("key"),
+            timestamp_millis(col("ms")).as("eventTs"),
+            lit(0.0).as("value")).as[graft.streaming.KeyedEvent],
+        bucketMs = 1000L, delay = "0 seconds").toDF()
+        .select(col("key").as("vuser"), col("viewTs").as("view_ts"))
+      val clicks = src
+        .filter(col("etype").startsWith("c") || col("etype").startsWith("sc"))
+        .select(lit(1L).as("cuser"), timestamp_millis(col("ms")).as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+          expr("vuser = cuser AND click_ts >= view_ts AND " +
+            "click_ts <= view_ts + interval 10000 millisecond"), "inner")
+        .select(unix_millis(col("view_ts")).as("vms"),
+          unix_millis(col("click_ts")).as("cms"))
+    }
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 < 200000L).sorted
+    assert(pairs == Seq((20000L, 21000L), (20000L, 25000L)),
+      s"tws->join propagation rule moved: $pairs")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
