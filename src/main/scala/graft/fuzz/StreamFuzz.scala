@@ -69,6 +69,7 @@ object StreamFuzz {
   val UnionSeedFloor = 16000L
   val AggAggSeedFloor = 16500L
   val Chain3SeedFloor = 17000L
+  val TwsJoinSeedFloor = 17500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -212,7 +213,8 @@ object StreamFuzz {
         s"sfz_agg_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_agg_$seed", dir))) { src =>
         src.select(col("event_type"), timestamp_millis(col("ms")).as("t"),
             col("value"))
           .withWatermark("t", s"$delay milliseconds")
@@ -308,7 +310,8 @@ object StreamFuzz {
           s"sfz_quota_${cfg.tag}$seed",
           statePartitions = cfg.statePartitions.getOrElse(4),
           filesPerWave = cfg.filesPerWave,
-          restartAfter = cfg.killAfter(nWaves)) { src =>
+          restartAfter = cfg.killAfter(nWaves),
+          stageKey = Some(EventOps.stageKeyFor(s"sfz_quota_$seed", dir))) { src =>
           graft.streaming.TwsQuotaJob.quota(
             src.select(col("key"), timestamp_millis(col("ms")).as("eventTs"),
               col("value")).as[graft.streaming.KeyedEvent],
@@ -403,7 +406,8 @@ object StreamFuzz {
         s"sfz_sess_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_sess_$seed", dir))) { src =>
         src.select(col("key"), timestamp_millis(col("ms")).as("t"),
             col("value"))
           .withWatermark("t", s"$delay milliseconds")
@@ -719,7 +723,7 @@ object StreamFuzz {
       |      WINDOW lag2 AS (ORDER BY wave
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
       |kept AS (
-      |  SELECT e.user_id, e.event_type, e.ms
+      |  SELECT e.user_id, e.event_type, e.ms, e.wave
       |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)""".stripMargin
   }
 
@@ -750,7 +754,8 @@ object StreamFuzz {
         s"sfz_join_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_join_$seed", dir))) { src =>
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("vuser"),
             timestamp_millis(col("ms")).as("view_ts"))
@@ -951,7 +956,8 @@ object StreamFuzz {
         s"sfz_chain_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_chain_$seed", dir))) { src =>
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("vuser"),
             timestamp_millis(col("ms")).as("view_ts"))
@@ -1072,7 +1078,8 @@ object StreamFuzz {
         s"sfz_dedup_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_dedup_$seed", dir))) { src =>
         src.select(col("key"),
             timestamp_millis(expr(s"(ms div ${bucket}L) * ${bucket}L"))
               .as("bt"))
@@ -1219,7 +1226,8 @@ object StreamFuzz {
         s"sfz_dwm_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_dwm_$seed", dir))) { src =>
         src.select(col("key"), timestamp_millis(col("ms")).as("t"))
           .withWatermark("t", s"${p.delay} milliseconds")
           .dropDuplicatesWithinWatermark("key")
@@ -1365,7 +1373,8 @@ object StreamFuzz {
         s"sfz_union_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_union_$seed", dir))) { src =>
         val views = src.filter(col("event_type") === "view")
           .select(col("event_type"), timestamp_millis(col("ms")).as("t"),
             col("user_id"))
@@ -1531,7 +1540,8 @@ object StreamFuzz {
         s"sfz_aggagg_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_aggagg_$seed", dir))) { src =>
         src.select(col("event_type"), timestamp_millis(col("ms")).as("t"))
           .withWatermark("t", s"$delay milliseconds")
           .groupBy(org.apache.spark.sql.functions
@@ -1667,7 +1677,8 @@ object StreamFuzz {
         s"sfz_chain3_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
-        restartAfter = cfg.killAfter(nWaves)) { src =>
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_chain3_$seed", dir))) { src =>
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("vuser"),
             timestamp_millis(col("ms")).as("view_ts"))
@@ -1724,12 +1735,232 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"))
     }
 
+  private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
+      window: Long, bucket: Long)
+
+  private[graft] def twsJoinP(seed: Long): TwsJoinP = {
+    val j = joinP(seed)
+    // independent draw for the admission bucket (joinP consumed its RNG)
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    TwsJoinP(j.nWaves, j.mode, j.delay, j.window,
+      Seq(3600000L, 21600000L, 86400000L)(rnd.nextInt(3)))
+  }
+
+  /** Family L — transformWithState chained INTO a stream-stream join
+    * (a 12th fuzzed surface, and the REVERSE composition of family H):
+    * the view side passes through [[graft.streaming.AdmitFirstProcessor]]
+    * (first view per (user, bucket) admitted, its own event time
+    * re-declared via the transformWithState `eventTimeColumnName`
+    * overload), and the admitted stream interval-joins the watermarked
+    * click stream — so the JOIN's view-state eviction runs on the
+    * watermark propagated THROUGH the TWS operator. The one
+    * multi-stateful ordering the earlier families never execute.
+    *
+    * Oracle purity:
+    *
+    *  - ADMISSION is a pure function of {kept view rows, their waves}:
+    *    min event time within the earliest wave touching the (user,
+    *    bucket) — iterator order inside a batch cannot matter (the
+    *    processor reduces to per-bucket min first), and a swept bucket
+    *    never re-admits (the closed-bucket argument in the processor
+    *    scaladoc). In SQL: ROW_NUMBER() OVER (user, bucket ORDER BY
+    *    wave, ms) = 1 over the kept views.
+    *  - The ECHO of a kept view's own time through the output column is
+    *    legal: a kept row has ms > L(k), and the output-validation bound
+    *    is the SAME lagged L(k), not the current E(k) — pinned by
+    *    WmProbeSpec ("late-but-kept row can be re-emitted").
+    *  - NO pair is lost to eviction: a kept click at batch M carries
+    *    click_ms > L(M) = E(M-1); its admitted view has view_ms >=
+    *    click_ms - window > E(M-1) - window, above the view-state
+    *    eviction bound through batch M-1 (eviction uses wm_out -
+    *    window with wm_out <= E). Symmetrically an early-arrived click
+    *    survives until click_ms < E, and a pair needs click_ms >=
+    *    view_ms > L(k) at the view's arrival batch k — so every
+    *    (admitted view, kept click) pair within the window is emitted,
+    *    exactly once (inner symmetric-hash join, both sides append).
+    *    Pinned end-to-end by WmProbeSpec ("output watermark feeds a
+    *    downstream stream-stream join").
+    *
+    * The finalized output is therefore the plain batch interval join of
+    * the admitted views against the kept clicks. Sentinel pairs ride
+    * through BOTH stateful operators (the view sentinel admits into its
+    * own far-future bucket, the click sentinel matches it) and are
+    * dropped on the sink table — family D/H's convention, for the same
+    * pushdown reason.
+    */
+  private def genTwsJoin(seed: Long, cfg: DriveCfg): SGen = {
+    val p = twsJoinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val window = p.window; val bucket = p.bucket
+    val margin = delay + 3 * window + 3 * bucket + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.withRocksDb(spark) {
+        EventOps.driveWaves(spark, frame,
+          "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+          s"sfz_twsjoin_${cfg.tag}$seed",
+          statePartitions = cfg.statePartitions.getOrElse(1),
+          filesPerWave = cfg.filesPerWave,
+          restartAfter = cfg.killAfter(nWaves),
+          stageKey = Some(EventOps.stageKeyFor(s"sfz_twsjoin_$seed", dir))) {
+          src =>
+          val admitted = graft.streaming.TwsAdmitJob.admitFirst(
+            src.filter(col("event_type") === "view")
+              .select(col("user_id").as("key"),
+                timestamp_millis(col("ms")).as("eventTs"),
+                lit(0.0).as("value"))
+              .as[graft.streaming.KeyedEvent],
+            bucket, s"$delay milliseconds").toDF()
+            .select(col("key").as("vuser"), col("viewTs").as("view_ts"))
+          val clicks = src.filter(col("event_type") === "click")
+            .select(col("user_id").as("cuser"),
+              timestamp_millis(col("ms")).as("click_ts"))
+            .withWatermark("click_ts", s"$delay milliseconds")
+          admitted.join(clicks,
+              expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+                s"click_ts <= view_ts + interval $window millisecond"),
+              "inner")
+            .select(col("vuser").as("user_id"),
+              unix_millis(col("view_ts")).as("view_ms"),
+              unix_millis(col("click_ts")).as("click_ms"))
+        }
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+    }
+
+    val sql =
+      s"""${joinKeptCtes(mode, seed, nWaves, delay)},
+        |adm AS (
+        |  SELECT user_id, ms,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ms // $bucket
+        |           ORDER BY wave, ms) AS rn
+        |  FROM kept WHERE event_type = 'view')
+        |SELECT a.user_id AS user_id, a.ms AS view_ms, c.ms AS click_ms
+        |FROM (SELECT user_id, ms FROM adm WHERE rn = 1) a
+        |JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |  ON a.user_id = c.user_id AND c.ms >= a.ms
+        |     AND c.ms <= a.ms + $window
+        |ORDER BY a.user_id, view_ms, click_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family L drive: kept rows via the
+    * shared lagged min-both-sides watermark, admission via the
+    * (wave, ms)-ordered ROW_NUMBER, then the plain interval join.
+    */
+  /** Dev-scan internals for family-L seed selection: (total view/click
+    * rows, late-dropped, kept views, ADMITTED views, kept clicks) — a
+    * registered seed must exercise the late filter AND the bucket
+    * suppression, not just produce pairs.
+    */
+  private[graft] def twsJoinInternals(seed: Long, spark: SparkSession,
+      dir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val p = twsJoinP(seed)
+    val ev = EventOps.withMicros(Tables.events(spark, dir))
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("us div 1000").as("ms"))
+    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+    val e = ev.withColumn("wave",
+      carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+      .drop("event_id")
+    val wPrev2 = Window.orderBy(col("wave"))
+      .rowsBetween(Window.unboundedPreceding, -2)
+    val l = e.groupBy(col("wave")).agg(
+      max(when(col("event_type") === "view", col("ms"))).as("mv"),
+      max(when(col("event_type") === "click", col("ms"))).as("mc"))
+      .select(col("wave"),
+        when(max(col("mv")).over(wPrev2).isNull ||
+          max(col("mc")).over(wPrev2).isNull, lit(0L))
+          .otherwise(greatest(
+            least(max(col("mv")).over(wPrev2),
+              max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+          .as("lwm"))
+    val total = e.count()
+    val kept = e.join(broadcast(l), Seq("wave"))
+      .filter(col("ms") > col("lwm"))
+    val keptViews = kept.filter(col("event_type") === "view").count()
+    val keptClicks = kept.filter(col("event_type") === "click").count()
+    val wAdm = Window
+      .partitionBy(col("user_id"), expr(s"ms div ${p.bucket}L"))
+      .orderBy(col("wave"), col("ms"))
+    val admitted = kept.filter(col("event_type") === "view")
+      .withColumn("rn", row_number().over(wAdm))
+      .filter(col("rn") === 1).count()
+    s"total=$total dropped=${total - keptViews - keptClicks} " +
+      s"keptViews=$keptViews admitted=$admitted suppressed=" +
+      s"${keptViews - admitted} keptClicks=$keptClicks"
+  }
+
+  def twsJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = twsJoinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+      val wAdm = Window
+        .partitionBy(col("user_id"), expr(s"ms div ${p.bucket}L"))
+        .orderBy(col("wave"), col("ms"))
+      val adm = kept.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(wAdm))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ms").as("view_ms"))
+      val clicks = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ms").as("click_ms"))
+      adm.join(clicks, col("user_id") === col("cuser") &&
+          col("click_ms") >= col("view_ms") &&
+          col("click_ms") <= col("view_ms") + p.window)
+        .select(col("user_id"), col("view_ms"), col("click_ms"))
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
+    if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
+    else if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
     else if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
     else if (seed >= UnionSeedFloor) genUnion(seed, cfg)
     else if (seed >= ChainSeedFloor) genChain(seed, cfg)
@@ -1752,7 +1983,8 @@ object StreamFuzz {
       14000L, 14001L, 14002L, 14003L, 14500L, 14501L, 14502L, 14503L,
       15000L, 15001L, 15002L, 15003L, 15500L, 15501L, 15502L, 15509L,
       16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L,
-      17001L, 17004L, 17005L, 17007L)
+      17001L, 17004L, 17005L, 17007L,
+      17502L, 17506L, 17510L, 17515L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1763,7 +1995,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L)
+      16005L, 16501L, 17001L, 17506L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -1772,7 +2004,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L)
+      16010L, 16502L, 17005L, 17502L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -28,7 +28,8 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
+    if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
+    else if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
     else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
     else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
@@ -63,6 +64,7 @@ class RocksDbSweepSpec extends AnyFunSuite {
     "events_attribution_stream", "events_attribution_outer",
     "events_attribution_rollup", "events_sessionize_stateful",
     "events_sessionize_warm", "events_sessionize_tws",
+    "events_sessionize_window",
     "events_quota_stream", "events_quantile_stream",
     "events_pattern_stream", "events_firstseen_stream",
     "source_jsonl_stream_rt")

@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
+    if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
+    else if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
     else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
     else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
     else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
@@ -129,6 +130,18 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // registered (17502/17506/17510/17515) + unregistered 17508; both
+  // carvings, delays from 0 to 72 h, and the jitter seeds carry the
+  // heaviest bucket suppression (256 suppressed views at sf0.01 for
+  // 17502) — the family's point is admission THROUGH the re-declared
+  // output watermark
+  Seq(17502L, 17506L, 17508L, 17510L, 17515L).foreach { s =>
+    test(s"tws-admit -> stream-stream join drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.twsJoinP(s)})") {
+      check(s, StreamFuzz.twsJoinTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -141,7 +154,7 @@ class StreamFuzzSpec extends AnyFunSuite {
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
-      16000L, 16010L, 16500L, 16503L, 17004L, 17007L)
+      16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {
