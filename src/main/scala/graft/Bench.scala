@@ -32,15 +32,22 @@ object Bench {
     (qs, sb, sf)
   }
 
-  /** The regression baseline is the LAST ROUND'S COMMITTED detail — the
-    * bench_detail.json content at the most recent driver round commit
-    * (subject ".*verdict/advice/correctness/bench") — never the working
-    * file, which any local dev run overwrites (the r8/r9 tripwire cried
-    * wolf precisely because its baseline was whatever ran last on this
-    * host). Falls back to the working file if git or the round commit is
-    * unavailable.
+  /** The regression baseline, by preference order (the chosen source is
+    * recorded in the detail output as `baseline_source`, so a noisy
+    * comparison is attributable):
+    *
+    *  1. `HEAD:bench_baseline.json` — a DEDICATED committed baseline
+    *     file, refreshed deliberately at round close. Structural: no
+    *     dependence on commit-subject conventions or log depth (the r10
+    *     subject-substring search silently fell back to the working file
+    *     once the round commit aged past its 40-commit window).
+    *  2. The committed bench_detail.json at the most recent round commit
+    *     (legacy subject search), if the baseline file predates a round.
+    *  3. The working detail file — last resort only; any local dev run
+    *     overwrites it (the r8/r9 cried-wolf source).
     */
-  private def baselineText(repoDir: String, workingFile: String): Option[String] = {
+  private def baselineText(repoDir: String,
+      workingFile: String): Option[(String, String)] = {
     def git(args: String*): Option[String] = try {
       val p = new ProcessBuilder(
         (Seq("git", "-C", repoDir) ++ args): _*).start()
@@ -48,19 +55,22 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       if (p.waitFor() == 0) Some(out) else None
     } catch { case _: Exception => None }
-    val fromRound = for {
+    val fromBaselineFile = git("show", "HEAD:bench_baseline.json")
+      .map(_ -> "HEAD:bench_baseline.json")
+    def fromRound = (for {
       log <- git("log", "-n", "40", "--format=%H%x09%s", "--",
         "bench_detail.json")
       hit <- log.linesIterator.map(_.split('\t')).collectFirst {
         case Array(h, s) if s.contains("verdict/advice/correctness/bench") => h
       }
       txt <- git("show", s"$hit:bench_detail.json")
-    } yield txt
-    fromRound.orElse(try {
+    } yield txt).map(_ -> "round-commit bench_detail.json")
+    def fromWorking = (try {
       Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(workingFile)),
         java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Exception => None })
+    } catch { case _: Exception => None }).map(_ -> "working bench_detail.json")
+    fromBaselineFile.orElse(fromRound).orElse(fromWorking)
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,14 +99,22 @@ object Bench {
       }
     })
     // listener events post asynchronously; wait (outside the timed span)
-    // until the counter is quiet so the delta attributes to the right query
+    // until the counter is quiet so the delta attributes to the right
+    // query. The public API offers no deterministic bus drain
+    // (listenerBus.waitUntilEmpty is private[spark]), so this polls —
+    // with a 2 s budget (the old 400 ms could be exhausted on a loaded
+    // host, bleeding one query's tail events into the next delta) and an
+    // exhaustion counter emitted in the detail output, so a noisy
+    // shuffle comparison is identifiable instead of silent.
+    val settleTimeouts = new java.util.concurrent.atomic.AtomicLong
     def settledShuffle(): Long = {
       var prev = shuffleAcc.get(); var stable = 0; var waited = 0
-      while (stable < 3 && waited < 400) {
+      while (stable < 3 && waited < 2000) {
         Thread.sleep(5); waited += 5
         val cur = shuffleAcc.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
+      if (waited >= 2000) settleTimeouts.incrementAndGet()
       prev
     }
     // Warm-up (untimed): prime parquet file indexes/footers and JIT the
@@ -138,10 +156,16 @@ object Bench {
     // Baseline guard on the recorded sf: comparing an sf0.1 round against
     // a leftover sf0.01 dev run would flag every query as a fake 10x
     // regression.
-    val (prevQueries, prevShuffle) =
-      baselineText(repoDir, detailPath).map(parseDetail) match {
-        case Some((q, s, sf)) if sf == sfDir => (q, s)
-        case _ => (Map.empty[String, Double], Map.empty[String, Long])
+    val (prevQueries, prevShuffle, baselineSource) =
+      baselineText(repoDir, detailPath) match {
+        case Some((txt, src)) => parseDetail(txt) match {
+          case (q, s, sf) if sf == sfDir => (q, s, src)
+          case (_, _, sf) =>
+            (Map.empty[String, Double], Map.empty[String, Long],
+              s"$src (sf mismatch: $sf)")
+        }
+        case None =>
+          (Map.empty[String, Double], Map.empty[String, Long], "none")
       }
 
     val p1 = onePass(); val p2 = onePass()
@@ -197,7 +221,7 @@ object Bench {
         s""""$k#shuffle":{"prev":${prevShuffle(k)},"now":$b}"""
     }
     val regressions = (timeRegs ++ shuffleRegs).mkString("{", ",", "}")
-    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"total_sec":${r3(total)}"""
+    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"baseline_source":"$baselineSource","shuffle_settle_timeouts":${settleTimeouts.get()},"total_sec":${r3(total)}"""
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"state_peaks":$peaksJson,"streaming_queries":$streamNames,$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

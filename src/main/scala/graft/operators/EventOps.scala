@@ -226,10 +226,17 @@ object EventOps {
       // micro-batch (all its files land before processAllAvailable; no
       // maxFilesPerTrigger), but the source now plans multi-file,
       // multi-partition batches. Hash salting (not round-robin) keeps
-      // the carving reproducible run to run.
+      // the carving reproducible run to run. The salt is a real
+      // PARTITION COLUMN, not just a repartition key: hash-partition
+      // placement can collide two salts of one wave into one task
+      // partition, but partitionBy still writes each (wave, salt) into
+      // its own directory — the per-wave file split is structural, never
+      // silently collapsed by placement (releaseWave flattens the salt
+      // level away when releasing, so the source sees plain files).
       val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerWave))
-      df.repartition(filesPerWave * 8, col("wave"), salt)
-        .write.partitionBy("wave").parquet(stage)
+      df.withColumn("salt", salt)
+        .repartition(col("wave"), col("salt"))
+        .write.partitionBy("wave", "salt").parquet(stage)
     }
 
   /** JVM-lifetime keep area for restart-drive outputs: the harness
@@ -267,8 +274,15 @@ object EventOps {
   private def releaseWave(stage: String, srcDir: String, wave: Long,
       retainStage: Boolean = false): Unit = {
     val wd = new java.io.File(s"$stage/wave=$wave")
-    Option(wd.listFiles).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+    // multi-file staging nests a salt=N partition level under each wave
+    // dir; release flattens it so the file source sees plain files
+    def parquets(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles).getOrElse(Array.empty[java.io.File]).flatMap { f =>
+        if (f.isDirectory) parquets(f)
+        else if (f.getName.endsWith(".parquet")) Array(f)
+        else Array.empty[java.io.File]
+      }
+    parquets(wd).sortBy(_.getPath).zipWithIndex
       .foreach { case (f, k) =>
         val dst = java.nio.file.Paths.get(s"$srcDir/w${wave}_$k.parquet")
         if (retainStage)
@@ -434,13 +448,19 @@ object EventOps {
     * HDFS-backed default), restoring the caller's provider after.
     */
   private[graft] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+    val keys = Seq("spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // changelog checkpointing: commit the per-batch delta instead of a
+    // full RocksDB snapshot upload every micro-batch — the supported
+    // fault-tolerant mode (restart drives replay the changelog), and the
+    // per-batch commit cost drops from O(state) to O(delta)
+    spark.conf.set(keys(1), "true")
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -27,7 +27,11 @@ class StateTelemetrySpec extends AnyFunSuite {
 
   Seq((12000L, "sfz_agg_12000", "windowed aggregation"),
       (12500L, "sfz_quota_12500", "transformWithState quota"),
-      (13500L, "sfz_join_13500", "stream-stream interval join"))
+      (13500L, "sfz_join_13500", "stream-stream interval join"),
+      // family L: the CHAINED pair — AdmitFirst MapState buckets PLUS
+      // both join sides' state, summed across the two operators; the
+      // sentinel waves must drain the composition, not just one stage
+      (17506L, "sfz_twsjoin_17506", "tws-admit chained into a join"))
     .foreach { case (seed, name, what) =>
       test(s"$what state rows peak mid-drive and drop after the " +
           s"sentinel eviction waves ($name)") {
