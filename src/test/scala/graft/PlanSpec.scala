@@ -293,6 +293,84 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast hints forced onto SF-growing sides:\n${bad.mkString("\n")}")
   }
 
+  test("registry-wide cartesian hygiene: no condition-less join pairs " +
+      "two unbounded fact-class sides") {
+    // the all-pairs killer, closed as a class at the ANALYZED-plan level
+    // (the per-family executed-plan tests sample; this walk is total):
+    // a Join with NO condition (crossJoin, or a join Spark will plan as
+    // nested-loop/cartesian) is legal only when at least one side is
+    // cardinality-bounded — a global aggregate (<=1 row, the nOrders
+    // scalar pattern), a limit, an id-literal probe filter, or a local
+    // relation. Two SF-growing sides under a condition-less join is
+    // O(n^2) at any scale and fails here by default.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val factTables = Set("lineitem", "orders", "customer", "supplier",
+      "part", "documents", "events", "embeddings")
+    def stripCasts(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCasts(c.child)
+      case other => other
+    }
+    def isIdProbe(e: Expression): Boolean = e match {
+      case b: BinaryComparison => (stripCasts(b.left), stripCasts(b.right)) match {
+        case (a: AttributeReference, _: Literal) => a.name.endsWith("_id")
+        case (_: Literal, a: AttributeReference) => a.name.endsWith("_id")
+        case _ => false
+      }
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        a.name.endsWith("_id")
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def unboundedFacts(p: LogicalPlan): Seq[String] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil
+      case _: GlobalLimit | _: LocalLimit => Nil
+      case f: Filter if conjuncts(f.condition).exists(isIdProbe) => Nil
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+            .filter(factTables.contains)
+        case _ => Nil
+      }
+      case other => other.children.flatMap(unboundedFacts)
+    }
+    def crossViolations(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case j: Join if j.condition.isEmpty =>
+          val (l, r) = (unboundedFacts(j.left), unboundedFacts(j.right))
+          if (l.nonEmpty && r.nonEmpty)
+            Seq(s"${l.mkString("+")} x ${r.mkString("+")}")
+          else Nil
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(crossViolations) ++
+        p.subqueries.flatMap(crossViolations)
+    }
+    // negative control: an unbounded x unbounded crossJoin must be flagged
+    val li = graft.Tables.lineitem(spark, dir)
+    assert(crossViolations(
+      li.crossJoin(graft.Tables.orders(spark, dir)).queryExecution.analyzed)
+      .nonEmpty, "negative control: fact x fact crossJoin not flagged")
+    // documented exceptions: the two grid evaluators whose 100 TB path
+    // swaps the grid for ANN candidate lists (same whitelist + argument
+    // as the broadcast-hint walk)
+    val whitelist = Set("sim_bitext_margin", "sim_knn_mutual")
+    val batchNames =
+      (SparkEntry.queries.keySet -- SparkEntry.streamingQueries).toSeq.sorted
+    val bad = batchNames.filterNot(whitelist.contains).flatMap { name =>
+      crossViolations(
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed)
+        .map(t => s"$name -> $t")
+    }
+    assert(bad.isEmpty,
+      s"condition-less joins over two unbounded fact sides:\n${bad.mkString("\n")}")
+  }
+
   test("pair-verification broadcasts carry only the 16-byte pair ids, " +
       "never document text or source columns") {
     // r10 #4: the second lookup used to broadcast the withA half WITH its
