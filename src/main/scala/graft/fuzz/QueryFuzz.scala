@@ -949,8 +949,73 @@ object QueryFuzz {
     * instead (a disjoint seed range so no earlier seed's rendering
     * changes).
     */
+  /** Explode/generator shape: per input row, an array `sequence(1, c%m+1)`
+    * is exploded and aggregated per generated key — Spark's GenerateExec
+    * (the lateral-generator state machine: outer row replication, empty-
+    * array elimination, codegen'd explode) under differential test. The
+    * shared SQL text carries NO generator at all: it renders the same
+    * semantics as an ANSI numbers-table join (`JOIN (SELECT 1 AS u UNION
+    * ALL ...) v ON v.u <= c%m+1`), which BOTH Spark SQL and DuckDB parse,
+    * while the DataFrame twin uses the real `explode(sequence(...))` —
+    * so a generator bug cannot hide behind an identical generator in the
+    * oracle. Variants: plain; conditional-empty (the array collapses to
+    * [] when a second predicate fails — explode must DROP the row, the
+    * numbers join drops it via `u <= 0`); and COUNT(DISTINCT u) beside
+    * the sums. Integer aggregates CAST to BIGINT per the dialect rules.
+    */
+  private def genExplode(seed: Long, rnd: Random): Gen = {
+    val t = pick(rnd, tables)
+    val ic = pick(rnd, t.ints)
+    val m = 3 + rnd.nextInt(5) // array length ranges over 1..m, m in 3..7
+    val (keySql, keyCol) = keyOn(rnd, t.ints, t.strings, "k0")
+    val withPred = rnd.nextBoolean()
+    val (pSql, pCol) = predOn(rnd, t.ints, t.doubles)
+    val (p2Sql, p2Col) = predOn(rnd, t.ints, t.doubles) // conditional gate
+    val variant = rnd.nextInt(3) // 0 plain, 1 conditional-empty, 2 +distinct
+    val nSql = s"$ic % $m + 1"
+    val nCol = ((col(ic) % m) + 1).cast("int")
+    val numbers = (1 to m)
+      .map(i => if (i == 1) s"SELECT 1 AS u" else s"SELECT $i")
+      .mkString(" UNION ALL ")
+    val onSql =
+      if (variant == 1) s"v.u <= CASE WHEN $p2Sql THEN $nSql ELSE 0 END"
+      else s"v.u <= $nSql"
+    val whereSql = if (withPred) s"\nWHERE $pSql" else ""
+    val distinctSql =
+      if (variant == 2) ",\n       CAST(COUNT(DISTINCT v.u) AS BIGINT) AS a2"
+      else ""
+    val sql =
+      s"""SELECT $keySql, COUNT(*) AS a_cnt,
+         |       CAST(SUM(v.u) AS BIGINT) AS a0,
+         |       CAST(MAX(v.u) AS BIGINT) AS a1$distinctSql
+         |FROM ${t.name}
+         |JOIN ($numbers) v ON $onSql$whereSql
+         |GROUP BY k0 ORDER BY k0 NULLS LAST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, t.name)
+      val base = if (withPred) base0.filter(pCol) else base0
+      val arr = sequence(lit(1), nCol)
+      val arrCol =
+        if (variant == 1) when(p2Col, arr).otherwise(array().cast("array<int>"))
+        else arr
+      val ex = base.select(keyCol, explode(arrCol).as("u"))
+      val aggs = Seq(sum(col("u")).cast("long").as("a0"),
+        max(col("u")).cast("long").as("a1")) ++
+        (if (variant == 2) Seq(countDistinct(col("u")).cast("long").as("a2"))
+         else Nil)
+      ex.groupBy(col("k0"))
+        .agg(count(lit(1)).as("a_cnt"), aggs: _*)
+        .orderBy(col("k0").asc_nulls_last)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the explode/generator shape. */
+  val ExplodeSeedFloor = 21000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= ExplodeSeedFloor) return genExplode(seed, rnd0)
     if (seed >= SetOpSeedFloor) return genSetOp(seed, rnd0)
     if (seed >= ScalarSubSeedFloor) return genScalarSub(seed, rnd0)
     if (seed >= RangeFrameSeedFloor) return genRangeFrame(seed, rnd0)
@@ -1205,7 +1270,11 @@ object QueryFuzz {
       // set-operation shapes — all four ops, non-vacuous at sf0.001 AND
       // sf0.01: 20000/20013 EXCEPT ALL, 20003/20012 INTERSECT ALL,
       // 20008 INTERSECT, 20009 EXCEPT
-      20000L, 20003L, 20008L, 20009L, 20012L, 20013L)
+      20000L, 20003L, 20008L, 20009L, 20012L, 20013L,
+      // explode/generator shapes — GenerateExec vs the ANSI numbers-join
+      // rendering; two of each variant (plain 21002/21014, conditional-
+      // empty 21013/21015, +COUNT DISTINCT 21006/21018) over four tables
+      21002L, 21006L, 21013L, 21014L, 21015L, 21018L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -58,7 +58,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.EventTimeSeedFloor until QueryFuzz.EventTimeSeedFloor + 20L) ++
       (QueryFuzz.RangeFrameSeedFloor until QueryFuzz.RangeFrameSeedFloor + 20L) ++
       (QueryFuzz.ScalarSubSeedFloor until QueryFuzz.ScalarSubSeedFloor + 20L) ++
-      (QueryFuzz.SetOpSeedFloor until QueryFuzz.SetOpSeedFloor + 20L)
+      (QueryFuzz.SetOpSeedFloor until QueryFuzz.SetOpSeedFloor + 20L) ++
+      (QueryFuzz.ExplodeSeedFloor until QueryFuzz.ExplodeSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
