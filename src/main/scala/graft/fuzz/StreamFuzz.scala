@@ -70,6 +70,7 @@ object StreamFuzz {
   val AggAggSeedFloor = 16500L
   val Chain3SeedFloor = 17000L
   val TwsJoinSeedFloor = 17500L
+  val DedupAggSeedFloor = 18000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -1735,6 +1736,144 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"))
     }
 
+  private[graft] case class DedupAggP(nWaves: Int, mode: String, delay: Long,
+      bucket: Long, aggK: Long) {
+    def aggW: Long = aggK * bucket
+  }
+
+  private[graft] def dedupAggP(seed: Long): DedupAggP = {
+    val d = dedupP(seed)
+    // independent draw for the rollup multiple (dedupP consumed its RNG)
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    DedupAggP(d.nWaves, d.mode, d.delay, d.bucket,
+      Seq(2L, 4L, 8L)(rnd.nextInt(3)))
+  }
+
+  /** Family M — streaming dedup FEEDING a tumbling windowed aggregation
+    * (the dedup->agg production shape: "count unique impressions per
+    * window"): StreamingDeduplicateExec chained into a windowed agg in
+    * ONE query, the remaining two-stateful composition after H
+    * (join->agg), J (agg->agg), and L (tws->join). The dedup operator
+    * passes rows through with their event-time column UNCHANGED, so the
+    * downstream agg runs on the SAME global watermark — no output-time
+    * re-declaration involved (contrast family L).
+    *
+    * Purity, composing family E's argument with family H's:
+    *
+    *  - the dedup stage's finalized emission set is exactly DISTINCT
+    *    over the lagged-watermark-kept rows (family E: re-emission after
+    *    eviction impossible — inclusive drop and eviction share the
+    *    boundary);
+    *  - the agg NEVER drops an emitted row: emission happens in the
+    *    arrival batch M of the first kept occurrence, which satisfied
+    *    `bt > L(M)`, and the agg's lagged filter in the same batch drops
+    *    only `W.end <= L(M)` — impossible for the window CONTAINING bt;
+    *  - an emitted window never re-feeds: eviction of W at batch N needs
+    *    `E(N) >= W.end`, a later emission into W at batch M > N needs
+    *    `bt > L(M) = E(M-1) >= E(N) >= W.end > bt` — contradiction.
+    *
+    * So the finalized output is the plain tumbling rollup of the
+    * DISTINCT kept (key, bucket) pairs; `sum_keys` is exact BIGINT.
+    * aggW is an aligned multiple of the dedup bucket, and sentinels are
+    * separated by TIME (the output has no key column — family I/K's
+    * convention): their far-future windows are dropped on the sink
+    * table, never in-query.
+    */
+  private def genDedupAgg(seed: Long, cfg: DriveCfg): SGen = {
+    val p = dedupAggP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket; val aggW = p.aggW
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val margin = delay + 3 * bucket + 3 * aggW + 10000000L
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, nWaves.toLong),
+          (-2L, hi + 2 * margin, nWaves + 1L))
+          .toDF("key", "ms", "wave"))
+      EventOps.driveWaves(spark, frame, "key LONG, ms LONG", nWaves + 2L,
+        s"sfz_dagg_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_dagg_$seed", dir))) { src =>
+        src.select(col("key"),
+            timestamp_millis(expr(s"(ms div ${bucket}L) * ${bucket}L"))
+              .as("bt"))
+          .withWatermark("bt", s"$delay milliseconds")
+          .dropDuplicates("key", "bt")
+          .groupBy(window(col("bt"), s"$aggW milliseconds"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("key")).as("sum_keys"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("n"), col("sum_keys"))
+      }
+        // sentinels separated by time: real buckets never exceed hi, so
+        // real window starts never reach hi + aggW
+        .filter(col("window_start_ms") < lit(hi + aggW))
+        .orderBy(col("window_start_ms"))
+    }
+
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, (ms // $bucket) * $bucket AS ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |kept AS (
+        |  SELECT e.user_id, e.ms FROM e JOIN l USING (wave)
+        |  WHERE e.ms > l.lwm),
+        |d AS (SELECT DISTINCT user_id, ms FROM kept)
+        |SELECT (ms // $aggW) * $aggW AS window_start_ms,
+        |       COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_keys
+        |FROM d GROUP BY 1 ORDER BY window_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family M drive: family E's twin closed
+    * under the aligned tumbling GROUP BY.
+    */
+  def dedupAggTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = dedupAggP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+        .withColumn("bt", expr(s"(ms div ${p.bucket}L) * ${p.bucket}L"))
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("bt")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - lit(p.delay),
+            lit(0L)), lit(0L)).as("lwm"))
+      e.join(broadcast(l), Seq("wave"))
+        .filter(col("bt") > col("lwm"))
+        .select(col("key"), col("bt"))
+        .distinct()
+        .groupBy(expr(s"(bt div ${p.aggW}L) * ${p.aggW}L")
+          .as("window_start_ms"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+        .orderBy(col("window_start_ms"))
+    }
+
   private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
       window: Long, bucket: Long)
 
@@ -1959,7 +2098,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
+    if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
+    else if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
     else if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
     else if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
     else if (seed >= UnionSeedFloor) genUnion(seed, cfg)
@@ -1984,7 +2124,8 @@ object StreamFuzz {
       15000L, 15001L, 15002L, 15003L, 15500L, 15501L, 15502L, 15509L,
       16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L,
       17001L, 17004L, 17005L, 17007L,
-      17502L, 17506L, 17510L, 17515L)
+      17502L, 17506L, 17510L, 17515L,
+      18003L, 18005L, 18007L, 18009L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -1995,7 +2136,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L, 17506L)
+      16005L, 16501L, 17001L, 17506L, 18009L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2004,7 +2145,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L, 17502L)
+      16010L, 16502L, 17005L, 17502L, 18005L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -10,14 +10,20 @@ object FuzzSeedScan {
     val spark = TestSpark.spark
     val (from, to) = (args(0).toLong, args(1).toLong)
     (from to to).foreach { seed =>
-      val p = graft.fuzz.StreamFuzz.twsJoinP(seed)
-      val twin = graft.fuzz.StreamFuzz.twsJoinTwin(seed)
+      import graft.fuzz.StreamFuzz
+      val (p, twin) =
+        if (seed >= StreamFuzz.DedupAggSeedFloor)
+          (StreamFuzz.dedupAggP(seed).toString, StreamFuzz.dedupAggTwin(seed))
+        else
+          (StreamFuzz.twsJoinP(seed).toString, StreamFuzz.twsJoinTwin(seed))
       val n1 = twin(spark, TestSpark.sfDir).count()
       val n2 = twin(spark, TestSpark.sfDirMid).count()
-      val i = graft.fuzz.StreamFuzz.twsJoinInternals(seed, spark,
-        TestSpark.sfDirMid)
-      println(s"SEED $seed $p twin_sf0.001=$n1 twin_sf0.01=$n2 " +
-        s"internals_sf0.01=$i")
+      val extra =
+        if (seed < StreamFuzz.DedupAggSeedFloor)
+          " internals_sf0.01=" +
+            StreamFuzz.twsJoinInternals(seed, spark, TestSpark.sfDirMid)
+        else ""
+      println(s"SEED $seed $p twin_sf0.001=$n1 twin_sf0.01=$n2$extra")
     }
     spark.stop()
   }

@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
+    if (seed >= StreamFuzz.DedupAggSeedFloor) StreamFuzz.dedupAggTwin
+    else if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
     else if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
     else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
     else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
@@ -142,6 +143,17 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // registered (18003/18005/18007/18009) + unregistered 18011; both
+  // carvings, delays 0-72 h, dedup buckets 1 h-24 h, rollup multiples
+  // 2/4/8 — the dedup->agg composition's point is the DISTINCT set
+  // feeding the window rollup through the untouched watermark
+  Seq(18003L, 18005L, 18007L, 18009L, 18011L).foreach { s =>
+    test(s"dedup -> windowed-agg drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.dedupAggP(s)})") {
+      check(s, StreamFuzz.dedupAggTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -154,7 +166,8 @@ class StreamFuzzSpec extends AnyFunSuite {
   Seq(12000L, 12002L, 12004L, 12005L, 12500L, 12501L, 12504L, 12505L,
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
-      16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L)
+      16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
+      18003L, 18009L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

@@ -610,6 +610,43 @@ class WmProbeSpec extends AnyFunSuite {
       s"tws->join propagation rule moved: $pairs")
   }
 
+  test("streaming dedup chained into a windowed agg: the agg accumulates " +
+      "across batches through the dedup, a late duplicate is dropped " +
+      "before it can re-feed, and emitted windows stay emitted") {
+    // Family M's load-bearing composition rules, end to end: dedup
+    // passes rows through with the event-time column UNTOUCHED, so the
+    // downstream agg runs on the same global watermark. bucket 1000,
+    // window 2000, delay 0.
+    //   wave0: (100, 20000)            -> dedup emits; window [20000,22000)
+    //   wave1: (101, 30000)            -> raises the max
+    //   wave2: L(2)=20000. (1, 20001) buckets to 20000 <= L -> dropped
+    //     (inclusive, BEFORE the dedup state is consulted); (2, 21000)
+    //     kept -> dedup emits into the SAME [20000,22000) window, which
+    //     must accumulate n=2 across batches; (100, 20000) retry also
+    //     dropped late -> no double count
+    //   waves 3/4: sentinels flush. Expect (20000, n=2, sum=102) and
+    //   (30000, n=1, sum=101).
+    val rows = Seq(
+      ("100", 20000L, 0L),
+      ("101", 30000L, 1L),
+      ("1", 20001L, 2L), ("2", 21000L, 2L), ("100", 20000L, 2L),
+      ("-1", 60000L, 3L), ("-2", 90000L, 4L))
+    val out = drive(rows, "probe_dedup_agg", 5) { src =>
+      src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(expr("(ms div 1000L) * 1000L")).as("bt"))
+        .withWatermark("bt", "0 seconds")
+        .dropDuplicates("key", "bt")
+        .groupBy(window(col("bt"), "2000 milliseconds"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("n"), col("sum_keys"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 40000L).sorted
+    assert(real == Seq((20000L, 2L, 102L), (30000L, 1L, 101L)),
+      s"dedup->agg composition rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
