@@ -114,7 +114,10 @@ object Bench {
         val cur = shuffleAcc.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
-      if (waited >= 2000) settleTimeouts.incrementAndGet()
+      // a timeout is only the UNSETTLED exit — reaching stable == 3 on
+      // the final poll as waited hits the budget is a clean settle, and
+      // counting it would overstate the exhaustion telemetry
+      if (stable < 3) settleTimeouts.incrementAndGet()
       prev
     }
     // Warm-up (untimed): prime parquet file indexes/footers and JIT the

@@ -994,7 +994,13 @@ object QueryFuzz {
     val build = (spark: SparkSession, dir: String) => {
       val base0 = Tables.table(spark, dir, t.name)
       val base = if (withPred) base0.filter(pCol) else base0
-      val arr = sequence(lit(1), nCol)
+      // n <= 0 guard: sequence(1, n) with a non-positive bound generates
+      // a DESCENDING array (e.g. [1, 0, -1]) and explode would emit rows
+      // the numbers-join oracle (u in 1..m, u <= n) never produces. All
+      // current fuzz int columns are non-negative, but the invariant must
+      // hold by construction, not by fixture luck.
+      val arr = when(nCol >= 1, sequence(lit(1), nCol))
+        .otherwise(array().cast("array<int>"))
       val arrCol =
         if (variant == 1) when(p2Col, arr).otherwise(array().cast("array<int>"))
         else arr
@@ -1013,8 +1019,126 @@ object QueryFuzz {
   /** Seed floor for the explode/generator shape. */
   val ExplodeSeedFloor = 21000L
 
+  /** Window-over-outer-join shape: rank / lag / ROWS-frame aggregates
+    * computed ON TOP OF a LEFT/RIGHT/FULL outer join whose keys are
+    * NULLIF-punched — the null-ordering x frame-boundary interaction no
+    * other family crosses (8000+ stops at grouped aggregates over the
+    * join; 7000/10000 window over a single clean table). The two engines
+    * DEFAULT null ordering differently (Spark ASC = NULLS FIRST, DuckDB
+    * ASC = NULLS LAST), so every window ORDER BY spells its placement
+    * explicitly; what the family guards is that explicit placement
+    * steering outer-padded NULL rows to the right frame end, frame
+    * stepping across those rows (SUM/COUNT(col) skip the NULL VALUES
+    * while COUNT(*) counts the rows), LAG/LEAD crossing them, and RANK
+    * tie collapse on punched keys. The per-row
+    * uid = COALESCE(lv, -1 - rv) is a total order (left ids are unique
+    * and non-negative; padded right-only rows map to distinct
+    * negatives), making ROW_NUMBER/LAG deterministic and the final
+    * ORDER BY unique. The partition key lk % p is itself nullable —
+    * both engines group the punched rows into one NULL partition.
+    */
+  private def genWindowOuter(seed: Long, rnd: Random): Gen = {
+    val (lt, rt, lc, rc, dom) = pick(rnd, Seq(
+      ("customer", "nation", "c_nationkey", "n_nationkey", 25),
+      ("supplier", "nation", "s_nationkey", "n_nationkey", 25),
+      ("nation", "region", "n_regionkey", "r_regionkey", 5)))
+    val lid = tables.find(_.name == lt).get.ints.head
+    val rid = tables.find(_.name == rt).get.ints.head
+    val nullL = rnd.nextInt(dom)
+    val nullR = rnd.nextInt(dom)
+    val halveRight = rnd.nextBoolean()
+    val (joinSql, joinType) = rnd.nextInt(3) match {
+      case 0 => ("FULL JOIN", "full")
+      case 1 => ("LEFT JOIN", "left")
+      case _ => ("RIGHT JOIN", "right")
+    }
+    val p = 2 + rnd.nextInt(3)
+    val asc = rnd.nextBoolean()
+    val nullsFirst = rnd.nextBoolean()
+    val ovName = if (rnd.nextBoolean()) "rk" else "lk" // nullable ordering
+    val variant = rnd.nextInt(3) // 0 rank+row_number, 1 lag/lead, 2 frame
+    val frameK = 1 + rnd.nextInt(3)
+    val ovSpec = s"$ovName ${if (asc) "ASC" else "DESC"}" +
+      s" NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
+    val winSql = variant match {
+      case 0 =>
+        s"""CAST(RANK() OVER (PARTITION BY pk
+           |            ORDER BY $ovSpec) AS BIGINT) AS w0,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY pk
+           |            ORDER BY $ovSpec, uid) AS BIGINT) AS w1""".stripMargin
+      case 1 =>
+        s"""CAST(LAG(rv, 1) OVER (PARTITION BY pk
+           |            ORDER BY $ovSpec, uid) AS BIGINT) AS w0,
+           |       CAST(LEAD(rv, 1) OVER (PARTITION BY pk
+           |            ORDER BY $ovSpec, uid) AS BIGINT) AS w1""".stripMargin
+      case _ =>
+        val fr = s"PARTITION BY pk ORDER BY $ovSpec, uid ROWS BETWEEN " +
+          s"$frameK PRECEDING AND CURRENT ROW"
+        s"""CAST(SUM(rv) OVER ($fr) AS BIGINT) AS w0,
+           |       CAST(COUNT(rv) OVER ($fr) AS BIGINT) AS w1,
+           |       CAST(COUNT(*) OVER ($fr) AS BIGINT) AS w2""".stripMargin
+    }
+    val rightWhere = if (halveRight) s" WHERE $rc % 2 = 0" else ""
+    val sql =
+      s"""WITH j AS (
+         |  SELECT lk, rk, lv, rv,
+         |         CAST(COALESCE(lv, -1 - rv) AS BIGINT) AS uid,
+         |         CAST(lk % $p AS BIGINT) AS pk
+         |  FROM (SELECT NULLIF($lc, $nullL) AS lk, $lid AS lv FROM $lt) a
+         |  $joinSql (SELECT NULLIF($rc, $nullR) AS rk, $rid AS rv
+         |            FROM $rt$rightWhere) b
+         |    ON lk = rk)
+         |SELECT uid, pk, CAST(lk AS BIGINT) AS lk, CAST(rk AS BIGINT) AS rk,
+         |       $winSql
+         |FROM j
+         |ORDER BY uid""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val a = Tables.table(spark, dir, lt)
+        .select(expr(s"NULLIF($lc, $nullL)").as("lk"), col(lid).as("lv"))
+      val rbase = Tables.table(spark, dir, rt)
+      val rsel = if (halveRight) rbase.filter(col(rc) % 2 === 0) else rbase
+      val b = rsel.select(expr(s"NULLIF($rc, $nullR)").as("rk"),
+        col(rid).as("rv"))
+      val j = a.join(b, a("lk") === b("rk"), joinType)
+        .select(col("lk"), col("rk"), col("lv"), col("rv"),
+          coalesce(col("lv"), lit(-1) - col("rv")).cast("long").as("uid"),
+          (col("lk") % p).cast("long").as("pk"))
+      val ovCol =
+        if (asc) { if (nullsFirst) col(ovName).asc_nulls_first
+                   else col(ovName).asc_nulls_last }
+        else { if (nullsFirst) col(ovName).desc_nulls_first
+               else col(ovName).desc_nulls_last }
+      val wTotal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pk")).orderBy(ovCol, col("uid"))
+      val winCols = variant match {
+        case 0 =>
+          val wTies = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pk")).orderBy(ovCol)
+          Seq(rank().over(wTies).cast("long").as("w0"),
+            row_number().over(wTotal).cast("long").as("w1"))
+        case 1 =>
+          Seq(lag(col("rv"), 1).over(wTotal).cast("long").as("w0"),
+            lead(col("rv"), 1).over(wTotal).cast("long").as("w1"))
+        case _ =>
+          val fr = wTotal.rowsBetween(-frameK.toLong, 0L)
+          Seq(sum(col("rv")).over(fr).cast("long").as("w0"),
+            count(col("rv")).over(fr).cast("long").as("w1"),
+            count(lit(1)).over(fr).cast("long").as("w2"))
+      }
+      j.select(Seq(col("uid"), col("pk"),
+        col("lk").cast("long").as("lk"),
+        col("rk").cast("long").as("rk")) ++ winCols: _*)
+        .orderBy(col("uid"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the window-over-outer-join shape. */
+  val WindowOuterSeedFloor = 22000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= WindowOuterSeedFloor) return genWindowOuter(seed, rnd0)
     if (seed >= ExplodeSeedFloor) return genExplode(seed, rnd0)
     if (seed >= SetOpSeedFloor) return genSetOp(seed, rnd0)
     if (seed >= ScalarSubSeedFloor) return genScalarSub(seed, rnd0)
@@ -1274,7 +1398,14 @@ object QueryFuzz {
       // explode/generator shapes — GenerateExec vs the ANSI numbers-join
       // rendering; two of each variant (plain 21002/21014, conditional-
       // empty 21013/21015, +COUNT DISTINCT 21006/21018) over four tables
-      21002L, 21006L, 21013L, 21014L, 21015L, 21018L)
+      21002L, 21006L, 21013L, 21014L, 21015L, 21018L,
+      // window-over-outer-join shapes — rank/lag/ROWS-frame on top of
+      // NULLIF-punched outer joins with EXPLICIT null placement (the two
+      // engines default it differently); two of each variant crossing
+      // all three join types and both placements: rank 22001 LEFT
+      // NULLS LAST / 22008 RIGHT NULLS FIRST, lag 22003 RIGHT LAST /
+      // 22004 FULL FIRST, frame 22006 LEFT FIRST / 22005 RIGHT LAST
+      22001L, 22003L, 22004L, 22005L, 22006L, 22008L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

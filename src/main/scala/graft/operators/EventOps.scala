@@ -313,9 +313,14 @@ object EventOps {
 
   /** Shared-staging keys must be unique per (logical frame, sf dir) —
     * suites drive the same frames at several scale factors in one JVM.
+    * The sanitized dir alone is NOT injective (`data-sf` and `data_sf`
+    * collapse to the same key and the second drive would silently reuse
+    * waves carved from the wrong fixture), so a hash of the raw string
+    * is appended.
     */
   private[graft] def stageKeyFor(base: String, dir: String): String =
-    base + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    base + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
 
   private def sharedStage(rows: DataFrame, key: String,
       filesPerWave: Int): String = stagedKeys.synchronized {

@@ -1786,33 +1786,36 @@ object SimilarityOps {
     */
   val BitextThreshold = 1.06
 
-  /** Margin-based parallel-pair mining (the bitext-mining shape): for
-    * every candidate pair between two embedding groups, the raw cosine
-    * is rescaled by the mean cosine of each side's [[BitextK]] nearest
-    * neighbors — margin(x,y) = cos(x,y) / ((avgNN(x) + avgNN(y)) / 2) —
-    * which cancels hubness (vectors that are close to EVERYTHING score
-    * high cosine against everything; dividing by their neighborhood mean
-    * deflates them), and the best candidate per source vector is kept
-    * with an accept flag at [[BitextThreshold]].
-    *
-    * Scale: this is the exact evaluator over a candidate pair set. Here
-    * the candidates are the full label-0 x label-1 grid (groups are
-    * fixtures-small and one side broadcasts); at 100 TB the grid is
-    * replaced by each side's ANN k-NN lists ([[simIvfTopk]]) and this
-    * margin rescoring runs unchanged on those candidate pairs —
-    * the margin math only ever needs each pair's cosine plus per-vector
-    * top-k means, both of which the ANN stage already produces.
+  /** Mining-source id ceiling for the EXACT bitext evaluator: the exact
+    * grid is only scale-sane against a bounded query set (mine
+    * translations for a fixed source batch), so the label-0 side is
+    * pinned to `vec_id < BitextSrcIds` — constant cardinality at every
+    * SF — while the label-1 target corpus stays unbounded. The
+    * full-corpus x full-corpus mining shape is [[simBitextMarginAnn]],
+    * whose candidates come cell-bounded from the staged IVF assignment.
     */
-  def simBitextMargin(spark: SparkSession, dir: String): DataFrame = {
-    CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val x = e.filter(col("label") === 0)
-      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
-    val y = e.filter(col("label") === 1)
-      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
-    val pairs = broadcast(x).join(y)
-      .select(col("x_id"), col("y_id"),
-        round(expr("cosine_similarity(x_emb, y_emb)"), 6).as("sim"))
+  val BitextSrcIds = 300
+
+  /** Margin rescoring over an arbitrary candidate-pair set — the shared
+    * core of [[simBitextMargin]] (exact bounded grid) and
+    * [[simBitextMarginAnn]] (IVF-cell candidates): each pair's cosine is
+    * rescaled by the mean cosine of each side's [[BitextK]] nearest
+    * neighbors WITHIN the candidate set —
+    * margin(x,y) = cos(x,y) / ((avgNN(x) + avgNN(y)) / 2) — which
+    * cancels hubness (vectors close to EVERYTHING score high against
+    * everything; dividing by their neighborhood mean deflates them), and
+    * the best candidate per source vector is kept with an accept flag at
+    * [[BitextThreshold]].
+    *
+    * Scale: everything is candidate-set-bounded. The per-side
+    * neighborhood means are per-key top-k aggregates (WindowGroupLimit
+    * keeps k rows per key map-side) and join back WITHOUT broadcast
+    * hints — both mean tables grow with the number of distinct sources /
+    * targets in the candidate set, so the join strategy must stay AQE's
+    * call (a hint here is exactly the SF-growing-broadcast class the
+    * PlanSpec hygiene walk bans).
+    */
+  def bitextMarginRescore(pairs: DataFrame): DataFrame = {
     val wx = Window.partitionBy(col("x_id"))
       .orderBy(col("sim").desc, col("y_id"))
     val wy = Window.partitionBy(col("y_id"))
@@ -1823,7 +1826,7 @@ object SimilarityOps {
     val ay = pairs.withColumn("r", row_number().over(wy))
       .filter(col("r") <= BitextK)
       .groupBy(col("y_id")).agg(avg(col("sim")).as("avg_y"))
-    val m = pairs.join(broadcast(ax), "x_id").join(broadcast(ay), "y_id")
+    val m = pairs.join(ax, "x_id").join(ay, "y_id")
       .withColumn("margin",
         round(col("sim") / ((col("avg_x") + col("avg_y")) / 2), 4))
     val wb = Window.partitionBy(col("x_id"))
@@ -1834,8 +1837,29 @@ object SimilarityOps {
       .orderBy(col("x_id"))
   }
 
+  /** Margin-based parallel-pair mining (the bitext-mining shape), EXACT
+    * evaluator: the candidate set is the full grid between the bounded
+    * label-0 source batch (`vec_id < ` [[BitextSrcIds]], constant rows
+    * at every SF — the broadcast side) and the unbounded label-1 target
+    * corpus, so pair count is O(corpus), never O(corpus^2). The
+    * production full-corpus shape is [[simBitextMarginAnn]].
+    */
+  def simBitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val x = e.filter(col("label") === 0 && col("vec_id") < BitextSrcIds)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val y = e.filter(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val pairs = broadcast(x).join(y)
+      .select(col("x_id"), col("y_id"),
+        round(expr("cosine_similarity(x_emb, y_emb)"), 6).as("sim"))
+    bitextMarginRescore(pairs)
+  }
+
   val simBitextMarginOracle: String =
-    s"""WITH x AS (SELECT vec_id AS x_id, embedding FROM embeddings WHERE label = 0),
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding FROM embeddings
+      |           WHERE label = 0 AND vec_id < $BitextSrcIds),
       |y AS (SELECT vec_id AS y_id, embedding FROM embeddings WHERE label = 1),
       |p AS (
       |  SELECT x_id, y_id,
@@ -1857,30 +1881,91 @@ object SimilarityOps {
       |SELECT x_id, y_id, sim, margin, (margin >= $BitextThreshold) AS accepted
       |FROM b WHERE brk = 1 ORDER BY x_id""".stripMargin
 
+  /** Bitext mining at corpus x corpus scale: candidates come from the
+    * staged IVF cell assignment (the persisted-index substrate shared
+    * with `sim_ivf_topk`) — a label-0 source pairs only with the label-1
+    * targets ASSIGNED TO ITS CELL, so candidate generation is one
+    * cell-keyed equi-join (shuffle on cell, both sides map-pruned to
+    * their label), never an all-pairs grid, and [[bitextMarginRescore]]
+    * runs unchanged on those pairs. This is the registered proof that
+    * the exact evaluator's margin math composes with the ANN substrate:
+    * at 100 TB the assignment is the once-built index and this query's
+    * cost is sum over cells of |x_cell| * |y_cell|.
+    */
+  def simBitextMarginAnn(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val assigned = stagedSeedAssignment(spark, dir).join(labels, "vec_id")
+    val x = assigned.filter(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
+        col("cell"))
+    val y = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"),
+        col("cell"))
+    val pairs = x.join(y, "cell")
+      .select(col("x_id"), col("y_id"),
+        round(expr("cosine_similarity(x_emb, y_emb)"), 6).as("sim"))
+    bitextMarginRescore(pairs)
+  }
+
+  lazy val simBitextMarginAnnOracle: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, v.embedding, v.label, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, embedding, label, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |p AS (
+      |  SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+      |  WHERE a.label = 0 AND b.label = 1),
+      |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |               ORDER BY sim DESC, y_id) AS r FROM p),
+      |ry AS (SELECT *, row_number() OVER (PARTITION BY y_id
+      |               ORDER BY sim DESC, x_id) AS r FROM p),
+      |ax AS (SELECT x_id, AVG(sim) AS avg_x FROM rx WHERE r <= $BitextK GROUP BY x_id),
+      |ay AS (SELECT y_id, AVG(sim) AS avg_y FROM ry WHERE r <= $BitextK GROUP BY y_id),
+      |m AS (
+      |  SELECT p.x_id, p.y_id, p.sim,
+      |         round(p.sim / ((ax.avg_x + ay.avg_y) / 2), 4) AS margin
+      |  FROM p JOIN ax USING (x_id) JOIN ay USING (y_id)),
+      |b AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |              ORDER BY margin DESC, y_id) AS brk FROM m)
+      |SELECT x_id, y_id, sim, margin, (margin >= $BitextThreshold) AS accepted
+      |FROM b WHERE brk = 1 ORDER BY x_id""".stripMargin
+
   /** Mutual-kNN edges kept per graph build. */
   val MutualK = 3
 
-  /** Mutual-kNN graph construction — the edge set semi-supervised
-    * labeling, graph clustering, and the [[simPagerank]] /
-    * [[simTriangleCount]] analytics all start from: keep (a, b) only if
-    * b is in a's top-[[MutualK]] AND a is in b's top-[[MutualK]]
-    * (mutuality prunes hub vertices — the asymmetric-neighbor noise a
-    * plain kNN graph drags in). Built here exactly within one label cell;
-    * at 100 TB the cell is an LSH/IVF bucket so the pair generation stays
-    * cell-bounded (the [[dedupSemantic]] substrate), and the mutuality
-    * filter is what it is here: re-key the n·k directed edge list by the
-    * canonical unordered pair and keep pairs seen from both ends — a
-    * key-space-sized shuffle of the EDGE LIST, never a second scoring
-    * pass. Cosine symmetry guarantees both directions carry the same
-    * rounded similarity, so count(*) = 2 is the whole mutuality test.
+  /** Per-source top-[[MutualK]] + mutuality filter over an arbitrary
+    * directed scored pair set (qa, qb, sim) — the shared core of
+    * [[simKnnMutual]] (exact label-0 evaluator) and [[simKnnMutualAnn]]
+    * (IVF-cell candidates): keep (a, b) only if b is in a's
+    * top-[[MutualK]] AND a is in b's top-[[MutualK]] (mutuality prunes
+    * hub vertices — the asymmetric-neighbor noise a plain kNN graph
+    * drags in). The mutuality test re-keys the n·k directed edge list by
+    * the canonical unordered pair and keeps pairs seen from both ends —
+    * a key-space-sized shuffle of the EDGE LIST, never a second scoring
+    * pass; cosine symmetry guarantees both directions carry the same
+    * rounded similarity, so count(*) = 2 is the whole test. The top-k
+    * itself plans a map-side WindowGroupLimit.
     */
-  def simKnnMutual(spark: SparkSession, dir: String): DataFrame = {
-    CosineSimilarity.register(spark)
-    val sub = Tables.embeddings(spark, dir).filter(col("label") === 0)
-    val pairs = sub.as("a").join(broadcast(sub).as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
-        round(expr("cosine_similarity(a.embedding, b.embedding)"), 6).as("sim"))
+  def mutualKnnFilter(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("sim").desc, col("qb"))
     val knn = pairs.withColumn("rk", row_number().over(w))
@@ -1892,6 +1977,23 @@ object SimilarityOps {
       .filter(col("c") === 2)
       .select(col("a"), col("b"), col("sim"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Mutual-kNN graph, EXACT evaluator: all-pairs scoring within the
+    * label-0 subset, then [[mutualKnnFilter]]. Deliberately hint-free —
+    * both self-join sides grow with SF, so the join strategy (nested-
+    * loop at fixture scale) is AQE's call; the registered full-corpus
+    * scale shape is [[simKnnMutualAnn]], whose pair generation is
+    * IVF-cell-bounded.
+    */
+  def simKnnMutual(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val sub = Tables.embeddings(spark, dir).filter(col("label") === 0)
+    val pairs = sub.as("a").join(sub.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
+        round(expr("cosine_similarity(a.embedding, b.embedding)"), 6).as("sim"))
+    mutualKnnFilter(pairs)
   }
 
   val simKnnMutualOracle: String =
@@ -1912,8 +2014,68 @@ object SimilarityOps {
       |  FROM e GROUP BY 1, 2)
       |SELECT a, b, sim FROM m WHERE c = 2 ORDER BY a, b""".stripMargin
 
+  /** Mutual-kNN graph at full-corpus scale: directed candidate edges are
+    * generated INSIDE the staged IVF cells (each vector scores only
+    * against its own cell's members — one cell-keyed self-equi-join of
+    * the persisted assignment, the [[dedupSemanticAssigned]] substrate
+    * shape), then [[mutualKnnFilter]] takes the per-source top-
+    * [[MutualK]] and the both-ends mutuality vote. At 100 TB the
+    * assignment is the once-built index; pair cost is sum over cells of
+    * |cell|^2, never corpus^2, and everything downstream of the scoring
+    * touches only the n·k edge list.
+    */
+  def simKnnMutualAnn(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val a = stagedSeedAssignment(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
+        round(expr("cosine_similarity(a.embedding, b.embedding)"), 6).as("sim"))
+    mutualKnnFilter(pairs)
+  }
+
+  lazy val simKnnMutualAnnOracle: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST($CoarseMinCells, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         embedding AS centroid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |          <= (SELECT nlist FROM params)),
+      |vsim AS (
+      |  SELECT v.vec_id, v.embedding, s.cell,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(s.centroid AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings v CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM vsim) WHERE rn = 1),
+      |s AS (
+      |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qa
+      |            ORDER BY sim DESC, qb) AS rk
+      |  FROM s),
+      |e AS (SELECT qa, qb, sim FROM r WHERE rk <= $MutualK),
+      |m AS (
+      |  SELECT least(qa, qb) AS a, greatest(qa, qb) AS b,
+      |         MAX(sim) AS sim, COUNT(*) AS c
+      |  FROM e GROUP BY 1, 2)
+      |SELECT a, b, sim FROM m WHERE c = 2 ORDER BY a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_mutual" -> (simKnnMutual _),
+    "sim_knn_mutual_ann" -> (simKnnMutualAnn _),
+    "sim_bitext_margin_ann" -> (simBitextMarginAnn _),
     "sim_embedding_stats" -> (simEmbeddingStats _),
     "sim_triangle_count" -> (simTriangleCount _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1936,6 +2098,8 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "sim_knn_mutual" -> simKnnMutualOracle,
+    "sim_knn_mutual_ann" -> simKnnMutualAnnOracle,
+    "sim_bitext_margin_ann" -> simBitextMarginAnnOracle,
     "sim_embedding_stats" -> simEmbeddingStatsOracle,
     "sim_triangle_count" -> simTriangleCountOracle,
     "sim_pagerank" -> simPagerankOracle,

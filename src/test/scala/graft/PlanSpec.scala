@@ -257,17 +257,14 @@ class PlanSpec extends AnyFunSuite {
           other.subqueries.flatMap(hintViolations)
     }
     // documented bounded exceptions the structural rule cannot see
+    // (r11 closed the two similarity entries: sim_bitext_margin now
+    // probe-bounds its source side and sim_knn_mutual carries no hint;
+    // the full-corpus shapes are the IVF-cell-fed *_ann variants)
     val whitelist: Map[String, String] = Map(
       "events_sessionize_late" ->
         "chunk-max side groups by chunk id (<= StatefulChunks rows)",
       "events_attribution" ->
-        "chunk-watermark side groups by chunk id (<= StatefulChunks rows)",
-      "sim_bitext_margin" -> ("documented exact evaluator over the label " +
-        "grid; the 100 TB path swaps the grid for ANN k-NN candidate " +
-        "lists and the margin math runs unchanged (SimilarityOps scaladoc)"),
-      "sim_knn_mutual" -> ("documented exact evaluator; at 100 TB pair " +
-        "generation is cell-bounded via the LSH/IVF substrate and the " +
-        "mutuality filter consumes those edge lists (SimilarityOps scaladoc)"))
+        "chunk-watermark side groups by chunk id (<= StatefulChunks rows)")
     // negative controls: both r10 shapes must be flagged by the walk —
     // a raw fact-scan hint (q_local_supplier_volume's broadcast(customer))
     // and a group-by-fact-key hint (q_basket_affinity's broadcast(perPart))
@@ -284,6 +281,21 @@ class PlanSpec extends AnyFunSuite {
       "negative control: group-by-fact-key hint not flagged")
     val batchNames =
       (SparkEntry.queries.keySet -- SparkEntry.streamingQueries).toSeq.sorted
+    // whitelist integrity: every entry must (a) name a registered query
+    // — a rename would otherwise leave a stale exemption behind — and
+    // (b) still TRIP the walk when not exempted, so a column rename that
+    // defangs the name heuristic (isFactId is convention-based) cannot
+    // silently turn an exemption into dead weight that later hides a
+    // real violation under the same name
+    for ((name, why) <- whitelist) {
+      assert(batchNames.contains(name),
+        s"whitelist entry $name is not a registered batch query ($why)")
+      val analyzed =
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      assert(hintViolations(analyzed).nonEmpty,
+        s"whitelist entry $name no longer trips the walk — the exemption " +
+          s"is dead; delete it (was: $why)")
+    }
     val bad = batchNames.filterNot(whitelist.contains).flatMap { name =>
       val analyzed =
         SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
@@ -356,13 +368,13 @@ class PlanSpec extends AnyFunSuite {
     assert(crossViolations(
       li.crossJoin(graft.Tables.orders(spark, dir)).queryExecution.analyzed)
       .nonEmpty, "negative control: fact x fact crossJoin not flagged")
-    // documented exceptions: the two grid evaluators whose 100 TB path
-    // swaps the grid for ANN candidate lists (same whitelist + argument
-    // as the broadcast-hint walk)
-    val whitelist = Set("sim_bitext_margin", "sim_knn_mutual")
+    // no exceptions: r11 closed the two former grid-evaluator entries —
+    // sim_bitext_margin probe-bounds its source side (vec_id <
+    // BitextSrcIds) and the full-corpus shapes (sim_bitext_margin_ann,
+    // sim_knn_mutual_ann) generate candidates inside staged IVF cells
     val batchNames =
       (SparkEntry.queries.keySet -- SparkEntry.streamingQueries).toSeq.sorted
-    val bad = batchNames.filterNot(whitelist.contains).flatMap { name =>
+    val bad = batchNames.flatMap { name =>
       crossViolations(
         SparkEntry.queries(name)(spark, dir).queryExecution.analyzed)
         .map(t => s"$name -> $t")

@@ -69,7 +69,8 @@ class RerankSpec extends AnyFunSuite {
     // raw-cosine best per x, same tiebreak
     val emb = Tables.embeddings(spark, dir)
     graft.functions.CosineSimilarity.register(spark)
-    val x = emb.filter(col("label") === 0)
+    val x = emb.filter(col("label") === 0 &&
+        col("vec_id") < SimilarityOps.BitextSrcIds)
       .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
     val y = emb.filter(col("label") === 1)
       .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
