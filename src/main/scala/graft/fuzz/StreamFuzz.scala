@@ -71,6 +71,7 @@ object StreamFuzz {
   val Chain3SeedFloor = 17000L
   val TwsJoinSeedFloor = 17500L
   val DedupAggSeedFloor = 18000L
+  val JoinJoinSeedFloor = 18500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -1874,6 +1875,237 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"))
     }
 
+  private[graft] case class JoinJoinP(nWaves: Int, mode: String, delay: Long,
+      w1: Long, w2: Long)
+
+  private[graft] def joinJoinP(seed: Long): JoinJoinP = {
+    val j = joinP(seed)
+    // independent draws for BOTH hop windows (joinP consumed its RNG).
+    // The menu is wider than family D's (6 h / 24 h / 72 h): a triple
+    // coincidence view -> click -> purchase on ONE user is far rarer
+    // than a pair, and the fixture's sf0.001 carving has only ~15 users
+    // over 30 days — family-D-width windows are vacuous there.
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    val menu = Seq(21600000L, 86400000L, 259200000L)
+    JoinJoinP(j.nWaves, j.mode, j.delay,
+      menu(rnd.nextInt(3)), menu(rnd.nextInt(3)))
+  }
+
+  /** Family N — a stream-stream interval join FEEDING a second
+    * stream-stream interval join (the remaining multi-hop composition:
+    * K's join→agg→agg chain propagates the join watermark into AGG
+    * state; here it must propagate into a second JOIN's symmetric hash
+    * state, on both of that join's roles — the pair stream is join2's
+    * left input and the purchase stream join2's right). Three watermarked
+    * inputs carved from one fixture: views x clicks (click in
+    * [view, view+w1]) then pairs x purchases (purchase in
+    * [click, click+w2]), all inner, keyed by user.
+    *
+    * Oracle purity — with E = the lagged three-sided global watermark
+    * (min of the per-type running maxes, minus delay), the finalized
+    * output is the plain triple interval join of the three KEPT sets:
+    * views/clicks with ms > E, purchases with ms >= E - w1 (the
+    * propagated bound drops STRICTLY below itself — the boundary row is
+    * kept, unlike the inclusive source-side filters; both pinned). The
+    * w1-shifted purchase bound is the load-bearing (empirically pinned)
+    * semantics: join2 has ONE input watermark
+    * E2 = min(wm_out(join1), wm(purchase node)) = min(E - w1, E)
+    * = E - w1 (join1's output watermark subtracts its view-side state
+    * range w1), and E2 — not E — governs join2's late filter on BOTH
+    * inputs and both of its state evictions. A purchase OLDER than the
+    * global watermark but within w1 of it is therefore kept and
+    * matched (the first probe run had the oracle drop exactly those —
+    * drive-only rows — until the bound was shifted). No triple is then
+    * lost or duplicated:
+    *
+    *  - join1 is family D's inner join verbatim: kept_v x kept_c, no
+    *    pair lost or duplicated, and every emitted pair carries
+    *    click_ms >= E(M-1) (kept clicks beat L(M) = E(M-1); stored
+    *    clicks survived eviction at E), so the pairs-side late filter
+    *    at E2(M-1) = E(M-1) - w1 never binds;
+    *  - purchase state evicts p only when p.ms < E2(N): a pair emitted
+    *    at batch M > N needs p.ms >= click_ms >= E(N) > E2(N) > p.ms —
+    *    contradiction, so an evicted purchase had no future match;
+    *  - pairs state evicts a pair only when click_ms + w2 < E2(N), and
+    *    a purchase kept at batch M > N has p.ms > E2(M-1) >= E2(N) >
+    *    click_ms + w2 — outside the interval, so an evicted pair had no
+    *    future match either.
+    *
+    * Pinned end-to-end by WmProbeSpec ("join output watermark drives a
+    * second join's late filter"). Sentinel TRIPLES (view = click =
+    * purchase time) ride through both joins and are dropped on the sink
+    * table — families D/H/K's convention, for the same pushdown reason.
+    */
+  private def genJoinJoin(seed: Long, cfg: DriveCfg): SGen = {
+    val p = joinJoinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val w1 = p.w1; val w2 = p.w2
+    val margin = delay + 3 * w1 + 3 * w2 + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-1L, "purchase", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L),
+          (-2L, "purchase", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_jj_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_jj_$seed", dir))) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(col("ms")).as("view_ts"))
+          .withWatermark("view_ts", s"$delay milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("puser"),
+            timestamp_millis(col("ms")).as("purchase_ts"))
+          .withWatermark("purchase_ts", s"$delay milliseconds")
+        // sentinel triples ride THROUGH both joins and are dropped on
+        // the sink table — an in-query filter here would be predicate-
+        // pushed below the EventTimeWatermark nodes and freeze the
+        // watermark (families D/H's empirically-bitten pushdown trap)
+        views.join(clicks,
+            expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+              s"click_ts <= view_ts + interval $w1 millisecond"), "inner")
+          // a join input may carry AT MOST ONE event-time column
+          // (Spark refuses (view_ts, click_ts) both watermarked), so
+          // the pair stream demotes view_ts to a plain long and keeps
+          // click_ts as ITS event time — the column join2's condition
+          // and state eviction run on
+          .select(col("vuser"), unix_millis(col("view_ts")).as("view_ms"),
+            col("click_ts"))
+          .join(purchases,
+            expr(s"vuser = puser AND purchase_ts >= click_ts AND " +
+              s"purchase_ts <= click_ts + interval $w2 millisecond"), "inner")
+          .select(col("vuser").as("user_id"), col("view_ms"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            unix_millis(col("purchase_ts")).as("purchase_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"),
+          col("purchase_ms"))
+    }
+
+    val tripleBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") tripleBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN ms END) AS mp
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL
+        |               OR MAX(mp) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+        |               MAX(mc) OVER lag2, MAX(mp) OVER lag2) - $delay, 0) END
+        |          AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, e.ms
+        |  FROM e JOIN l USING (wave)
+        |  WHERE CASE WHEN e.event_type = 'purchase'
+        |             THEN e.ms >= l.lwm - $w1
+        |             ELSE e.ms > l.lwm END)
+        |SELECT v.user_id AS user_id, v.ms AS view_ms, c.ms AS click_ms,
+        |       p.ms AS purchase_ms
+        |FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.ms >= v.ms AND c.ms <= v.ms + $w1
+        |JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id AND p.ms >= c.ms AND p.ms <= c.ms + $w2
+        |ORDER BY user_id, view_ms, click_ms, purchase_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family N drive: the three-sided kept
+    * sets closed under the same triple interval join.
+    */
+  def joinJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = joinJoinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ms"))).as("mp"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull ||
+            max(col("mp")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2),
+                max(col("mp")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(when(col("event_type") === "purchase",
+          col("ms") >= col("lwm") - p.w1).otherwise(col("ms") > col("lwm")))
+      val v = kept.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ms").as("view_ms"))
+      val c = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ms").as("click_ms"))
+      val pu = kept.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("puser"), col("ms").as("purchase_ms"))
+      v.join(c, col("user_id") === col("cuser") &&
+          col("click_ms") >= col("view_ms") &&
+          col("click_ms") <= col("view_ms") + p.w1, "inner")
+        .join(pu, col("user_id") === col("puser") &&
+          col("purchase_ms") >= col("click_ms") &&
+          col("purchase_ms") <= col("click_ms") + p.w2, "inner")
+        .select(col("user_id"), col("view_ms"), col("click_ms"),
+          col("purchase_ms"))
+        .orderBy(col("user_id"), col("view_ms"), col("click_ms"),
+          col("purchase_ms"))
+    }
+
   private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
       window: Long, bucket: Long)
 
@@ -2098,7 +2330,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
+    if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
+    else if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
     else if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
     else if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
     else if (seed >= AggAggSeedFloor) genAggAgg(seed, cfg)
@@ -2125,7 +2358,8 @@ object StreamFuzz {
       16000L, 16004L, 16005L, 16010L, 16500L, 16501L, 16502L, 16503L,
       17001L, 17004L, 17005L, 17007L,
       17502L, 17506L, 17510L, 17515L,
-      18003L, 18005L, 18007L, 18009L)
+      18003L, 18005L, 18007L, 18009L,
+      18503L, 18504L, 18508L, 18515L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2136,7 +2370,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L, 17506L, 18009L)
+      16005L, 16501L, 17001L, 17506L, 18009L, 18504L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2145,7 +2379,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L, 17502L, 18005L)
+      16010L, 16502L, 17005L, 17502L, 18005L, 18503L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

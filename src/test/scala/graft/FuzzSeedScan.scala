@@ -12,7 +12,9 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.DedupAggSeedFloor)
+        if (seed >= StreamFuzz.JoinJoinSeedFloor)
+          (StreamFuzz.joinJoinP(seed).toString, StreamFuzz.joinJoinTwin(seed))
+        else if (seed >= StreamFuzz.DedupAggSeedFloor)
           (StreamFuzz.dedupAggP(seed).toString, StreamFuzz.dedupAggTwin(seed))
         else
           (StreamFuzz.twsJoinP(seed).toString, StreamFuzz.twsJoinTwin(seed))

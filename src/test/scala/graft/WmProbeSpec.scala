@@ -647,6 +647,72 @@ class WmProbeSpec extends AnyFunSuite {
       s"dedup->agg composition rule moved: $real")
   }
 
+  test("stream-stream join output watermark drives a SECOND join's late " +
+      "filter: a purchase older than the global watermark but within w1 " +
+      "of it is kept and matched, INCLUDING at exactly E - w1") {
+    // Family N's load-bearing propagation rule: join2's single input
+    // watermark is min(wm_out(join1), wm(purchase node)) = E - w1, so
+    // the purchase-side late bound is SHIFTED by join1's view-state
+    // range — and, like every late filter, it lags one batch behind the
+    // eviction value (the fuzz oracles' two-batch-lagged CTE: the bound
+    // in batch N is E(N-2) - w1). delay 0, w1 = w2 = 10000.
+    //   wave0: v/c/p @20000 -> E(0) = 20000
+    //   wave1: v/c @40000, v/c/p @50000 -> E(1) = 50000
+    //   wave2: v@45000 (spacer batch; pairs with the stored c@50000)
+    //   wave3: late bound for purchases = E(1) - w1 = 40000.
+    //     p@45000 KEPT (45000 > 40000, though it is below the global
+    //     E(1) = 50000 — the naive unshifted bound would drop it) and
+    //     matched to the stored pair (40000, 40000);
+    //     p@40000 == the shifted bound -> KEPT: unlike the inclusive
+    //     source-side late filters (drop at ms <= L), the PROPAGATED
+    //     bound drops strictly below E - w1 (Spark's join state-
+    //     watermark subtraction is exclusive at the boundary);
+    //     p@29000 < 40000 -> DROPPED (its (20000, 20000) pair is also
+    //     long evicted)
+    //   waves 4/5: sentinel triples flush
+    val rows = Seq(
+      ("v", 20000L, 0L), ("c", 20000L, 0L), ("p", 20000L, 0L),
+      ("v", 40000L, 1L), ("c", 40000L, 1L),
+      ("v", 50000L, 1L), ("c", 50000L, 1L), ("p", 50000L, 1L),
+      ("v", 45000L, 2L),
+      ("p", 45000L, 3L), ("p", 40000L, 3L), ("p", 29000L, 3L),
+      ("sv", 300000L, 4L), ("sc", 300000L, 4L), ("sp", 300000L, 4L),
+      ("sv2", 500000L, 5L), ("sc2", 500000L, 5L), ("sp2", 500000L, 5L))
+    val out = drive(rows, "probe_join_join", 6) { src =>
+      val views = src.filter(col("etype").isin("v", "sv", "sv2"))
+        .select(lit(1L).as("vuser"), timestamp_millis(col("ms")).as("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+      val clicks = src.filter(col("etype").isin("c", "sc", "sc2"))
+        .select(lit(1L).as("cuser"), timestamp_millis(col("ms")).as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      val purchases = src.filter(col("etype").isin("p", "sp", "sp2"))
+        .select(lit(1L).as("puser"),
+          timestamp_millis(col("ms")).as("purchase_ts"))
+        .withWatermark("purchase_ts", "0 seconds")
+      views.join(clicks,
+          expr("vuser = cuser AND click_ts >= view_ts AND " +
+            "click_ts <= view_ts + interval 10000 millisecond"), "inner")
+        .select(col("vuser"), unix_millis(col("view_ts")).as("vms"),
+          col("click_ts"))
+        .join(purchases,
+          expr("vuser = puser AND purchase_ts >= click_ts AND " +
+            "purchase_ts <= click_ts + interval 10000 millisecond"), "inner")
+        .select(col("vms"), unix_millis(col("click_ts")).as("cms"),
+          unix_millis(col("purchase_ts")).as("pms"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 200000L).sorted
+    assert(real == Seq(
+      (20000L, 20000L, 20000L),
+      (40000L, 40000L, 40000L),
+      (40000L, 40000L, 45000L),
+      (40000L, 40000L, 50000L),
+      (40000L, 50000L, 50000L),
+      (45000L, 50000L, 50000L),
+      (50000L, 50000L, 50000L)),
+      s"join->join propagation rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
