@@ -796,6 +796,27 @@ class PlanSpec extends AnyFunSuite {
       s"lang filter not pushed to the scan:\n$plan")
   }
 
+  test("ANN-fed bitext margin and mutual-kNN: candidates come from a " +
+      "cell-keyed equi-join of the staged IVF assignment — no cartesian, " +
+      "no nested loop, no broadcast hint anywhere in the plan") {
+    // the two queries that closed the r11 similarity whitelist: their
+    // pair generation must stay cell-bounded (shuffle on cell) and the
+    // margin/mutuality joins must stay hint-free (AQE's call — both
+    // per-key mean/edge tables grow with the corpus)
+    for (name <- Seq("sim_bitext_margin_ann", "sim_knn_mutual_ann")) {
+      val df = graft.operators.SimilarityOps.queries(name)(spark, dir)
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$plan")
+      val logical = graft.operators.SimilarityOps.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!logical.contains("ResolvedHint"),
+        s"$name hint-forces a join strategy:\n$logical")
+      assert(df.count() > 0, s"$name vacuous at ${TestSpark.sfDir}")
+    }
+  }
+
   test("fuzzy linkage collapses to the name catalog BEFORE the pair " +
       "sweep: the nested-loop sides are aggregates, not raw scans") {
     val plan = finalPlan(
