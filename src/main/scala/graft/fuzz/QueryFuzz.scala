@@ -1136,8 +1136,104 @@ object QueryFuzz {
   /** Seed floor for the window-over-outer-join shape. */
   val WindowOuterSeedFloor = 22000L
 
+  /** LATERAL correlated top-N shape: `JOIN LATERAL (SELECT ... WHERE
+    * fk = parent.pk ORDER BY v DESC, uid LIMIT n)` — the classic
+    * top-N-per-group spelling, which Spark plans through correlated-
+    * subquery DECORRELATION with LIMIT (DecorrelateInnerQuery turning
+    * the per-row LIMIT into a partitioned rank) while the DataFrame
+    * twin states the window+join form directly — two genuinely
+    * different plans for the same semantics, differentially pinned
+    * (family 11000 covers correlated scalar aggregates, but not
+    * correlated LIMIT, the harder decorrelation). Variants: INNER
+    * (childless parents vanish), LEFT ... ON true (childless parents
+    * survive with a NULL row — the ORDER BY spells NULLS LAST because
+    * the engines default it differently), and CROSS JOIN LATERAL over
+    * an AGGREGATE of the top-N subquery (always exactly one lateral
+    * row: COUNT 0 / SUM NULL for childless parents — the empty-group
+    * split rides through the lateral). The lateral ORDER BY carries a
+    * within-group-unique uid tiebreak, so the selected set is
+    * deterministic even under value ties; double v columns pass
+    * through unmodified (selection, not arithmetic) and the top-N SUM
+    * takes the ROUND(x * (1 + 1e-12), 2) nudge.
+    */
+  private def genLateral(seed: Long, rnd0: Random): Gen = {
+    // a raw new Random(seed) correlates its FIRST nextInt(4) across
+    // sequential seeds (every scanned seed drew the same edge pair);
+    // the scrambled-seed draw the other families use for their variant
+    // picks decorrelates it
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    // (parent, child, pk, fk, value, within-group-unique uid)
+    val (pt, ct, pk, fk, vc, uc) = pick(rnd, Seq(
+      ("customer", "orders", "c_custkey", "o_custkey",
+        "o_totalprice", "o_orderkey"),
+      ("orders", "lineitem", "o_orderkey", "l_orderkey",
+        "l_extendedprice", "l_linenumber"),
+      ("nation", "customer", "n_nationkey", "c_nationkey",
+        "c_acctbal", "c_custkey"),
+      ("nation", "supplier", "n_nationkey", "s_nationkey",
+        "s_acctbal", "s_suppkey")))
+    val n = 1 + rnd.nextInt(3)
+    val withPred = rnd.nextBoolean()
+    val m = 2 + rnd.nextInt(4)
+    val r = rnd.nextInt(m)
+    val baseSql = if (withPred)
+      s"(SELECT * FROM $pt WHERE $pk % $m = $r)" else pt
+    val variant = rnd.nextInt(3) // 0 inner, 1 left, 2 lateral aggregate
+    val sql = variant match {
+      case 2 =>
+        s"""SELECT CAST(c.$pk AS BIGINT) AS key, CAST(t.cnt AS BIGINT) AS a0,
+           |       ROUND(t.s * (1.0 + 1e-12), 2) AS a1
+           |FROM $baseSql c CROSS JOIN LATERAL (
+           |  SELECT COUNT(*) AS cnt, SUM(v) AS s FROM (
+           |    SELECT $vc AS v FROM $ct WHERE $fk = c.$pk
+           |    ORDER BY $vc DESC, $uc LIMIT $n)) t
+           |ORDER BY key""".stripMargin
+      case v =>
+        val jt = if (v == 0) "JOIN" else "LEFT JOIN"
+        s"""SELECT CAST(c.$pk AS BIGINT) AS key, t.v AS v,
+           |       CAST(t.uid AS BIGINT) AS uid
+           |FROM $baseSql c $jt LATERAL (
+           |  SELECT $vc AS v, $uc AS uid FROM $ct
+           |  WHERE $fk = c.$pk
+           |  ORDER BY $vc DESC, $uc LIMIT $n) t ON true
+           |ORDER BY key, uid NULLS LAST""".stripMargin
+    }
+    val build = (spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base0 = Tables.table(spark, dir, pt)
+      val base = (if (withPred) base0.filter(col(pk) % m === r) else base0)
+        .select(col(pk).cast("long").as("key"))
+      val w = Window.partitionBy(col(fk))
+        .orderBy(col(vc).desc, col(uc))
+      val top = Tables.table(spark, dir, ct)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+        .select(col(fk).cast("long").as("fkk"), col(vc).as("v"),
+          col(uc).cast("long").as("uid"))
+      variant match {
+        case 2 =>
+          val agg = top.groupBy(col("fkk"))
+            .agg(count(lit(1)).as("cnt0"), sum(col("v")).as("s"))
+          base.join(agg, col("key") === col("fkk"), "left")
+            .select(col("key"),
+              coalesce(col("cnt0"), lit(0L)).as("a0"),
+              round(col("s") * (lit(1.0) + lit(1e-12)), 2).as("a1"))
+            .orderBy(col("key"))
+        case v =>
+          base.join(top, col("key") === col("fkk"),
+              if (v == 0) "inner" else "left")
+            .select(col("key"), col("v"), col("uid"))
+            .orderBy(col("key"), col("uid").asc_nulls_last)
+      }
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the LATERAL correlated top-N shape. */
+  val LateralSeedFloor = 23000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= LateralSeedFloor) return genLateral(seed, rnd0)
     if (seed >= WindowOuterSeedFloor) return genWindowOuter(seed, rnd0)
     if (seed >= ExplodeSeedFloor) return genExplode(seed, rnd0)
     if (seed >= SetOpSeedFloor) return genSetOp(seed, rnd0)
@@ -1405,7 +1501,13 @@ object QueryFuzz {
       // all three join types and both placements: rank 22001 LEFT
       // NULLS LAST / 22008 RIGHT NULLS FIRST, lag 22003 RIGHT LAST /
       // 22004 FULL FIRST, frame 22006 LEFT FIRST / 22005 RIGHT LAST
-      22001L, 22003L, 22004L, 22005L, 22006L, 22008L)
+      22001L, 22003L, 22004L, 22005L, 22006L, 22008L,
+      // LATERAL correlated top-N shapes — decorrelated-LIMIT plans vs
+      // the window+join DataFrame twin; two of each variant across the
+      // customer/orders/nation edges: inner 23000 (orders->lineitem,
+      // predicated) / 23006 (customer->orders), LEFT 23001 / 23021,
+      // lateral-aggregate 23012 (nation) / 23025 (customer)
+      23000L, 23001L, 23006L, 23012L, 23021L, 23025L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -60,7 +60,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.ScalarSubSeedFloor until QueryFuzz.ScalarSubSeedFloor + 20L) ++
       (QueryFuzz.SetOpSeedFloor until QueryFuzz.SetOpSeedFloor + 20L) ++
       (QueryFuzz.ExplodeSeedFloor until QueryFuzz.ExplodeSeedFloor + 20L) ++
-      (QueryFuzz.WindowOuterSeedFloor until QueryFuzz.WindowOuterSeedFloor + 20L)
+      (QueryFuzz.WindowOuterSeedFloor until QueryFuzz.WindowOuterSeedFloor + 20L) ++
+      (QueryFuzz.LateralSeedFloor until QueryFuzz.LateralSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -73,7 +74,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     // the sweep must exercise real data, not vacuous empty groups
     // (set-op EXCEPTs can legitimately drain to empty, so the floor
     // stays clear of the new 20 seeds)
-    assert(nonEmpty >= 350, s"only $nonEmpty/500 seeds returned rows")
+    assert(nonEmpty >= 370, s"only $nonEmpty/520 seeds returned rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
