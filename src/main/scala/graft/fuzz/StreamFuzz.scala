@@ -72,6 +72,7 @@ object StreamFuzz {
   val TwsJoinSeedFloor = 17500L
   val DedupAggSeedFloor = 18000L
   val JoinJoinSeedFloor = 18500L
+  val DedupJoinSeedFloor = 19000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2106,6 +2107,192 @@ object StreamFuzz {
           col("purchase_ms"))
     }
 
+  private[graft] case class DedupJoinP(nWaves: Int, mode: String,
+      delay: Long, bucket: Long, window: Long)
+
+  private[graft] def dedupJoinP(seed: Long): DedupJoinP = {
+    val d = dedupP(seed)
+    // independent draw for the join window (dedupP consumed its RNG);
+    // window >= one bucket on average so a floored view still reaches
+    // the clicks of its own bucket
+    val rnd = new Random(seed * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L)
+    DedupJoinP(d.nWaves, d.mode, d.delay,
+      Seq(3600000L, 21600000L)(rnd.nextInt(2)),
+      Seq(21600000L, 86400000L, 259200000L)(rnd.nextInt(3)))
+  }
+
+  /** Family O — streaming dedup FEEDING a stream-stream interval join
+    * (the remaining dedup x join composition after M's dedup -> agg and
+    * N's join -> join): views are deduped on (user, bucket) — one state
+    * row per distinct key, the bucketed time IS the event-time column —
+    * and the deduped stream interval-joins the watermarked click
+    * stream, so the join's view-side state eviction runs on the
+    * watermark passed THROUGH StreamingDeduplicateExec.
+    *
+    * Oracle purity is the composition of two proven arguments:
+    *
+    *  - family E: the dedup's finalized emission set is exactly
+    *    DISTINCT (user, bt) over the kept view rows (bt > L, inclusive
+    *    drop at the bound; re-emission after state eviction is
+    *    impossible), and — family M's pin — the event-time column
+    *    passes through UNTOUCHED, so the join's input watermark on the
+    *    view side is the unshifted global E (unlike family N, where
+    *    join1 SUBTRACTS its state range before propagating);
+    *  - family D: no (view, click) pair is lost or duplicated — a
+    *    deduped view emits in its arrival batch with bt > L(M), above
+    *    any same-batch late bound at the join; click state evicts at
+    *    ms < E and a kept view's matching clicks carry ms >= bt >
+    *    L(M) = E(M-1); view state evicts at bt < E - w and a kept
+    *    click's matching views carry bt >= ms - w > E(M-1) - w.
+    *
+    * The finalized output is therefore the plain interval join of the
+    * deduped kept views against the kept clicks. The oracle floors view
+    * times INSIDE its `e` CTE (per-wave maxes are over the FLOORED
+    * view times — floor is monotone, so the watermark replay is exact)
+    * under a column name distinct from the raw `ms` the wave carving
+    * reads. Sentinel view/click pairs ride through both operators and
+    * drop on the sink table (the pushdown convention).
+    */
+  private def genDedupJoin(seed: Long, cfg: DriveCfg): SGen = {
+    val p = dedupJoinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket; val window = p.window
+    val margin = delay + 3 * bucket + 3 * window + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_dj_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_dj_$seed", dir))) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(expr(s"(ms div ${bucket}L) * ${bucket}L"))
+              .as("view_bt"))
+          .withWatermark("view_bt", s"$delay milliseconds")
+          .dropDuplicates("vuser", "view_bt")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        // sentinels ride through both stateful operators and drop on
+        // the sink table (the families D/H/N pushdown convention)
+        views.join(clicks,
+            expr(s"vuser = cuser AND click_ts >= view_bt AND " +
+              s"click_ts <= view_bt + interval $window millisecond"), "inner")
+          .select(col("vuser").as("user_id"),
+            unix_millis(col("view_bt")).as("view_bt_ms"),
+            unix_millis(col("click_ts")).as("click_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("view_bt_ms"), col("click_ms"))
+    }
+
+    val pairBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") pairBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click')),
+        |e AS (SELECT user_id, event_type,
+        |        CASE WHEN event_type = 'view'
+        |             THEN (ms // $bucket) * $bucket ELSE ms END AS fms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN fms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN fms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+        |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, e.fms
+        |  FROM e JOIN l USING (wave) WHERE e.fms > l.lwm),
+        |d AS (SELECT DISTINCT user_id, fms FROM kept
+        |      WHERE event_type = 'view')
+        |SELECT v.user_id AS user_id, v.fms AS view_bt_ms, c.fms AS click_ms
+        |FROM d v
+        |JOIN (SELECT user_id, fms FROM kept WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.fms >= v.fms
+        |     AND c.fms <= v.fms + $window
+        |ORDER BY user_id, view_bt_ms, click_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family O drive: kept views (bucket-
+    * floored, DISTINCT) interval-joined with kept clicks under the same
+    * two-sided lagged watermark replay.
+    */
+  def dedupJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = dedupJoinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+        .withColumn("fms", when(col("event_type") === "view",
+          expr(s"(ms div ${p.bucket}L) * ${p.bucket}L")).otherwise(col("ms")))
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("fms"))).as("mv"),
+        max(when(col("event_type") === "click", col("fms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("fms") > col("lwm"))
+      val v = kept.filter(col("event_type") === "view")
+        .select(col("user_id"), col("fms").as("view_bt_ms")).distinct()
+      val c = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("fms").as("click_ms"))
+      v.join(c, col("user_id") === col("cuser") &&
+          col("click_ms") >= col("view_bt_ms") &&
+          col("click_ms") <= col("view_bt_ms") + p.window, "inner")
+        .select(col("user_id"), col("view_bt_ms"), col("click_ms"))
+        .orderBy(col("user_id"), col("view_bt_ms"), col("click_ms"))
+    }
+
   private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
       window: Long, bucket: Long)
 
@@ -2330,7 +2517,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
+    if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
+    else if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
     else if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
     else if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
     else if (seed >= Chain3SeedFloor) genChain3(seed, cfg)
@@ -2359,7 +2547,8 @@ object StreamFuzz {
       17001L, 17004L, 17005L, 17007L,
       17502L, 17506L, 17510L, 17515L,
       18003L, 18005L, 18007L, 18009L,
-      18503L, 18504L, 18508L, 18515L)
+      18503L, 18504L, 18508L, 18515L,
+      19000L, 19002L, 19004L, 19013L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2370,7 +2559,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L, 17506L, 18009L, 18504L)
+      16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2379,7 +2568,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L, 17502L, 18005L, 18503L)
+      16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

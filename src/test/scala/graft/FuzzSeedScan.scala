@@ -12,7 +12,9 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.JoinJoinSeedFloor)
+        if (seed >= StreamFuzz.DedupJoinSeedFloor)
+          (StreamFuzz.dedupJoinP(seed).toString, StreamFuzz.dedupJoinTwin(seed))
+        else if (seed >= StreamFuzz.JoinJoinSeedFloor)
           (StreamFuzz.joinJoinP(seed).toString, StreamFuzz.joinJoinTwin(seed))
         else if (seed >= StreamFuzz.DedupAggSeedFloor)
           (StreamFuzz.dedupAggP(seed).toString, StreamFuzz.dedupAggTwin(seed))

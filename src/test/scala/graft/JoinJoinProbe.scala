@@ -14,8 +14,10 @@ object JoinJoinProbe {
       try {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
-        val twin = StreamFuzz.joinJoinTwin(seed)(spark, dir)
-          .collect().map(_.toSeq).toSeq
+        val twinFn =
+          if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin(seed)
+          else StreamFuzz.joinJoinTwin(seed)
+        val twin = twinFn(spark, dir).collect().map(_.toSeq).toSeq
         val ok = drive == twin
         println(s"PROBE $seed drive=${drive.size} twin=${twin.size} match=$ok")
         if (!ok) {

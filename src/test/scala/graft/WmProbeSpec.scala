@@ -713,6 +713,63 @@ class WmProbeSpec extends AnyFunSuite {
       s"join->join propagation rule moved: $real")
   }
 
+  test("streaming dedup chained into a stream-stream join: the deduped " +
+      "view joins across batches, a suppressed duplicate never double-" +
+      "emits pairs, and a late-but-kept click still finds the deduped " +
+      "view in join state") {
+    // Family O's load-bearing composition rules: dedup passes the
+    // event-time column through UNTOUCHED (no watermark subtraction on
+    // the way into the join, unlike a join's own w1 shift), duplicate
+    // suppression happens BEFORE the join (one pair per kept click, not
+    // per view retry), and the join's state/late bounds are the plain
+    // family-D rules on the bucketed time. bucket 1000, w 10000,
+    // delay 0.
+    //   wave0: v@20500 (bucket 20000), c@20500 -> pair (20000, 20500);
+    //          E(0) = 20000 (min over floored-view/raw-click maxes)
+    //   wave1: v@20700 (same bucket — DUPLICATE, suppressed: no new
+    //          pair), c@29000 -> pair (20000, 29000) from the STORED
+    //          deduped view; v@40000 + c@40000 -> pair (40000, 40000),
+    //          E(1) = 40000
+    //   wave2: late click c@25000: bound = E(0) = 20000 -> KEPT, must
+    //          still match the stored view (eviction at bt < E - w =
+    //          30000 runs AFTER the batch's matching) -> (20000, 25000);
+    //          view retry v@20900 buckets to 20000 <= L -> dropped late
+    //          (inclusive), no re-emission
+    //   wave3: late click c@24000: bound = E(1) = 40000 -> dropped
+    //   waves 4/5: sentinel pairs flush
+    val rows = Seq(
+      ("v", 20500L, 0L), ("c", 20500L, 0L),
+      ("v", 20700L, 1L), ("c", 29000L, 1L),
+      ("v", 40000L, 1L), ("c", 40000L, 1L),
+      ("c", 25000L, 2L), ("v", 20900L, 2L),
+      ("c", 24000L, 3L),
+      ("sv", 300000L, 4L), ("sc", 300000L, 4L),
+      ("sv2", 500000L, 5L), ("sc2", 500000L, 5L))
+    val out = drive(rows, "probe_dedup_join", 6) { src =>
+      val views = src.filter(col("etype").isin("v", "sv", "sv2"))
+        .select(lit(1L).as("vuser"),
+          timestamp_millis(expr("(ms div 1000L) * 1000L")).as("view_bt"))
+        .withWatermark("view_bt", "0 seconds")
+        .dropDuplicates("vuser", "view_bt")
+      val clicks = src.filter(col("etype").isin("c", "sc", "sc2"))
+        .select(lit(1L).as("cuser"), timestamp_millis(col("ms")).as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      views.join(clicks,
+          expr("vuser = cuser AND click_ts >= view_bt AND " +
+            "click_ts <= view_bt + interval 10000 millisecond"), "inner")
+        .select(unix_millis(col("view_bt")).as("vms"),
+          unix_millis(col("click_ts")).as("cms"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 < 200000L).sorted
+    assert(real == Seq(
+      (20000L, 20500L),
+      (20000L, 25000L),
+      (20000L, 29000L),
+      (40000L, 40000L)),
+      s"dedup->join composition rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
