@@ -73,6 +73,7 @@ object StreamFuzz {
   val DedupAggSeedFloor = 18000L
   val JoinJoinSeedFloor = 18500L
   val DedupJoinSeedFloor = 19000L
+  val AggJoinSeedFloor = 19500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2512,12 +2513,197 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("view_ms"), col("click_ms"))
     }
 
+  private[graft] case class AggJoinP(nWaves: Int, mode: String, delay: Long,
+      width: Long)
+
+  private[graft] def aggJoinP(seed: Long): AggJoinP = {
+    val rnd = new Random(seed * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    // per-(user, window) view/click coincidences are rare at sf0.001 —
+    // the width menu starts at 6 h (the family N lesson)
+    AggJoinP(nWaves, mode, delay,
+      Seq(21600000L, 86400000L, 259200000L)(rnd.nextInt(3)))
+  }
+
+  /** Family P — windowed aggregation on BOTH inputs feeding a stream-
+    * stream window join (the remaining agg x join composition after
+    * K's join -> agg -> agg: here the join consumes two AGGREGATED
+    * streams, the doc-canonical "window join" shape): views and clicks
+    * each watermark their raw event time, tumble into the same width,
+    * group by (window, user_id), and the two finalized aggregates
+    * inner-join on (window, user_id).
+    *
+    * Purity, from family A's per-side rule plus two composition facts:
+    *
+    *  - CO-FINALIZATION: both agg operators evict with the one global
+    *    query watermark (min across the two nodes, equal delays), so a
+    *    window W present on both sides emits on BOTH in the same batch
+    *    N — the first with `E(N) >= W.end` — and the pair meets in the
+    *    join within one micro-batch; neither row can be evicted from
+    *    join state before its partner arrives.
+    *  - NO LATE DROP AT THE JOIN: the join's lagged late bound at batch
+    *    N is `L(N) = E(N-1) < W.end` (N is the FIRST crossing batch),
+    *    so an upstream-finalized window row is never filtered as late.
+    *
+    * Each side emits each (user, window) group at most once (family A:
+    * append-on-finalize, no re-emission), so the finalized output is
+    * exactly the inner join of the two sides' kept-rows aggregates.
+    * The oracle applies the window-based drop rule per side — a (row,
+    * W) pair is dropped iff `W.end <= L(wave)` with L the two-sided
+    * lagged watermark (family O's l CTE over RAW ms on both sides —
+    * unlike O, neither side floors its watermark column). Sentinel
+    * users -1/-2 ride both sides (their windows match in the join) and
+    * drop on the sink table.
+    */
+  private def genAggJoin(seed: Long, cfg: DriveCfg): SGen = {
+    val p = aggJoinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val width = p.width
+    val margin = delay + 3 * width + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_aj_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_aj_$seed", dir))) { src =>
+        val v = src.filter(col("event_type") === "view")
+          .select(col("user_id"), timestamp_millis(col("ms")).as("vt"))
+          .withWatermark("vt", s"$delay milliseconds")
+          .groupBy(org.apache.spark.sql.functions
+            .window(col("vt"), s"$width milliseconds"), col("user_id"))
+          .agg(count(lit(1)).as("v_n"))
+        val c = src.filter(col("event_type") === "click")
+          .select(col("user_id"), timestamp_millis(col("ms")).as("ct"))
+          .withWatermark("ct", s"$delay milliseconds")
+          .groupBy(org.apache.spark.sql.functions
+            .window(col("ct"), s"$width milliseconds"), col("user_id"))
+          .agg(count(lit(1)).as("c_n"))
+        // sentinel windows finalize on both sides and match here; they
+        // drop on the sink table (the families D/H/N/O convention)
+        v.join(c, Seq("window", "user_id"), "inner")
+          .select(col("user_id"),
+            unix_millis(col("window.start")).as("window_start_ms"),
+            col("v_n"), col("c_n"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("window_start_ms"))
+    }
+
+    val pairBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") pairBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+        |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, (e.ms // $width) * $width AS ws
+        |  FROM e JOIN l USING (wave)
+        |  WHERE (e.ms // $width) * $width + $width > l.lwm),
+        |v AS (SELECT user_id, ws, COUNT(*) AS v_n FROM kept
+        |      WHERE event_type = 'view' GROUP BY user_id, ws),
+        |c AS (SELECT user_id, ws, COUNT(*) AS c_n FROM kept
+        |      WHERE event_type = 'click' GROUP BY user_id, ws)
+        |SELECT v.user_id AS user_id, v.ws AS window_start_ms,
+        |       v.v_n AS v_n, c.c_n AS c_n
+        |FROM v JOIN c ON v.user_id = c.user_id AND v.ws = c.ws
+        |ORDER BY user_id, window_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family P drive: per-side kept rows
+    * under the two-sided lagged watermark (window-based drop rule),
+    * aggregated per (user, tumbling window), inner-joined.
+    */
+  def aggJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = aggJoinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .withColumn("ws", expr(s"(ms div ${p.width}L) * ${p.width}L"))
+        .filter(col("ws") + p.width > col("lwm"))
+      val v = kept.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ws")).agg(count(lit(1)).as("v_n"))
+      val c = kept.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cuser"), col("ws").as("cws"))
+        .agg(count(lit(1)).as("c_n"))
+      v.join(c, col("user_id") === col("cuser") && col("ws") === col("cws"),
+          "inner")
+        .select(col("user_id"), col("ws").as("window_start_ms"),
+          col("v_n"), col("c_n"))
+        .orderBy(col("user_id"), col("window_start_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
+    if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
+    else if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
     else if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
     else if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
     else if (seed >= TwsJoinSeedFloor) genTwsJoin(seed, cfg)
@@ -2548,7 +2734,8 @@ object StreamFuzz {
       17502L, 17506L, 17510L, 17515L,
       18003L, 18005L, 18007L, 18009L,
       18503L, 18504L, 18508L, 18515L,
-      19000L, 19002L, 19004L, 19013L)
+      19000L, 19002L, 19004L, 19013L,
+      19500L, 19502L, 19508L, 19514L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2559,7 +2746,7 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L)
+      16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2568,7 +2755,7 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L)
+      16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -12,7 +12,9 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.DedupJoinSeedFloor)
+        if (seed >= StreamFuzz.AggJoinSeedFloor)
+          (StreamFuzz.aggJoinP(seed).toString, StreamFuzz.aggJoinTwin(seed))
+        else if (seed >= StreamFuzz.DedupJoinSeedFloor)
           (StreamFuzz.dedupJoinP(seed).toString, StreamFuzz.dedupJoinTwin(seed))
         else if (seed >= StreamFuzz.JoinJoinSeedFloor)
           (StreamFuzz.joinJoinP(seed).toString, StreamFuzz.joinJoinTwin(seed))

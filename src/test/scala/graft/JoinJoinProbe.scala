@@ -15,7 +15,9 @@ object JoinJoinProbe {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
         val twinFn =
-          if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin(seed)
+          if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin(seed)
+          else if (seed >= StreamFuzz.DedupJoinSeedFloor)
+            StreamFuzz.dedupJoinTwin(seed)
           else StreamFuzz.joinJoinTwin(seed)
         val twin = twinFn(spark, dir).collect().map(_.toSeq).toSeq
         val ok = drive == twin

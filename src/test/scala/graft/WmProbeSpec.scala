@@ -770,6 +770,65 @@ class WmProbeSpec extends AnyFunSuite {
       s"dedup->join composition rule moved: $real")
   }
 
+  test("two windowed aggregations joined on (window, key): both sides " +
+      "finalize a shared window in the SAME batch and the join emits " +
+      "the pair exactly once; cross-batch accumulation lands before " +
+      "finalize; a partner-less window emits nothing") {
+    // Family P's load-bearing composition rules: the two agg operators
+    // evict with the ONE global watermark (min across sides, maxes
+    // through batch k-1), so a window W present on both sides emits on
+    // both in the SAME batch — the first with E(k) >= W.end — and the
+    // pair meets in the join inside a single micro-batch (neither row
+    // can be evicted from join state before its partner arrives). Each
+    // side's late filter lags one batch further (the oracles' lag2
+    // CTE), so a row far below the CURRENT watermark still lands in a
+    // not-yet-finalized window. width 10000, delay 0.
+    //   wave0: v@15000, v@16000, c@15500          (window [10000,20000))
+    //   wave1: c@16500 accumulates into W's click state (L(1) = E(0) =
+    //          0); v/c@35000 arrive; E(1) = min of the BATCH-0 maxes =
+    //          15500 < 20000 -> W stays open on both sides
+    //   wave2: v@14000: late bound L(2) = E(1) = 15500, window end
+    //          20000 > 15500 -> KEPT (even though E(2) is already
+    //          35000 — the lag-2 rule, THROUGH the composition);
+    //          eviction then runs with E(2) = 35000 >= 20000 -> BOTH
+    //          sides emit W in THIS batch with cross-batch counts and
+    //          the join pairs them exactly once: (10000, v_n=3, c_n=2)
+    //   wave3: v@45000 ([40000,50000), never clicked) and c@55000
+    //          ([50000,60000), never viewed); E(3) = 35000 < 40000
+    //   wave4: sentinels raise E(4) to min(45000, 55000) = 45000 ->
+    //          [30000,40000) finalizes both sides -> pair (30000, 1, 1)
+    //   wave5: second sentinels flush the rest: the two partner-less
+    //          windows finalize and must produce NOTHING via the inner
+    //          join; the wave-4 sentinel windows pair at ws=300000 and
+    //          are filtered by the assertion bound
+    val rows = Seq(
+      ("v", 15000L, 0L), ("v", 16000L, 0L), ("c", 15500L, 0L),
+      ("c", 16500L, 1L), ("v", 35000L, 1L), ("c", 35000L, 1L),
+      ("v", 14000L, 2L),
+      ("v", 45000L, 3L), ("c", 55000L, 3L),
+      ("sv", 300000L, 4L), ("sc", 300000L, 4L),
+      ("sv2", 500000L, 5L), ("sc2", 500000L, 5L))
+    val out = drive(rows, "probe_agg_join", 6) { src =>
+      val v = src.filter(col("etype").isin("v", "sv", "sv2"))
+        .select(lit(1L).as("user_id"), timestamp_millis(col("ms")).as("vt"))
+        .withWatermark("vt", "0 seconds")
+        .groupBy(window(col("vt"), "10000 milliseconds"), col("user_id"))
+        .agg(count(lit(1)).as("v_n"))
+      val c = src.filter(col("etype").isin("c", "sc", "sc2"))
+        .select(lit(1L).as("user_id"), timestamp_millis(col("ms")).as("ct"))
+        .withWatermark("ct", "0 seconds")
+        .groupBy(window(col("ct"), "10000 milliseconds"), col("user_id"))
+        .agg(count(lit(1)).as("c_n"))
+      v.join(c, Seq("window", "user_id"), "inner")
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("v_n"), col("c_n"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 200000L).sorted
+    assert(real == Seq((10000L, 3L, 2L), (30000L, 1L, 1L)),
+      s"agg x agg -> window-join composition rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
