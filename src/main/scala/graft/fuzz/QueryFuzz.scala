@@ -1231,8 +1231,121 @@ object QueryFuzz {
   /** Seed floor for the LATERAL correlated top-N shape. */
   val LateralSeedFloor = 23000L
 
+  /** Null-aware anti/semi subquery shapes: `[NOT] IN (subquery)` and
+    * correlated `[NOT] EXISTS` with NULLIF-punched keys. Spark plans
+    * NOT IN through its null-aware anti join and EXISTS through
+    * decorrelated semi/anti joins; the DataFrame twin is a quantifier-
+    * free rewrite (LEFT JOIN against the DISTINCT inner keys plus an
+    * inner COUNT for the empty-set rule) that executes the three-valued
+    * logic EXPLICITLY — a 3VL bug in either engine's subquery planning
+    * cannot hide behind an identical subquery on the oracle side.
+    *
+    * The punched edges pin the rules that differ pairwise:
+    *  - variant 0, NOT IN with a punched OUTER key: `NULL NOT IN S` is
+    *    never TRUE for non-empty S (punched rows vanish), but `x NOT IN
+    *    <empty>` is TRUE for EVERY x including NULL — the 1-in-4
+    *    always-empty inner (`pk < 0`) exercises that branch;
+    *  - variant 1, IN with a punched INNER key: a NULL in the subquery
+    *    list never matches anything — rows whose fk equals the punched
+    *    value drop out of the semi join;
+    *  - variant 2, NOT EXISTS over a punched correlation: the null key
+    *    never equates, so punched rows are KEPT — the exact opposite of
+    *    variant 0's NOT IN drop, which is the family's sharpest edge;
+    *  - variant 3, EXISTS over a punched correlation: punched rows drop.
+    *
+    * (`x NOT IN S` with NULLs INSIDE a non-empty S — always-empty
+    * output — is pinned by a dedicated QueryFuzzSpec test rather than a
+    * seed, since the sweep asserts non-vacuous results.)
+    */
+  private def genAntiSemi(seed: Long, rnd0: Random): Gen = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    // (outer, inner, outer pk, outer fk, inner pk, punch menu) — punch
+    // values chosen to HIT real keys at every SF (nation keys are
+    // 0..24; customer keys start at 1)
+    val (ot, it, opk, ofk, ipk, punchMenu) = pick(rnd, Seq(
+      ("customer", "nation", "c_custkey", "c_nationkey", "n_nationkey",
+        0 to 24),
+      ("supplier", "nation", "s_suppkey", "s_nationkey", "n_nationkey",
+        0 to 24),
+      ("orders", "customer", "o_orderkey", "o_custkey", "c_custkey",
+        1 to 15)))
+    val p = punchMenu(rnd.nextInt(punchMenu.size))
+    val emptyInner = rnd.nextInt(4) == 0
+    val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+    def predSql(q: String) =
+      if (emptyInner) s"$q$ipk < 0" else s"$q$ipk % $m = $r"
+    val variant = rnd.nextInt(4)
+    val sql = variant match {
+      case 0 =>
+        s"""SELECT CAST($opk AS BIGINT) AS key,
+           |       CAST(NULLIF($ofk, $p) AS BIGINT) AS fkp
+           |FROM $ot
+           |WHERE NULLIF($ofk, $p) NOT IN
+           |  (SELECT $ipk FROM $it WHERE ${predSql("")})
+           |ORDER BY key""".stripMargin
+      case 1 =>
+        s"""SELECT CAST($opk AS BIGINT) AS key, CAST($ofk AS BIGINT) AS fkp
+           |FROM $ot
+           |WHERE $ofk IN
+           |  (SELECT NULLIF($ipk, $p) FROM $it WHERE ${predSql("")})
+           |ORDER BY key""".stripMargin
+      case 2 =>
+        s"""SELECT CAST($opk AS BIGINT) AS key,
+           |       CAST(NULLIF($ofk, $p) AS BIGINT) AS fkp
+           |FROM $ot o
+           |WHERE NOT EXISTS (SELECT 1 FROM $it i
+           |  WHERE i.$ipk = NULLIF(o.$ofk, $p) AND ${predSql("i.")})
+           |ORDER BY key""".stripMargin
+      case _ =>
+        s"""SELECT CAST($opk AS BIGINT) AS key,
+           |       CAST(NULLIF($ofk, $p) AS BIGINT) AS fkp
+           |FROM $ot o
+           |WHERE EXISTS (SELECT 1 FROM $it i
+           |  WHERE i.$ipk = NULLIF(o.$ofk, $p) AND ${predSql("i.")})
+           |ORDER BY key""".stripMargin
+    }
+    val build = (spark: SparkSession, dir: String) => {
+      val inner0 = Tables.table(spark, dir, it)
+      val innKeys = (if (emptyInner) inner0.filter(col(ipk) < 0)
+        else inner0.filter(col(ipk) % m === r)).select(col(ipk).as("mk"))
+      val outer = Tables.table(spark, dir, ot)
+        .withColumn("fkp", expr(s"nullif($ofk, $p)"))
+      // no broadcast hints: the orders->customer inner side grows with
+      // SF (the PlanSpec hygiene rule) — AQE picks the strategy
+      val out = variant match {
+        case 0 =>
+          // x NOT IN S (S null-free: ipk is a key): keep all when S is
+          // empty; otherwise keep iff x IS NOT NULL and unmatched
+          val cnt = innKeys.agg(count(lit(1)).as("icnt"))
+          outer.crossJoin(cnt)
+            .join(innKeys.distinct(), col("fkp") === col("mk"), "left")
+            .filter(col("icnt") === 0L ||
+              (col("fkp").isNotNull && col("mk").isNull))
+        case 1 =>
+          // x IN (S with NULLIF-punched keys): NULL list entries never
+          // match, so the punched key simply leaves the match set
+          outer.join(innKeys.filter(col("mk") =!= p).distinct(),
+            col(ofk) === col("mk"), "inner")
+            .withColumn("fkp", col(ofk))
+        case 2 =>
+          outer.join(innKeys.distinct(), col("fkp") === col("mk"), "left")
+            .filter(col("mk").isNull)
+        case _ =>
+          outer.join(innKeys.distinct(), col("fkp") === col("mk"), "inner")
+      }
+      out.select(col(opk).cast("long").as("key"),
+          col("fkp").cast("long").as("fkp"))
+        .orderBy(col("key"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the null-aware anti/semi subquery shapes. */
+  val AntiSemiSeedFloor = 24000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= AntiSemiSeedFloor) return genAntiSemi(seed, rnd0)
     if (seed >= LateralSeedFloor) return genLateral(seed, rnd0)
     if (seed >= WindowOuterSeedFloor) return genWindowOuter(seed, rnd0)
     if (seed >= ExplodeSeedFloor) return genExplode(seed, rnd0)
@@ -1507,7 +1620,15 @@ object QueryFuzz {
       // customer/orders/nation edges: inner 23000 (orders->lineitem,
       // predicated) / 23006 (customer->orders), LEFT 23001 / 23021,
       // lateral-aggregate 23012 (nation) / 23025 (customer)
-      23000L, 23001L, 23006L, 23012L, 23021L, 23025L)
+      23000L, 23001L, 23006L, 23012L, 23021L, 23025L,
+      // null-aware anti/semi subquery shapes — [NOT] IN / [NOT] EXISTS
+      // vs the quantifier-free rewrite twin; all four variants, the
+      // bounded (nation) and SF-growing (customer) inner edges, and
+      // both empty-inner branches that stay non-vacuous: NOT IN 24006
+      // (supplier) / 24014 (orders) / 24004 (empty inner — keeps ALL
+      // rows incl. punched NULLs), IN 24018 / 24025, NOT EXISTS 24003 /
+      // 24010 (empty inner), EXISTS 24015
+      24003L, 24004L, 24006L, 24010L, 24014L, 24015L, 24018L, 24025L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

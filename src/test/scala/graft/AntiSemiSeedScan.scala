@@ -1,0 +1,30 @@
+package graft
+
+/** Dev scanner for the null-aware anti/semi subquery family (24000+,
+  * Test/runMain): prints each candidate's variant/edge/punch axes and
+  * row counts at sf0.001 and sf0.01 so the registered picks cover all
+  * four variants and the empty-inner branch without vacuousness. Not a
+  * test.
+  */
+object AntiSemiSeedScan {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val (from, to) = (args(0).toLong, args(1).toLong)
+    (from to to).foreach { seed =>
+      val g = graft.fuzz.QueryFuzz.generate(seed)
+      val n1 = g.build(spark, TestSpark.sfDir).count()
+      val n2 = g.build(spark, TestSpark.sfDirMid).count()
+      val s = g.sql
+      val variant =
+        if (s.contains("NOT IN")) "not-in"
+        else if (s.contains(" IN\n") || s.contains(" IN ")) "in"
+        else if (s.contains("NOT EXISTS")) "not-exists"
+        else "exists"
+      val empty = if (s.contains("< 0")) " emptyInner" else ""
+      val edge = s.linesIterator.find(_.startsWith("FROM"))
+        .map(_.trim.take(40)).getOrElse("")
+      println(s"SEED $seed rows_sf0.001=$n1 rows_sf0.01=$n2 $variant$empty | $edge")
+    }
+    spark.stop()
+  }
+}

@@ -61,7 +61,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.SetOpSeedFloor until QueryFuzz.SetOpSeedFloor + 20L) ++
       (QueryFuzz.ExplodeSeedFloor until QueryFuzz.ExplodeSeedFloor + 20L) ++
       (QueryFuzz.WindowOuterSeedFloor until QueryFuzz.WindowOuterSeedFloor + 20L) ++
-      (QueryFuzz.LateralSeedFloor until QueryFuzz.LateralSeedFloor + 20L)
+      (QueryFuzz.LateralSeedFloor until QueryFuzz.LateralSeedFloor + 20L) ++
+      (QueryFuzz.AntiSemiSeedFloor until QueryFuzz.AntiSemiSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -74,7 +75,35 @@ class QueryFuzzSpec extends AnyFunSuite {
     // the sweep must exercise real data, not vacuous empty groups
     // (set-op EXCEPTs can legitimately drain to empty, so the floor
     // stays clear of the new 20 seeds)
-    assert(nonEmpty >= 370, s"only $nonEmpty/520 seeds returned rows")
+    assert(nonEmpty >= 370, s"only $nonEmpty/540 seeds returned rows")
+  }
+
+  test("x NOT IN (non-empty subquery containing NULL) filters every row " +
+      "in BOTH renderings — the 3VL rule the anti/semi family (24000+) " +
+      "cannot seed-sweep because registered queries must be non-vacuous") {
+    // nation always contains key 3, so the NULLIF puts a genuine NULL
+    // into a non-empty list: x NOT IN S is FALSE on match, NULL
+    // otherwise — never TRUE — and the result must be empty.
+    val viaSubquery = sqlSession.sql(
+      "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN " +
+        "(SELECT NULLIF(n_nationkey, 3) FROM nation)").count()
+    assert(viaSubquery == 0L, s"subquery rendering kept $viaSubquery rows")
+    // quantifier-free twin with the FULL rule (n = 0 -> keep all;
+    // otherwise x non-null, unmatched, and the list null-free): the
+    // list has a null (nn < n), so the last conjunct kills every row
+    import org.apache.spark.sql.functions._
+    val nat = Tables.table(spark, TestSpark.sfDir, "nation")
+      .select(expr("nullif(n_nationkey, 3)").as("mk"))
+    val cnt = nat.agg(count(lit(1)).as("n"), count(col("mk")).as("nn"))
+    val viaRewrite = Tables.table(spark, TestSpark.sfDir, "customer")
+      .crossJoin(cnt)
+      .join(nat.filter(col("mk").isNotNull).distinct(),
+        col("c_nationkey") === col("mk"), "left")
+      .filter(col("n") === 0L ||
+        (col("c_nationkey").isNotNull && col("mk").isNull &&
+          col("n") === col("nn")))
+      .count()
+    assert(viaRewrite == 0L, s"rewrite rendering kept $viaRewrite rows")
   }
 
   test("registered fuzz seeds return rows at sf0.001 (driver smoke-check contract)") {
