@@ -74,6 +74,9 @@ object StreamFuzz {
   val JoinJoinSeedFloor = 18500L
   val DedupJoinSeedFloor = 19000L
   val AggJoinSeedFloor = 19500L
+  // QueryFuzz owns 20000-24xxx in the shared fuzz_q name prefix, so
+  // streaming families continue at 40000
+  val AggJoinOuterSeedFloor = 40000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2558,8 +2561,36 @@ object StreamFuzz {
     * users -1/-2 ride both sides (their windows match in the join) and
     * drop on the sink table.
     */
-  private def genAggJoin(seed: Long, cfg: DriveCfg): SGen = {
-    val p = aggJoinP(seed)
+  private[graft] def aggJoinOuterP(seed: Long): AggJoinP = {
+    val rnd = new Random(seed * 0x94D049BB133111EBL + 0xBF58476D1CE4E5B9L)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    AggJoinP(nWaves, mode, delay,
+      Seq(21600000L, 86400000L, 259200000L)(rnd.nextInt(3)))
+  }
+
+  private def genAggJoin(seed: Long, cfg: DriveCfg): SGen =
+    genAggJoinWith(aggJoinP(seed), seed, cfg, outer = false)
+
+  /** Family Q — family P's composition with a LEFT OUTER window join:
+    * every finalized view-side (user, window) aggregate survives, null-
+    * extended where no click aggregate exists for the pair. On top of
+    * P's co-finalization purity, the null-extension rule (pinned in
+    * WmProbeSpec): an unmatched left window W null-extends only when
+    * the join evicts W's state (watermark past W.end), which is at or
+    * after W's arrival batch — and by co-finalization no click row for
+    * W can arrive later, so a null row is never followed by a late pair
+    * and a pair is never doubled by a spurious null row; unmatched
+    * RIGHT windows emit nothing. The finalized output is therefore the
+    * plain left join of the two sides' kept-rows aggregates.
+    */
+  private def genAggJoinOuter(seed: Long, cfg: DriveCfg): SGen =
+    genAggJoinWith(aggJoinOuterP(seed), seed, cfg, outer = true)
+
+  private def genAggJoinWith(p: AggJoinP, seed: Long, cfg: DriveCfg,
+      outer: Boolean): SGen = {
     val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
     val width = p.width
     val margin = delay + 3 * width + 10000000L
@@ -2583,11 +2614,12 @@ object StreamFuzz {
           .toDF("user_id", "event_type", "ms", "wave"))
       EventOps.driveWaves(spark, frame,
         "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
-        s"sfz_aj_${cfg.tag}$seed",
+        s"sfz_aj${if (outer) "o" else ""}_${cfg.tag}$seed",
         statePartitions = cfg.statePartitions.getOrElse(1),
         filesPerWave = cfg.filesPerWave,
         restartAfter = cfg.killAfter(nWaves),
-        stageKey = Some(EventOps.stageKeyFor(s"sfz_aj_$seed", dir))) { src =>
+        stageKey = Some(EventOps.stageKeyFor(
+          s"sfz_aj${if (outer) "o" else ""}_$seed", dir))) { src =>
         val v = src.filter(col("event_type") === "view")
           .select(col("user_id"), timestamp_millis(col("ms")).as("vt"))
           .withWatermark("vt", s"$delay milliseconds")
@@ -2602,7 +2634,8 @@ object StreamFuzz {
           .agg(count(lit(1)).as("c_n"))
         // sentinel windows finalize on both sides and match here; they
         // drop on the sink table (the families D/H/N/O convention)
-        v.join(c, Seq("window", "user_id"), "inner")
+        v.join(c, Seq("window", "user_id"),
+            if (outer) "left_outer" else "inner")
           .select(col("user_id"),
             unix_millis(col("window.start")).as("window_start_ms"),
             col("v_n"), col("c_n"))
@@ -2648,7 +2681,8 @@ object StreamFuzz {
         |      WHERE event_type = 'click' GROUP BY user_id, ws)
         |SELECT v.user_id AS user_id, v.ws AS window_start_ms,
         |       v.v_n AS v_n, c.c_n AS c_n
-        |FROM v JOIN c ON v.user_id = c.user_id AND v.ws = c.ws
+        |FROM v ${if (outer) "LEFT JOIN" else "JOIN"} c
+        |  ON v.user_id = c.user_id AND v.ws = c.ws
         |ORDER BY user_id, window_start_ms""".stripMargin
     SGen(seed, build, sql)
   }
@@ -2658,9 +2692,18 @@ object StreamFuzz {
     * aggregated per (user, tumbling window), inner-joined.
     */
   def aggJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    aggJoinTwinWith(seed, aggJoinP(seed), outer = false)
+
+  /** IN-SPARK batch twin of the Family Q drive (left join of the two
+    * kept-rows aggregates).
+    */
+  def aggJoinOuterTwin(seed: Long): (SparkSession, String) => DataFrame =
+    aggJoinTwinWith(seed, aggJoinOuterP(seed), outer = true)
+
+  private def aggJoinTwinWith(seed: Long, p: AggJoinP, outer: Boolean)
+      : (SparkSession, String) => DataFrame =
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val p = aggJoinP(seed)
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -2691,7 +2734,7 @@ object StreamFuzz {
         .groupBy(col("user_id").as("cuser"), col("ws").as("cws"))
         .agg(count(lit(1)).as("c_n"))
       v.join(c, col("user_id") === col("cuser") && col("ws") === col("cws"),
-          "inner")
+          if (outer) "left_outer" else "inner")
         .select(col("user_id"), col("ws").as("window_start_ms"),
           col("v_n"), col("c_n"))
         .orderBy(col("user_id"), col("window_start_ms"))
@@ -2702,7 +2745,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
+    if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
+    else if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
     else if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
     else if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
     else if (seed >= DedupAggSeedFloor) genDedupAgg(seed, cfg)
@@ -2735,7 +2779,8 @@ object StreamFuzz {
       18003L, 18005L, 18007L, 18009L,
       18503L, 18504L, 18508L, 18515L,
       19000L, 19002L, 19004L, 19013L,
-      19500L, 19502L, 19508L, 19514L)
+      19500L, 19502L, 19508L, 19514L,
+      40000L, 40004L, 40006L, 40007L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2746,7 +2791,8 @@ object StreamFuzz {
     */
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
-      16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L)
+      16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
+      40006L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2755,7 +2801,8 @@ object StreamFuzz {
     */
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
-      16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L)
+      16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
+      40004L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -12,7 +12,10 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.AggJoinSeedFloor)
+        if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
+          (StreamFuzz.aggJoinOuterP(seed).toString,
+            StreamFuzz.aggJoinOuterTwin(seed))
+        else if (seed >= StreamFuzz.AggJoinSeedFloor)
           (StreamFuzz.aggJoinP(seed).toString, StreamFuzz.aggJoinTwin(seed))
         else if (seed >= StreamFuzz.DedupJoinSeedFloor)
           (StreamFuzz.dedupJoinP(seed).toString, StreamFuzz.dedupJoinTwin(seed))

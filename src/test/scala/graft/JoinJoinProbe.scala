@@ -15,7 +15,10 @@ object JoinJoinProbe {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
         val twinFn =
-          if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin(seed)
+          if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
+            StreamFuzz.aggJoinOuterTwin(seed)
+          else if (seed >= StreamFuzz.AggJoinSeedFloor)
+            StreamFuzz.aggJoinTwin(seed)
           else if (seed >= StreamFuzz.DedupJoinSeedFloor)
             StreamFuzz.dedupJoinTwin(seed)
           else StreamFuzz.joinJoinTwin(seed)

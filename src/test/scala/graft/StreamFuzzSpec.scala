@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
+    if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
+    else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
     else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin
     else if (seed >= StreamFuzz.JoinJoinSeedFloor) StreamFuzz.joinJoinTwin
     else if (seed >= StreamFuzz.DedupAggSeedFloor) StreamFuzz.dedupAggTwin
@@ -178,6 +179,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(40000L, 40004L, 40006L, 40007L, 40010L).foreach { s =>
+    test(s"agg x agg -> LEFT OUTER window join drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.aggJoinOuterP(s)})") {
+      check(s, StreamFuzz.aggJoinOuterTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -191,7 +199,8 @@ class StreamFuzzSpec extends AnyFunSuite {
       13000L, 13002L, 13005L, 13006L, 13500L, 13502L, 13503L, 13504L,
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
-      18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L)
+      18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
+      40000L, 40007L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

@@ -829,6 +829,56 @@ class WmProbeSpec extends AnyFunSuite {
       s"agg x agg -> window-join composition rule moved: $real")
   }
 
+  test("two windowed aggregations LEFT OUTER joined on (window, key): " +
+      "a matched window pairs once, an unmatched LEFT window emits " +
+      "exactly one null-extended row after eviction, and an unmatched " +
+      "RIGHT window emits nothing") {
+    // Family Q's null-extension rules on top of family P's
+    // co-finalization: an unmatched view-side window W can only be
+    // null-extended AFTER the join is sure no click aggregate for W
+    // can still arrive — and co-finalization means a click W row (if
+    // any) lands in the SAME batch W's view row does, so a null row is
+    // never followed by a late pair, and a pair is never doubled by a
+    // spurious null row. width 10000, delay 0.
+    //   wave0: v@15000, v@16000, c@15500       -> [10000,20000) matched
+    //   wave1: v@25000                          -> [20000,30000) view-only
+    //          c@33000                          -> [30000,40000) click-only
+    //   wave2: v/c@55000 advance E; [10000,20000) and [20000,30000)
+    //          and [30000,40000) all finalize upstream as E reaches
+    //          their ends across the remaining waves
+    //   waves 3/4: sentinels flush everything real
+    // Expect: (10000, v_n=2, c_n=1) matched; (20000, 1, null)
+    // null-extended exactly once; NO row for 30000 (right side has no
+    // left partner); (50000, 1, 1) from the advancing pair.
+    val rows = Seq(
+      ("v", 15000L, 0L), ("v", 16000L, 0L), ("c", 15500L, 0L),
+      ("v", 25000L, 1L), ("c", 33000L, 1L),
+      ("v", 55000L, 2L), ("c", 55000L, 2L),
+      ("sv", 300000L, 3L), ("sc", 300000L, 3L),
+      ("sv2", 500000L, 4L), ("sc2", 500000L, 4L))
+    val out = drive(rows, "probe_agg_join_outer", 5) { src =>
+      val v = src.filter(col("etype").isin("v", "sv", "sv2"))
+        .select(lit(1L).as("user_id"), timestamp_millis(col("ms")).as("vt"))
+        .withWatermark("vt", "0 seconds")
+        .groupBy(window(col("vt"), "10000 milliseconds"), col("user_id"))
+        .agg(count(lit(1)).as("v_n"))
+      val c = src.filter(col("etype").isin("c", "sc", "sc2"))
+        .select(lit(1L).as("user_id"), timestamp_millis(col("ms")).as("ct"))
+        .withWatermark("ct", "0 seconds")
+        .groupBy(window(col("ct"), "10000 milliseconds"), col("user_id"))
+        .agg(count(lit(1)).as("c_n"))
+      v.join(c, Seq("window", "user_id"), "left_outer")
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("v_n"), col("c_n"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .filter(_._1 < 200000L).sorted
+    assert(real == Seq((10000L, 2L, 1L), (20000L, 1L, -1L),
+        (50000L, 1L, 1L)),
+      s"agg x agg -> LEFT OUTER window-join rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
