@@ -1343,8 +1343,90 @@ object QueryFuzz {
   /** Seed floor for the null-aware anti/semi subquery shapes. */
   val AntiSemiSeedFloor = 24000L
 
+  /** PIVOT shapes: the DataFrame `groupBy().pivot(col, values).agg(...)`
+    * API (with EXPLICIT values — no driver-side distinct pass, the
+    * scale-correct form) vs a FILTER-aggregate SQL twin. Spark compiles
+    * pivot through PivotFirst / a CASE-projection rewrite; the oracle
+    * states the per-cell conditional aggregates directly, so a pivot
+    * cell landing in the wrong column, a dropped NULL cell, or an
+    * empty-cell 0-vs-NULL divergence cannot hide. Empty cells are NULL
+    * in BOTH renderings (pivot yields NULL for absent combinations;
+    * `SUM(..) FILTER` over zero rows is NULL) — the family sticks to
+    * SUM aggregates for exactly that symmetry. Variants: sum(double)
+    * (rounded with the 1e-12 nudge), sum(int) CAST BIGINT, and the
+    * two-measure pivot whose columns compose `{value}_{agg alias}`.
+    */
+  private def genPivot(seed: Long, rnd0: Random): Gen = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val (tn, pc, vals) = pick(rnd, Seq(
+      ("lineitem", "l_returnflag", Seq("A", "N", "R")),
+      ("lineitem", "l_linestatus", Seq("F", "O")),
+      ("orders", "o_orderstatus", Seq("F", "O", "P")),
+      ("customer", "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY"))))
+    val t = tables.find(_.name == tn).get
+    val strOpts = t.strings.filterNot(_ == pc)
+    val (gkSql, gkCol) =
+      if (strOpts.nonEmpty && rnd.nextBoolean()) {
+        val c = pick(rnd, strOpts)
+        (s"$c AS gk", col(c).as("gk"))
+      } else {
+        val c = pick(rnd, t.ints)
+        val m = 2 + rnd.nextInt(6)
+        (s"CAST($c % $m AS BIGINT) AS gk", (col(c) % m).cast("long").as("gk"))
+      }
+    val withPred = rnd.nextBoolean()
+    val (pSql, pCol) = predOn(rnd, t.ints, t.doubles)
+    val dc = pick(rnd, t.doubles)
+    val ic = pick(rnd, t.ints)
+    val variant = rnd.nextInt(3) // 0 sum(double), 1 sum(int), 2 both
+    def safe(v: String) = s"p_${v.toLowerCase.take(5)}"
+    val cellsSql = vals.flatMap { v =>
+      variant match {
+        case 0 => Seq(s"ROUND(SUM($dc) FILTER (WHERE $pc = '$v') " +
+          s"* (1.0 + 1e-12), 2) AS ${safe(v)}")
+        case 1 => Seq(s"CAST(SUM($ic) FILTER (WHERE $pc = '$v') AS BIGINT) " +
+          s"AS ${safe(v)}")
+        case _ => Seq(
+          s"ROUND(SUM($dc) FILTER (WHERE $pc = '$v') * (1.0 + 1e-12), 2) " +
+            s"AS ${safe(v)}_sd",
+          s"CAST(SUM($ic) FILTER (WHERE $pc = '$v') AS BIGINT) " +
+            s"AS ${safe(v)}_si")
+      }
+    }
+    val sql =
+      s"""SELECT $gkSql, ${cellsSql.mkString(",\n       ")}
+         |FROM $tn${if (withPred) s" WHERE $pSql" else ""}
+         |GROUP BY gk ORDER BY gk""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, tn)
+      val base = if (withPred) base0.filter(pCol) else base0
+      val grouped = base.groupBy(gkCol).pivot(pc, vals)
+      val pivoted = variant match {
+        case 0 => grouped.agg(
+          round(sum(col(dc)) * (lit(1.0) + lit(1e-12)), 2))
+        case 1 => grouped.agg(sum(col(ic)).cast("long"))
+        case _ => grouped.agg(
+          round(sum(col(dc)) * (lit(1.0) + lit(1e-12)), 2).as("sd"),
+          sum(col(ic)).cast("long").as("si"))
+      }
+      val renamed = vals.flatMap { v =>
+        if (variant == 2) Seq(col(s"${v}_sd").as(s"${safe(v)}_sd"),
+          col(s"${v}_si").as(s"${safe(v)}_si"))
+        else Seq(col(v).as(safe(v)))
+      }
+      pivoted.select(col("gk") +: renamed: _*).orderBy(col("gk"))
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the PIVOT shapes. */
+  val PivotSeedFloor = 25000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= PivotSeedFloor) return genPivot(seed, rnd0)
     if (seed >= AntiSemiSeedFloor) return genAntiSemi(seed, rnd0)
     if (seed >= LateralSeedFloor) return genLateral(seed, rnd0)
     if (seed >= WindowOuterSeedFloor) return genWindowOuter(seed, rnd0)
@@ -1628,7 +1710,13 @@ object QueryFuzz {
       // (supplier) / 24014 (orders) / 24004 (empty inner — keeps ALL
       // rows incl. punched NULLs), IN 24018 / 24025, NOT EXISTS 24003 /
       // 24010 (empty inner), EXISTS 24015
-      24003L, 24004L, 24006L, 24010L, 24014L, 24015L, 24018L, 24025L)
+      24003L, 24004L, 24006L, 24010L, 24014L, 24015L, 24018L, 24025L,
+      // PIVOT shapes — DataFrame groupBy().pivot(col, values) vs the
+      // FILTER-aggregate SQL twin; all three measure variants over the
+      // 2/3/5-wide pivot domains: sum-int 25002 (l_returnflag),
+      // sum-double 25004 (o_orderstatus) / 25008 (c_mktsegment, 5-wide)
+      // / 25013 (l_linestatus), two-measure 25009 / 25019
+      25002L, 25004L, 25008L, 25009L, 25013L, 25019L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
