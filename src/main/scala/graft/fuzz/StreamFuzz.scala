@@ -74,9 +74,10 @@ object StreamFuzz {
   val JoinJoinSeedFloor = 18500L
   val DedupJoinSeedFloor = 19000L
   val AggJoinSeedFloor = 19500L
-  // QueryFuzz owns 20000-24xxx in the shared fuzz_q name prefix, so
+  // QueryFuzz owns 20000-25xxx in the shared fuzz_q name prefix, so
   // streaming families continue at 40000
   val AggJoinOuterSeedFloor = 40000L
+  val UnionJoinSeedFloor = 40500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2740,12 +2741,188 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("window_start_ms"))
     }
 
+  private[graft] case class UnionJoinP(nWaves: Int, mode: String,
+      delayV: Long, delayS: Long, delayC: Long, window: Long)
+
+  private[graft] def unionJoinP(seed: Long): UnionJoinP = {
+    val rnd = new Random(seed * 0xD6E8FEB86659FD93L + 0x9E3779B97F4A7C15L)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val menu = if (mode == "shuffle") ShuffleDelaysMs else JitterDelaysMs
+    UnionJoinP(nWaves, mode, menu(rnd.nextInt(3)), menu(rnd.nextInt(3)),
+      menu(rnd.nextInt(3)),
+      Seq(21600000L, 86400000L, 259200000L)(rnd.nextInt(3)))
+  }
+
+  /** Family R — a UNION of two independently-watermarked legs (views +
+    * signups, DIFFERENT delays) feeding one side of a stream-stream
+    * interval join against a third watermarked stream (clicks). New
+    * surface vs families D (two equal-delay nodes at a join) and I
+    * (dual-delay union into an agg): here the heterogeneous-delay min
+    * policy gates JOIN state — the slow leg's delay holds the late
+    * bound and both state evictions down for rows of BOTH legs and the
+    * click side (pinned in WmProbeSpec: a late 0-delay-leg row survives
+    * under the other leg's larger delay and still matches an old click
+    * in state).
+    *
+    * Purity is family D's no-pair-lost/duplicated argument with the
+    * union treated as ONE join input whose watermark is the min over
+    * its leg nodes: the global lagged bound is `L(k) = max(0,
+    * min(runmax_v(k-2) - dV, runmax_s(k-2) - dS, runmax_c(k-2) - dC))`
+    * (0 while any leg is still empty), both join inputs drop rows at
+    * `ms <= L` (inclusive), and the finalized output is the plain
+    * interval join of the kept engagement rows against the kept clicks.
+    * Sentinel triples ride all three legs and drop on the sink table.
+    */
+  private def genUnionJoin(seed: Long, cfg: DriveCfg): SGen = {
+    val p = unionJoinP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val window = p.window
+    val margin = p.delayV + p.delayS + p.delayC + 3 * window + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "signup", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "signup", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "signup", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_uj_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_uj_$seed", dir))) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("euser"),
+            col("event_type").as("etype"),
+            timestamp_millis(col("ms")).as("et"))
+          .withWatermark("et", s"${p.delayV} milliseconds")
+        val signups = src.filter(col("event_type") === "signup")
+          .select(col("user_id").as("euser"),
+            col("event_type").as("etype"),
+            timestamp_millis(col("ms")).as("et"))
+          .withWatermark("et", s"${p.delayS} milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("ct"))
+          .withWatermark("ct", s"${p.delayC} milliseconds")
+        views.unionByName(signups).join(clicks,
+            expr(s"euser = cuser AND ct >= et AND " +
+              s"ct <= et + interval $window millisecond"), "inner")
+          .select(col("euser").as("user_id"), col("etype"),
+            unix_millis(col("et")).as("ems"),
+            unix_millis(col("ct")).as("click_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("etype"), col("ems"), col("click_ms"))
+    }
+
+    val triBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'signup', 'click')),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") triBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'signup', 'click')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'signup' THEN ms END) AS msg,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(msg) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2 - ${p.delayV},
+        |               MAX(msg) OVER lag2 - ${p.delayS},
+        |               MAX(mc) OVER lag2 - ${p.delayC}), 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, e.ms
+        |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)
+        |SELECT g.user_id AS user_id, g.event_type AS etype,
+        |       g.ms AS ems, c.ms AS click_ms
+        |FROM (SELECT * FROM kept WHERE event_type IN ('view', 'signup')) g
+        |JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |  ON g.user_id = c.user_id AND c.ms >= g.ms
+        |     AND c.ms <= g.ms + $window
+        |ORDER BY user_id, etype, ems, click_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family R drive. */
+  def unionJoinTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = unionJoinP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "signup", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "signup", col("ms"))).as("msg"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("msg")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2) - p.delayV,
+                max(col("msg")).over(wPrev2) - p.delayS,
+                max(col("mc")).over(wPrev2) - p.delayC), lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+      val g = kept.filter(col("event_type").isin("view", "signup"))
+        .select(col("user_id"), col("event_type").as("etype"),
+          col("ms").as("ems"))
+      val c = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ms").as("click_ms"))
+      g.join(c, col("user_id") === col("cuser") &&
+          col("click_ms") >= col("ems") &&
+          col("click_ms") <= col("ems") + p.window, "inner")
+        .select(col("user_id"), col("etype"), col("ems"), col("click_ms"))
+        .orderBy(col("user_id"), col("etype"), col("ems"), col("click_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
+    if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
+    else if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
     else if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
     else if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
     else if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
@@ -2780,7 +2957,8 @@ object StreamFuzz {
       18503L, 18504L, 18508L, 18515L,
       19000L, 19002L, 19004L, 19013L,
       19500L, 19502L, 19508L, 19514L,
-      40000L, 40004L, 40006L, 40007L)
+      40000L, 40004L, 40006L, 40007L,
+      40500L, 40503L, 40507L, 40513L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2792,7 +2970,7 @@ object StreamFuzz {
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
       16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
-      40006L)
+      40006L, 40503L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2802,7 +2980,7 @@ object StreamFuzz {
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
       16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
-      40004L)
+      40004L, 40507L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -12,7 +12,10 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
+        if (seed >= StreamFuzz.UnionJoinSeedFloor)
+          (StreamFuzz.unionJoinP(seed).toString,
+            StreamFuzz.unionJoinTwin(seed))
+        else if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
           (StreamFuzz.aggJoinOuterP(seed).toString,
             StreamFuzz.aggJoinOuterTwin(seed))
         else if (seed >= StreamFuzz.AggJoinSeedFloor)

@@ -15,7 +15,9 @@ object JoinJoinProbe {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
         val twinFn =
-          if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
+          if (seed >= StreamFuzz.UnionJoinSeedFloor)
+            StreamFuzz.unionJoinTwin(seed)
+          else if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
             StreamFuzz.aggJoinOuterTwin(seed)
           else if (seed >= StreamFuzz.AggJoinSeedFloor)
             StreamFuzz.aggJoinTwin(seed)

@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
+    if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
+    else if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
     else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
     else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin
     else if (seed >= StreamFuzz.JoinJoinSeedFloor) StreamFuzz.joinJoinTwin
@@ -186,6 +187,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(40500L, 40503L, 40507L, 40508L, 40513L).foreach { s =>
+    test(s"dual-delay union -> interval join drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.unionJoinP(s)})") {
+      check(s, StreamFuzz.unionJoinTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -200,7 +208,7 @@ class StreamFuzzSpec extends AnyFunSuite {
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
       18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
-      40000L, 40007L)
+      40000L, 40007L, 40500L, 40513L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

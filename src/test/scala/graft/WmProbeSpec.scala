@@ -879,6 +879,59 @@ class WmProbeSpec extends AnyFunSuite {
       s"agg x agg -> LEFT OUTER window-join rule moved: $real")
   }
 
+  test("union of two differently-delayed legs feeding a stream-stream " +
+      "join: the slow leg's delay gates the shared late bound, a " +
+      "late-but-kept union row still matches an old click in join " +
+      "state, and the inclusive drop boundary holds on a union leg") {
+    // Family R's load-bearing rules: the unioned input reaches the join
+    // as ONE side whose watermark is the min over the leg nodes (each
+    // subtracting its own delay — the family I policy), the join's late
+    // filter lags one batch (L(k) = E(k-1)) and drops a union row iff
+    // ms <= L (inclusive, the family D source-side rule), and matching
+    // runs before eviction within a batch. legs: v delay 0, s delay
+    // 20000; clicks delay 0; join window 10000.
+    //   wave0: v/s/c@30000, c@16000
+    //   wave1: v/s/c@60000; E(1) = min(30000-0, 30000-20000, 30000-0)
+    //          = 10000
+    //   wave2: L(2) = E(1) = 10000. v@15000 and s@12000 both KEPT
+    //          (> 10000 — the s leg's 20000 delay holds the global
+    //          bound down even for the 0-delay v leg) and both match
+    //          the c@16000 STILL IN STATE from wave0; v@10000 == the
+    //          bound -> DROPPED (inclusive)
+    //   waves 3/4: sentinel triples flush
+    val rows = Seq(
+      ("v", 30000L, 0L), ("s", 30000L, 0L), ("c", 30000L, 0L),
+      ("c", 16000L, 0L),
+      ("v", 60000L, 1L), ("s", 60000L, 1L), ("c", 60000L, 1L),
+      ("v", 15000L, 2L), ("s", 12000L, 2L), ("v", 10000L, 2L),
+      ("sv", 300000L, 3L), ("ss", 300000L, 3L), ("sc", 300000L, 3L),
+      ("sv2", 500000L, 4L), ("ss2", 500000L, 4L), ("sc2", 500000L, 4L))
+    val out = drive(rows, "probe_union_join", 5) { src =>
+      val views = src.filter(col("etype").isin("v", "sv", "sv2"))
+        .select(lit("v").as("leg"), lit(1L).as("euser"),
+          timestamp_millis(col("ms")).as("et"))
+        .withWatermark("et", "0 seconds")
+      val signups = src.filter(col("etype").isin("s", "ss", "ss2"))
+        .select(lit("s").as("leg"), lit(1L).as("euser"),
+          timestamp_millis(col("ms")).as("et"))
+        .withWatermark("et", "20000 milliseconds")
+      val clicks = src.filter(col("etype").isin("c", "sc", "sc2"))
+        .select(lit(1L).as("cuser"), timestamp_millis(col("ms")).as("ct"))
+        .withWatermark("ct", "0 seconds")
+      views.unionByName(signups).join(clicks,
+          expr("euser = cuser AND ct >= et AND " +
+            "ct <= et + interval 10000 millisecond"), "inner")
+        .select(col("leg"), unix_millis(col("et")).as("ems"),
+          unix_millis(col("ct")).as("cms"))
+    }
+    val real = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 < 200000L).sorted
+    assert(real == Seq(
+      ("s", 12000L, 16000L), ("s", 30000L, 30000L), ("s", 60000L, 60000L),
+      ("v", 15000L, 16000L), ("v", 30000L, 30000L), ("v", 60000L, 60000L)),
+      s"union -> join composition rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
