@@ -1424,8 +1424,86 @@ object QueryFuzz {
   /** Seed floor for the PIVOT shapes. */
   val PivotSeedFloor = 25000L
 
+  /** GROUPING SETS shapes: explicit (including NON-hierarchical,
+    * cross-cutting) set lists with per-key GROUPING() flags, vs a UNION
+    * ALL twin of one PLAIN aggregate per set with literal NULL keys and
+    * literal flags. The r5 rollup family (seeds 1000+, case 0) pins
+    * ROLLUP/CUBE, but its DataFrame twin is `.rollup()`/`.cube()` — the
+    * SAME Expand-based plan as the SQL. Here the twin never builds an
+    * Expand at all: each grouping set is its own hash aggregate and the
+    * results union, so an Expand bug (wrong null-bitmask row, a set
+    * dropped or doubled, GROUPING() bit flipped) cannot reproduce on
+    * the twin side. Set menus include shapes ROLLUP cannot express
+    * (`(k0),(k1)` with no grand total).
+    */
+  private def genGroupingSets(seed: Long, rnd0: Random): Gen = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val t = pick(rnd, tables)
+    // inline keyOn variant that also exposes the key's Spark type, so
+    // the twin can build a TYPED null literal for aggregated-out keys
+    def keyed(alias: String): (String, Column, String) =
+      if (t.strings.nonEmpty && rnd.nextBoolean()) {
+        val c = pick(rnd, t.strings)
+        (s"$c AS $alias", col(c).as(alias), "string")
+      } else {
+        val c = pick(rnd, t.ints)
+        val m = 2 + rnd.nextInt(6)
+        (s"CAST($c % $m AS BIGINT) AS $alias",
+          (col(c) % m).cast("long").as(alias), "long")
+      }
+    val (k0Sql, k0Col, k0Ty) = keyed("k0")
+    val (k1Sql, k1Col, k1Ty) = keyed("k1")
+    val x = pick(rnd, t.ints)
+    val withPred = rnd.nextBoolean()
+    val (predSql, predCol) = predOn(rnd, t.ints, t.doubles)
+    val whereSql = if (withPred) s" WHERE $predSql" else ""
+    // each set = the key subset that STAYS grouped; menus cover the
+    // rollup-equivalent, cross-cutting, partial, and no-pair shapes
+    val sets: Seq[Seq[String]] = pick(rnd, Seq(
+      Seq(Seq("k0", "k1"), Seq("k0"), Seq.empty),
+      Seq(Seq("k0"), Seq("k1")),
+      Seq(Seq("k0", "k1"), Seq("k1")),
+      Seq(Seq("k0"), Seq("k1"), Seq.empty)))
+    val setsSql = sets.map(_.mkString("(", ", ", ")")).mkString(", ")
+    val sql =
+      s"""SELECT k0, k1, CAST(GROUPING(k0) AS BIGINT) AS g0,
+         |       CAST(GROUPING(k1) AS BIGINT) AS g1,
+         |       COUNT(*) AS a_cnt, CAST(SUM(x) AS BIGINT) AS a0
+         |FROM (SELECT $k0Sql, $k1Sql, $x AS x FROM ${t.name}$whereSql) s
+         |GROUP BY GROUPING SETS ($setsSql)
+         |ORDER BY g0, g1, k0 NULLS FIRST, k1 NULLS FIRST""".stripMargin
+    val build = (spark: SparkSession, dir: String) => {
+      val base0 = Tables.table(spark, dir, t.name)
+      val base = (if (withPred) base0.filter(predCol) else base0)
+        .select(k0Col, k1Col, col(x).as("x"))
+      def nullOf(ty: String) = lit(null).cast(ty)
+      val parts = sets.map { s =>
+        val agg = if (s.isEmpty)
+          base.agg(count(lit(1)).as("a_cnt"),
+            sum(col("x")).cast("long").as("a0"))
+        else base.groupBy(s.map(col): _*)
+          .agg(count(lit(1)).as("a_cnt"),
+            sum(col("x")).cast("long").as("a0"))
+        agg.select(
+          (if (s.contains("k0")) col("k0") else nullOf(k0Ty)).as("k0"),
+          (if (s.contains("k1")) col("k1") else nullOf(k1Ty)).as("k1"),
+          lit(if (s.contains("k0")) 0L else 1L).as("g0"),
+          lit(if (s.contains("k1")) 0L else 1L).as("g1"),
+          col("a_cnt"), col("a0"))
+      }
+      parts.reduce(_.unionAll(_))
+        .orderBy(col("g0"), col("g1"),
+          col("k0").asc_nulls_first, col("k1").asc_nulls_first)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the GROUPING SETS shapes. */
+  val GroupingSetsSeedFloor = 26000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= GroupingSetsSeedFloor) return genGroupingSets(seed, rnd0)
     if (seed >= PivotSeedFloor) return genPivot(seed, rnd0)
     if (seed >= AntiSemiSeedFloor) return genAntiSemi(seed, rnd0)
     if (seed >= LateralSeedFloor) return genLateral(seed, rnd0)
@@ -1716,7 +1794,14 @@ object QueryFuzz {
       // 2/3/5-wide pivot domains: sum-int 25002 (l_returnflag),
       // sum-double 25004 (o_orderstatus) / 25008 (c_mktsegment, 5-wide)
       // / 25013 (l_linestatus), two-measure 25009 / 25019
-      25002L, 25004L, 25008L, 25009L, 25013L, 25019L)
+      25002L, 25004L, 25008L, 25009L, 25013L, 25019L,
+      // GROUPING SETS shapes — explicit set lists (incl. non-
+      // hierarchical) vs the union-of-plain-aggregates twin; all four
+      // menus and both key types: 26004/26005 rollup-equivalent
+      // (int/string keys), 26003 cross-cutting (k0),(k1), 26013/26019
+      // partial (k0,k1),(k1), 26008 (k0),(k1),() with the SAME column
+      // as both keys
+      26003L, 26004L, 26005L, 26008L, 26013L, 26019L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>
