@@ -78,6 +78,7 @@ object StreamFuzz {
   // streaming families continue at 40000
   val AggJoinOuterSeedFloor = 40000L
   val UnionJoinSeedFloor = 40500L
+  val TwsAggSeedFloor = 41000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2916,12 +2917,173 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("etype"), col("ems"), col("click_ms"))
     }
 
+  private[graft] case class TwsAggP(nWaves: Int, mode: String, delay: Long,
+      bucket: Long, k: Int) {
+    def aggW: Long = k * bucket
+  }
+
+  private[graft] def twsAggP(seed: Long): TwsAggP = {
+    val rnd = new Random(seed * 0xA0761D6478BD642FL + 0xE7037ED1A0B428DBL)
+    val nWaves = 3 + rnd.nextInt(3)
+    val mode = if (rnd.nextBoolean()) "shuffle" else "jitter"
+    val delay = if (mode == "shuffle") ShuffleDelaysMs(rnd.nextInt(3))
+      else JitterDelaysMs(rnd.nextInt(3))
+    TwsAggP(nWaves, mode, delay,
+      Seq(3600000L, 21600000L)(rnd.nextInt(2)),
+      Seq(4, 6, 24)(rnd.nextInt(3)))
+  }
+
+  /** Family S — transformWithState admission feeding a windowed
+    * aggregation (the remaining tws x downstream pair after L's
+    * tws -> join): first-view-per-(user, bucket) admission
+    * ([[graft.streaming.TwsAdmitJob]], the admitted row's own time
+    * re-declared as the output event time) rolled up into an ALIGNED
+    * coarse tumbling window (aggW = k * bucket) counting admissions.
+    *
+    * Purity, composing family L's admission rule with family J's
+    * no-re-feed shape:
+    *
+    *  - ADMISSION (family L): the admitted row for (user, bucket) is
+    *    min event time within the earliest kept-touching batch — the
+    *    (wave, ms)-ordered ROW_NUMBER replay; tws drops rows at
+    *    ms <= L (row-based, inclusive).
+    *  - NO DOWNSTREAM DROP: an admitted row emits in its arrival batch
+    *    with ms > L, and its window end exceeds ms, so the agg's
+    *    window-based filter (`end <= L` drops) can never reject it —
+    *    the row-based tws bound is strictly tighter.
+    *  - NO RE-FEED: a coarse window W2 evicted at batch M has
+    *    `W2.end <= E(M)`; any later row with ms inside W2 has
+    *    `ms < W2.end <= E(M) <= L(M')` for every later batch M' and is
+    *    tws-dropped before it could re-open the window.
+    *
+    * The finalized output is therefore the plain GROUP BY of the
+    * admitted set at aggW. Single watermark node (views only) — the
+    * lagged bound is the one-sided [[lateWmCtes]] replay.
+    */
+  private def genTwsAgg(seed: Long, cfg: DriveCfg): SGen = {
+    val p = twsAggP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket; val aggW = p.aggW
+    val margin = delay + 3 * aggW + 3 * bucket + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, nWaves.toLong),
+          (-2L, hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "ms", "wave"))
+      EventOps.withRocksDb(spark) {
+        EventOps.driveWaves(spark, frame,
+          "user_id LONG, ms LONG", nWaves + 2L,
+          s"sfz_twsagg_${cfg.tag}$seed",
+          statePartitions = cfg.statePartitions.getOrElse(1),
+          filesPerWave = cfg.filesPerWave,
+          restartAfter = cfg.killAfter(nWaves),
+          stageKey = Some(EventOps.stageKeyFor(s"sfz_twsagg_$seed", dir))) {
+          src =>
+          graft.streaming.TwsAdmitJob.admitFirst(
+            src.select(col("user_id").as("key"),
+              timestamp_millis(col("ms")).as("eventTs"),
+              lit(0.0).as("value"))
+              .as[graft.streaming.KeyedEvent],
+            bucket, s"$delay milliseconds").toDF()
+            .groupBy(org.apache.spark.sql.functions
+              .window(col("viewTs"), s"$aggW milliseconds"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("key")).cast("long").as("sum_uid"))
+            .select(unix_millis(col("window.start")).as("window_start_ms"),
+              col("n"), col("sum_uid"))
+        }
+      }
+        .filter(col("window_start_ms") <= hi)
+        .orderBy(col("window_start_ms"))
+    }
+
+    val viewBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type = 'view'),""".stripMargin
+    val sql =
+      s"""WITH ${if (mode == "jitter") viewBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type = 'view'),
+        |e AS (SELECT user_id, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |${lateWmCtes(delay)},
+        |kept AS (
+        |  SELECT e.user_id, e.ms, e.wave
+        |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm),
+        |adm AS (
+        |  SELECT user_id, ms,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ms // $bucket
+        |           ORDER BY wave, ms) AS rn
+        |  FROM kept)
+        |SELECT (ms // $aggW) * $aggW AS window_start_ms,
+        |       COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM adm WHERE rn = 1
+        |GROUP BY window_start_ms
+        |ORDER BY window_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family S drive: kept views under the
+    * one-sided lagged watermark, (wave, ms)-ordered first-admission per
+    * (user, bucket), grouped at the aligned coarse window.
+    */
+  def twsAggTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = twsAggP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("ms")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - p.delay,
+            lit(0L)), lit(0L)).as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+      val wAdm = Window
+        .partitionBy(col("user_id"), expr(s"ms div ${p.bucket}L"))
+        .orderBy(col("wave"), col("ms"))
+      kept.withColumn("rn", row_number().over(wAdm))
+        .filter(col("rn") === 1)
+        .groupBy(expr(s"(ms div ${p.aggW}L) * ${p.aggW}L")
+          .as("window_start_ms"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+        .orderBy(col("window_start_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
+    if (seed >= TwsAggSeedFloor) genTwsAgg(seed, cfg)
+    else if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
     else if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
     else if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
     else if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
@@ -2958,7 +3120,8 @@ object StreamFuzz {
       19000L, 19002L, 19004L, 19013L,
       19500L, 19502L, 19508L, 19514L,
       40000L, 40004L, 40006L, 40007L,
-      40500L, 40503L, 40507L, 40513L)
+      40500L, 40503L, 40507L, 40513L,
+      41000L, 41003L, 41007L, 41013L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -2970,7 +3133,7 @@ object StreamFuzz {
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
       16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
-      40006L, 40503L)
+      40006L, 40503L, 41003L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -2980,7 +3143,7 @@ object StreamFuzz {
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
       16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
-      40004L, 40507L)
+      40004L, 40507L, 41013L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

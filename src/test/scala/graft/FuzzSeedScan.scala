@@ -12,7 +12,9 @@ object FuzzSeedScan {
     (from to to).foreach { seed =>
       import graft.fuzz.StreamFuzz
       val (p, twin) =
-        if (seed >= StreamFuzz.UnionJoinSeedFloor)
+        if (seed >= StreamFuzz.TwsAggSeedFloor)
+          (StreamFuzz.twsAggP(seed).toString, StreamFuzz.twsAggTwin(seed))
+        else if (seed >= StreamFuzz.UnionJoinSeedFloor)
           (StreamFuzz.unionJoinP(seed).toString,
             StreamFuzz.unionJoinTwin(seed))
         else if (seed >= StreamFuzz.AggJoinOuterSeedFloor)

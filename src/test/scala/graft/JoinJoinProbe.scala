@@ -15,7 +15,9 @@ object JoinJoinProbe {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
         val twinFn =
-          if (seed >= StreamFuzz.UnionJoinSeedFloor)
+          if (seed >= StreamFuzz.TwsAggSeedFloor)
+            StreamFuzz.twsAggTwin(seed)
+          else if (seed >= StreamFuzz.UnionJoinSeedFloor)
             StreamFuzz.unionJoinTwin(seed)
           else if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
             StreamFuzz.aggJoinOuterTwin(seed)

@@ -28,7 +28,8 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
+    if (seed >= StreamFuzz.TwsAggSeedFloor) StreamFuzz.twsAggTwin
+    else if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
     else if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
     else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
     else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin

@@ -33,7 +33,8 @@ class StreamFuzzSpec extends AnyFunSuite {
 
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
+    if (seed >= StreamFuzz.TwsAggSeedFloor) StreamFuzz.twsAggTwin
+    else if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
     else if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
     else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
     else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin
@@ -194,6 +195,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(41000L, 41003L, 41007L, 41008L, 41013L).foreach { s =>
+    test(s"tws admission -> windowed agg drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.twsAggP(s)})") {
+      check(s, StreamFuzz.twsAggTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -208,7 +216,7 @@ class StreamFuzzSpec extends AnyFunSuite {
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
       18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
-      40000L, 40007L, 40500L, 40513L)
+      40000L, 40007L, 40500L, 40513L, 41000L, 41007L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

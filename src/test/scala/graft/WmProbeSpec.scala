@@ -932,6 +932,48 @@ class WmProbeSpec extends AnyFunSuite {
       s"union -> join composition rule moved: $real")
   }
 
+  test("tws admission chained into a windowed agg: the coarse window " +
+      "accumulates admissions across batches, a suppressed retry never " +
+      "double-counts, and a same-batch admission lands in the window " +
+      "closing that batch") {
+    // Family S's load-bearing composition rules: the admitted row's own
+    // time is the agg's event time (no watermark shift through tws), a
+    // bucket-suppressed retry produces NO aggregate contribution, and
+    // input rows are processed before the agg's eviction — an admission
+    // arriving in the window's closing batch is counted into the
+    // closing report. bucket 1000, aggW 2000, delay 0.
+    //   wave0: key 100 @20500 -> admitted; coarse window [20000,22000)
+    //   wave1: key 101 @30000 -> admitted; E(1) = 20500
+    //   wave2: L(2) = E(1) = 20500. key 1 @21000 kept -> bucket 21000
+    //          admitted into the SAME coarse window; key 100 @20900
+    //          kept by the late filter BUT bucket 20000 already
+    //          admitted -> suppressed, no double count; key 2 @20400
+    //          <= L -> tws-dropped. E(2) = 30000 closes [20000,22000)
+    //          THIS batch with both admissions: (20000, n=2, sum=101)
+    //   waves 3/4: sentinels flush [30000,32000) -> (30000, 1, 101)
+    val rows = Seq(
+      ("100", 20500L, 0L),
+      ("101", 30000L, 1L),
+      ("1", 21000L, 2L), ("100", 20900L, 2L), ("2", 20400L, 2L),
+      ("-1", 60000L, 3L), ("-2", 90000L, 4L))
+    val out = drive(rows, "probe_tws_agg", 5, rocks = true) { src =>
+      import spark.implicits._
+      graft.streaming.TwsAdmitJob.admitFirst(
+        src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(col("ms")).as("eventTs"),
+          lit(0.0).as("value")).as[graft.streaming.KeyedEvent],
+        bucketMs = 1000L, delay = "0 seconds").toDF()
+        .groupBy(window(col("viewTs"), "2000 milliseconds"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+        .select(unix_millis(col("window.start")).as("ws"),
+          col("n"), col("sum_keys"))
+    }
+    val real = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 40000L).sorted
+    assert(real == Seq((20000L, 2L, 101L), (30000L, 1L, 101L)),
+      s"tws -> agg composition rule moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
