@@ -488,8 +488,17 @@ object TextOps {
     * Every stage reuses the EXACT formula its standalone operator pins
     * (quality = [[withQuality]], fingerprint = [[textFingerprint]]), so
     * the funnel cannot drift from the operators it summarizes. Scale:
-    * one corpus scan, two keyed dedup windows (hash-partitioned on
-    * their keys), then five scalar aggregates — no stage rescans.
+    * one corpus scan computing per-doc survival FLAGS (Spark does not
+    * dedupe common subplans, so the r12 union-of-filtered-aggregates
+    * shape rescanned the corpus five times), then two keyed dedup
+    * windows (hash-partitioned on their keys) and ONE scalar aggregate
+    * over the flags; the five stage rows are exploded from that single
+    * aggregate row — no stage rescans. The dedup stages are sequential
+    * (exact dedup among quality survivors, fingerprint dedup among
+    * exact-dedup survivors), so "first surviving row per key" is a
+    * running sum of the upstream flag over the keyed window, not a raw
+    * row_number: a row wins its h-group iff it passes quality and no
+    * earlier (doc_id-ordered) quality survivor shares its hash.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val base = withQuality(spread(Tables.documents(spark, dir)))
@@ -497,29 +506,32 @@ object TextOps {
       .withColumn("fp",
         md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
           .cast("binary")))
-    val f1 = base.filter(col("quality") >= 0.6)
-    val f2 = f1.withColumn("rn",
-        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
-    val f3 = f2.withColumn("rn2",
-        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("rn2") === 1)
-    val f4 = f3.filter(col("n_tokens") >= 50)
-    def stage(id: Long, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n_docs"))
-    val stages = stage(0L, "total", base)
-      .unionByName(stage(1L, "quality_gate", f1))
-      .unionByName(stage(2L, "exact_dedup", f2))
-      .unionByName(stage(3L, "fingerprint_dedup", f3))
-      .unionByName(stage(4L, "length_floor", f4))
-    val all = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    stages
-      .withColumn("frac",
-        round(col("n_docs") /
-          max(when(col("stage_id") === 0, col("n_docs"))).over(all)
-          + lit(1e-9), 4))
+    val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = base
+      .withColumn("s1", (col("quality") >= 0.6).cast("long"))
+      .withColumn("s2",
+        (col("s1") === 1 && sum(col("s1")).over(wH) === 1).cast("long"))
+      .withColumn("s3",
+        (col("s2") === 1 && sum(col("s2")).over(wF) === 1).cast("long"))
+      .withColumn("s4",
+        (col("s3") === 1 && col("n_tokens") >= 50).cast("long"))
+    val one = flags.agg(
+      count(lit(1)).as("n0"), sum("s1").as("n1"), sum("s2").as("n2"),
+      sum("s3").as("n3"), sum("s4").as("n4"))
+    def st(id: Long, name: String, n: Column): Column = struct(
+      lit(id).as("stage_id"), lit(name).as("stage"), n.as("n_docs"))
+    one
+      .select(col("n0"), explode(array(
+        st(0L, "total", col("n0")),
+        st(1L, "quality_gate", col("n1")),
+        st(2L, "exact_dedup", col("n2")),
+        st(3L, "fingerprint_dedup", col("n3")),
+        st(4L, "length_floor", col("n4")))).as("s"))
+      .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"),
+        round(col("s.n_docs") / col("n0") + lit(1e-9), 4).as("frac"))
       .orderBy(col("stage_id"))
   }
 

@@ -817,6 +817,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curation_funnel scans documents once: survival flags + one " +
+      "aggregate, not per-stage rescans") {
+    // the r12 shape unioned five filtered aggregates and Spark does not
+    // dedupe common subplans, so the corpus scanned 5x; the flag rewrite
+    // must plan exactly one parquet scan of documents
+    val plan = finalPlan(
+      graft.operators.TextOps.queries("curation_funnel")(spark, dir))
+    // count unique scan NODES via the formatted-mode detail headers
+    // ("(n) Scan parquet") — the tree section repeats the operator name
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
+  }
+
   test("fuzzy linkage collapses to the name catalog BEFORE the pair " +
       "sweep: the nested-loop sides are aggregates, not raw scans") {
     val plan = finalPlan(
