@@ -1257,7 +1257,24 @@ object QueryFuzz {
     * output — is pinned by a dedicated QueryFuzzSpec test rather than a
     * seed, since the sweep asserts non-vacuous results.)
     */
-  private def genAntiSemi(seed: Long, rnd0: Random): Gen = {
+  /** Family-17 axes, exposed for the AntiSemiSeedScan labeler (the
+    * scanner used to re-derive variant/emptyInner by substring-sniffing
+    * the rendered SQL, which any future formatting change would break).
+    * Draw order is frozen: table triple, punch, emptyInner, m, r,
+    * variant — reordering would re-render every registered seed.
+    */
+  private[graft] case class AntiSemiP(outer: String, inner: String,
+      opk: String, ofk: String, ipk: String, punch: Int,
+      emptyInner: Boolean, m: Int, r: Int, variant: Int) {
+    def variantName: String = variant match {
+      case 0 => "not-in"
+      case 1 => "in"
+      case 2 => "not-exists"
+      case _ => "exists"
+    }
+  }
+
+  private[graft] def antiSemiP(seed: Long): AntiSemiP = {
     val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
     // (outer, inner, outer pk, outer fk, inner pk, punch menu) — punch
     // values chosen to HIT real keys at every SF (nation keys are
@@ -1272,9 +1289,17 @@ object QueryFuzz {
     val p = punchMenu(rnd.nextInt(punchMenu.size))
     val emptyInner = rnd.nextInt(4) == 0
     val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+    val variant = rnd.nextInt(4)
+    AntiSemiP(ot, it, opk, ofk, ipk, p, emptyInner, m, r, variant)
+  }
+
+  private def genAntiSemi(seed: Long, rnd0: Random): Gen = {
+    val ap = antiSemiP(seed)
+    val (ot, it, opk, ofk, ipk) = (ap.outer, ap.inner, ap.opk, ap.ofk, ap.ipk)
+    val p = ap.punch; val emptyInner = ap.emptyInner
+    val m = ap.m; val r = ap.r; val variant = ap.variant
     def predSql(q: String) =
       if (emptyInner) s"$q$ipk < 0" else s"$q$ipk % $m = $r"
-    val variant = rnd.nextInt(4)
     val sql = variant match {
       case 0 =>
         s"""SELECT CAST($opk AS BIGINT) AS key,
@@ -1501,8 +1526,125 @@ object QueryFuzz {
   /** Seed floor for the GROUPING SETS shapes. */
   val GroupingSetsSeedFloor = 26000L
 
+  /** Family-20 axes (frozen draw order: table cfg, measure count,
+    * subset shuffle, punch index, includeNulls, agg variant, slice
+    * m/r — reordering would re-render every registered seed).
+    */
+  private[graft] case class UnpivotP(table: String, keys: Seq[String],
+      measures: Seq[String], punched: String, includeNulls: Boolean,
+      agg: Boolean, m: Int, r: Int)
+
+  /** Per-table measure menus: (output alias, SQL expr, punch predicate).
+    * Every measure casts to DOUBLE (unpivot requires one common value
+    * type); punch predicates are chosen to HIT real rows at every SF so
+    * the NULL-handling axis is never vacuous.
+    */
+  private val unpivotMenu: Seq[(String, Seq[String], Seq[(String, String, String)])] = Seq(
+    ("lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
+      ("m_qty", "CAST(l_quantity AS DOUBLE)", "l_quantity >= 25.0"),
+      ("m_price", "CAST(l_extendedprice AS DOUBLE)",
+        "l_extendedprice >= 30000.0"),
+      ("m_disc", "CAST(l_discount AS DOUBLE)", "l_discount >= 0.05"),
+      ("m_partk", "CAST(l_partkey AS DOUBLE)", "l_partkey % 5 = 0"))),
+    ("part", Seq("p_partkey"), Seq(
+      ("m_retail", "CAST(p_retailprice AS DOUBLE)",
+        "p_retailprice >= 1250.0"),
+      ("m_size", "CAST(p_size AS DOUBLE)", "p_size % 5 = 0"))),
+    ("customer", Seq("c_custkey"), Seq(
+      ("m_bal", "CAST(c_acctbal AS DOUBLE)", "c_acctbal >= 0.0"),
+      ("m_natk", "CAST(c_nationkey AS DOUBLE)", "c_nationkey % 5 = 0"))),
+    ("orders", Seq("o_orderkey"), Seq(
+      ("m_total", "CAST(o_totalprice AS DOUBLE)",
+        "o_totalprice >= 100000.0"),
+      ("m_custk", "CAST(o_custkey AS DOUBLE)", "o_custkey % 5 = 0"))))
+
+  private[graft] def unpivotP(seed: Long): UnpivotP = {
+    val rnd = new Random(seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+    val (tn, keys, menu) = pick(rnd, unpivotMenu)
+    val k = 2 + rnd.nextInt(menu.size - 1)
+    // draw-without-replacement via removal (java.util.Random has no
+    // shuffle); order of draws is part of the frozen stream
+    val pool = scala.collection.mutable.ArrayBuffer(menu.map(_._1): _*)
+    val chosen = Seq.fill(k)(pool.remove(rnd.nextInt(pool.size)))
+    val punched = chosen(rnd.nextInt(chosen.size))
+    val includeNulls = rnd.nextBoolean()
+    val agg = rnd.nextInt(3) == 0
+    val m = 4 + rnd.nextInt(5); val r = rnd.nextInt(m)
+    UnpivotP(tn, keys, chosen, punched, includeNulls, agg, m, r)
+  }
+
+  /** UNPIVOT/stack shapes (family 20): the DataFrame `unpivot` API —
+    * planned as ONE scan + Expand — vs a UNION-ALL-of-projections twin
+    * that scans once per measure and never builds an Expand. A dropped
+    * or duplicated measure column, a mislabeled variable cell, or a
+    * NULL-row inclusion bug cannot reproduce on the twin. Axes: 4
+    * table/measure menus (2-4 measures, all cast DOUBLE), a CASE-punch
+    * turning one measure NULL on a value band (so the NULL axis always
+    * has rows), include-vs-drop NULL cells (encoded EXPLICITLY on both
+    * sides — Dataset.unpivot keeps NULL cells, so the drop variant adds
+    * a filter), an optional per-measure aggregate rollup (COUNT(*)
+    * counts kept NULL cells; SUM ignores them in both engines), and a
+    * key-modulo slice bounding row-level output.
+    */
+  private def genUnpivot(seed: Long, rnd0: Random): Gen = {
+    val p = unpivotP(seed)
+    val menu = unpivotMenu.find(_._1 == p.table).get._3
+    def exprOf(name: String): String = {
+      val (_, base, punch) = menu.find(_._1 == name).get
+      if (name == p.punched) s"CASE WHEN $punch THEN NULL ELSE $base END"
+      else base
+    }
+    val keyAliases = p.keys.indices.map(i => s"k$i")
+    val keySql = p.keys.zip(keyAliases)
+      .map { case (c, a) => s"CAST($c AS BIGINT) AS $a" }.mkString(", ")
+    val slice = s"${p.keys.head} % ${p.m} = ${p.r}"
+    val sql =
+      if (p.agg) {
+        val branches = p.measures.map { mn =>
+          val nn = if (p.includeNulls) "" else s" AND ${exprOf(mn)} IS NOT NULL"
+          s"""SELECT '$mn' AS measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       ROUND(SUM(${exprOf(mn)}) * (1.0 + 1e-12), 2) AS s_val
+             |FROM ${p.table} WHERE $slice$nn""".stripMargin
+        }
+        s"""SELECT * FROM (
+           |${branches.mkString("\nUNION ALL\n")}
+           |) u ORDER BY measure""".stripMargin
+      } else {
+        val branches = p.measures.map { mn =>
+          val nn = if (p.includeNulls) "" else s" AND ${exprOf(mn)} IS NOT NULL"
+          s"""SELECT $keySql, '$mn' AS measure, ${exprOf(mn)} AS val
+             |FROM ${p.table} WHERE $slice$nn""".stripMargin
+        }
+        s"""SELECT * FROM (
+           |${branches.mkString("\nUNION ALL\n")}
+           |) u ORDER BY ${keyAliases.mkString(", ")}, measure""".stripMargin
+      }
+    val build = (spark: SparkSession, dir: String) => {
+      val base = Tables.table(spark, dir, p.table)
+        .filter(expr(slice))
+        .select(p.keys.zip(keyAliases).map { case (c, a) =>
+          col(c).cast("long").as(a) } ++
+          p.measures.map(mn => expr(exprOf(mn)).as(mn)): _*)
+      val up = base.unpivot(keyAliases.map(col).toArray,
+        p.measures.map(col).toArray, "measure", "val")
+      val kept = if (p.includeNulls) up else up.filter(col("val").isNotNull)
+      if (p.agg)
+        kept.groupBy(col("measure"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("val")) * (lit(1.0) + lit(1e-12)), 2).as("s_val"))
+          .orderBy(col("measure"))
+      else
+        kept.orderBy(keyAliases.map(col) :+ col("measure"): _*)
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the UNPIVOT/stack shapes. */
+  val UnpivotSeedFloor = 27000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= UnpivotSeedFloor) return genUnpivot(seed, rnd0)
     if (seed >= GroupingSetsSeedFloor) return genGroupingSets(seed, rnd0)
     if (seed >= PivotSeedFloor) return genPivot(seed, rnd0)
     if (seed >= AntiSemiSeedFloor) return genAntiSemi(seed, rnd0)

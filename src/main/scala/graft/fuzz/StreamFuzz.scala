@@ -74,11 +74,15 @@ object StreamFuzz {
   val JoinJoinSeedFloor = 18500L
   val DedupJoinSeedFloor = 19000L
   val AggJoinSeedFloor = 19500L
-  // QueryFuzz owns 20000-25xxx in the shared fuzz_q name prefix, so
-  // streaming families continue at 40000
+  // QueryFuzz owns [20000, 40000) in the shared fuzz_q name prefix
+  // (26xxx used so far, growing upward), so streaming families continue
+  // at 40000+ regardless of future QueryFuzz growth; generate/twinFor
+  // throw on seeds in the batch-owned gap
+  val BatchOwnedFloor = 20000L
   val AggJoinOuterSeedFloor = 40000L
   val UnionJoinSeedFloor = 40500L
   val TwsAggSeedFloor = 41000L
+  val DedupSessSeedFloor = 41500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2299,6 +2303,237 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("view_bt_ms"), col("click_ms"))
     }
 
+  private[graft] case class DedupSessP(nWaves: Int, mode: String,
+      delay: Long, bucket: Long, gap: Long)
+
+  private[graft] def dedupSessP(seed: Long): DedupSessP = {
+    val d = dedupP(seed)
+    // independent draw for the session gap (dedupP consumed its RNG);
+    // gap is a multiple of the bucket so consecutive occupied buckets
+    // genuinely merge (a sub-bucket gap would make every session a
+    // single bucket and the merging state machine untested)
+    val rnd = new Random(seed * 0x9E6C63D0876A9A41L + 0x5851F42D4C957F2DL)
+    DedupSessP(d.nWaves, d.mode, d.delay, d.bucket,
+      d.bucket * (1 + rnd.nextInt(3)))
+  }
+
+  /** Family T — streaming dedup FEEDING a native `session_window`
+    * aggregation: the LAST stateful operator never exercised in
+    * composition (family C covers it standalone; H-S chain every other
+    * pair). Rows are deduped on (user, bucket) — the bucketed time IS
+    * the event-time column — and the distinct (user, bucket) stream
+    * feeds the merging SessionWindowStateStore, so session merging,
+    * emission, AND re-opening all run on dedup's exactly-once output
+    * under the watermark passed THROUGH StreamingDeduplicateExec.
+    *
+    * Oracle = the composition of two proven arguments:
+    *
+    *  - family E: dedup's finalized emission set is exactly DISTINCT
+    *    (user, bt) over the kept rows (row-based inclusive drop
+    *    `bt <= L`; re-emission after eviction impossible), each
+    *    emitted in its FIRST kept arrival batch — so the session
+    *    operator's per-batch input is d = (user, bt, min kept wave);
+    *  - family C: the session late filter is END-based
+    *    (`bt + gap <= L` drops) — STRICTLY WEAKER than dedup's
+    *    row-based filter already applied upstream (gap > 0 implies
+    *    bt > L => bt + gap > L), so NO row is lost between the
+    *    operators and family C's staged replay applies verbatim over
+    *    d: stage k re-sessionizes open rows and emits components whose
+    *    end <= E(k), late-but-kept buckets re-opening OVERLAPPING
+    *    sessions exactly as in the standalone family.
+    *
+    * The watermark schedule stays driven by ALL arriving rows (stats
+    * are collected at the source watermark node, upstream of both
+    * operators), so `b` is built from e — including waves whose rows
+    * are all dedup-dropped: their batches still exist and still evict.
+    */
+  private def genDedupSess(seed: Long, cfg: DriveCfg): SGen = {
+    val p = dedupSessP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val bucket = p.bucket; val gap = p.gap
+    val margin = delay + 3 * gap + 3 * bucket + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, nWaves.toLong),
+          (-2L, hi + 2 * margin, nWaves + 1L))
+          .toDF("key", "ms", "wave"))
+      EventOps.driveWaves(spark, frame, "key LONG, ms LONG", nWaves + 2L,
+        s"sfz_dsess_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_dsess_$seed", dir))) { src =>
+        src.select(col("key"),
+            timestamp_millis(expr(s"(ms div ${bucket}L) * ${bucket}L"))
+              .as("bt"))
+          .withWatermark("bt", s"$delay milliseconds")
+          .dropDuplicates("key", "bt")
+          .groupBy(session_window(col("bt"), s"$gap milliseconds"),
+            col("key"))
+          .agg(count(lit(1)).as("n_buckets"))
+          .select(col("key").as("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("n_buckets"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+
+    // family C's generated replay stage, minus the value column: stage
+    // k re-sessionizes open deduped buckets and emits components whose
+    // end <= E(k), guarded on the wave actually having ARRIVING rows
+    // (all-duplicate waves still have a batch — b is built from e)
+    def stage(k: Long, prev: String): String = {
+      val ek = s"(SELECT COALESCE(GREATEST(MAX(mx) - $delay, 0), 0)" +
+        s" FROM b WHERE wave < $k)"
+      val hasBatch = s"(SELECT COUNT(*) FROM b WHERE wave = $k) > 0"
+      s"""s$k AS (
+        |  SELECT user_id, ms, wave,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN $k ELSE est END AS est,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN sid ELSE esid END AS esid
+        |  FROM (
+        |    SELECT *, MAX(ms) OVER (PARTITION BY user_id, open, sid)
+        |              + $gap AS comp_end
+        |    FROM (
+        |      SELECT *, SUM(ns) OVER (PARTITION BY user_id, open ORDER BY ms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM (
+        |        SELECT *, CASE WHEN NOT open THEN NULL
+        |          WHEN lag(ms) OVER (PARTITION BY user_id, open ORDER BY ms)
+        |            IS NULL THEN 1
+        |          WHEN ms - lag(ms) OVER (PARTITION BY user_id, open
+        |            ORDER BY ms) > $gap THEN 1 ELSE 0 END AS ns
+        |        FROM (SELECT user_id, ms, wave, est, esid,
+        |                (est IS NULL AND wave <= $k) AS open
+        |              FROM $prev)))))""".stripMargin
+    }
+    val nStages = nWaves + 2
+    val stages = (0L until nStages)
+      .map(k => stage(k, if (k == 0) "s_init" else s"s${k - 1}"))
+      .mkString(",\n")
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, (ms // $bucket) * $bucket AS ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |b0 AS (SELECT wave, MAX(ms) AS mx FROM e GROUP BY wave),
+        |hb AS (SELECT MAX(ms) AS hi FROM e),
+        |b AS (SELECT * FROM b0
+        |      UNION ALL SELECT $nWaves, hi + $margin FROM hb
+        |      UNION ALL SELECT ${nWaves + 1}, hi + 2 * $margin FROM hb),
+        |l AS (SELECT wave,
+        |        COALESCE(GREATEST(MAX(mx) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |          - $delay, 0), 0) AS lwm
+        |      FROM b),
+        |kept AS (
+        |  SELECT e.user_id, e.ms, e.wave FROM e JOIN l USING (wave)
+        |  WHERE e.ms > l.lwm),
+        |d AS (SELECT user_id, ms, MIN(wave) AS wave FROM kept
+        |      GROUP BY user_id, ms),
+        |s_init AS (
+        |  SELECT user_id, ms, wave,
+        |         CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS esid
+        |  FROM d),
+        |$stages
+        |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + $gap AS end_ms,
+        |       COUNT(*) AS n_buckets
+        |FROM s${nStages - 1} GROUP BY user_id, est, esid
+        |ORDER BY user_id, start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family T drive: the kept-and-deduped
+    * bucket set (first kept wave per (user, bucket)) pushed through the
+    * same staged session replay as [[sessionTwin]], with per-stage
+    * eviction scalars from the FLOORED per-wave maxes.
+    */
+  def dedupSessTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = dedupSessP(seed)
+      val margin = p.delay + 3 * p.gap + 3 * p.bucket + 10000000L
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      // carving reads the RAW time (`ms`); the watermarked column is
+      // the bucket floor, which REPLACES ms for everything downstream
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .withColumn("ms", expr(s"(ms div ${p.bucket}L) * ${p.bucket}L"))
+        .drop("event_id")
+      val realMx: Map[Long, Long] = e.groupBy(col("wave"))
+        .agg(max(col("ms")).as("mx")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hi = realMx.values.max
+      val mxByWave = realMx +
+        (p.nWaves.toLong -> (hi + margin)) +
+        ((p.nWaves + 1).toLong -> (hi + 2 * margin))
+      def ewm(k: Long): Long = {
+        val prior = mxByWave.filter(_._1 < k).values
+        if (prior.isEmpty) 0L else math.max(0L, prior.max - p.delay)
+      }
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(max(col("ms")).as("mx"))
+        .select(col("wave"),
+          coalesce(greatest(max(col("mx")).over(wPrev2) - lit(p.delay),
+            lit(0L)), lit(0L)).as("lwm"))
+      var df = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+        .groupBy(col("user_id").as("key"), col("ms"))
+        .agg(min(col("wave")).as("wave"))
+        .withColumn("est", lit(null).cast("long"))
+        .withColumn("esid", lit(null).cast("long"))
+      (0L until (p.nWaves + 2L)).foreach { k =>
+        val hasBatch = mxByWave.contains(k)
+        val wOpen = Window.partitionBy(col("key"), col("open"))
+          .orderBy(col("ms"))
+        val wCum = wOpen.rowsBetween(Window.unboundedPreceding, 0)
+        val wComp = Window.partitionBy(col("key"), col("open"), col("sid"))
+        df = df
+          .withColumn("open", col("est").isNull && col("wave") <= k)
+          .withColumn("ns", when(!col("open"), lit(null))
+            .when(lag(col("ms"), 1).over(wOpen).isNull, 1)
+            .when(col("ms") - lag(col("ms"), 1).over(wOpen) > p.gap, 1)
+            .otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(wCum))
+          .withColumn("comp_end", max(col("ms")).over(wComp) + p.gap)
+          .withColumn("emit",
+            col("open") && lit(hasBatch) && col("comp_end") <= ewm(k))
+          .withColumn("est", when(col("emit"), k).otherwise(col("est")))
+          .withColumn("esid", when(col("emit"), col("sid"))
+            .otherwise(col("esid")))
+          .drop("open", "ns", "sid", "comp_end", "emit")
+      }
+      df.groupBy(col("key"), col("est"), col("esid"))
+        .agg(min(col("ms")).as("start_ms"),
+          (max(col("ms")) + p.gap).as("end_ms"),
+          count(lit(1)).as("n_buckets"))
+        .select(col("key").as("user_id"), col("start_ms"), col("end_ms"),
+          col("n_buckets"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+
   private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
       window: Long, bucket: Long)
 
@@ -3082,9 +3317,17 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= TwsAggSeedFloor) genTwsAgg(seed, cfg)
+    if (seed >= DedupSessSeedFloor) genDedupSess(seed, cfg)
+    else if (seed >= TwsAggSeedFloor) genTwsAgg(seed, cfg)
     else if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
     else if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
+    // the [20000, 40000) gap belongs to QueryFuzz: silently routing it
+    // to family P would drive a batch-owned seed under a colliding
+    // fuzz_q name, so it is a hard error here
+    else if (seed >= BatchOwnedFloor) throw new IllegalArgumentException(
+      s"seed $seed is in the QueryFuzz-owned batch range " +
+        s"[$BatchOwnedFloor, $AggJoinOuterSeedFloor); streaming seeds " +
+        "are below 20000 or at 40000+")
     else if (seed >= AggJoinSeedFloor) genAggJoin(seed, cfg)
     else if (seed >= DedupJoinSeedFloor) genDedupJoin(seed, cfg)
     else if (seed >= JoinJoinSeedFloor) genJoinJoin(seed, cfg)
@@ -3101,6 +3344,63 @@ object StreamFuzz {
     else if (seed >= SessionSeedFloor) genSession(seed, cfg)
     else if (seed >= QuotaSeedFloor) genQuota(seed, cfg)
     else genAgg(seed, cfg)
+
+  /** THE seed→batch-twin dispatch, mirroring [[generate]] exactly.
+    * Formerly hand-copied in four places (StreamFuzzSpec,
+    * RocksDbSweepSpec, FuzzSeedScan, JoinJoinProbe), which drifted —
+    * JoinJoinProbe's final else mis-dispatched sub-JoinJoin seeds. Every
+    * tool/spec resolves twins through here now.
+    */
+  def twinFor(seed: Long): (SparkSession, String) => DataFrame =
+    if (seed >= DedupSessSeedFloor) dedupSessTwin(seed)
+    else if (seed >= TwsAggSeedFloor) twsAggTwin(seed)
+    else if (seed >= UnionJoinSeedFloor) unionJoinTwin(seed)
+    else if (seed >= AggJoinOuterSeedFloor) aggJoinOuterTwin(seed)
+    else if (seed >= BatchOwnedFloor) throw new IllegalArgumentException(
+      s"seed $seed is QueryFuzz-owned; no streaming twin exists")
+    else if (seed >= AggJoinSeedFloor) aggJoinTwin(seed)
+    else if (seed >= DedupJoinSeedFloor) dedupJoinTwin(seed)
+    else if (seed >= JoinJoinSeedFloor) joinJoinTwin(seed)
+    else if (seed >= DedupAggSeedFloor) dedupAggTwin(seed)
+    else if (seed >= TwsJoinSeedFloor) twsJoinTwin(seed)
+    else if (seed >= Chain3SeedFloor) chain3Twin(seed)
+    else if (seed >= AggAggSeedFloor) aggAggTwin(seed)
+    else if (seed >= UnionSeedFloor) unionTwin(seed)
+    else if (seed >= ChainSeedFloor) chainTwin(seed)
+    else if (seed >= JoinExtSeedFloor) joinExtTwin(seed)
+    else if (seed >= DedupWmSeedFloor) dedupWmTwin(seed)
+    else if (seed >= DedupSeedFloor) dedupTwin(seed)
+    else if (seed >= JoinSeedFloor) joinTwin(seed)
+    else if (seed >= SessionSeedFloor) sessionTwin(seed)
+    else if (seed >= QuotaSeedFloor) quotaTwin(seed)
+    else aggTwin(seed)
+
+  /** The family params for a seed (scanner/probe labeling), same
+    * dispatch as [[generate]]/[[twinFor]].
+    */
+  def paramsFor(seed: Long): Product =
+    if (seed >= DedupSessSeedFloor) dedupSessP(seed)
+    else if (seed >= TwsAggSeedFloor) twsAggP(seed)
+    else if (seed >= UnionJoinSeedFloor) unionJoinP(seed)
+    else if (seed >= AggJoinOuterSeedFloor) aggJoinOuterP(seed)
+    else if (seed >= BatchOwnedFloor) throw new IllegalArgumentException(
+      s"seed $seed is QueryFuzz-owned; no streaming params exist")
+    else if (seed >= AggJoinSeedFloor) aggJoinP(seed)
+    else if (seed >= DedupJoinSeedFloor) dedupJoinP(seed)
+    else if (seed >= JoinJoinSeedFloor) joinJoinP(seed)
+    else if (seed >= DedupAggSeedFloor) dedupAggP(seed)
+    else if (seed >= TwsJoinSeedFloor) twsJoinP(seed)
+    else if (seed >= Chain3SeedFloor) chain3P(seed)
+    else if (seed >= AggAggSeedFloor) aggAggP(seed)
+    else if (seed >= UnionSeedFloor) unionP(seed)
+    else if (seed >= ChainSeedFloor) chainP(seed)
+    else if (seed >= JoinExtSeedFloor) joinPExt(seed)
+    else if (seed >= DedupWmSeedFloor) dedupWmP(seed)
+    else if (seed >= DedupSeedFloor) dedupP(seed)
+    else if (seed >= JoinSeedFloor) joinP(seed)
+    else if (seed >= SessionSeedFloor) sessionP(seed)
+    else if (seed >= QuotaSeedFloor) quotaP(seed)
+    else aggP(seed)
 
   /** Fixed seeds registered in SparkEntry for the driver's DuckDB
     * differential check. Chosen to cover both carvings and several
@@ -3121,7 +3421,8 @@ object StreamFuzz {
       19500L, 19502L, 19508L, 19514L,
       40000L, 40004L, 40006L, 40007L,
       40500L, 40503L, 40507L, 40513L,
-      41000L, 41003L, 41007L, 41013L)
+      41000L, 41003L, 41007L, 41013L,
+      41500L, 41502L, 41507L, 41515L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -3133,7 +3434,7 @@ object StreamFuzz {
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
       16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
-      40006L, 40503L, 41003L)
+      40006L, 40503L, 41003L, 41502L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -3143,7 +3444,7 @@ object StreamFuzz {
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
       16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
-      40004L, 40507L, 41013L)
+      40004L, 40507L, 41013L, 41507L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -14,16 +14,13 @@ object AntiSemiSeedScan {
       val g = graft.fuzz.QueryFuzz.generate(seed)
       val n1 = g.build(spark, TestSpark.sfDir).count()
       val n2 = g.build(spark, TestSpark.sfDirMid).count()
-      val s = g.sql
-      val variant =
-        if (s.contains("NOT IN")) "not-in"
-        else if (s.contains(" IN\n") || s.contains(" IN ")) "in"
-        else if (s.contains("NOT EXISTS")) "not-exists"
-        else "exists"
-      val empty = if (s.contains("< 0")) " emptyInner" else ""
-      val edge = s.linesIterator.find(_.startsWith("FROM"))
-        .map(_.trim.take(40)).getOrElse("")
-      println(s"SEED $seed rows_sf0.001=$n1 rows_sf0.01=$n2 $variant$empty | $edge")
+      // axes come from the generator's own params accessor, not from
+      // sniffing the rendered SQL (formatting-change-proof)
+      val ap = graft.fuzz.QueryFuzz.antiSemiP(seed)
+      val empty = if (ap.emptyInner) " emptyInner" else ""
+      println(s"SEED $seed rows_sf0.001=$n1 rows_sf0.01=$n2 " +
+        s"${ap.variantName}$empty | ${ap.outer} vs ${ap.inner} " +
+        s"punch=${ap.punch} m=${ap.m} r=${ap.r}")
     }
     spark.stop()
   }

@@ -14,19 +14,9 @@ object JoinJoinProbe {
       try {
         val drive = StreamFuzz.generate(seed).build(spark, dir)
           .collect().map(_.toSeq).toSeq
-        val twinFn =
-          if (seed >= StreamFuzz.TwsAggSeedFloor)
-            StreamFuzz.twsAggTwin(seed)
-          else if (seed >= StreamFuzz.UnionJoinSeedFloor)
-            StreamFuzz.unionJoinTwin(seed)
-          else if (seed >= StreamFuzz.AggJoinOuterSeedFloor)
-            StreamFuzz.aggJoinOuterTwin(seed)
-          else if (seed >= StreamFuzz.AggJoinSeedFloor)
-            StreamFuzz.aggJoinTwin(seed)
-          else if (seed >= StreamFuzz.DedupJoinSeedFloor)
-            StreamFuzz.dedupJoinTwin(seed)
-          else StreamFuzz.joinJoinTwin(seed)
-        val twin = twinFn(spark, dir).collect().map(_.toSeq).toSeq
+        // single-source dispatch: any family's seed probes correctly
+        val twin = StreamFuzz.twinFor(seed)(spark, dir)
+          .collect().map(_.toSeq).toSeq
         val ok = drive == twin
         println(s"PROBE $seed drive=${drive.size} twin=${twin.size} match=$ok")
         if (!ok) {

@@ -26,27 +26,7 @@ class RocksDbSweepSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
-  private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
-      String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.TwsAggSeedFloor) StreamFuzz.twsAggTwin
-    else if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
-    else if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
-    else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
-    else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin
-    else if (seed >= StreamFuzz.JoinJoinSeedFloor) StreamFuzz.joinJoinTwin
-    else if (seed >= StreamFuzz.DedupAggSeedFloor) StreamFuzz.dedupAggTwin
-    else if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
-    else if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
-    else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
-    else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
-    else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
-    else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
-    else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
-    else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
-    else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
-    else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
-    else if (seed >= StreamFuzz.QuotaSeedFloor) StreamFuzz.quotaTwin
-    else StreamFuzz.aggTwin
+  // seed→twin dispatch lives in StreamFuzz.twinFor (single source)
 
   StreamFuzz.registeredSeeds.foreach { s =>
     test(s"fuzz seed $s drive matches its batch twin under RocksDB") {
@@ -56,7 +36,7 @@ class RocksDbSweepSpec extends AnyFunSuite {
         StreamFuzz.generate(s, DriveCfg(tag = "rdb")).build(spark, dir)
           .collect()
       }
-      val batch = twinFor(s)(s)(spark, dir).collect()
+      val batch = StreamFuzz.twinFor(s)(spark, dir).collect()
       assert(drive.length == batch.length,
         s"seed $s: drive ${drive.length} rows vs twin ${batch.length}")
       assert(drive.nonEmpty, s"seed $s: vacuous (0 rows)")

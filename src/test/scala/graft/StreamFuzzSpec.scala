@@ -31,27 +31,11 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // seed→twin dispatch lives in StreamFuzz.twinFor (single source,
+  // shared with RocksDbSweepSpec / FuzzSeedScan / JoinJoinProbe)
   private def twinFor(seed: Long): Long => (org.apache.spark.sql.SparkSession,
       String) => org.apache.spark.sql.DataFrame =
-    if (seed >= StreamFuzz.TwsAggSeedFloor) StreamFuzz.twsAggTwin
-    else if (seed >= StreamFuzz.UnionJoinSeedFloor) StreamFuzz.unionJoinTwin
-    else if (seed >= StreamFuzz.AggJoinOuterSeedFloor) StreamFuzz.aggJoinOuterTwin
-    else if (seed >= StreamFuzz.AggJoinSeedFloor) StreamFuzz.aggJoinTwin
-    else if (seed >= StreamFuzz.DedupJoinSeedFloor) StreamFuzz.dedupJoinTwin
-    else if (seed >= StreamFuzz.JoinJoinSeedFloor) StreamFuzz.joinJoinTwin
-    else if (seed >= StreamFuzz.DedupAggSeedFloor) StreamFuzz.dedupAggTwin
-    else if (seed >= StreamFuzz.TwsJoinSeedFloor) StreamFuzz.twsJoinTwin
-    else if (seed >= StreamFuzz.Chain3SeedFloor) StreamFuzz.chain3Twin
-    else if (seed >= StreamFuzz.AggAggSeedFloor) StreamFuzz.aggAggTwin
-    else if (seed >= StreamFuzz.UnionSeedFloor) StreamFuzz.unionTwin
-    else if (seed >= StreamFuzz.ChainSeedFloor) StreamFuzz.chainTwin
-    else if (seed >= StreamFuzz.JoinExtSeedFloor) StreamFuzz.joinExtTwin
-    else if (seed >= StreamFuzz.DedupWmSeedFloor) StreamFuzz.dedupWmTwin
-    else if (seed >= StreamFuzz.DedupSeedFloor) StreamFuzz.dedupTwin
-    else if (seed >= StreamFuzz.JoinSeedFloor) StreamFuzz.joinTwin
-    else if (seed >= StreamFuzz.SessionSeedFloor) StreamFuzz.sessionTwin
-    else if (seed >= StreamFuzz.QuotaSeedFloor) StreamFuzz.quotaTwin
-    else StreamFuzz.aggTwin
+    _ => StreamFuzz.twinFor(seed)
 
   // registered + unregistered seeds, both families, both carvings
   Seq(12000L, 12002L, 12004L, 12005L).foreach { s =>
@@ -202,6 +186,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(41500L, 41502L, 41507L, 41510L, 41515L).foreach { s =>
+    test(s"dedup -> session_window drive matches staged-replay twin " +
+        s"(seed $s, ${StreamFuzz.dedupSessP(s)})") {
+      check(s, StreamFuzz.dedupSessTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -216,7 +207,7 @@ class StreamFuzzSpec extends AnyFunSuite {
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
       18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
-      40000L, 40007L, 40500L, 40513L, 41000L, 41007L)
+      40000L, 40007L, 40500L, 40513L, 41000L, 41007L, 41500L, 41507L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

@@ -279,6 +279,45 @@ class WmProbeSpec extends AnyFunSuite {
         s"overlapping outputs): $a")
   }
 
+  test("dedup -> session_window composition: exactly-once dedup feeds " +
+      "the merging session; dedup's ROW filter subsumes session-end " +
+      "lateness (family T's load-bearing rules)") {
+    // delay 15000, bucket 1000, gap 1000. Rows:
+    //   wave0: adv t=40000; k 10000 + 10250 (SAME bucket -> dedup
+    //     admits one; the session must count the bucket ONCE)
+    //   wave1: k 10500 (bucket 10000 AGAIN, later batch -> dedup state
+    //     drops it); k 11000 (next bucket, exactly gap apart -> MERGES);
+    //     adv2 60000
+    //   wave2: L = E(wave1) = 40000 - 15000 = 25000.
+    //     x 25400 -> bucket 25000 <= L: dedup DROPS it even though its
+    //       session end 26000 > L would have passed the session's
+    //       end-based filter — the composition's row-based gate governs
+    //     y 26100 -> bucket 26000 > L: kept (boundary neighbor)
+    val rows = Seq(
+      ("adv", 40000L, 0L), ("k", 10000L, 0L), ("k", 10250L, 0L),
+      ("k", 10500L, 1L), ("k", 11000L, 1L), ("adv2", 60000L, 1L),
+      ("x", 25400L, 2L), ("y", 26100L, 2L),
+      ("s1", 90000L, 3L), ("s2", 140000L, 4L))
+    val out = drive(rows, "probe_dsess", 5) { src =>
+      src.select(col("etype"),
+          timestamp_millis(expr("(ms div 1000) * 1000")).as("bt"))
+        .withWatermark("bt", "15 seconds")
+        .dropDuplicates("etype", "bt")
+        .groupBy(session_window(col("bt"), "1 second"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"),
+          unix_millis(col("session_window.start")).as("ss"),
+          unix_millis(col("session_window.end")).as("se"), col("n"))
+    }
+    val real = out.filter(r => !r.getString(0).startsWith("s"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(real == Seq(
+      ("adv", 40000L, 41000L, 1L), ("adv2", 60000L, 61000L, 1L),
+      ("k", 10000L, 12000L, 2L), ("y", 26000L, 27000L, 1L)),
+      s"dedup->session composition rules moved: $real")
+  }
+
   test("stream-stream interval join: per-side late-input drop rules") {
     // One source split into views (etype 'v<user>') and clicks ('c<user>'),
     // inner-joined on user with c.ts in [v.ts, v.ts+1000]. delay 0;
