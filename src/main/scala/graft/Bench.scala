@@ -73,6 +73,28 @@ object Bench {
     fromBaselineFile.orElse(fromRound).orElse(fromWorking)
   }
 
+  /** The committed plan-fingerprint baseline (`HEAD:plan_manifest.json`,
+    * written by graft.tools.PlanManifest at round close). Returns the
+    * per-query fingerprints and the sf it was recorded at — a manifest
+    * from another scale factor is not comparable (AQE replans on stats).
+    */
+  private def planBaseline(repoDir: String): Option[(Map[String, String], String)] =
+    try {
+      val p = new ProcessBuilder("git", "-C", repoDir, "show",
+        "HEAD:plan_manifest.json").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() != 0) None else {
+        val j = JsonMethods.parse(out)
+        val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+        val plans = j \ "plans" match {
+          case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Some(plans -> sf)
+      }
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,17 +157,28 @@ object Bench {
     // Two passes, report the per-query minimum: this VM shows heavy
     // run-to-run noise (host CPU steal / IO stalls), and min-of-2 is the
     // standard de-noised steady-state estimate.
-    def onePass(): Map[String, (Double, Long)] =
+    // pass 2 additionally fingerprints each batch query's FINAL plan
+    // (outside the timed span): by then substrates are staged and AQE
+    // is warm, so the fingerprint is the steady-state plan — the same
+    // thing tools.PlanManifest records. Streaming drives are excluded
+    // (their result frames read run-scoped sink dirs).
+    val planFps = scala.collection.mutable.Map.empty[String, String]
+    def onePass(fingerprint: Boolean = false): Map[String, (Double, Long)] =
       SparkEntry.queries.map { case (name, fn) =>
         // drop caches left by the previous query so timings are independent
         spark.catalog.clearCache()
         val sBefore = settledShuffle()
         val t0 = System.nanoTime()
         // a broken query must surface as -1, never as a plausible timing
-        val ok = try { fn(spark, sfDir).count(); true }
+        val df = fn(spark, sfDir)
+        val ok = try { df.count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (fingerprint && ok && !SparkEntry.streamingQueries.contains(name))
+          try planFps(name) = graft.tools.PlanFingerprint.fingerprint(df)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name fingerprint failed: ${e.getMessage}") }
         name -> (sec, math.max(0L, settledShuffle() - sBefore))
       }
     // The per-query map outgrew what log capture reliably holds (r5's
@@ -171,7 +204,7 @@ object Bench {
           (Map.empty[String, Double], Map.empty[String, Long], "none")
       }
 
-    val p1 = onePass(); val p2 = onePass()
+    val p1 = onePass(); val p2 = onePass(fingerprint = true)
     // time: min of the passes (de-noised); shuffle bytes: max (a pass
     // whose listener missed a tail event can only under-count)
     val results = p1.map { case (k, (v, _)) => k -> math.min(v, p2(k)._1) }
@@ -208,24 +241,53 @@ object Bench {
       case (k, v) if v >= 0 && !isStream(k) => v }.sum
     val streamSec = results.collect {
       case (k, v) if v >= 0 && isStream(k) => v }.sum
-    // Self-reported regressions vs the last ROUND's committed detail:
-    // wall time >1.5x AND >= 0.5 s now (sub-second movers are host noise
-    // at min-of-2 scale), plus shuffle bytes >1.2x AND >= 1 MiB now
-    // (plan regressions that hide inside wall noise). New queries have
-    // no baseline and never appear here.
+    // Self-reported regressions vs the last ROUND's committed detail.
+    // The r12 driver run proved raw wall-time AND shuffle-bytes flags
+    // both cry wolf across hosts (22 + 3 false flags on an unchanged
+    // HEAD), so the tripwire is now two-channel:
+    //
+    //  1. TIME, host-calibrated: the noise scalar is the median now/prev
+    //     ratio over the 20 fastest-at-baseline shared queries —
+    //     scheduling-overhead-dominated, so they track host load, not
+    //     plan changes. A busy driver host inflates every query AND the
+    //     scalar, cancelling out; a single genuinely-regressed query
+    //     cannot move its own median. Flag: > 1.5x * scalar and
+    //     >= 0.5 s (scalar never shrinks below 1 so a fast host cannot
+    //     widen the tripwire's sensitivity beyond its design).
+    //  2. PLAN: fingerprint diff vs the committed plan_manifest.json
+    //     (graft.tools.PlanFingerprint — join strategies, exchanges,
+    //     pushed filters, agg modes; IDs/counts stripped). Deterministic
+    //     for fixed code+data, so any diff is a real regression. This
+    //     replaces the shuffle-bytes channel, whose "noise-immune"
+    //     premise did not hold (AQE coalescing varies run-to-run).
+    val sharedFastest = results.toSeq
+      .filter { case (k, v) => v >= 0 && prevQueries.getOrElse(k, -1.0) > 0 }
+      .sortBy { case (k, _) => prevQueries(k) }.take(20)
+    val ratios = sharedFastest
+      .map { case (k, v) => v / prevQueries(k) }.sorted
+    val noiseScalar =
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     val timeRegs = results.toSeq.sortBy(_._1).collect {
       case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
-          v > 1.5 * prevQueries(k) =>
+          v > 1.5 * noiseScalar * prevQueries(k) =>
         s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)}}"""
     }
-    val shuffleRegs = shuffles.toSeq.sortBy(_._1).collect {
-      case (k, b) if b >= (1L << 20) && prevShuffle.getOrElse(k, 0L) > 0 &&
-          b > 1.2 * prevShuffle(k).toDouble =>
-        s""""$k#shuffle":{"prev":${prevShuffle(k)},"now":$b}"""
+    val (prevPlans, planBaselineSource) = planBaseline(repoDir) match {
+      case Some((plans, sf)) if sf == sfDir =>
+        (plans, "HEAD:plan_manifest.json")
+      case Some((_, sf)) =>
+        (Map.empty[String, String], s"HEAD:plan_manifest.json (sf mismatch: $sf)")
+      case None => (Map.empty[String, String], "none")
     }
-    val regressions = (timeRegs ++ shuffleRegs).mkString("{", ",", "}")
-    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"baseline_source":"$baselineSource","shuffle_settle_timeouts":${settleTimeouts.get()},"total_sec":${r3(total)}"""
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"state_peaks":$peaksJson,"streaming_queries":$streamNames,$summary}"""
+    val planRegs = planFps.toSeq.sortBy(_._1).collect {
+      case (k, fp) if prevPlans.get(k).exists(p => p != "FAILED" && p != fp) =>
+        s""""$k#plan":{"prev":"${prevPlans(k)}","now":"$fp"}"""
+    }
+    val regressions = (timeRegs ++ planRegs).mkString("{", ",", "}")
+    val fpJson = planFps.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"baseline_source":"$baselineSource","plan_baseline_source":"$planBaselineSource","host_noise_scalar":${r3(noiseScalar)},"shuffle_settle_timeouts":${settleTimeouts.get()},"total_sec":${r3(total)}"""
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"plan_fp":$fpJson,"state_peaks":$peaksJson,"streaming_queries":$streamNames,$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
