@@ -1943,7 +1943,15 @@ object QueryFuzz {
       // (int/string keys), 26003 cross-cutting (k0),(k1), 26013/26019
       // partial (k0,k1),(k1), 26008 (k0),(k1),() with the SAME column
       // as both keys
-      26003L, 26004L, 26005L, 26008L, 26013L, 26019L)
+      26003L, 26004L, 26005L, 26008L, 26013L, 26019L,
+      // UNPIVOT shapes — DataFrame unpivot (one scan + Expand) vs the
+      // UNION-ALL-of-projections twin; all four table menus, both NULL
+      // modes, both variants, 2/3/4 measures: 27001 customer agg
+      // include-nulls, 27008 lineitem 3-measure drop-nulls row-level,
+      // 27010 orders include-nulls row-level, 27015 orders agg
+      // drop-nulls, 27019 part include-nulls row-level, 27045 lineitem
+      // 4-measure agg include-nulls
+      27001L, 27008L, 27010L, 27015L, 27019L, 27045L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

@@ -65,7 +65,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.AntiSemiSeedFloor until QueryFuzz.AntiSemiSeedFloor + 20L) ++
       (QueryFuzz.PivotSeedFloor until QueryFuzz.PivotSeedFloor + 20L) ++
       (QueryFuzz.GroupingSetsSeedFloor until
-        QueryFuzz.GroupingSetsSeedFloor + 20L)
+        QueryFuzz.GroupingSetsSeedFloor + 20L) ++
+      (QueryFuzz.UnpivotSeedFloor until QueryFuzz.UnpivotSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -78,7 +79,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     // the sweep must exercise real data, not vacuous empty groups
     // (set-op EXCEPTs can legitimately drain to empty, so the floor
     // stays clear of the new 20 seeds)
-    assert(nonEmpty >= 400, s"only $nonEmpty/580 seeds returned rows")
+    assert(nonEmpty >= 420, s"only $nonEmpty/600 seeds returned rows")
   }
 
   test("x NOT IN (non-empty subquery containing NULL) filters every row " +
