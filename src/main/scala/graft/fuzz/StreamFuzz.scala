@@ -83,6 +83,7 @@ object StreamFuzz {
   val UnionJoinSeedFloor = 40500L
   val TwsAggSeedFloor = 41000L
   val DedupSessSeedFloor = 41500L
+  val JoinDedupSeedFloor = 42000L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -2534,6 +2535,185 @@ object StreamFuzz {
         .orderBy(col("user_id"), col("start_ms"))
     }
 
+  private[graft] case class JoinDedupP(nWaves: Int, mode: String,
+      delay: Long, window: Long, bucket: Long, raw: Boolean)
+
+  private[graft] def joinDedupP(seed: Long): JoinDedupP = {
+    val j = joinP(seed)
+    // independent draw for the dedup-key geometry (joinP consumed its
+    // RNG): raw = dedup on the click event-time column itself (state
+    // evicts on the join-shifted watermark); bucketed = dedup on a
+    // derived floor (no event-time metadata -> unbounded dedup state)
+    val rnd = new Random(seed * 0xA0761D6478BD642FL + 0xE7037ED1A0B428DBL)
+    JoinDedupP(j.nWaves, j.mode, j.delay, j.window,
+      Seq(3600000L, 21600000L, 86400000L)(rnd.nextInt(3)),
+      rnd.nextBoolean())
+  }
+
+  /** Family U — stream-stream interval join FEEDING streaming dedup
+    * (the remaining join x dedup direction after O's dedup -> join):
+    * view/click pairs collapse to the distinct (user, click) or
+    * (user, click-bucket) set — "clicks attributed to at least one
+    * view" — so StreamingDeduplicateExec's state and late filter run on
+    * the watermark passed THROUGH the join (which subtracts its state
+    * interval before propagating, the family N pin).
+    *
+    * Oracle purity composes family D with one NEW fact: an emitted
+    * pair can never be late at the dedup. The pair emits at
+    * m = max(view batch, click batch); whichever side arrived at m was
+    * admitted there, so click_ts >= view_ts > L(m) when the view is
+    * the later side, and click_ts > L(m) directly when the click is —
+    * either way click_ts > L(m) > L(m) - w, the dedup's shifted input
+    * bound. Downstream re-emission after state eviction is impossible
+    * by family E's monotonicity argument on the shifted watermark
+    * (eviction at n needs click_ts <= E(n) - w; a later duplicate pair
+    * emits above L(m) - w = E(m-1) - w >= E(n) - w). The finalized
+    * output is therefore the plain DISTINCT projection over the
+    * interval join of the two kept sets — for BOTH key geometries
+    * (the bucketed key has no event-time metadata, so its dedup state
+    * is unbounded and trivially exactly-once). Only key columns are
+    * projected, so within-batch first-row-wins nondeterminism cannot
+    * surface (the family E convention).
+    */
+  private def genJoinDedup(seed: Long, cfg: DriveCfg): SGen = {
+    val p = joinDedupP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val window = p.window; val bucket = p.bucket
+    val margin = delay + 3 * window + 3 * bucket + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, "view", hi + margin, nWaves.toLong),
+          (-1L, "click", hi + margin, nWaves.toLong),
+          (-2L, "view", hi + 2 * margin, nWaves + 1L),
+          (-2L, "click", hi + 2 * margin, nWaves + 1L))
+          .toDF("user_id", "event_type", "ms", "wave"))
+      EventOps.driveWaves(spark, frame,
+        "user_id LONG, event_type STRING, ms LONG", nWaves + 2L,
+        s"sfz_jd_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_jd_$seed", dir))) { src =>
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("vuser"),
+            timestamp_millis(col("ms")).as("view_ts"))
+          .withWatermark("view_ts", s"$delay milliseconds")
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"),
+            timestamp_millis(col("ms")).as("click_ts"))
+          .withWatermark("click_ts", s"$delay milliseconds")
+        val joined = views.join(clicks,
+          expr(s"vuser = cuser AND click_ts >= view_ts AND " +
+            s"click_ts <= view_ts + interval $window millisecond"), "inner")
+        if (p.raw)
+          joined.dropDuplicates("vuser", "click_ts")
+            .select(col("vuser").as("user_id"),
+              unix_millis(col("click_ts")).as("click_ms"))
+        else
+          joined.withColumn("cbt",
+              expr(s"(unix_millis(click_ts) div ${bucket}L) * ${bucket}L"))
+            .dropDuplicates("vuser", "cbt")
+            .select(col("vuser").as("user_id"), col("cbt").as("click_ms"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("click_ms"))
+    }
+
+    val pairBoundsCte =
+      s"""bounds AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) AS lo,
+        |  (MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |   - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)) // $nWaves + 1 AS w
+        |  FROM events WHERE event_type IN ('view', 'click')),""".stripMargin
+    val keyExpr = if (p.raw) "c.ms" else s"(c.ms // $bucket) * $bucket"
+    val sql =
+      s"""WITH ${if (mode == "jitter") pairBoundsCte else ""}
+        |raw AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}
+        |  WHERE event_type IN ('view', 'click')),
+        |e AS (SELECT user_id, event_type, ms,
+        |        ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |bw AS (SELECT wave,
+        |         MAX(CASE WHEN event_type = 'view' THEN ms END) AS mv,
+        |         MAX(CASE WHEN event_type = 'click' THEN ms END) AS mc
+        |       FROM e GROUP BY wave),
+        |l AS (SELECT wave,
+        |        CASE WHEN MAX(mv) OVER lag2 IS NULL
+        |               OR MAX(mc) OVER lag2 IS NULL THEN 0
+        |             ELSE GREATEST(LEAST(MAX(mv) OVER lag2,
+        |               MAX(mc) OVER lag2) - $delay, 0) END AS lwm
+        |      FROM bw
+        |      WINDOW lag2 AS (ORDER BY wave
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |kept AS (
+        |  SELECT e.user_id, e.event_type, e.ms
+        |  FROM e JOIN l USING (wave) WHERE e.ms > l.lwm)
+        |SELECT DISTINCT v.user_id AS user_id, $keyExpr AS click_ms
+        |FROM (SELECT user_id, ms FROM kept WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ms FROM kept WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.ms >= v.ms
+        |     AND c.ms <= v.ms + $window
+        |ORDER BY user_id, click_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family U drive: DISTINCT projection of
+    * the interval join of the two kept sets.
+    */
+  def joinDedupTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = joinDedupP(seed)
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
+      val e = ev.withColumn("wave",
+        carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
+        .drop("event_id")
+      val wPrev2 = Window.orderBy(col("wave"))
+        .rowsBetween(Window.unboundedPreceding, -2)
+      val l = e.groupBy(col("wave")).agg(
+        max(when(col("event_type") === "view", col("ms"))).as("mv"),
+        max(when(col("event_type") === "click", col("ms"))).as("mc"))
+        .select(col("wave"),
+          when(max(col("mv")).over(wPrev2).isNull ||
+            max(col("mc")).over(wPrev2).isNull, lit(0L))
+            .otherwise(greatest(
+              least(max(col("mv")).over(wPrev2),
+                max(col("mc")).over(wPrev2)) - p.delay, lit(0L)))
+            .as("lwm"))
+      val kept = e.join(broadcast(l), Seq("wave"))
+        .filter(col("ms") > col("lwm"))
+      val v = kept.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ms").as("vms"))
+      val c = kept.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ms").as("cms"))
+      val keyCol = if (p.raw) col("cms")
+        else expr(s"(cms div ${p.bucket}L) * ${p.bucket}L")
+      v.join(c, col("user_id") === col("cuser") &&
+          col("cms") >= col("vms") &&
+          col("cms") <= col("vms") + p.window, "inner")
+        .select(col("user_id"), keyCol.as("click_ms"))
+        .distinct()
+        .orderBy(col("user_id"), col("click_ms"))
+    }
+
   private[graft] case class TwsJoinP(nWaves: Int, mode: String, delay: Long,
       window: Long, bucket: Long)
 
@@ -3317,7 +3497,8 @@ object StreamFuzz {
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= DedupSessSeedFloor) genDedupSess(seed, cfg)
+    if (seed >= JoinDedupSeedFloor) genJoinDedup(seed, cfg)
+    else if (seed >= DedupSessSeedFloor) genDedupSess(seed, cfg)
     else if (seed >= TwsAggSeedFloor) genTwsAgg(seed, cfg)
     else if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
     else if (seed >= AggJoinOuterSeedFloor) genAggJoinOuter(seed, cfg)
@@ -3352,7 +3533,8 @@ object StreamFuzz {
     * tool/spec resolves twins through here now.
     */
   def twinFor(seed: Long): (SparkSession, String) => DataFrame =
-    if (seed >= DedupSessSeedFloor) dedupSessTwin(seed)
+    if (seed >= JoinDedupSeedFloor) joinDedupTwin(seed)
+    else if (seed >= DedupSessSeedFloor) dedupSessTwin(seed)
     else if (seed >= TwsAggSeedFloor) twsAggTwin(seed)
     else if (seed >= UnionJoinSeedFloor) unionJoinTwin(seed)
     else if (seed >= AggJoinOuterSeedFloor) aggJoinOuterTwin(seed)
@@ -3379,7 +3561,8 @@ object StreamFuzz {
     * dispatch as [[generate]]/[[twinFor]].
     */
   def paramsFor(seed: Long): Product =
-    if (seed >= DedupSessSeedFloor) dedupSessP(seed)
+    if (seed >= JoinDedupSeedFloor) joinDedupP(seed)
+    else if (seed >= DedupSessSeedFloor) dedupSessP(seed)
     else if (seed >= TwsAggSeedFloor) twsAggP(seed)
     else if (seed >= UnionJoinSeedFloor) unionJoinP(seed)
     else if (seed >= AggJoinOuterSeedFloor) aggJoinOuterP(seed)
@@ -3422,7 +3605,8 @@ object StreamFuzz {
       40000L, 40004L, 40006L, 40007L,
       40500L, 40503L, 40507L, 40513L,
       41000L, 41003L, 41007L, 41013L,
-      41500L, 41502L, 41507L, 41515L)
+      41500L, 41502L, 41507L, 41515L,
+      42001L, 42004L, 42010L, 42012L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -3434,7 +3618,7 @@ object StreamFuzz {
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
       16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
-      40006L, 40503L, 41003L, 41502L)
+      40006L, 40503L, 41003L, 41502L, 42001L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -3444,7 +3628,7 @@ object StreamFuzz {
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
       16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
-      40004L, 40507L, 41013L, 41507L)
+      40004L, 40507L, 41013L, 41507L, 42012L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -193,6 +193,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(42001L, 42004L, 42010L, 42012L, 42014L).foreach { s =>
+    test(s"interval join -> dedup drive matches batch twin " +
+        s"(seed $s, ${StreamFuzz.joinDedupP(s)})") {
+      check(s, StreamFuzz.joinDedupTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -207,7 +214,8 @@ class StreamFuzzSpec extends AnyFunSuite {
       14000L, 14005L, 14500L, 14505L, 15000L, 15011L, 15500L, 15509L,
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
       18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
-      40000L, 40007L, 40500L, 40513L, 41000L, 41007L, 41500L, 41507L)
+      40000L, 40007L, 40500L, 40513L, 41000L, 41007L, 41500L, 41507L,
+      42004L, 42012L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

@@ -279,6 +279,55 @@ class WmProbeSpec extends AnyFunSuite {
         s"overlapping outputs): $a")
   }
 
+  test("interval join -> dedup composition: duplicate pairs across " +
+      "batches dedup exactly once through join state (family U's " +
+      "load-bearing rule)") {
+    // delay 15000, window 1000, dedup on (user, click_ts). wave0's
+    // pair (A, 10500) emits; wave1's vA@10200 is admitted (L = 0) and
+    // re-joins the SAME click still in join state — a cross-batch
+    // duplicate pair the downstream dedup state must suppress. A second
+    // click in the same ms never exists, so one output row per click
+    // pins it. The bucketed-key variant collapses two DIFFERENT clicks
+    // (10500, 10900) of one bucket (1000) to a single row.
+    val rows = Seq(
+      ("vA", 10000L, 0L), ("cA", 10500L, 0L), ("cA", 10900L, 0L),
+      ("vA", 10200L, 1L),
+      ("vZ", 60000L, 2L), ("cZ", 60000L, 2L),
+      ("vS", 90000L, 3L), ("cS", 90000L, 3L),
+      ("vS2", 140000L, 4L), ("cS2", 140000L, 4L))
+    def joined(src: org.apache.spark.sql.DataFrame) = {
+      val tagged = src.select(
+        substring(col("etype"), 1, 1).as("side"),
+        substring(col("etype"), 2, 10).as("user"),
+        timestamp_millis(col("ms")).as("t"))
+      val views = tagged.filter(col("side") === "v")
+        .select(col("user"), col("t").as("view_ts"))
+        .withWatermark("view_ts", "15 seconds")
+      val clicks = tagged.filter(col("side") === "c")
+        .select(col("user").as("cuser"), col("t").as("click_ts"))
+        .withWatermark("click_ts", "15 seconds")
+      views.join(clicks,
+        expr("user = cuser AND click_ts >= view_ts AND " +
+          "click_ts <= view_ts + interval 1000 millisecond"), "inner")
+    }
+    val raw = drive(rows, "probe_jd_raw", 5) { src =>
+      joined(src).dropDuplicates("user", "click_ts")
+        .select(col("user"), unix_millis(col("click_ts")).as("cms"))
+    }
+    val rawA = raw.filter(_.getString(0) == "A").map(_.getLong(1)).sorted
+    assert(rawA == Seq(10500L, 10900L),
+      s"cross-batch duplicate pair not deduped exactly once: $rawA")
+    val bucketed = drive(rows, "probe_jd_bkt", 5) { src =>
+      joined(src)
+        .withColumn("cbt", expr("(unix_millis(click_ts) div 1000) * 1000"))
+        .dropDuplicates("user", "cbt")
+        .select(col("user"), col("cbt"))
+    }
+    val bktA = bucketed.filter(_.getString(0) == "A").map(_.getLong(1)).sorted
+    assert(bktA == Seq(10000L),
+      s"bucketed-key dedup after join moved: $bktA")
+  }
+
   test("dedup -> session_window composition: exactly-once dedup feeds " +
       "the merging session; dedup's ROW filter subsumes session-end " +
       "lateness (family T's load-bearing rules)") {
