@@ -267,17 +267,25 @@ object Bench {
       .map { case (k, v) => v / prevQueries(k) }.sorted
     val noiseScalar =
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
-    val timeRegs = results.toSeq.sortBy(_._1).collect {
-      case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
-          v > 1.5 * noiseScalar * prevQueries(k) =>
-        s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)}}"""
-    }
     val (prevPlans, planBaselineSource) = planBaseline(repoDir) match {
       case Some((plans, sf)) if sf == sfDir =>
         (plans, "HEAD:plan_manifest.json")
       case Some((_, sf)) =>
         (Map.empty[String, String], s"HEAD:plan_manifest.json (sf mismatch: $sf)")
       case None => (Map.empty[String, String], "none")
+    }
+    // each time flag names its plan status: a "plan":"same" flag on a
+    // loaded host is noise by construction (same plan + same data), so
+    // the reader can triage without re-running anything
+    val timeRegs = results.toSeq.sortBy(_._1).collect {
+      case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
+          v > 1.5 * noiseScalar * prevQueries(k) =>
+        val planNote = (planFps.get(k), prevPlans.get(k)) match {
+          case (Some(a), Some(b)) if b != "FAILED" =>
+            if (a == b) "same" else "changed"
+          case _ => "n/a"
+        }
+        s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)},"plan":"$planNote"}"""
     }
     val planRegs = planFps.toSeq.sortBy(_._1).collect {
       case (k, fp) if prevPlans.get(k).exists(p => p != "FAILED" && p != fp) =>
