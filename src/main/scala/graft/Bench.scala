@@ -5,12 +5,16 @@ import org.json4s.jackson.JsonMethods
 
 object Bench {
 
+  private case class Detail(queries: Map[String, Double],
+      batchCounts: Map[String, Long], sf: String)
+
   /** Parse a bench detail JSON with a real JSON reader (json4s ships on
     * the Spark classpath) — the r8/r9 regex scrape silently dropped
-    * entries and could never hold nested maps. Returns (per-query
-    * seconds, per-query shuffle bytes, sf dir).
+    * entries and could never hold nested maps. `batch_counts` is absent
+    * in baselines predating the streaming channel — empty map, and
+    * BenchFlags falls back to raw times for those drives.
     */
-  private def parseDetail(txt: String): (Map[String, Double], Map[String, Long], String) = {
+  private def parseDetail(txt: String): Detail = {
     def num(v: JValue): Option[Double] = v match {
       case JDouble(d) => Some(d)
       case JInt(i) => Some(i.toDouble)
@@ -19,17 +23,13 @@ object Bench {
       case _ => None
     }
     val j = JsonMethods.parse(txt)
-    val qs = j \ "queries" match {
+    def numMap(field: String): Map[String, Double] = j \ field match {
       case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
       case _ => Map.empty[String, Double]
     }
-    val sb = j \ "shuffle_bytes" match {
-      case JObject(fs) =>
-        fs.flatMap { case (k, v) => num(v).map(k -> _.toLong) }.toMap
-      case _ => Map.empty[String, Long]
-    }
     val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
-    (qs, sb, sf)
+    Detail(numMap("queries"),
+      numMap("batch_counts").map { case (k, v) => k -> v.toLong }, sf)
   }
 
   /** The regression baseline, by preference order (the chosen source is
@@ -154,6 +154,23 @@ object Bench {
       SparkEntry.queries.get("q_window_rank")
         .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // Fixed calibration probe (VERDICT r13 #2): a scale-INDEPENDENT ~1 s
+    // workload — a CPU-bound codegen aggregate over spark.range plus a
+    // fixed-5-row parquet scan (region has 5 rows at every SF, so its
+    // cost is session/footer overhead, not data). Emitted as calib_sec;
+    // tools/scaling_report.py divides cross-SF growth by the two files'
+    // calib ratio, and cross-round/cross-host totals compare through it
+    // (README "Comparing bench rounds"). min-of-3 after a JIT warm run,
+    // matching the query timings' de-noising.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 60000000L, 1L, 8)
+        .selectExpr("sum(id * 3 + (id % 7)) AS s").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = try { calibOnce(); Seq.fill(3)(calibOnce()).min }
+      catch { case _: Throwable => -1.0 }
     // Two passes, report the per-query minimum: this VM shows heavy
     // run-to-run noise (host CPU steal / IO stalls), and min-of-2 is the
     // standard de-noised steady-state estimate.
@@ -170,16 +187,31 @@ object Bench {
         val sBefore = settledShuffle()
         val t0 = System.nanoTime()
         // a broken query must surface as -1, never as a plausible timing
-        val df = fn(spark, sfDir)
-        val ok = try { df.count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        if (fingerprint && ok && !SparkEntry.streamingQueries.contains(name))
-          try planFps(name) = graft.tools.PlanFingerprint.fingerprint(df)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name fingerprint failed: ${e.getMessage}") }
-        name -> (sec, math.max(0L, settledShuffle() - sBefore))
+        // — and Spark analyzes EAGERLY at DataFrame construction, so the
+        // build sits inside the try with the action (ADVICE r13 #1: an
+        // AnalysisException at build time must not crash the whole run)
+        val dfOpt = try {
+          val df = fn(spark, sfDir); df.count(); Some(df)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+        val sec = if (dfOpt.isDefined) (System.nanoTime() - t0) / 1e9 else -1.0
+        // shuffle delta closes BEFORE the fingerprint execution below, so
+        // the untimed extra run cannot pollute the per-query meter
+        val sDelta = math.max(0L, settledShuffle() - sBefore)
+        if (fingerprint && !SparkEntry.streamingQueries.contains(name))
+          dfOpt.foreach { df =>
+            try {
+              // run the df's OWN QueryExecution (count() executes a
+              // derived one) so AQE's FINAL plan — runtime SMJ→BHJ
+              // conversions included — is what gets fingerprinted
+              // (ADVICE r13 #2); untimed, outside the measured span
+              graft.tools.PlanFingerprint.execute(df)
+              planFps(name) = graft.tools.PlanFingerprint.fingerprint(df)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name fingerprint failed: ${e.getMessage}")
+            }
+          }
+        name -> (sec, sDelta)
       }
     // The per-query map outgrew what log capture reliably holds (r5's
     // record kept 78/181 entries), so the FULL record goes to a file —
@@ -192,17 +224,16 @@ object Bench {
     // Baseline guard on the recorded sf: comparing an sf0.1 round against
     // a leftover sf0.01 dev run would flag every query as a fake 10x
     // regression.
-    val (prevQueries, prevShuffle, baselineSource) =
+    val (prevDetail, baselineSource) =
       baselineText(repoDir, detailPath) match {
         case Some((txt, src)) => parseDetail(txt) match {
-          case (q, s, sf) if sf == sfDir => (q, s, src)
-          case (_, _, sf) =>
-            (Map.empty[String, Double], Map.empty[String, Long],
-              s"$src (sf mismatch: $sf)")
+          case d if d.sf == sfDir => (d, src)
+          case d =>
+            (Detail(Map.empty, Map.empty, ""), s"$src (sf mismatch: ${d.sf})")
         }
-        case None =>
-          (Map.empty[String, Double], Map.empty[String, Long], "none")
+        case None => (Detail(Map.empty, Map.empty, ""), "none")
       }
+    val prevQueries = prevDetail.queries
 
     val p1 = onePass(); val p2 = onePass(fingerprint = true)
     // time: min of the passes (de-noised); shuffle bytes: max (a pass
@@ -241,32 +272,16 @@ object Bench {
       case (k, v) if v >= 0 && !isStream(k) => v }.sum
     val streamSec = results.collect {
       case (k, v) if v >= 0 && isStream(k) => v }.sum
-    // Self-reported regressions vs the last ROUND's committed detail.
-    // The r12 driver run proved raw wall-time AND shuffle-bytes flags
-    // both cry wolf across hosts (22 + 3 false flags on an unchanged
-    // HEAD), so the tripwire is now two-channel:
-    //
-    //  1. TIME, host-calibrated: the noise scalar is the median now/prev
-    //     ratio over the 20 fastest-at-baseline shared queries —
-    //     scheduling-overhead-dominated, so they track host load, not
-    //     plan changes. A busy driver host inflates every query AND the
-    //     scalar, cancelling out; a single genuinely-regressed query
-    //     cannot move its own median. Flag: > 1.5x * scalar and
-    //     >= 0.5 s (scalar never shrinks below 1 so a fast host cannot
-    //     widen the tripwire's sensitivity beyond its design).
-    //  2. PLAN: fingerprint diff vs the committed plan_manifest.json
-    //     (graft.tools.PlanFingerprint — join strategies, exchanges,
-    //     pushed filters, agg modes; IDs/counts stripped). Deterministic
-    //     for fixed code+data, so any diff is a real regression. This
-    //     replaces the shuffle-bytes channel, whose "noise-immune"
-    //     premise did not hold (AQE coalescing varies run-to-run).
-    val sharedFastest = results.toSeq
-      .filter { case (k, v) => v >= 0 && prevQueries.getOrElse(k, -1.0) > 0 }
-      .sortBy { case (k, _) => prevQueries(k) }.take(20)
-    val ratios = sharedFastest
-      .map { case (k, v) => v / prevQueries(k) }.sorted
-    val noiseScalar =
-      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    // Self-reported regressions vs the last ROUND's committed detail:
+    // two channels (TIME host-calibrated per query class, PLAN
+    // fingerprint diff vs the committed manifest), computed by the pure
+    // graft.tools.BenchFlags (its Scaladoc carries the full rules;
+    // BenchFlagsSpec replays the r12/r13 driver false-flag shapes
+    // against it). Streaming drives get their own noise scalar and are
+    // normalized by recorded micro-batch count (VERDICT r13 #1).
+    val streamPlanFps = graft.streaming.DriveTelemetry.planFps
+    planFps ++= streamPlanFps
+    val batchCounts = graft.streaming.DriveTelemetry.batchCounts
     val (prevPlans, planBaselineSource) = planBaseline(repoDir) match {
       case Some((plans, sf)) if sf == sfDir =>
         (plans, "HEAD:plan_manifest.json")
@@ -274,28 +289,29 @@ object Bench {
         (Map.empty[String, String], s"HEAD:plan_manifest.json (sf mismatch: $sf)")
       case None => (Map.empty[String, String], "none")
     }
+    val flags = graft.tools.BenchFlags.compute(results, prevQueries,
+      SparkEntry.streamingQueries, batchCounts, prevDetail.batchCounts,
+      planFps.toMap, prevPlans)
     // each time flag names its plan status: a "plan":"same" flag on a
     // loaded host is noise by construction (same plan + same data), so
     // the reader can triage without re-running anything
-    val timeRegs = results.toSeq.sortBy(_._1).collect {
-      case (k, v) if v >= 0.5 && prevQueries.getOrElse(k, -1.0) > 0 &&
-          v > 1.5 * noiseScalar * prevQueries(k) =>
-        val planNote = (planFps.get(k), prevPlans.get(k)) match {
-          case (Some(a), Some(b)) if b != "FAILED" =>
-            if (a == b) "same" else "changed"
-          case _ => "n/a"
-        }
-        s""""$k":{"prev":${r3(prevQueries(k))},"now":${r3(v)},"plan":"$planNote"}"""
+    val timeRegs = flags.timeFlags.map { f =>
+      s""""${f.name}":{"prev":${r3(f.prev)},"now":${r3(f.now)},"plan":"${f.planNote}"}"""
     }
-    val planRegs = planFps.toSeq.sortBy(_._1).collect {
-      case (k, fp) if prevPlans.get(k).exists(p => p != "FAILED" && p != fp) =>
-        s""""$k#plan":{"prev":"${prevPlans(k)}","now":"$fp"}"""
+    val planRegs = flags.planFlags.map { f =>
+      s""""${f.name}#plan":{"prev":"${f.prev}","now":"${f.now}"}"""
     }
     val regressions = (timeRegs ++ planRegs).mkString("{", ",", "}")
     val fpJson = planFps.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"baseline_source":"$baselineSource","plan_baseline_source":"$planBaselineSource","host_noise_scalar":${r3(noiseScalar)},"shuffle_settle_timeouts":${settleTimeouts.get()},"total_sec":${r3(total)}"""
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"plan_fp":$fpJson,"state_peaks":$peaksJson,"streaming_queries":$streamNames,$summary}"""
+    val bcJson = batchCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // raw (uncalibrated) flag counts + noise_alert: a calibration scalar
+    // masking a uniform regression must itself be a visible signal
+    // (ADVICE r13 #4) — a reader sees scalar >1.3 on a quiet host and
+    // investigates instead of trusting zero flags
+    val summary = s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"batch_sec":${r3(batchSec)},"streaming_sec":${r3(streamSec)},"regressions":$regressions,"baseline_source":"$baselineSource","plan_baseline_source":"$planBaselineSource","host_noise_scalar":${r3(flags.batchScalar)},"stream_noise_scalar":${r3(flags.streamScalar)},"raw_time_flags":{"batch":${flags.rawBatchTimeFlags},"streaming":${flags.rawStreamTimeFlags}},"noise_alert":${flags.noiseAlert},"calib_sec":${r3(calibSec)},"shuffle_settle_timeouts":${settleTimeouts.get()},"total_sec":${r3(total)}"""
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$sbJson,"plan_fp":$fpJson,"state_peaks":$peaksJson,"batch_counts":$bcJson,"streaming_queries":$streamNames,$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

@@ -1600,11 +1600,20 @@ object QueryFuzz {
     val slice = s"${p.keys.head} % ${p.m} = ${p.r}"
     val sql =
       if (p.agg) {
+        // each branch GROUPs BY its literal measure label (ADVICE r13
+        // #3): an ungrouped aggregate emits one row even over ZERO rows
+        // (n_rows=0, s_val NULL), while the DataFrame twin's
+        // groupBy("measure") emits no row for an empty group — a
+        // degenerate all-punched slice under drop-nulls would have been
+        // a false differential. Grouped-by-literal drops empty groups
+        // in Spark and DuckDB alike, matching the build
         val branches = p.measures.map { mn =>
           val nn = if (p.includeNulls) "" else s" AND ${exprOf(mn)} IS NOT NULL"
-          s"""SELECT '$mn' AS measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             |       ROUND(SUM(${exprOf(mn)}) * (1.0 + 1e-12), 2) AS s_val
-             |FROM ${p.table} WHERE $slice$nn""".stripMargin
+          s"""SELECT measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       ROUND(SUM(val) * (1.0 + 1e-12), 2) AS s_val
+             |FROM (SELECT '$mn' AS measure, ${exprOf(mn)} AS val
+             |      FROM ${p.table} WHERE $slice$nn) b
+             |GROUP BY measure""".stripMargin
         }
         s"""SELECT * FROM (
            |${branches.mkString("\nUNION ALL\n")}
@@ -1642,8 +1651,154 @@ object QueryFuzz {
   /** Seed floor for the UNPIVOT/stack shapes. */
   val UnpivotSeedFloor = 27000L
 
+  private[graft] case class DecimalP(table: String, key: String, x: String,
+      variant: String, m: Int, r: Int, sm: Int)
+
+  /** Tables/keys/money columns for the DECIMAL family. c_acctbal is the
+    * only negative-valued money column — sign-symmetric rounding
+    * coverage; the overflow variant draws only from columns whose values
+    * STRADDLE the DECIMAL(5,2) bound +-999.99 (o_totalprice would
+    * overflow every row — a vacuous NULL column).
+    */
+  private val decimalMenu: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "l_extendedprice"),
+    ("lineitem", "l_orderkey", "l_quantity"),
+    ("orders", "o_custkey", "o_totalprice"),
+    ("customer", "c_custkey", "c_acctbal"),
+    ("part", "p_partkey", "p_retailprice"))
+  private val decimalOverflowMenu: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_acctbal"),
+    ("part", "p_partkey", "p_retailprice"))
+
+  private[graft] def decimalP(seed: Long): DecimalP = {
+    val rnd = new Random(seed * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L)
+    val variant = Seq("sum", "mul", "downcast", "overflow")(rnd.nextInt(4))
+    val (tn, key, x) = variant match {
+      case "mul" => ("lineitem", "l_orderkey", "l_extendedprice")
+      case "overflow" => pick(rnd, decimalOverflowMenu)
+      case _ => pick(rnd, decimalMenu)
+    }
+    val m = 4 + rnd.nextInt(6)
+    val sm = 2 + rnd.nextInt(2)
+    val r = rnd.nextInt(sm)
+    DecimalP(tn, key, x, variant, m, r, sm)
+  }
+
+  /** DECIMAL arithmetic shapes (family 21): grouped aggregates over
+    * `CAST(x AS DECIMAL(p,s))` — exact decimal semantics the double
+    * fixtures never exercise — vs a BIGINT-CENTS twin that does the
+    * same math in scaled integers (`ROUND(x*100)` cents, integer
+    * products, integer away-from-zero halving) and only converts to
+    * DECIMAL at the final output cast. The two renderings share NO
+    * numeric path: a precision/scale propagation bug, a wrong rounding
+    * mode, or a lost overflow NULL cannot reproduce on the twin.
+    *
+    * Variants: `sum` SUM(DECIMAL(12,2)); `mul` SUM(DECIMAL(12,2) *
+    * DECIMAL(4,2)) — scale-4 propagation, exact in both engines;
+    * `downcast` SUM over a 2dp->1dp scale-reduction cast; `overflow`
+    * TRY_CAST(x AS DECIMAL(5,2)) counting overflow NULLs and summing
+    * survivors (ANSI-safe in both engines; plain CAST would ERROR in
+    * Spark-ANSI and DuckDB alike).
+    *
+    * Dialect-intersection rules probed before freezing (QueryFuzzSpec
+    * pins the excluded axes):
+    *  - outputs are CAST(... AS DECIMAL(18,s)) on both sides — the
+    *    driver cannot hash int128-backed values, and DuckDB's SUM
+    *    yields DECIMAL(38,s);
+    *  - AVG is EXCLUDED: DuckDB types AVG(DECIMAL) as DOUBLE while
+    *    Spark yields DECIMAL(16,6) with exact HALF_UP division —
+    *    a real result-scale divergence, pinned in QueryFuzzSpec;
+    *  - the downcast variant renders its scale reduction as an
+    *    EXPLICIT ROUND(dec, 1) (both engines round that half-away-
+    *    from-zero, ties included): the naive shared text
+    *    `CAST(dec(12,2) AS DECIMAL(12,1))` means HALF_UP in Spark but
+    *    TRUNCATE-toward-zero in DuckDB (434249.98 -> 434249.9) —
+    *    found by this family's own Verify run at registration, ~44%
+    *    of rows diverging; pinned in QueryFuzzSpec;
+    *  - double->DECIMAL(...,2) casts agree (both half-away-from-zero,
+    *    probed incl. the exactly-representable 0.125 tie).
+    */
+  private def genDecimal(seed: Long, rnd0: Random): Gen = {
+    val p = decimalP(seed)
+    val slice = s"${p.key} % ${p.sm} = ${p.r}"
+    val grpSql = s"CAST(${p.key} % ${p.m} AS BIGINT)"
+    val sql = p.variant match {
+      case "sum" =>
+        s"""SELECT $grpSql AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CAST(${p.x} AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s_val
+           |FROM ${p.table} WHERE $slice GROUP BY 1 ORDER BY grp""".stripMargin
+      case "mul" =>
+        s"""SELECT $grpSql AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CAST(${p.x} AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS s_val
+           |FROM ${p.table} WHERE $slice GROUP BY 1 ORDER BY grp""".stripMargin
+      case "downcast" =>
+        s"""SELECT $grpSql AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CAST(ROUND(CAST(${p.x} AS DECIMAL(12,2)), 1) AS DECIMAL(12,1))) AS DECIMAL(18,1)) AS s_val
+           |FROM ${p.table} WHERE $slice GROUP BY 1 ORDER BY grp""".stripMargin
+      case "overflow" =>
+        s"""SELECT $grpSql AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CASE WHEN TRY_CAST(${p.x} AS DECIMAL(5,2)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           |       CAST(SUM(TRY_CAST(${p.x} AS DECIMAL(5,2))) AS DECIMAL(18,2)) AS s_val
+           |FROM ${p.table} WHERE $slice GROUP BY 1 ORDER BY grp""".stripMargin
+    }
+    val build = (spark: SparkSession, dir: String) => {
+      val base = Tables.table(spark, dir, p.table)
+        .filter(expr(slice))
+        .withColumn("cents", round(col(p.x) * 100).cast("long"))
+      val grpC = (col(p.key) % p.m).cast("long").as("grp")
+      p.variant match {
+        case "sum" =>
+          base.groupBy(grpC)
+            .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sc"))
+            .select(col("grp"), col("n_rows"),
+              (col("sc").cast("double") / 100.0)
+                .cast("decimal(18,2)").as("s_val"))
+            .orderBy(col("grp"))
+        case "mul" =>
+          base.withColumn("dc", round(col("l_discount") * 100).cast("long"))
+            .groupBy(grpC)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents") * col("dc")).as("sp"))
+            .select(col("grp"), col("n_rows"),
+              (col("sp").cast("double") / 10000.0)
+                .cast("decimal(18,4)").as("s_val"))
+            .orderBy(col("grp"))
+        case "downcast" =>
+          // integer away-from-zero halving at the cents->deci boundary:
+          // matches HALF_UP / half-away ROUND in both engines, ties
+          // included
+          base.withColumn("deci", expr("CASE WHEN cents >= 0 " +
+              "THEN (cents + 5) DIV 10 ELSE -((-cents + 5) DIV 10) END"))
+            .groupBy(grpC)
+            .agg(count(lit(1)).as("n_rows"), sum(col("deci")).as("sd"))
+            .select(col("grp"), col("n_rows"),
+              (col("sd").cast("double") / 10.0)
+                .cast("decimal(18,1)").as("s_val"))
+            .orderBy(col("grp"))
+        case "overflow" =>
+          // DECIMAL(5,2) holds +-999.99 = +-99999 cents; a survivor sum
+          // over an all-overflow group is NULL on both sides (SUM of
+          // all-NULL)
+          base.withColumn("over", (abs(col("cents")) > 99999L).cast("int"))
+            .groupBy(grpC)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("over")).cast("long").as("n_over"),
+              sum(when(col("over") === 0, col("cents"))).as("sc"))
+            .select(col("grp"), col("n_rows"), col("n_over"),
+              (col("sc").cast("double") / 100.0)
+                .cast("decimal(18,2)").as("s_val"))
+            .orderBy(col("grp"))
+      }
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the DECIMAL arithmetic shapes. */
+  val DecimalSeedFloor = 28000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= DecimalSeedFloor) return genDecimal(seed, rnd0)
     if (seed >= UnpivotSeedFloor) return genUnpivot(seed, rnd0)
     if (seed >= GroupingSetsSeedFloor) return genGroupingSets(seed, rnd0)
     if (seed >= PivotSeedFloor) return genPivot(seed, rnd0)
@@ -1951,7 +2106,15 @@ object QueryFuzz {
       // 27010 orders include-nulls row-level, 27015 orders agg
       // drop-nulls, 27019 part include-nulls row-level, 27045 lineitem
       // 4-measure agg include-nulls
-      27001L, 27008L, 27010L, 27015L, 27019L, 27045L)
+      27001L, 27008L, 27010L, 27015L, 27019L, 27045L,
+      // DECIMAL arithmetic shapes — CAST/SUM decimal semantics vs the
+      // BIGINT-cents twin; all four variants, both overflow tables, and
+      // the negative-valued money column: 28000 mul (lineitem scale-4
+      // propagation), 28007 overflow (customer, sign-symmetric), 28009
+      // downcast (lineitem 2dp->1dp), 28013 sum (orders), 28014
+      // overflow (part), 28017 sum (customer, negatives), 28018
+      // downcast (orders)
+      28000L, 28007L, 28009L, 28013L, 28014L, 28017L, 28018L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

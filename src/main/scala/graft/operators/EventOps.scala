@@ -423,6 +423,15 @@ object EventOps {
                 if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
                 else p.stateOperators.map(_.numRowsTotal).sum
               })
+          // streaming plan-regression channel (VERDICT r13 #1): the last
+          // micro-batch's executed physical plan, normalized with the
+          // run-scoped file lists scrubbed. Best-effort — a telemetry
+          // failure must never fail the drive itself
+          try org.apache.spark.sql.graft.GraftSqlShim.lastMicroBatchPlan(q)
+            .foreach(p => graft.streaming.DriveTelemetry.recordPlan(name,
+              graft.tools.PlanFingerprint.fingerprintStreaming(p)))
+          catch { case e: Exception =>
+            System.err.println(s"[driveWaves] $name plan fp failed: ${e.getMessage}") }
         } finally q.stop()
         if (restartAfter.isEmpty) spark.table(name)
         else {

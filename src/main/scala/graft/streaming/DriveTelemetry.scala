@@ -18,9 +18,21 @@ import scala.collection.concurrent.TrieMap
   */
 object DriveTelemetry {
   private val series = TrieMap.empty[String, Seq[Long]]
+  private val plans = TrieMap.empty[String, String]
 
   def record(name: String, stateRows: Seq[Long]): Unit =
     series.put(name, stateRows)
+
+  /** Normalized fingerprint of the drive's LAST micro-batch physical
+    * plan ([[graft.tools.PlanFingerprint.fingerprintStreaming]]) — the
+    * streaming half of the plan-regression tripwire (VERDICT r13 #1).
+    * Recorded by driveWaves just before the query stops; Bench merges
+    * these into `plan_fp` and diffs against `plan_manifest.json` exactly
+    * like the batch fingerprints.
+    */
+  def recordPlan(name: String, fp: String): Unit = plans.put(name, fp)
+
+  def planFps: Map[String, String] = plans.readOnlySnapshot().toMap
 
   def stateSeries(name: String): Option[Seq[Long]] = series.get(name)
 
@@ -30,5 +42,14 @@ object DriveTelemetry {
       k -> (if (v.isEmpty) 0L else v.max)
     }
 
-  def clear(): Unit = series.clear()
+  /** Per-drive recorded micro-batch count (length of the progress-ring
+    * state series). Bench normalizes each drive's wall time by this
+    * before the streaming time-tripwire compares it round-over-round:
+    * a drive whose wave plan gained batches is doing more work, not
+    * regressing per-batch (VERDICT r13 #1b).
+    */
+  def batchCounts: Map[String, Long] =
+    series.readOnlySnapshot().toMap.map { case (k, v) => k -> v.size.toLong }
+
+  def clear(): Unit = { series.clear(); plans.clear() }
 }

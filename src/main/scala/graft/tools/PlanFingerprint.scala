@@ -14,6 +14,7 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
   SortMergeJoinExec}
+import org.apache.spark.sql.execution.streaming.operators.stateful.join.StreamingSymmetricHashJoinExec
 
 /** Normalized physical-plan fingerprints — the host-noise-free perf
   * tripwire. Wall time and shuffle bytes both vary run-to-run (CPU
@@ -69,20 +70,36 @@ object PlanFingerprint {
 
   /** One token for a node, or None for transparent wrappers that only
     * add run-varying structure (InputAdapter, query-stage shells).
+    *
+    * `scrubScanPaths` is the streaming-micro-batch mode: a drive's scan
+    * locations are run-scoped harness temp dirs holding per-batch
+    * part-file lists (random UUID basenames), so the location collapses
+    * to a constant and only the read schema / pushdown state remains —
+    * checkpoint dirs, state-store paths and batch ids never enter any
+    * token (whitelist construction).
     */
-  private def token(p: SparkPlan): Option[String] = p match {
+  private def token(p: SparkPlan, scrubScanPaths: Boolean): Option[String] = p match {
     case _: InputAdapter => None
     case _: QueryStageExec => None
     case _: AdaptiveSparkPlanExec => None
     case _: WholeStageCodegenExec => Some("WSCG")
     case _: AQEShuffleReadExec => Some("AQEShuffleRead")
     case s: FileSourceScanExec =>
-      val loc = s.relation.location.rootPaths.map(p => pathToken(p.getName))
-        .sorted.mkString(",")
+      val loc =
+        if (scrubScanPaths) "stream-files"
+        else s.relation.location.rootPaths.map(p => pathToken(p.getName))
+          .sorted.mkString(",")
       val pushed = norm(s.metadata.getOrElse("PushedFilters", ""))
       val parts = norm(s.metadata.getOrElse("PartitionFilters", ""))
       val cols = s.requiredSchema.fieldNames.mkString(",")
       Some(s"ScanParquet[$loc cols=$cols pushed=$pushed part=$parts]")
+    case j: StreamingSymmetricHashJoinExec =>
+      // the streaming join's type + key sets are the load-bearing shape
+      // (nodeName alone would miss the r13-#1 negative control: a
+      // changed join type must flag)
+      Some(s"StreamSymJoin[${j.joinType}," +
+        s"${j.leftKeys.map(k => norm(k.sql)).mkString(",")}|" +
+        s"${j.rightKeys.map(k => norm(k.sql)).mkString(",")}]")
     case b: BatchScanExec =>
       // DSv2 (the JSONL connector): the scan's own description carries
       // its pushdown state; digits normalized for staged dirs
@@ -127,29 +144,54 @@ object PlanFingerprint {
   /** Preorder token walk with depth markers (tree shape is part of the
     * fingerprint) + each node's subquery plans.
     */
-  def tokens(plan: SparkPlan, depth: Int = 0): Seq[String] = {
-    val self = token(plan).map(t => s"$depth:$t").toSeq
+  def tokens(plan: SparkPlan, depth: Int = 0,
+      scrubScanPaths: Boolean = false): Seq[String] = {
+    val self = token(plan, scrubScanPaths).map(t => s"$depth:$t").toSeq
     val subs = plan.subqueries.zipWithIndex.flatMap { case (sq, i) =>
-      s"$depth:subquery$i" +: tokens(sq, depth + 1)
+      s"$depth:subquery$i" +: tokens(sq, depth + 1, scrubScanPaths)
     }
     val kids = unwrap(plan) match {
-      case Seq(inner) if token(plan).isEmpty =>
-        tokens(inner, depth) // transparent wrapper: no depth bump
-      case cs => cs.flatMap(c => tokens(c, depth + 1))
+      case Seq(inner) if token(plan, scrubScanPaths).isEmpty =>
+        tokens(inner, depth, scrubScanPaths) // transparent wrapper: no depth bump
+      case cs => cs.flatMap(c => tokens(c, depth + 1, scrubScanPaths))
     }
     self ++ subs ++ kids
   }
 
-  /** Fingerprint of an EXECUTED DataFrame (caller must have run an
-    * action so AQE's final plan — the one that actually ran — is what
-    * gets fingerprinted).
-    */
-  def fingerprint(df: DataFrame): String = {
-    val toks = tokens(df.queryExecution.executedPlan)
+  private def hashTokens(toks: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(toks.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Fingerprint of an EXECUTED DataFrame. The caller must have executed
+    * the DataFrame's OWN QueryExecution (see [[execute]]) — a derived
+    * action like `df.count()` runs a different QueryExecution, leaving
+    * this df's `AdaptiveSparkPlanExec` at its INITIAL plan, so AQE
+    * runtime replans (SMJ→BHJ conversion, skew splits) would be
+    * invisible (ADVICE r13 #2).
+    */
+  def fingerprint(df: DataFrame): String =
+    hashTokens(tokens(df.queryExecution.executedPlan))
+
+  /** Run the df's OWN QueryExecution to completion (untimed caller-side
+    * warm path): after this, `executedPlan` holds AQE's FINAL plan — the
+    * one a production run actually executes — and [[fingerprint]]
+    * captures it. `count()` is NOT a substitute: it executes a derived
+    * `groupBy().count()` QueryExecution.
+    */
+  def execute(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  /** Fingerprint of a streaming micro-batch physical plan
+    * (`StreamExecution.lastExecution.executedPlan`), with run-scoped
+    * scan file lists scrubbed — see `token`'s scrubScanPaths note.
+    * State-partition counts never enter (partitioningToken keeps KEYS,
+    * not counts), so the host-shape knob cannot flag; streaming join
+    * types and key sets do.
+    */
+  def fingerprintStreaming(plan: SparkPlan): String =
+    hashTokens(tokens(plan, scrubScanPaths = true))
 
   /** Full normalized token list (debug artifact for diffing two
     * fingerprints by eye).

@@ -15,4 +15,17 @@ object GraftSqlShim {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The physical plan of a streaming query's LAST micro-batch (the
+    * streaming half of the plan-fingerprint tripwire — VERDICT r13 #1).
+    * `StreamExecution.lastExecution` is `private[sql]`-reachable only,
+    * hence this second shim entry. None before the first batch plans or
+    * for a non-micro-batch query object.
+    */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
 }

@@ -15,7 +15,9 @@ class PlanFingerprintSpec extends AnyFunSuite {
   val dir = TestSpark.sfDir
 
   private def fpOf(df: org.apache.spark.sql.DataFrame): String = {
-    df.count()
+    // execute the df's OWN QueryExecution so AQE's FINAL plan is what
+    // gets fingerprinted (ADVICE r13 #2 — count() runs a derived one)
+    PlanFingerprint.execute(df)
     PlanFingerprint.fingerprint(df)
   }
 
@@ -60,6 +62,82 @@ class PlanFingerprintSpec extends AnyFunSuite {
     val smj = fpOf(q(s2))
     assert(broadcast != smj,
       "BHJ->SMJ strategy change not visible in the fingerprint")
+  }
+
+  // ---- streaming channel (VERDICT r13 #1) -------------------------------
+  // mini wave drives built directly on the harness: 4 waves of 10 rows,
+  // one minute of event time per wave. Unique drive names — DriveTelemetry
+  // is keyed by name and a re-run overwrites.
+
+  private def miniRows(spark: org.apache.spark.sql.SparkSession) =
+    spark.range(40).selectExpr("id AS key", "id * 60000 AS ms",
+      "CAST(id AS DOUBLE) AS value", "CAST(id / 10 AS LONG) AS wave")
+
+  private def streamAggFp(name: String, parts: Int): String = {
+    import org.apache.spark.sql.functions._
+    graft.operators.EventOps.driveWaves(spark, miniRows(spark),
+      "key LONG, ms LONG, value DOUBLE", 4L, name,
+      statePartitions = parts) { src =>
+      src.withColumn("ts", timestamp_millis(col("ms")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("key"))
+        .agg(sum("value").as("s"))
+        .select(col("key"), col("s"))
+    }
+    graft.streaming.DriveTelemetry.planFps(name)
+  }
+
+  private def streamJoinFp(name: String, joinType: String): String = {
+    import org.apache.spark.sql.functions._
+    graft.operators.EventOps.driveWaves(spark, miniRows(spark),
+      "key LONG, ms LONG, value DOUBLE", 4L, name) { src =>
+      val ts = src.withColumn("ts", timestamp_millis(col("ms")))
+      val l = ts.filter(col("key") % 2 === 0).withWatermark("ts", "10 seconds")
+        .select(col("key").as("lk"), col("ts").as("lts"),
+          col("value").as("lv"))
+      val r = ts.filter(col("key") % 2 === 1).withWatermark("ts", "10 seconds")
+        .select((col("key") - 1).as("rk"), col("ts").as("rts"))
+      l.join(r, org.apache.spark.sql.functions.expr(
+        "lk = rk AND rts BETWEEN lts - INTERVAL 1 MINUTE AND lts + INTERVAL 1 MINUTE"),
+        joinType)
+        .select(col("lk"), col("lv"))
+    }
+    graft.streaming.DriveTelemetry.planFps(name)
+  }
+
+  test("streaming: stable across independent drives of the same query") {
+    assert(streamAggFp("pfs_agg_a", 1) == streamAggFp("pfs_agg_b", 1),
+      "streaming fingerprint unstable across identical drives")
+  }
+
+  test("streaming negative control: state-partition count must NOT flag") {
+    // the host-shape knob: partitioning KEYS are fingerprinted, counts
+    // are not — a drive re-run at a different state-store parallelism
+    // is the same plan
+    assert(streamAggFp("pfs_agg_p1", 1) == streamAggFp("pfs_agg_p2", 2),
+      "streaming fingerprint depends on state partition count — host-noisy")
+  }
+
+  test("streaming negative control: a changed join type MUST flag") {
+    assert(streamJoinFp("pfs_join_inner", "inner") !=
+      streamJoinFp("pfs_join_louter", "leftOuter"),
+      "inner->leftOuter streaming join change not visible in the fingerprint")
+  }
+
+  test("coverage guard: every batch query has a committed manifest entry") {
+    // VERDICT r13 #5: Bench's plan diff only checks queries present in
+    // BOTH sides, so a query missing from the committed manifest loses
+    // tripwire coverage silently — this assertion makes that a test red
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("plan_manifest.json"))
+    val batch = SparkEntry.queries.keySet -- SparkEntry.streamingQueries
+    val gaps = graft.tools.PlanManifest.coverageGaps(txt, batch)
+    assert(gaps.isEmpty, s"batch queries missing from plan_manifest.json " +
+      s"(regenerate via graft.tools.PlanManifest): ${gaps.toSeq.sorted}")
+    // negative control: a deliberately unregistered name trips the guard
+    assert(graft.tools.PlanManifest.coverageGaps(txt,
+      batch + "zz_deliberately_unregistered") ==
+      Set("zz_deliberately_unregistered"))
   }
 
   test("insensitive to partition-count knobs (the host-varying axis)") {

@@ -66,7 +66,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.PivotSeedFloor until QueryFuzz.PivotSeedFloor + 20L) ++
       (QueryFuzz.GroupingSetsSeedFloor until
         QueryFuzz.GroupingSetsSeedFloor + 20L) ++
-      (QueryFuzz.UnpivotSeedFloor until QueryFuzz.UnpivotSeedFloor + 20L)
+      (QueryFuzz.UnpivotSeedFloor until QueryFuzz.UnpivotSeedFloor + 20L) ++
+      (QueryFuzz.DecimalSeedFloor until QueryFuzz.DecimalSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -78,8 +79,9 @@ class QueryFuzzSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
     // the sweep must exercise real data, not vacuous empty groups
     // (set-op EXCEPTs can legitimately drain to empty, so the floor
-    // stays clear of the new 20 seeds)
-    assert(nonEmpty >= 420, s"only $nonEmpty/600 seeds returned rows")
+    // stays clear of the new 20 seeds; all 20 decimal seeds scanned
+    // non-vacuous at registration)
+    assert(nonEmpty >= 440, s"only $nonEmpty/620 seeds returned rows")
   }
 
   test("x NOT IN (non-empty subquery containing NULL) filters every row " +
@@ -114,5 +116,51 @@ class QueryFuzzSpec extends AnyFunSuite {
     QueryFuzz.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       assert(fn(spark, TestSpark.sfDir).count() > 0, s"$name is empty at sf0.001")
     }
+  }
+
+  test("decimal family (28000+): the divergence axes the oracles exclude " +
+      "are pinned — AVG result scale, scale-reduction tie rounding, " +
+      "TRY_CAST overflow-to-null") {
+    // AVG is excluded from the family's oracle SQL: DuckDB types
+    // AVG(DECIMAL) as DOUBLE (probed at registration), while Spark
+    // yields DECIMAL(p+4, s+4) with exact HALF_UP division — pin
+    // Spark's side of the divergence so a silent change re-opens the
+    // design decision
+    val avg = sqlSession.sql(
+      "SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS a FROM customer")
+    assert(avg.schema("a").dataType.sql == "DECIMAL(16,6)",
+      s"Spark AVG(DECIMAL(12,2)) scale moved: ${avg.schema("a").dataType.sql}")
+    val got = avg.collect()(0).getDecimal(0)
+    val exact = sqlSession.sql(
+      """SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM customer""".stripMargin)
+      .collect()(0)
+    val expect = (BigDecimal(exact.getDecimal(0)) / BigDecimal(exact.getLong(1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(got) == expect,
+      s"Spark AVG(DECIMAL) not exact HALF_UP at scale 6: $got vs $expect")
+    // decimal scale-reduction CAST is HALF_UP in Spark but TRUNCATE-
+    // toward-zero in DuckDB (434249.98 -> 434249.9; found by the
+    // family's own registration Verify run, ~44% of rows diverging) —
+    // why the downcast variant renders an EXPLICIT ROUND(dec, 1),
+    // which both engines round half-away-from-zero, ties included
+    val dc = sqlSession.sql(
+      "SELECT CAST(CAST(434249.98 AS DECIMAL(12,2)) AS DECIMAL(12,1)) AS c, " +
+        "ROUND(CAST(1.25 AS DECIMAL(12,2)), 1) AS p, " +
+        "ROUND(CAST(-1.25 AS DECIMAL(12,2)), 1) AS n").collect()(0)
+    assert(dc.getDecimal(0).toPlainString == "434250.0",
+      s"Spark decimal downcast CAST no longer HALF_UP: ${dc.getDecimal(0)}")
+    assert(dc.getDecimal(1).toPlainString == "1.3" &&
+      dc.getDecimal(2).toPlainString == "-1.3",
+      s"Spark ROUND(dec,1) tie moved: ${dc.mkString(",")}")
+    // overflow: TRY_CAST -> NULL in both engines (plain CAST would
+    // ERROR under Spark ANSI); the family's overflow variant depends
+    // on the NULL, not the error
+    val over = sqlSession.sql(
+      "SELECT TRY_CAST(1000.0 AS DECIMAL(5,2)) AS o, " +
+        "TRY_CAST(-1000.0 AS DECIMAL(5,2)) AS u, " +
+        "TRY_CAST(999.99 AS DECIMAL(5,2)) AS k").collect()(0)
+    assert(over.isNullAt(0) && over.isNullAt(1) && !over.isNullAt(2),
+      s"TRY_CAST overflow contract moved: $over")
   }
 }

@@ -7,7 +7,9 @@ Usage: python3 tools/scaling_report.py <detail_small.json> <detail_big.json>
 Inputs are two graft.Bench detail files (bench_detail.json) for the SAME
 query set at two scale factors (typically sf0.01 and sf0.1 — a 10x data
 step). For each query present in both, reports wall-clock growth
-`big/small` and flags super-linear outliers: growth > 1.2 * data_ratio
+`big/small` — divided by the two files' calib_sec ratio when both carry
+the fixed probe (cross-host comparability; `growth_raw` keeps the
+uncalibrated number) — and flags super-linear outliers: growth > 1.2 * data_ratio
 (default data_ratio 10 → flag > 12x) AND big >= 1.0 s (sub-second pairs
 are fixed-overhead dominated — session/trigger cost, not operator cost —
 so their ratios say nothing about the operator's complexity).
@@ -31,11 +33,20 @@ STREAM_MARKERS = ("_stream", "_stateful", "_tws", "_warm", "_poll")
 def load(path):
     d = json.load(open(path))
     return ({k: v for k, v in d["queries"].items() if v >= 0},
-            set(d.get("streaming_queries", [])))
+            set(d.get("streaming_queries", [])),
+            d.get("calib_sec", -1.0))
 
 
 def main(argv):
-    (small, stream_small), (big, stream_big) = load(argv[1]), load(argv[2])
+    (small, stream_small, calib_small), (big, stream_big, calib_big) = \
+        load(argv[1]), load(argv[2])
+    # host calibration (VERDICT r13 #2): each detail carries calib_sec,
+    # the wall time of a fixed scale-INDEPENDENT probe workload. When
+    # both files carry one, growth is divided by the calib ratio before
+    # flagging, so two runs taken on differently-loaded (or different)
+    # hosts compare through the probe instead of raw wall clock.
+    calib_ratio = (calib_big / calib_small
+                   if calib_big > 0 and calib_small > 0 else 1.0)
     # the authoritative classification is SparkEntry.streamingQueries,
     # emitted by Bench into the detail file (union: either file knowing a
     # query is a drive is enough)
@@ -50,9 +61,10 @@ def main(argv):
     flag_ratio = 1.2 * data_ratio
     rows, flagged, streaming = [], [], []
     for k in sorted(set(small) & set(big)):
-        r = big[k] / small[k] if small[k] > 0 else float("inf")
+        raw = big[k] / small[k] if small[k] > 0 else float("inf")
+        r = raw / calib_ratio
         entry = {"query": k, "small_sec": small[k], "big_sec": big[k],
-                 "growth": round(r, 2)}
+                 "growth": round(r, 2), "growth_raw": round(raw, 2)}
         if is_streaming(k):
             streaming.append(entry)
         else:
@@ -63,6 +75,9 @@ def main(argv):
     report = {
         "data_ratio": data_ratio,
         "flag_threshold": flag_ratio,
+        "calib_sec_small": calib_small,
+        "calib_sec_big": calib_big,
+        "calib_ratio": round(calib_ratio, 3),
         "n_compared": len(rows),
         "n_streaming_excluded": len(streaming),
         "flagged_superlinear": flagged,
