@@ -84,6 +84,7 @@ object StreamFuzz {
   val TwsAggSeedFloor = 41000L
   val DedupSessSeedFloor = 41500L
   val JoinDedupSeedFloor = 42000L
+  val SessRollupSeedFloor = 42500L
 
   case class SGen(seed: Long,
       build: (SparkSession, String) => DataFrame, sql: String)
@@ -3492,12 +3493,224 @@ object StreamFuzz {
         .orderBy(col("window_start_ms"))
     }
 
+  private[graft] case class SessRollupP(nWaves: Int, mode: String,
+      delay: Long, gap: Long, w: Long)
+
+  private[graft] def sessRollupP(seed: Long): SessRollupP = {
+    val s = sessionP(seed)
+    // independent draw for the rollup width (sessionP consumed its RNG);
+    // the menu sits at/above the gap menu so one tumble usually holds
+    // several sessions AND a key's session stream splits across tumbles
+    val rnd = new Random(seed * 0xA24BAED4963EE407L + 0x71B1A19B907D6E33L)
+    SessRollupP(s.nWaves, s.mode, s.delay, s.gap,
+      Seq(4L * 3600000L, 24L * 3600000L, 72L * 3600000L)(rnd.nextInt(3)))
+  }
+
+  /** Family V — native `session_window` aggregation FEEDING a tumbling
+    * `window(window_time(...))` rollup: the merging session store's
+    * output as INPUT to a second stateful aggregation (family T closed
+    * dedup->session; this is the session agg upstream direction —
+    * probed plannable on Spark 4.1 before building, SURVEY §8.3.5).
+    * Each finalized session lands in the tumble holding its event-time
+    * column `window_time(session_window) = end - 1µs`, so a session
+    * ending EXACTLY on a tumble boundary belongs to the PREVIOUS tumble
+    * (w_start = ((end_ms - 1) div W) * W — pinned in WmProbeSpec).
+    *
+    * The composition is TOTAL — finalized rollup = plain GROUP BY over
+    * the finalized sessions — because no emitted session can be late
+    * downstream: a session first emits at batch `est` where
+    * `end <= runmax(est-1) - delay`, FIRST-ness gives
+    * `end > runmax(est-2) - delay`, the downstream late filter lags one
+    * batch (`lag2`, probed: a session emitted while the CURRENT
+    * watermark already passed its tumble end still lands — WmProbeSpec),
+    * and `w2_end >= end` always. The same chain shows no tumble can
+    * finalize before its last session arrives. The oracle is therefore
+    * family C's staged re-opening replay (sessions may still overlap
+    * per key!) closed under the rollup GROUP BY — no per-batch
+    * bookkeeping for the second operator.
+    */
+  private def genSessRollup(seed: Long, cfg: DriveCfg): SGen = {
+    val p = sessRollupP(seed)
+    val nWaves = p.nWaves; val mode = p.mode; val delay = p.delay
+    val gap = p.gap; val w = p.w
+    val margin = delay + 3 * gap + 3 * w + 10000000L
+
+    val build = (spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val ev = EventOps.withMicros(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("us div 1000").as("ms"))
+      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val bWidth = (hi - lo) / nWaves + 1
+      val waveCol = carving(mode, seed, nWaves, lo, bWidth)
+      val frame = ev.withColumn("wave", waveCol).drop("event_id")
+        .unionByName(Seq(
+          (-1L, hi + margin, nWaves.toLong),
+          (-2L, hi + 2 * margin, nWaves + 1L))
+          .toDF("key", "ms", "wave"))
+      EventOps.driveWaves(spark, frame, "key LONG, ms LONG", nWaves + 2L,
+        s"sfz_srol_${cfg.tag}$seed",
+        statePartitions = cfg.statePartitions.getOrElse(1),
+        filesPerWave = cfg.filesPerWave,
+        restartAfter = cfg.killAfter(nWaves),
+        stageKey = Some(EventOps.stageKeyFor(s"sfz_srol_$seed", dir))) { src =>
+        src.select(col("key"), timestamp_millis(col("ms")).as("t"))
+          .withWatermark("t", s"$delay milliseconds")
+          .groupBy(session_window(col("t"), s"$gap milliseconds"),
+            col("key"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(window(window_time(col("session_window")),
+            s"$w milliseconds"), col("key"))
+          .agg(sum(col("n_events")).as("n_events_w"),
+            count(lit(1)).as("n_sessions"))
+          .select(col("key").as("user_id"),
+            unix_millis(col("window.start")).as("w_start_ms"),
+            col("n_events_w"), col("n_sessions"))
+      }
+        .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("w_start_ms"))
+    }
+
+    // family C's generated replay stage, value-less: stage k
+    // re-sessionizes open rows and emits components whose end <= E(k),
+    // guarded on the wave actually having rows
+    def stage(k: Long, prev: String): String = {
+      val ek = s"(SELECT COALESCE(GREATEST(MAX(mx) - $delay, 0), 0)" +
+        s" FROM b WHERE wave < $k)"
+      val hasBatch = s"(SELECT COUNT(*) FROM b WHERE wave = $k) > 0"
+      s"""s$k AS (
+        |  SELECT user_id, ms, wave,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN $k ELSE est END AS est,
+        |         CASE WHEN open AND $hasBatch AND comp_end <= $ek
+        |              THEN sid ELSE esid END AS esid
+        |  FROM (
+        |    SELECT *, MAX(ms) OVER (PARTITION BY user_id, open, sid)
+        |              + $gap AS comp_end
+        |    FROM (
+        |      SELECT *, SUM(ns) OVER (PARTITION BY user_id, open ORDER BY ms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM (
+        |        SELECT *, CASE WHEN NOT open THEN NULL
+        |          WHEN lag(ms) OVER (PARTITION BY user_id, open ORDER BY ms)
+        |            IS NULL THEN 1
+        |          WHEN ms - lag(ms) OVER (PARTITION BY user_id, open
+        |            ORDER BY ms) > $gap THEN 1 ELSE 0 END AS ns
+        |        FROM (SELECT user_id, ms, wave, est, esid,
+        |                (est IS NULL AND wave <= $k) AS open
+        |              FROM $prev)))))""".stripMargin
+    }
+    val nStages = nWaves + 2
+    val stages = (0L until nStages)
+      .map(k => stage(k, if (k == 0) "s_init" else s"s${k - 1}"))
+      .mkString(",\n")
+    val sql =
+      s"""WITH ${if (mode == "jitter") boundsCte(nWaves) else ""}
+        |raw AS (
+        |  SELECT event_id, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+        |         ${if (mode == "jitter") ", bounds.lo AS lo, bounds.w AS w" else ""}
+        |  FROM events${if (mode == "jitter") " CROSS JOIN bounds" else ""}),
+        |e AS (SELECT user_id, ms, ${waveSql(mode, seed, nWaves)} AS wave FROM raw),
+        |b0 AS (SELECT wave, MAX(ms) AS mx FROM e GROUP BY wave),
+        |hb AS (SELECT MAX(ms) AS hi FROM e),
+        |b AS (SELECT * FROM b0
+        |      UNION ALL SELECT $nWaves, hi + $margin FROM hb
+        |      UNION ALL SELECT ${nWaves + 1}, hi + 2 * $margin FROM hb),
+        |l AS (SELECT wave,
+        |        COALESCE(GREATEST(MAX(mx) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |          - $delay, 0), 0) AS lwm
+        |      FROM b),
+        |kept AS (
+        |  SELECT e.user_id, e.ms, e.wave FROM e JOIN l USING (wave)
+        |  WHERE e.ms + $gap > l.lwm),
+        |s_init AS (
+        |  SELECT user_id, ms, wave,
+        |         CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS esid
+        |  FROM kept),
+        |$stages,
+        |sess AS (
+        |  SELECT user_id, MAX(ms) + $gap AS end_ms, COUNT(*) AS n_events
+        |  FROM s${nStages - 1} GROUP BY user_id, est, esid)
+        |SELECT user_id, ((end_ms - 1) // $w) * $w AS w_start_ms,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events_w,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM sess GROUP BY user_id, ((end_ms - 1) // $w) * $w
+        |ORDER BY user_id, w_start_ms""".stripMargin
+    SGen(seed, build, sql)
+  }
+
+  /** IN-SPARK batch twin of the Family V drive: family C's staged
+    * session replay (value-less — the rollup only counts), closed under
+    * the tumble GROUP BY on `((end_ms - 1) DIV W) * W`. sessionTwin
+    * itself stays untouched (family C's proven rendering); the loop is
+    * cloned minus the value column because V's margin differs (it must
+    * clear 3 rollup widths too).
+    */
+  def sessRollupTwin(seed: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = sessRollupP(seed)
+      val margin = p.delay + 3 * p.gap + 3 * p.w + 10000000L
+      val base = keptBase(spark, dir, p.mode, seed, p.nWaves, p.delay,
+        keyed = true)
+      val realMx: Map[Long, Long] = base.groupBy(col("wave"))
+        .agg(max(col("ms")).as("mx")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hi = realMx.values.max
+      val mxByWave = realMx +
+        (p.nWaves.toLong -> (hi + margin)) +
+        ((p.nWaves + 1).toLong -> (hi + 2 * margin))
+      def ewm(k: Long): Long = {
+        val prior = mxByWave.filter(_._1 < k).values
+        if (prior.isEmpty) 0L else math.max(0L, prior.max - p.delay)
+      }
+      var df = base.filter(col("ms") + p.gap > col("lwm"))
+        .select(col("key"), col("ms"), col("wave"))
+        .withColumn("est", lit(null).cast("long"))
+        .withColumn("esid", lit(null).cast("long"))
+      (0L until (p.nWaves + 2L)).foreach { k =>
+        val hasBatch = mxByWave.contains(k)
+        val wOpen = Window.partitionBy(col("key"), col("open"))
+          .orderBy(col("ms"))
+        val wCum = wOpen.rowsBetween(Window.unboundedPreceding, 0)
+        val wComp = Window.partitionBy(col("key"), col("open"), col("sid"))
+        df = df
+          .withColumn("open", col("est").isNull && col("wave") <= k)
+          .withColumn("ns", when(!col("open"), lit(null))
+            .when(lag(col("ms"), 1).over(wOpen).isNull, 1)
+            .when(col("ms") - lag(col("ms"), 1).over(wOpen) > p.gap, 1)
+            .otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(wCum))
+          .withColumn("comp_end", max(col("ms")).over(wComp) + p.gap)
+          .withColumn("emit",
+            col("open") && lit(hasBatch) && col("comp_end") <= ewm(k))
+          .withColumn("est", when(col("emit"), k).otherwise(col("est")))
+          .withColumn("esid", when(col("emit"), col("sid"))
+            .otherwise(col("esid")))
+          .drop("open", "ns", "sid", "comp_end", "emit")
+      }
+      df.groupBy(col("key"), col("est"), col("esid"))
+        .agg((max(col("ms")) + p.gap).as("end_ms"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("key"),
+          expr(s"((end_ms - 1) DIV ${p.w}L) * ${p.w}L").as("w_start_ms"))
+        .agg(sum(col("n_events")).as("n_events_w"),
+          count(lit(1)).as("n_sessions"))
+        .select(col("key").as("user_id"), col("w_start_ms"),
+          col("n_events_w"), col("n_sessions"))
+        .orderBy(col("user_id"), col("w_start_ms"))
+    }
+
   /** Deterministic per-seed rendering (same contract as
     * [[QueryFuzz.generate]]); `cfg` only varies HOW the seed is driven —
     * the oracle SQL is cfg-independent by construction.
     */
   def generate(seed: Long, cfg: DriveCfg = DriveCfg()): SGen =
-    if (seed >= JoinDedupSeedFloor) genJoinDedup(seed, cfg)
+    if (seed >= SessRollupSeedFloor) genSessRollup(seed, cfg)
+    else if (seed >= JoinDedupSeedFloor) genJoinDedup(seed, cfg)
     else if (seed >= DedupSessSeedFloor) genDedupSess(seed, cfg)
     else if (seed >= TwsAggSeedFloor) genTwsAgg(seed, cfg)
     else if (seed >= UnionJoinSeedFloor) genUnionJoin(seed, cfg)
@@ -3533,7 +3746,8 @@ object StreamFuzz {
     * tool/spec resolves twins through here now.
     */
   def twinFor(seed: Long): (SparkSession, String) => DataFrame =
-    if (seed >= JoinDedupSeedFloor) joinDedupTwin(seed)
+    if (seed >= SessRollupSeedFloor) sessRollupTwin(seed)
+    else if (seed >= JoinDedupSeedFloor) joinDedupTwin(seed)
     else if (seed >= DedupSessSeedFloor) dedupSessTwin(seed)
     else if (seed >= TwsAggSeedFloor) twsAggTwin(seed)
     else if (seed >= UnionJoinSeedFloor) unionJoinTwin(seed)
@@ -3561,7 +3775,8 @@ object StreamFuzz {
     * dispatch as [[generate]]/[[twinFor]].
     */
   def paramsFor(seed: Long): Product =
-    if (seed >= JoinDedupSeedFloor) joinDedupP(seed)
+    if (seed >= SessRollupSeedFloor) sessRollupP(seed)
+    else if (seed >= JoinDedupSeedFloor) joinDedupP(seed)
     else if (seed >= DedupSessSeedFloor) dedupSessP(seed)
     else if (seed >= TwsAggSeedFloor) twsAggP(seed)
     else if (seed >= UnionJoinSeedFloor) unionJoinP(seed)
@@ -3606,7 +3821,11 @@ object StreamFuzz {
       40500L, 40503L, 40507L, 40513L,
       41000L, 41003L, 41007L, 41013L,
       41500L, 41502L, 41507L, 41515L,
-      42001L, 42004L, 42010L, 42012L)
+      42001L, 42004L, 42010L, 42012L,
+      // family V (session_window -> tumbling rollup): both carvings,
+      // delays 1h/24h/72h, gap 1h/4h/12h, rollup width 4h/24h/72h
+      // including w < gap (42505: every session its own tumble)
+      42500L, 42503L, 42505L, 42509L)
 
   /** One seed per family re-driven with a mid-stream kill + checkpoint
     * resume (`fuzz_r*`): the un-awaited wave at the crash point replays
@@ -3618,7 +3837,7 @@ object StreamFuzz {
   val restartSeeds: Seq[Long] =
     Seq(12000L, 12500L, 13001L, 13500L, 14001L, 14501L, 15001L, 15501L,
       16005L, 16501L, 17001L, 17506L, 18009L, 18504L, 19002L, 19502L,
-      40006L, 40503L, 41003L, 41502L, 42001L)
+      40006L, 40503L, 41003L, 41502L, 42001L, 42503L)
 
   /** One seed per family re-driven with 3 salted files per wave and a
     * non-default state-partition count (`fuzz_m*`): batches become
@@ -3628,7 +3847,7 @@ object StreamFuzz {
   val multiSeeds: Seq[Long] =
     Seq(12001L, 12502L, 13002L, 13501L, 14002L, 14502L, 15002L, 15502L,
       16010L, 16502L, 17005L, 17502L, 18005L, 18503L, 19013L, 19514L,
-      40004L, 40507L, 41013L, 41507L, 42012L)
+      40004L, 40507L, 41013L, 41507L, 42012L, 42505L)
 
   private val RestartCfg = DriveCfg(tag = "r", restart = true)
   private val MultiCfg =

@@ -200,6 +200,13 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  Seq(42500L, 42503L, 42505L, 42509L, 42514L).foreach { s =>
+    test(s"session_window -> tumbling rollup drive matches " +
+        s"replay-plus-GROUP-BY twin (seed $s, ${StreamFuzz.sessRollupP(s)})") {
+      check(s, StreamFuzz.sessRollupTwin)
+    }
+  }
+
   // ---- harness-knob invariance: seeds from every family re-driven at a SECOND
   // partition config (3 state partitions, 2 salted files per wave) must
   // still match their twins — keyed streaming state is partition-count-
@@ -215,7 +222,7 @@ class StreamFuzzSpec extends AnyFunSuite {
       16000L, 16010L, 16500L, 16503L, 17004L, 17007L, 17506L, 17515L,
       18003L, 18009L, 18504L, 18515L, 19002L, 19013L, 19500L, 19508L,
       40000L, 40007L, 40500L, 40513L, 41000L, 41007L, 41500L, 41507L,
-      42004L, 42012L)
+      42004L, 42012L, 42500L, 42509L)
     .foreach { s =>
       test(s"drive output invariant at 3 state partitions x 2 files/wave " +
           s"(seed $s)") {

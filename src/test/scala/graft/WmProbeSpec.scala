@@ -1062,6 +1062,48 @@ class WmProbeSpec extends AnyFunSuite {
       s"tws -> agg composition rule moved: $real")
   }
 
+  test("session_window -> tumbling rollup: window_time is end - 1us and " +
+      "an emitted session is never late downstream (family V's totality)") {
+    // gap 2 min, rollup 10 min, delay 10 s.
+    //  - u7's burst {0, 60000} merges to session [0, 180000); its second
+    //    session [480000, 600000) ends EXACTLY on the tumble boundary, so
+    //    window_time = 600000ms - 1us puts it in tumble [0, 600000) —
+    //    w_start 0 holds BOTH sessions (rule 1: w2s = ((end-1) div W)*W).
+    //  - u5's wave-0 session [0, 120000) is emitted in batch 2, where the
+    //    CURRENT watermark (~9.99M) is far past its tumble end 600000; the
+    //    downstream late filter uses the lag-2 (previous-batch) bound, so
+    //    the session must still land (rule 2) — with a lag-1 filter the
+    //    w_start=0 row would vanish. This is the lag chain that makes the
+    //    family-V oracle a plain GROUP BY over finalized sessions: first
+    //    emission at est gives end > runmax(est-2) - delay, and
+    //    w2_end >= end always.
+    val rows = Seq(
+      ("7", 0L, 0L), ("7", 60000L, 0L), ("5", 0L, 0L),
+      ("7", 480000L, 1L), ("5", 10000000L, 1L),
+      ("7", 1200000L, 2L), ("5", 20000000L, 2L),
+      ("-1", 100000000L, 3L), ("-2", 200000000L, 4L))
+    val out = drive(rows, "probe_sess_rollup", 5) { src =>
+      src.select(col("etype").cast("long").as("key"),
+          timestamp_millis(col("ms")).as("bt"))
+        .withWatermark("bt", "10000 milliseconds")
+        .groupBy(session_window(col("bt"), "120000 milliseconds"),
+          col("key"))
+        .agg(count(lit(1)).as("n_rows"))
+        .groupBy(window(window_time(col("session_window")),
+          "600000 milliseconds"), col("key"))
+        .agg(sum(col("n_rows")).as("s_rows"), count(lit(1)).as("n_sess"))
+        .select(col("key"), unix_millis(col("window.start")).as("w_start"),
+          col("s_rows"), col("n_sess"))
+    }
+    val real = out.filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(real == Seq(
+      (5L, 0L, 1L, 1L), (5L, 9600000L, 1L, 1L), (5L, 19800000L, 1L, 1L),
+      (7L, 0L, 3L, 2L), (7L, 1200000L, 1L, 1L)),
+      s"session->rollup composition rules moved: $real")
+  }
+
   test("transformWithState: input rows are processed before timers fire") {
     // wave2 both delivers a kept row for key 5's bucket [1000,2000) AND
     // advances wm past the bucket's pending timer. Input-first => ONE
