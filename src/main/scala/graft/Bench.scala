@@ -180,10 +180,17 @@ object Bench {
     // thing tools.PlanManifest records. Streaming drives are excluded
     // (their result frames read run-scoped sink dirs).
     val planFps = scala.collection.mutable.Map.empty[String, String]
+    val batchCounts = scala.collection.mutable.Map.empty[String, Long]
     def onePass(fingerprint: Boolean = false): Map[String, (Double, Long)] =
       SparkEntry.queries.map { case (name, fn) =>
         // drop caches left by the previous query so timings are independent
         spark.catalog.clearCache()
+        val isStream = SparkEntry.streamingQueries.contains(name)
+        // streaming telemetry is keyed by driveWaves' own drive names
+        // (sfz_srol_42503), not SparkEntry names — attribute by the log
+        // WINDOW around this query's invocation (drives run inside fn)
+        val planMark = graft.streaming.DriveTelemetry.planLogSize
+        val batchMark = graft.streaming.DriveTelemetry.batchLogSize
         val sBefore = settledShuffle()
         val t0 = System.nanoTime()
         // a broken query must surface as -1, never as a plausible timing
@@ -198,7 +205,14 @@ object Bench {
         // shuffle delta closes BEFORE the fingerprint execution below, so
         // the untimed extra run cannot pollute the per-query meter
         val sDelta = math.max(0L, settledShuffle() - sBefore)
-        if (fingerprint && !SparkEntry.streamingQueries.contains(name))
+        if (isStream && dfOpt.isDefined) {
+          val b = graft.streaming.DriveTelemetry.batchesSince(batchMark)
+          if (b > 0) batchCounts(name) = b
+          graft.streaming.DriveTelemetry.combinedFp(
+            graft.streaming.DriveTelemetry.planLogSince(planMark).map(_._2))
+            .foreach(planFps(name) = _)
+        }
+        if (fingerprint && !isStream)
           dfOpt.foreach { df =>
             try {
               // run the df's OWN QueryExecution (count() executes a
@@ -279,9 +293,6 @@ object Bench {
     // BenchFlagsSpec replays the r12/r13 driver false-flag shapes
     // against it). Streaming drives get their own noise scalar and are
     // normalized by recorded micro-batch count (VERDICT r13 #1).
-    val streamPlanFps = graft.streaming.DriveTelemetry.planFps
-    planFps ++= streamPlanFps
-    val batchCounts = graft.streaming.DriveTelemetry.batchCounts
     val (prevPlans, planBaselineSource) = planBaseline(repoDir) match {
       case Some((plans, sf)) if sf == sfDir =>
         (plans, "HEAD:plan_manifest.json")
@@ -290,7 +301,7 @@ object Bench {
       case None => (Map.empty[String, String], "none")
     }
     val flags = graft.tools.BenchFlags.compute(results, prevQueries,
-      SparkEntry.streamingQueries, batchCounts, prevDetail.batchCounts,
+      SparkEntry.streamingQueries, batchCounts.toMap, prevDetail.batchCounts,
       planFps.toMap, prevPlans)
     // each time flag names its plan status: a "plan":"same" flag on a
     // loaded host is noise by construction (same plan + same data), so

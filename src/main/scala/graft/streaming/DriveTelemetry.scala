@@ -19,9 +19,26 @@ import scala.collection.concurrent.TrieMap
 object DriveTelemetry {
   private val series = TrieMap.empty[String, Seq[Long]]
   private val plans = TrieMap.empty[String, String]
+  // append log of (driveName, recorded micro-batch count), window-read
+  // like planLog below (same drive-name-vs-query-name attribution issue)
+  private val batchLog = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
-  def record(name: String, stateRows: Seq[Long]): Unit =
+  def record(name: String, stateRows: Seq[Long]): Unit = {
     series.put(name, stateRows)
+    batchLog.synchronized { batchLog += (name -> stateRows.size.toLong) }
+  }
+
+  def batchLogSize: Int = batchLog.synchronized { batchLog.size }
+
+  /** Total micro-batches recorded since `mark` — a query's drives sum. */
+  def batchesSince(mark: Int): Long =
+    batchLog.synchronized { batchLog.drop(mark).map(_._2).sum }
+
+  // append log of (driveName, fp) in record order — the drive NAME is
+  // driveWaves' own tag (sfz_srol_42503), not the SparkEntry query name
+  // (fuzz_q42503), so Bench/PlanManifest attribute fingerprints to a
+  // query by the log WINDOW around its invocation, never by name
+  private val planLog = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
   /** Normalized fingerprint of the drive's LAST micro-batch physical
     * plan ([[graft.tools.PlanFingerprint.fingerprintStreaming]]) — the
@@ -30,9 +47,35 @@ object DriveTelemetry {
     * these into `plan_fp` and diffs against `plan_manifest.json` exactly
     * like the batch fingerprints.
     */
-  def recordPlan(name: String, fp: String): Unit = plans.put(name, fp)
+  def recordPlan(name: String, fp: String): Unit = {
+    plans.put(name, fp)
+    planLog.synchronized { planLog += (name -> fp) }
+  }
 
   def planFps: Map[String, String] = plans.readOnlySnapshot().toMap
+
+  /** Log cursor + window read: a query that runs N wave drives appends
+    * N entries; the caller snapshots the size before invoking the query
+    * and reads everything after it. Entry ORDER inside one query is the
+    * code's own sequential drive order — deterministic.
+    */
+  def planLogSize: Int = planLog.synchronized { planLog.size }
+
+  def planLogSince(mark: Int): Seq[(String, String)] =
+    planLog.synchronized { planLog.drop(mark).toList }
+
+  /** One fingerprint for a query from its drives' fingerprints: the
+    * single fp when the query ran one drive (the usual case), an MD5
+    * over the ordered list otherwise.
+    */
+  def combinedFp(fps: Seq[String]): Option[String] = fps match {
+    case Seq() => None
+    case Seq(one) => Some(one)
+    case many =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(many.mkString("\n").getBytes("UTF-8"))
+      Some(md.digest().map("%02x".format(_)).mkString)
+  }
 
   def stateSeries(name: String): Option[Seq[Long]] = series.get(name)
 
@@ -42,14 +85,9 @@ object DriveTelemetry {
       k -> (if (v.isEmpty) 0L else v.max)
     }
 
-  /** Per-drive recorded micro-batch count (length of the progress-ring
-    * state series). Bench normalizes each drive's wall time by this
-    * before the streaming time-tripwire compares it round-over-round:
-    * a drive whose wave plan gained batches is doing more work, not
-    * regressing per-batch (VERDICT r13 #1b).
-    */
-  def batchCounts: Map[String, Long] =
-    series.readOnlySnapshot().toMap.map { case (k, v) => k -> v.size.toLong }
-
-  def clear(): Unit = { series.clear(); plans.clear() }
+  def clear(): Unit = {
+    series.clear(); plans.clear()
+    planLog.synchronized { planLog.clear() }
+    batchLog.synchronized { batchLog.clear() }
+  }
 }

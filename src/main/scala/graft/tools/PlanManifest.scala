@@ -74,10 +74,14 @@ object PlanManifest {
       val fp = try {
         if (streaming.contains(name)) {
           // the drive runs inside the build; driveWaves records the
-          // last micro-batch fingerprint as a side channel
+          // last micro-batch fingerprint as a side channel, keyed by
+          // its own drive name — attribute by the log window around
+          // this invocation (same convention as Bench)
+          val mark = graft.streaming.DriveTelemetry.planLogSize
           fn(spark, sfDir).count()
-          graft.streaming.DriveTelemetry.planFps
-            .getOrElse(name, "UNFINGERPRINTED")
+          graft.streaming.DriveTelemetry.combinedFp(
+            graft.streaming.DriveTelemetry.planLogSince(mark).map(_._2))
+            .getOrElse("UNFINGERPRINTED")
         } else {
           fn(spark, sfDir).count() // warm: stage substrates
           val df = fn(spark, sfDir)

@@ -124,6 +124,19 @@ class PlanFingerprintSpec extends AnyFunSuite {
       "inner->leftOuter streaming join change not visible in the fingerprint")
   }
 
+  test("streaming: a SparkEntry drive's fingerprint attributes via the " +
+      "log window (drive names differ from query names)") {
+    // the r14 first-regen bug class: driveWaves records under its own
+    // drive name (sfz_srol_42503), so a name-keyed lookup on the
+    // SparkEntry name (fuzz_q42503) silently found nothing — Bench and
+    // PlanManifest attribute by the log window around the invocation
+    val mark = graft.streaming.DriveTelemetry.planLogSize
+    SparkEntry.queries("fuzz_q42503")(spark, dir).count()
+    val fps = graft.streaming.DriveTelemetry.planLogSince(mark)
+    assert(fps.nonEmpty, "drive recorded no fingerprint in the log window")
+    assert(graft.streaming.DriveTelemetry.combinedFp(fps.map(_._2)).isDefined)
+  }
+
   test("coverage guard: every batch query has a committed manifest entry") {
     // VERDICT r13 #5: Bench's plan diff only checks queries present in
     // BOTH sides, so a query missing from the committed manifest loses
