@@ -351,6 +351,35 @@ object EventOps {
     * Ascending time-bucket waves mean no row is ever late, which is what
     * makes every drive's oracle expressible as plain batch SQL.
     */
+  /** Streaming plan-regression channel (VERDICT r13 #1): record the
+    * query's LAST micro-batch executed plan, normalized with the
+    * run-scoped file lists scrubbed. Best-effort by contract — a
+    * telemetry failure must never fail the drive itself. Shared by
+    * driveWaves and the inline two-source attribution harnesses.
+    */
+  private def recordLastPlan(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit =
+    try org.apache.spark.sql.graft.GraftSqlShim.lastMicroBatchPlan(q)
+      .foreach(p => graft.streaming.DriveTelemetry.recordPlan(name,
+        graft.tools.PlanFingerprint.fingerprintStreaming(p)))
+    catch { case e: Exception =>
+      System.err.println(s"[drive] $name plan fp failed: ${e.getMessage}") }
+
+  /** Full telemetry for the inline (non-driveWaves) attribution drives:
+    * per-batch state-row series (peaks + micro-batch-count
+    * normalization) and the last-plan fingerprint.
+    */
+  private def recordInlineDrive(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+    try graft.streaming.DriveTelemetry.record(name,
+      q.recentProgress.toSeq.sortBy(_.batchId).map { p =>
+        if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      })
+    catch { case _: Exception => () }
+    recordLastPlan(q, name)
+  }
+
   private[graft] def driveWaves(spark: SparkSession, rows: DataFrame,
       schema: String, nWaves: Long, name: String,
       statePartitions: Int = 1, filesPerWave: Int = 1,
@@ -423,15 +452,7 @@ object EventOps {
                 if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
                 else p.stateOperators.map(_.numRowsTotal).sum
               })
-          // streaming plan-regression channel (VERDICT r13 #1): the last
-          // micro-batch's executed physical plan, normalized with the
-          // run-scoped file lists scrubbed. Best-effort — a telemetry
-          // failure must never fail the drive itself
-          try org.apache.spark.sql.graft.GraftSqlShim.lastMicroBatchPlan(q)
-            .foreach(p => graft.streaming.DriveTelemetry.recordPlan(name,
-              graft.tools.PlanFingerprint.fingerprintStreaming(p)))
-          catch { case e: Exception =>
-            System.err.println(s"[driveWaves] $name plan fp failed: ${e.getMessage}") }
+          recordLastPlan(q, name)
         } finally q.stop()
         if (restartAfter.isEmpty) spark.table(name)
         else {
@@ -1268,6 +1289,7 @@ object EventOps {
           }
           q.processAllAvailable()
         }
+        recordInlineDrive(q, "ssj_attr")
       } finally q.stop()
     } finally deleteHarnessDir(root)
     spark.table("ssj_attr")
@@ -1333,6 +1355,7 @@ object EventOps {
           }
           q.processAllAvailable()
         }
+        recordInlineDrive(q, "ssjo_attr")
       } finally q.stop()
     } finally deleteHarnessDir(root)
     spark.table("ssjo_attr")
@@ -1417,6 +1440,7 @@ object EventOps {
           }
           q.processAllAvailable()
         }
+        recordInlineDrive(q, "ssjr_rollup")
       } finally q.stop()
     } finally deleteHarnessDir(root)
     spark.table("ssjr_rollup")
