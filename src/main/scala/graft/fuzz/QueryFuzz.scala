@@ -1796,8 +1796,129 @@ object QueryFuzz {
   /** Seed floor for the DECIMAL arithmetic shapes. */
   val DecimalSeedFloor = 28000L
 
+  private[graft] case class JsonP(table: String, key: String, lng: String,
+      str: String, dbl: String, band: String, variant: String,
+      punch: String, sm: Int, r: Int)
+
+  /** Unique-keyed table menus for the JSON family: a BIGINT field, a
+    * STRING field, a DOUBLE field (c_acctbal carries negatives), and a
+    * punch band that NULLs one field on a value slice so the
+    * dropped-null-field axis is never vacuous.
+    */
+  private val jsonMenu: Seq[(String, String, String, String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal",
+      "c_nationkey % 5 = 0"),
+    ("orders", "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+      "o_custkey % 4 = 0"),
+    ("part", "p_partkey", "p_size", "p_brand", "p_retailprice",
+      "p_size % 3 = 0"))
+
+  private[graft] def jsonP(seed: Long): JsonP = {
+    val rnd = new Random(seed * 0x8F14E45FCEEA167BL + 0x27D4EB2F165667C5L)
+    val (tn, key, lng, str, dbl, band) = pick(rnd, jsonMenu)
+    val variant =
+      Seq("flat", "nested", "array", "fromjson", "double")(rnd.nextInt(5))
+    val punch = Seq("a", "s", "none")(rnd.nextInt(3))
+    val sm = 2 + rnd.nextInt(2)
+    JsonP(tn, key, lng, str, dbl, band, variant, punch, sm, rnd.nextInt(sm))
+  }
+
+  /** JSON round-trip shapes (family 22) — on-theme with the reference's
+    * pipeline (weather_processor.py's from_json/to_json is P2/P9): the
+    * DataFrame side SERIALIZES row fields with `to_json(struct(...))`
+    * and re-extracts them via `get_json_object` paths (or a schema'd
+    * `from_json` re-parse), while the SQL twin computes the SAME outputs
+    * DIRECTLY from the base columns in pure ANSI — no JSON functions in
+    * the shared SQL at all (there is no Spark/DuckDB JSON-path dialect
+    * intersection), so the differential tests that Spark's round-trip is
+    * the identity: escaping, number formatting (shortest-repr doubles
+    * parse back exactly), `$.a.b` navigation, array indexing, and the
+    * dropped-NULL-field rule (to_json omits null struct fields by
+    * default; extraction must yield NULL — the punch axis).
+    *
+    * Variants: `flat` ($.a BIGINT + $.s STRING), `nested` (same outputs
+    * through one struct level — twin IDENTICAL to flat's, only the JSON
+    * path differs), `array` ($.arr[0..2] computed elements), `fromjson`
+    * (schema'd re-parse + field access instead of path strings),
+    * `double` (DOUBLE round-trip incl. negative acctbal).
+    */
+  private def genJson(seed: Long, rnd0: Random): Gen = {
+    val p = jsonP(seed)
+    val slice = s"${p.key} % ${p.sm} = ${p.r}"
+    def punched(field: String, sqlExpr: String): String =
+      if (p.punch == field) s"CASE WHEN ${p.band} THEN NULL ELSE $sqlExpr END"
+      else sqlExpr
+    val aSql = punched("a", s"CAST(${p.lng} AS BIGINT)")
+    val sSql = punched("s", p.str)
+    val sql = p.variant match {
+      case "array" =>
+        s"""SELECT CAST(${p.key} AS BIGINT) AS k,
+           |       CAST(${p.lng} AS BIGINT) AS e0,
+           |       CAST(${p.lng} + ${p.key} % 7 AS BIGINT) AS e1,
+           |       CAST(${p.key} % 13 AS BIGINT) AS e2
+           |FROM ${p.table} WHERE $slice ORDER BY k""".stripMargin
+      case "double" =>
+        s"""SELECT CAST(${p.key} AS BIGINT) AS k,
+           |       ${punched("a", p.dbl)} AS d_rt
+           |FROM ${p.table} WHERE $slice ORDER BY k""".stripMargin
+      case _ => // flat, nested and fromjson share the projection twin
+        s"""SELECT CAST(${p.key} AS BIGINT) AS k,
+           |       $aSql AS a_rt, $sSql AS s_rt
+           |FROM ${p.table} WHERE $slice ORDER BY k""".stripMargin
+    }
+    val build = (spark: SparkSession, dir: String) => {
+      val base = Tables.table(spark, dir, p.table).filter(expr(slice))
+      val k = col(p.key).cast("long").as("k")
+      p.variant match {
+        case "flat" =>
+          base.select(k, to_json(struct(expr(aSql).as("a"),
+              expr(sSql).as("s"))).as("js"))
+            .select(col("k"),
+              get_json_object(col("js"), "$.a").cast("long").as("a_rt"),
+              get_json_object(col("js"), "$.s").as("s_rt"))
+            .orderBy(col("k"))
+        case "nested" =>
+          base.select(k, to_json(struct(struct(expr(aSql).as("b"),
+              expr(sSql).as("s")).as("a"))).as("js"))
+            .select(col("k"),
+              get_json_object(col("js"), "$.a.b").cast("long").as("a_rt"),
+              get_json_object(col("js"), "$.a.s").as("s_rt"))
+            .orderBy(col("k"))
+        case "array" =>
+          base.select(k, to_json(struct(array(
+              col(p.lng).cast("long"),
+              (col(p.lng) + col(p.key) % 7).cast("long"),
+              (col(p.key) % 13).cast("long")).as("arr"))).as("js"))
+            .select(col("k"),
+              get_json_object(col("js"), "$.arr[0]").cast("long").as("e0"),
+              get_json_object(col("js"), "$.arr[1]").cast("long").as("e1"),
+              get_json_object(col("js"), "$.arr[2]").cast("long").as("e2"))
+            .orderBy(col("k"))
+        case "fromjson" =>
+          base.select(k, to_json(struct(expr(aSql).as("a"),
+              expr(sSql).as("s"))).as("js"))
+            .select(col("k"), from_json(col("js"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "a BIGINT, s STRING")).as("o"))
+            .select(col("k"), col("o.a").as("a_rt"), col("o.s").as("s_rt"))
+            .orderBy(col("k"))
+        case "double" =>
+          base.select(k,
+              to_json(struct(expr(punched("a", p.dbl)).as("d"))).as("js"))
+            .select(col("k"),
+              get_json_object(col("js"), "$.d").cast("double").as("d_rt"))
+            .orderBy(col("k"))
+      }
+    }
+    Gen(seed, sql, build)
+  }
+
+  /** Seed floor for the JSON round-trip shapes. */
+  val JsonSeedFloor = 29000L
+
   def generate(seed: Long): Gen = {
     val rnd0 = new Random(seed)
+    if (seed >= JsonSeedFloor) return genJson(seed, rnd0)
     if (seed >= DecimalSeedFloor) return genDecimal(seed, rnd0)
     if (seed >= UnpivotSeedFloor) return genUnpivot(seed, rnd0)
     if (seed >= GroupingSetsSeedFloor) return genGroupingSets(seed, rnd0)
@@ -2114,7 +2235,14 @@ object QueryFuzz {
       // downcast (lineitem 2dp->1dp), 28013 sum (orders), 28014
       // overflow (part), 28017 sum (customer, negatives), 28018
       // downcast (orders)
-      28000L, 28007L, 28009L, 28013L, 28014L, 28017L, 28018L)
+      28000L, 28007L, 28009L, 28013L, 28014L, 28017L, 28018L,
+      // JSON round-trip shapes — to_json/get_json_object (or schema'd
+      // from_json) vs the direct-projection twin; all five variants,
+      // all three tables, both punch fields: 29002 flat part punch=a,
+      // 29003 array part, 29005 double customer punch=a (negative
+      // doubles), 29009 fromjson orders punch=a, 29013 flat orders
+      // punch=s, 29016 fromjson customer punch=s, 29018 nested customer
+      29002L, 29003L, 29005L, 29009L, 29013L, 29016L, 29018L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registeredSeeds.map { s =>

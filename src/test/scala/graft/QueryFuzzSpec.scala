@@ -67,7 +67,8 @@ class QueryFuzzSpec extends AnyFunSuite {
       (QueryFuzz.GroupingSetsSeedFloor until
         QueryFuzz.GroupingSetsSeedFloor + 20L) ++
       (QueryFuzz.UnpivotSeedFloor until QueryFuzz.UnpivotSeedFloor + 20L) ++
-      (QueryFuzz.DecimalSeedFloor until QueryFuzz.DecimalSeedFloor + 20L)
+      (QueryFuzz.DecimalSeedFloor until QueryFuzz.DecimalSeedFloor + 20L) ++
+      (QueryFuzz.JsonSeedFloor until QueryFuzz.JsonSeedFloor + 20L)
     val failures = seeds.flatMap { seed =>
       val g = QueryFuzz.generate(seed)
       val api = normalized(g.build(sqlSession, TestSpark.sfDir))
@@ -81,7 +82,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     // (set-op EXCEPTs can legitimately drain to empty, so the floor
     // stays clear of the new 20 seeds; all 20 decimal seeds scanned
     // non-vacuous at registration)
-    assert(nonEmpty >= 440, s"only $nonEmpty/620 seeds returned rows")
+    assert(nonEmpty >= 460, s"only $nonEmpty/640 seeds returned rows")
   }
 
   test("x NOT IN (non-empty subquery containing NULL) filters every row " +
