@@ -214,14 +214,10 @@ object Bench {
         }
         if (fingerprint && !isStream)
           dfOpt.foreach { df =>
-            try {
-              // run the df's OWN QueryExecution (count() executes a
-              // derived one) so AQE's FINAL plan — runtime SMJ→BHJ
-              // conversions included — is what gets fingerprinted
-              // (ADVICE r13 #2); untimed, outside the measured span
-              graft.tools.PlanFingerprint.execute(df)
-              planFps(name) = graft.tools.PlanFingerprint.fingerprint(df)
-            } catch { case e: Throwable =>
+            // INITIAL-plan fingerprint by design — final-AQE plans
+            // proved run-varying (see PlanFingerprint.fingerprint doc)
+            try planFps(name) = graft.tools.PlanFingerprint.fingerprint(df)
+            catch { case e: Throwable =>
               System.err.println(s"[bench] $name fingerprint failed: ${e.getMessage}")
             }
           }

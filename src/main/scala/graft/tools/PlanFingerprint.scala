@@ -164,24 +164,26 @@ object PlanFingerprint {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Fingerprint of an EXECUTED DataFrame. The caller must have executed
-    * the DataFrame's OWN QueryExecution (see [[execute]]) — a derived
-    * action like `df.count()` runs a different QueryExecution, leaving
-    * this df's `AdaptiveSparkPlanExec` at its INITIAL plan, so AQE
-    * runtime replans (SMJ→BHJ conversion, skew splits) would be
-    * invisible (ADVICE r13 #2).
+  /** Fingerprint of a DataFrame's INITIAL physical plan (pre-AQE
+    * runtime replan) — BY DESIGN, not by accident (ADVICE r13 #2
+    * resolution): r14 tried executing each df's own QueryExecution to
+    * capture AQE's FINAL plan, and 3/501 queries (dedup_exact_substr,
+    * sim_bitext_margin, sim_bitext_margin_ann) fingerprinted
+    * DIFFERENTLY between two identical-code, identical-data runs — the
+    * runtime SMJ->BHJ conversion flips on measured (compressed) shuffle
+    * sizes near the broadcast threshold, which vary run-to-run with
+    * partition layout. A channel whose premise is "any diff is a real
+    * regression" cannot include a run-varying axis, so the tripwire
+    * pins the deterministic initial plan (342/342 stable across
+    * local[8]/local[32] and iteration orders, r13) and deliberately
+    * does not see runtime-only replans. Static plan changes — pushdown
+    * loss, planner join-strategy changes, key/partitioning changes —
+    * all land in the initial plan (PlanFingerprintSpec's negative
+    * controls). Callers warm substrates with an action first; which
+    * action doesn't matter, the initial plan is fixed at analysis.
     */
   def fingerprint(df: DataFrame): String =
     hashTokens(tokens(df.queryExecution.executedPlan))
-
-  /** Run the df's OWN QueryExecution to completion (untimed caller-side
-    * warm path): after this, `executedPlan` holds AQE's FINAL plan — the
-    * one a production run actually executes — and [[fingerprint]]
-    * captures it. `count()` is NOT a substitute: it executes a derived
-    * `groupBy().count()` QueryExecution.
-    */
-  def execute(df: DataFrame): Unit =
-    df.queryExecution.toRdd.foreach(_ => ())
 
   /** Fingerprint of a streaming micro-batch physical plan
     * (`StreamExecution.lastExecution.executedPlan`), with run-scoped

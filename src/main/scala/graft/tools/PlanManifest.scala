@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   *        drives during fast iteration)
   *
   * Batch queries run ONCE to stage substrates, then a second build is
-  * EXECUTED through its own QueryExecution ([[PlanFingerprint.execute]])
-  * so AQE's FINAL plan — runtime replans included — is what gets
-  * fingerprinted (ADVICE r13 #2). Streaming drives (VERDICT r13 #1) run
+  * fingerprinted at its INITIAL physical plan — deliberately pre-AQE-
+  * replan; final plans proved run-varying (PlanFingerprint.fingerprint
+  * doc has the r14 evidence). Streaming drives (VERDICT r13 #1) run
   * once; driveWaves records the last micro-batch's normalized plan into
   * DriveTelemetry, which is read back here. The two drives outside the
   * wave harness (`weather_e2e_poll`, `source_jsonl_stream_rt`) record no
@@ -85,7 +85,7 @@ object PlanManifest {
         } else {
           fn(spark, sfDir).count() // warm: stage substrates
           val df = fn(spark, sfDir)
-          PlanFingerprint.execute(df) // AQE's FINAL plan (ADVICE r13 #2)
+          df.count() // fingerprint() pins the INITIAL plan (see its doc)
           debugDir.foreach { d =>
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(d, s"$name.tokens"),

@@ -15,9 +15,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
   val dir = TestSpark.sfDir
 
   private def fpOf(df: org.apache.spark.sql.DataFrame): String = {
-    // execute the df's OWN QueryExecution so AQE's FINAL plan is what
-    // gets fingerprinted (ADVICE r13 #2 — count() runs a derived one)
-    PlanFingerprint.execute(df)
+    df.count() // warm; the fingerprint pins the INITIAL plan by design
     PlanFingerprint.fingerprint(df)
   }
 
