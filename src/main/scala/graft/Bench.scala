@@ -174,11 +174,13 @@ object Bench {
     // Two passes, report the per-query minimum: this VM shows heavy
     // run-to-run noise (host CPU steal / IO stalls), and min-of-2 is the
     // standard de-noised steady-state estimate.
-    // pass 2 additionally fingerprints each batch query's FINAL plan
-    // (outside the timed span): by then substrates are staged and AQE
-    // is warm, so the fingerprint is the steady-state plan — the same
-    // thing tools.PlanManifest records. Streaming drives are excluded
-    // (their result frames read run-scoped sink dirs).
+    // pass 2 additionally fingerprints each batch query's INITIAL plan
+    // (outside the timed span, execution-free — final-AQE plans proved
+    // run-varying near the broadcast threshold; see
+    // PlanFingerprint.fingerprint's doc) — the same thing
+    // tools.PlanManifest records. Streaming drives fingerprint through
+    // DriveTelemetry instead (their result frames read run-scoped sink
+    // dirs).
     val planFps = scala.collection.mutable.Map.empty[String, String]
     val batchCounts = scala.collection.mutable.Map.empty[String, Long]
     def onePass(fingerprint: Boolean = false): Map[String, (Double, Long)] =
@@ -202,8 +204,10 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
         val sec = if (dfOpt.isDefined) (System.nanoTime() - t0) / 1e9 else -1.0
-        // shuffle delta closes BEFORE the fingerprint execution below, so
-        // the untimed extra run cannot pollute the per-query meter
+        // shuffle delta snapshots immediately after the timed action so
+        // the meter attributes cleanly to this query (fingerprinting
+        // below is execution-free since the initial-plan pin, so nothing
+        // after this point runs tasks for a batch query)
         val sDelta = math.max(0L, settledShuffle() - sBefore)
         if (isStream && dfOpt.isDefined) {
           val b = graft.streaming.DriveTelemetry.batchesSince(batchMark)

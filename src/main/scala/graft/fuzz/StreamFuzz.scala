@@ -213,7 +213,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("event_type"),
           expr("us div 1000").as("ms"), col("value"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -309,7 +309,7 @@ object StreamFuzz {
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"),
           coalesce(col("value"), lit(0.0)).as("value"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -407,7 +407,7 @@ object StreamFuzz {
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"),
           coalesce(col("value"), lit(0.0)).as("value"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -589,7 +589,7 @@ object StreamFuzz {
     else
       ev0.select(col("event_id"), col("event_type"),
         expr("us div 1000").as("ms"), col("value"))
-    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
     val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / nWaves + 1
     val e = ev.withColumn("wave",
       carving(mode, seed, nWaves, bounds.getLong(0), bWidth))
@@ -753,7 +753,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -853,7 +853,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -955,7 +955,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1079,7 +1079,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1136,7 +1136,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -1224,7 +1224,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(p.mode, seed, nWaves, lo, bWidth)
@@ -1300,7 +1300,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev
         .withColumn("wave",
@@ -1372,7 +1372,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1461,7 +1461,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -1541,7 +1541,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1605,7 +1605,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -1676,7 +1676,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1803,7 +1803,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -1866,7 +1866,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -1961,7 +1961,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -2078,7 +2078,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -2177,7 +2177,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -2273,7 +2273,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -2360,7 +2360,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -2475,7 +2475,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       // carving reads the RAW time (`ms`); the watermarked column is
       // the bucket floor, which REPLACES ms for everything downstream
@@ -2588,7 +2588,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -2682,7 +2682,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -2780,7 +2780,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -2858,7 +2858,7 @@ object StreamFuzz {
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("us div 1000").as("ms"))
-    val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
     val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
     val e = ev.withColumn("wave",
       carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -2899,7 +2899,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -3019,7 +3019,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -3126,7 +3126,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -3202,7 +3202,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "signup", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -3299,7 +3299,7 @@ object StreamFuzz {
         .filter(col("event_type").isin("view", "signup", "click"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -3388,7 +3388,7 @@ object StreamFuzz {
         .filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)
@@ -3468,7 +3468,7 @@ object StreamFuzz {
         .filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val bWidth = (bounds.getLong(1) - bounds.getLong(0)) / p.nWaves + 1
       val e = ev.withColumn("wave",
         carving(p.mode, seed, p.nWaves, bounds.getLong(0), bWidth))
@@ -3540,7 +3540,7 @@ object StreamFuzz {
       val ev = EventOps.withMicros(Tables.events(spark, dir))
         .select(col("event_id"), col("user_id").as("key"),
           expr("us div 1000").as("ms"))
-      val bounds = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val bounds = EventOps.msBounds(ev, s"sfz_b${seed}_$dir")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val bWidth = (hi - lo) / nWaves + 1
       val waveCol = carving(mode, seed, nWaves, lo, bWidth)

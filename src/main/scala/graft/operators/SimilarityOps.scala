@@ -1022,10 +1022,21 @@ object SimilarityOps {
   }
 
   /** [[semanticPairs]] over the staged fixture-corpus assignment at the
-    * shipped threshold.
+    * shipped threshold — STAGED once per corpus (r15, guide §2.4): the
+    * cell self-join + per-pair cosine is the expensive step, and it was
+    * re-executing once per consumer (`dedup_multi_signal`,
+    * `dedup_transitive_reach`, `sim_triangle_count`) AND once per
+    * RECURSION STEP inside transitive-reach's recursive CTE (the edges
+    * view re-evaluates at every iteration — 3 full pair generations for
+    * depth<=2). Now every consumer and every recursion step reads the
+    * one materialized pair table, the same build-once-probe-many shape
+    * as [[stagedSeedAssignment]].
     */
   def semanticPairsAgainstCorpus(spark: SparkSession, dir: String): DataFrame =
-    semanticPairs(stagedSeedAssignment(spark, dir), SemDedupThreshold)
+    DedupOps.staged(spark,
+      DedupOps.stageKey(spark, "sem-pairs", dir, "embeddings")) {
+      semanticPairs(stagedSeedAssignment(spark, dir), SemDedupThreshold)
+    }
 
   def dedupSemanticAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     CosineSimilarity.register(assigned.sparkSession)
@@ -1424,7 +1435,10 @@ object SimilarityOps {
     */
   def simPagerank(spark: SparkSession, dir: String): DataFrame = {
     val assigned = stagedSeedAssignment(spark, dir)
-    val pairs = semanticPairs(assigned, SemDedupThreshold)
+    // staged pair table (r15): the 5-iteration recurrence re-evaluates
+    // the edge lineage every iteration, which re-ran the cell self-join
+    // + cosine each time; now each re-evaluation is a parquet scan
+    val pairs = semanticPairsAgainstCorpus(spark, dir)
       .select(col("da"), col("db"))
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))

@@ -347,7 +347,14 @@ object SourceOps {
                 System.nanoTime() < deadline) Thread.sleep(25)
           } finally q1.stop()
           val q2 = startQuery()
-          try q2.processAllAvailable() finally q2.stop()
+          // plan-tripwire coverage (VERDICT r14 #4): record the resumed
+          // query's last micro-batch plan like every wave drive does —
+          // run-scoped scan paths are scrubbed by the streaming
+          // normalizer, so the fingerprint is stable across runs
+          try {
+            q2.processAllAvailable()
+            EventOps.recordLastPlan(q2, "source_jsonl_stream_rt")
+          } finally q2.stop()
           streamRtPaths.put(key, dest)
           out = dest
         }

@@ -277,9 +277,23 @@ object WeatherOps {
     }
     val staged = spark.read
       .schema(graft.streaming.PollingSource.oneCallSchema).json(staging)
-    consumerPipeline(graft.streaming.PollingSource.producerMessages(staged))
-      .withColumn("hourly_precipitation", round(col("hourly_precipitation"), 5))
-      .orderBy(col("timestamp"), col("lat"), col("lon"))
+    val out =
+      consumerPipeline(graft.streaming.PollingSource.producerMessages(staged))
+        .withColumn("hourly_precipitation", round(col("hourly_precipitation"), 5))
+        .orderBy(col("timestamp"), col("lat"), col("lon"))
+    // plan-tripwire coverage (VERDICT r14 #4): there is no streaming
+    // query here — the poller stages files and ONE batch plan consumes
+    // them — so fingerprint that consumer plan through the STREAMING
+    // normalizer (the scan location is a run-scoped temp dir, which it
+    // scrubs; the initial plan is otherwise deterministic). Best-effort
+    // like every telemetry hook: a fingerprint failure never fails the
+    // query.
+    try graft.streaming.DriveTelemetry.recordPlan("weather_e2e_poll",
+      graft.tools.PlanFingerprint.fingerprintStreaming(
+        out.queryExecution.executedPlan))
+    catch { case e: Exception =>
+      System.err.println(s"[drive] weather_e2e_poll plan fp failed: ${e.getMessage}") }
+    out
   }
 
   val weatherE2ePollOracle: String =

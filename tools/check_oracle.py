@@ -24,9 +24,17 @@ def norm(v):
         # kill -0.0 vs 0.0 and format stably
         if v == 0.0:
             v = 0.0
-        return f"{v:.10g}"
+        # repr is the shortest ROUND-TRIP rendering: any two distinct
+        # doubles normalize differently. The old %.10g silently truncated
+        # the 11th+ significant digit, so a sub-dime engine error inside a
+        # big money sum (272024831.86 vs .92) passed locally and would
+        # fail the driver (VERDICT r14 #2).
+        return repr(v)
     if v is None:
         return "NULL"
+    # Decimal (should be rejected by the type gate), date, timestamp,
+    # bool, int, str all normalize through str on BOTH sides — the two
+    # channels fetch through the same DuckDB fetchall path.
     return str(v)
 
 
@@ -38,18 +46,17 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     # Type gate: the verification driver hashes DuckDB int128-backed
-    # numerics (HUGEINT/UHUGEINT, and DECIMAL with precision > 18)
-    # differently from BIGINT even at equal values (Python's fetch coerces
-    # both to int, so the value compare below can't see it). Any oracle
-    # producing one (e.g. an uncast SUM over integers, or a DECIMAL(38,0)
-    # checksum) would be a standing driver red — fail it here, before the
-    # value check masks it.
+    # numerics (HUGEINT/UHUGEINT) differently from BIGINT even at equal
+    # values, and renders ANY DECIMAL-typed output through a canonical
+    # decimal-string channel that keeps trailing zeros at scale — so a
+    # value-identical DECIMAL column hash-mismatches the Spark side's
+    # float shortest-repr whenever a value lands exactly on a coarser
+    # scale (272923255.40; the r14 fuzz_q28013/28014 reds). Any oracle
+    # producing either is a standing driver red — fail it here, before
+    # the value check masks it.
     def _int128_backed(t):
         t = t.upper()
-        if "HUGEINT" in t:
-            return True
-        m = __import__("re").match(r"DECIMAL\((\d+)", t)
-        return bool(m) and int(m.group(1)) > 18
+        return "HUGEINT" in t or t.startswith("DECIMAL")
 
     n_typed_bad = 0
     for name, sql in sorted(oracle.items()):
@@ -62,8 +69,11 @@ def main(sf_dir, out_dir):
         bad = [(c, t) for c, t, *_ in desc if _int128_backed(t)]
         if bad:
             print(f"[TYPE ] {name}: driver-unhashable oracle columns {bad} — "
-                  f"keep the fold in BIGINT (e.g. % 1000000007, then "
-                  f"CAST(SUM(...) AS BIGINT))")
+                  f"keep integer folds in BIGINT (e.g. % 1000000007, then "
+                  f"CAST(SUM(...) AS BIGINT)) and render decimal results "
+                  f"as CAST(... AS DOUBLE) on BOTH sides (keep the decimal "
+                  f"arithmetic inside the query; only the hash-carrier "
+                  f"type changes)")
             n_typed_bad += 1
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -73,19 +83,24 @@ def main(sf_dir, out_dir):
             print(f"[skip ] {name}: no oracle (rows-only check)")
             continue
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            exp = con.sql(oracle[name]).df()
+            # exact fetch (fetchall, never .df()): pandas coerces DECIMAL
+            # to float64, which erases exactly the trailing-zero
+            # distinction the driver hash-fails on (VERDICT r14 #2)
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            exp_rel = con.sql(oracle[name])
+            gcols, ecols = list(got_rel.columns), list(exp_rel.columns)
+            grows, erows = got_rel.fetchall(), exp_rel.fetchall()
         except Exception as e:
             print(f"[ERROR] {name}: {e}")
             continue
-        got = got[sorted(got.columns)]
-        exp = exp[sorted(exp.columns)]
-        if list(got.columns) != list(exp.columns):
-            print(f"[FAIL ] {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        if sorted(gcols) != sorted(ecols):
+            print(f"[FAIL ] {name}: columns {sorted(gcols)} != {sorted(ecols)}")
             continue
-        g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
-        e = sorted(tuple(norm(v) for v in row) for row in exp.itertuples(index=False))
+        gi = [gcols.index(c) for c in sorted(gcols)]
+        ei = [ecols.index(c) for c in sorted(ecols)]
+        g = sorted(tuple(norm(row[i]) for i in gi) for row in grows)
+        e = sorted(tuple(norm(row[i]) for i in ei) for row in erows)
         if g == e:
             n_ok += 1
             print(f"[ok   ] {name}: {len(g)} rows")
