@@ -408,7 +408,8 @@ object EventOps {
       schema: String, nWaves: Long, name: String,
       statePartitions: Int = 1, filesPerWave: Int = 1,
       restartAfter: Option[Long] = None,
-      stageKey: Option[String] = None)(
+      stageKey: Option[String] = None,
+      codegen: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
     val tDrive0 = System.nanoTime()
     def mark(label: String, t0: Long): Long = {
@@ -433,7 +434,7 @@ object EventOps {
     }
     mark("stage", tStage0)
     try {
-      withHarnessConf(spark, statePartitions) {
+      withHarnessConf(spark, statePartitions, codegen) {
         // restart drives write to the exactly-once FILE sink (the memory
         // sink is not fault-tolerant: a recovered batch is never re-added
         // to its table, so post-crash equality could not be asserted);
@@ -489,6 +490,16 @@ object EventOps {
                 if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
                 else p.stateOperators.map(_.numRowsTotal).sum
               })
+          // timing mode additionally dumps Spark's own per-trigger
+          // duration attribution (queryPlanning vs addBatch vs WAL
+          // commits) — the ground truth for where micro-batch wall time
+          // goes (guide §1: measure before changing)
+          if (driveTiming) (preCrash ++ q.recentProgress.toSeq)
+            .groupBy(_.batchId).toSeq.sortBy(_._1).foreach { case (bid, ps) =>
+              val d = ps.last.durationMs
+              System.err.println(s"[drive-timing] $name batch$bid durationMs=" +
+                d.entrySet().toArray.mkString(","))
+            }
           recordLastPlan(q, name)
         } finally { val t = System.nanoTime(); q.stop(); mark("stop", t) }
         if (restartAfter.isEmpty) spark.table(name)
@@ -584,8 +595,17 @@ object EventOps {
   private[graft] def harnessProbe(spark: SparkSession): Unit =
     withHarnessConf(spark)(())
 
+  /** `codegen`: dev-only escape hatch (never set by a registered drive —
+    * r15 measured whole-stage codegen as a net LOSS for the wave drives:
+    * watermark literals inline into the generated code text, so every
+    * micro-batch recompiles its stages, and an interleaved min-of-3 A/B
+    * showed no family where the compile cost amortized — forced ON it
+    * was ~+0.9 s median across 12 probed drives, and the one apparent
+    * win (tws-join, single-run probe) did not survive the controlled
+    * re-measurement. OPTIMIZATION_r15.md §streaming has the A/B tables.)
+    */
   private def withHarnessConf[A](spark: SparkSession,
-      statePartitions: Int = 1)(body: => A): A = {
+      statePartitions: Int = 1, codegen: Boolean = false)(body: => A): A = {
     activeRegistration.value.foreach { case (qname, isDrive) =>
       require(isDrive, s"registered query '$qname' reached the streaming " +
         "wave-drive harness but was registered via batch(); register it " +
@@ -596,14 +616,23 @@ object EventOps {
       "spark.sql.codegen.wholeStage",
       "spark.sql.streaming.minBatchesToRetain")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
+    // dev-only experiment overrides (optimization-round measurement):
+    // SPARK_GRAFT_HARNESS_STATE_PARTS forces every drive's state width,
+    // SPARK_GRAFT_HARNESS_CODEGEN=1 leaves whole-stage codegen on
+    val expParts = sys.env.get("SPARK_GRAFT_HARNESS_STATE_PARTS")
+      .map(_.toInt).getOrElse(statePartitions)
+    // "1" forces codegen ON for every drive, "0" forces it OFF (overrides
+    // the per-drive parameter), unset leaves the per-drive choice
+    val expCodegen = sys.env.get("SPARK_GRAFT_HARNESS_CODEGEN")
     // default 1 state partition (tiny per-wave slices — a 32-partition
     // store is 32x commit overhead for nothing); drives whose per-key
     // state work GROWS with the fixture (the timer-sweeping quota job)
     // pass a small >1 width so key processing parallelizes while commit
     // overhead stays bounded
-    spark.conf.set(keys(0), statePartitions.toString)
+    spark.conf.set(keys(0), expParts.toString)
     spark.conf.set(keys(1), "false")
-    spark.conf.set(keys(2), "false")
+    spark.conf.set(keys(2),
+      expCodegen.map(_ == "1").getOrElse(codegen).toString)
     // retain 2 checkpoint batches instead of the production 100: the
     // harness runs <=10 micro-batches per drive, and the restart drives
     // resume from the LATEST committed batch — a shorter retention only

@@ -1398,11 +1398,11 @@ object RelationalOps {
   /** Market-basket affinity — co-occurrence lift over order line items,
     * the classic association-rule read-out (support / confidence / lift
     * per part pair). The pair expansion is the SAFE quadratic: items
-    * collapse to distinct (order, part) first, and the self-join
-    * explodes only within an order (≤7 items in the schema → ≤21 pairs
-    * per order, a per-key constant), so the pair stream is linear in
-    * orders at any scale; the pair rollup and the per-part order counts
-    * are ordinary partial-agg shuffles. The two count joins carry NO
+    * collapse to per-order distinct part SETS first (one exchange), and
+    * pairs expand only within an order's set (≤7 items in the schema →
+    * ≤21 pairs per order, a per-key constant), so the pair stream is
+    * linear in orders at any scale; the pair rollup and the per-part
+    * order counts are ordinary partial-agg shuffles. The two count joins carry NO
     * broadcast hint — the per-part count side is |parts|-sized, and part
     * count grows linearly with SF (200k per SF unit), so forcing a
     * broadcast would OOM at the 100 TB design point; AQE broadcasts it
@@ -1415,15 +1415,30 @@ object RelationalOps {
     * disagree.
     */
   def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+    // r15 restructure (guide §2.4 / §8): the pair stream used to come
+    // from items.join(items, "ok") — TWO extra hash exchanges of the
+    // 600k-row distinct item table (one per join side) plus the join
+    // itself, just to enumerate within-order combinations. One
+    // groupBy(ok).collect_set does the same with ONE exchange: the
+    // distinct-set collapse and the pair expansion both happen inside
+    // the aggregate's partial/final split, and the ≤7-part order bound
+    // makes the per-group set (and its ≤21-pair expansion) a constant.
+    // sort_array pins p1 < p2 exactly as the join's filter did; counts,
+    // denominators and every downstream ratio are bit-identical (oracle
+    // re-proven both SFs; the DuckDB twin keeps the self-join form, so
+    // the differential value is two independent formulations).
+    val orderSets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = items.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
-    val a = items.select(col("ok"), col("pk").as("p1"))
-    val b = items.select(col("ok"), col("pk").as("p2"))
-    val pairs = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+    val nOrders = orderSets.agg(count(lit(1)).as("n_orders"))
+    val perPart = orderSets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("pc"))
+    val pairs = orderSets.select(explode(expr(
+        "flatten(transform(pks, (x, i) -> " +
+          "transform(slice(pks, i + 2, size(pks)), y -> " +
+          "struct(x AS p1, y AS p2))))")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 3)
     pairs

@@ -577,29 +577,42 @@ object TextOps {
     * The profile build is a small aggregate (vocabulary-sized) that gets
     * broadcast back against the corpus — no corpus-sized shuffle.
     */
-  def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spread(Tables.documents(spark, dir))
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(tokens(col("text"))).as("tok"))
-    val profile = tok.groupBy(col("lang").as("p_lang"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rk") <= 10)
-      .select(col("p_lang"), col("tok"))
-    val docTok = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
-    val scored = docTok.join(broadcast(profile), Seq("tok"))
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(count(lit(1)).as("overlap"))
-    val best = scored.withColumn("rk", row_number().over(
-      Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("p_lang"))))
-      .filter(col("rk") === 1)
-    best.select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
+  /** The classifier's per-doc winner table (doc_id, lang, p_lang,
+    * overlap), STAGED once per corpus (r15, guide §2.4 "two operations
+    * keyed the same way can share one exchange" taken to its substrate
+    * conclusion): the profile build + per-doc scoring + argmax window is
+    * the whole cost of BOTH langid read-outs, and [[textLangidConfusion]]
+    * re-ran every stage of [[textLangId]] before this. Same
+    * build-once-read-many shape as the shingle/postings substrates.
+    */
+  private def stagedLangIdBest(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.staged(spark, DedupOps.stageKey(spark, "langid-best", dir)) {
+      val docs = spread(Tables.documents(spark, dir))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      val profile = tok.groupBy(col("lang").as("p_lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rk") <= 10)
+        .select(col("p_lang"), col("tok"))
+      val docTok = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      val scored = docTok.join(broadcast(profile), Seq("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(count(lit(1)).as("overlap"))
+      scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("p_lang"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("p_lang"), col("overlap"))
+    }
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    stagedLangIdBest(spark, dir)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
         col("overlap"),
         when(col("lang") === col("p_lang"), lit(1L)).otherwise(lit(0L)).as("correct"))
       .orderBy(col("doc_id"))
-  }
 
   val textLangIdOracle: String =
     """WITH tok AS (
@@ -635,7 +648,8 @@ object TextOps {
     */
   def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
-    textLangId(spark, dir)
+    stagedLangIdBest(spark, dir)
+      .select(col("lang"), col("p_lang").as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total", sum(col("n")).over(w))

@@ -29,7 +29,7 @@ object QueryMeter {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "before")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -37,7 +37,37 @@ object QueryMeter {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // dev experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets config
+    // A/B runs vary session confs without a recompile
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
+    // per-drive job/stage/task census: if sum(executorRunTime) per drive is
+    // far below its wall time, the cost is driver/scheduling machinery, not
+    // compute — the guide §1 empirical split for streaming drives
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val serMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          serMs.addAndGet(m.executorDeserializeTime + m.resultSerializationTime)
+        }
+      }
+    })
+    def census(): (Long, Long, Long, Long, Long) =
+      (jobs.get, stages.get, tasks.get, runMs.get, serMs.get)
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // same warm-up as Bench: parquet footers + codegen JIT
@@ -76,13 +106,18 @@ object QueryMeter {
             if (isStream) {
               // a streaming drive already ran end-to-end while building
               // df0; time the drive itself (the thing Bench times)
+              val c0 = census()
               val times = (1 to math.min(reps, 2)).map { _ =>
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).count()
                 (System.nanoTime() - t0) / 1e9
               }
+              val c1 = census()
               println(f"[meter] $name%-28s drive=${times.min}%7.3f s " +
-                s"series=${times.map(t => f"$t%.3f").mkString(",")}")
+                s"series=${times.map(t => f"$t%.3f").mkString(",")} " +
+                s"jobs=${c1._1 - c0._1} stages=${c1._2 - c0._2} " +
+                s"tasks=${c1._3 - c0._3} taskRunMs=${c1._4 - c0._4} " +
+                s"taskSerMs=${c1._5 - c0._5}")
             } else {
               once() // warm
               val series = (1 to reps).map(_ => once())
