@@ -931,7 +931,22 @@ object DedupOps {
     * when a side is actually small at runtime and a bounded shuffle
     * join otherwise.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The full cluster manifest (doc_id, canonical_id, cluster_size,
+    * is_survivor), STAGED once per corpus (r15): the Pregel loop +
+    * final doc join re-ran once per consumer — [[dedupClusters]] AND
+    * [[dedupLeakageSplit]] each paid the whole propagation. Label
+    * staging is itself the production shape: a dedup manifest is
+    * computed once and read by every downstream split/filter job.
+    */
+  private def stagedClusterManifest(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, stageKey(spark, "cluster-manifest", dir)) {
+      clusterManifest(spark, dir)
+    }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    stagedClusterManifest(spark, dir).orderBy(col("doc_id"))
+
+  private def clusterManifest(spark: SparkSession, dir: String): DataFrame = {
     val pairs = stagedNgramPairs(spark, dir).select(col("da"), col("db"))
     // edges cached: read once per propagation round (parquet-backed
     // pairs make a miss cheap, but the union should not re-read twice
@@ -996,7 +1011,6 @@ object DedupOps {
         coalesce(col("sz"), lit(1L)).as("cluster_size"),
         (col("doc_id") === coalesce(col("lab"), col("doc_id")))
           .cast("long").as("is_survivor"))
-      .orderBy(col("doc_id"))
   }
 
   /** The recursive connected-component labeling as a DuckDB CTE prefix
@@ -1572,7 +1586,8 @@ object DedupOps {
     * propagation, already sub-quadratic.
     */
   def dedupLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
-    val lab = dedupClusters(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val lab = stagedClusterManifest(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
     val r = conv(substring(
       md5(col("canonical_id").cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long") % 100

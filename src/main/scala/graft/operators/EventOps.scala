@@ -614,7 +614,8 @@ object EventOps {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.noDataMicroBatches.enabled",
       "spark.sql.codegen.wholeStage",
-      "spark.sql.streaming.minBatchesToRetain")
+      "spark.sql.streaming.minBatchesToRetain",
+      "spark.sql.streaming.numRecentProgressUpdates")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
     // dev-only experiment overrides (optimization-round measurement):
     // SPARK_GRAFT_HARNESS_STATE_PARTS forces every drive's state width,
@@ -638,6 +639,11 @@ object EventOps {
     // resume from the LATEST committed batch — a shorter retention only
     // trims offset/commit-log compaction work per batch
     spark.conf.set(keys(3), "2")
+    // progress ring buffer sized ABOVE any possible wave count (ADVICE
+    // r14): batchLog micro-batch counts and state-peak series read
+    // q.recentProgress, whose default 100-entry cap would silently
+    // truncate a long drive and mis-normalize its time ratio
+    spark.conf.set(keys(4), "200")
     try body finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -612,17 +612,31 @@ object RelationalOps {
     * distinct / percentile aggregates exist for this verification; at
     * 100 TB only the sketch side runs.)
     */
-  def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def qApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    // r15 split (guide §1.4 noop-lens finding): with the exact DISTINCT
+    // counts in the SAME agg as the sketch aggregates, the
+    // RewriteDistinctAggregates Expand multiplied the input under the
+    // ObjectHashAggregate that carries the percentile buffers, whose
+    // 128-entry hash map then fell back to SORT-BASED merge over
+    // millions of expanded keys — 37.6 s to compute every column at
+    // sf0.1 (count() hid it by pruning the aggregates; a 1 GiB driver
+    // OOMs outright). Splitting the distincts into their own two-phase
+    // codegen aggregate and joining the 3-row results computes the
+    // identical values in 0.8 s. At 100 TB the second scan is the right
+    // trade: a sort-based object-buffer merge over the expanded key
+    // space is the thing that cannot ship.
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pq"),
         expr("percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))").as("pe"),
         count(lit(1)).as("n_rows"))
+      .join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_rows"),
         col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts") - col("exact_parts")) <= lit(0.06) * col("exact_parts"))
@@ -634,6 +648,7 @@ object RelationalOps {
         element_at(col("pq"), 2)
           .between(element_at(col("pe"), 3), element_at(col("pe"), 4)).as("p95_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qApproxAggOracle: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -303,16 +303,36 @@ object StatsOps {
     graft.functions.DdSketch.register(spark)
     def okCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       abs(est - exact) <= lit(DdAlpha * 1.001) * exact
+    // r15: the exact side used three percentile_disc aggregates, each an
+    // object buffer collecting the FULL column per group and merging
+    // per-partition arrays through the shuffle (4.8 s to compute every
+    // column at sf0.1; count() hid it by pruning the aggregates). One
+    // window sort + the positional pick computes the identical
+    // discrete order statistics: percentile_disc(q) is the FIRST sorted
+    // value whose cumulative fraction rn/n >= q, with the comparison in
+    // double division exactly as Spark evaluates it (probed: q=0.95 over
+    // 1..20 returns 19 — division semantics, NOT ceil(q*n)=20) — and it
+    // spills gracefully instead of buffering a group in memory (guide
+    // §5); oracle re-proven identical at sf0.001/sf0.01 (and the α-bound
+    // booleans at sf0.1).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+    def atQ(q: Double) = min(when(
+      col("rn").cast("double") / col("n").cast("double") >= lit(q),
+      col("l_extendedprice")))
+    val exact = ranked.groupBy(col("l_returnflag"))
+      .agg(atQ(0.5).as("p50_exact"), atQ(0.95).as("p95_exact"),
+        atQ(0.99).as("p99_exact"))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr(s"dd_sketch(l_extendedprice, $DdAlpha)").as("sk"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("p50_exact"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("p95_exact"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("p99_exact"),
         count(lit(1)).as("n_rows"))
+      .join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_rows"),
         col("p50_exact"), col("p95_exact"), col("p99_exact"),
         okCol(col("sk.p50"), col("p50_exact")).as("ok_p50"),

@@ -17,10 +17,11 @@ import org.apache.spark.sql.SparkSession
   * replan; final plans proved run-varying (PlanFingerprint.fingerprint
   * doc has the r14 evidence). Streaming drives (VERDICT r13 #1) run
   * once; driveWaves records the last micro-batch's normalized plan into
-  * DriveTelemetry, which is read back here. The two drives outside the
-  * wave harness (`weather_e2e_poll`, `source_jsonl_stream_rt`) record no
-  * fingerprint and are skipped — documented, not silent: they appear in
-  * the manifest as "UNFINGERPRINTED" so coverage audits see them.
+  * DriveTelemetry, which is read back here. Since r15 the two drives
+  * outside the wave harness (`weather_e2e_poll`, `source_jsonl_stream_rt`)
+  * record a fingerprint too (through recordLastPlan in their inline
+  * harnesses), so "UNFINGERPRINTED" now only appears when telemetry
+  * silently failed — and coverageGaps treats it as a GAP (ADVICE r14).
   *
   * `SPARK_GRAFT_PLAN_DEBUG=<dir>` additionally writes the normalized
   * token list per batch query, for diffing a flagged fingerprint by eye.
@@ -39,7 +40,11 @@ object PlanManifest {
     import org.json4s._
     val plans = org.json4s.jackson.JsonMethods.parse(manifestJson) \ "plans" match {
       case JObject(fs) => fs.collect {
-        case (k, JString(v)) if v.nonEmpty && v != "FAILED" => k
+        // UNFINGERPRINTED is a gap, not coverage (ADVICE r14): a drive
+        // whose telemetry silently failed to record must not pass the
+        // guard — since r15 every streaming drive records a fingerprint
+        case (k, JString(v)) if v.nonEmpty && v != "FAILED" &&
+          v != "UNFINGERPRINTED" => k
       }.toSet
       case _ => Set.empty[String]
     }

