@@ -1355,15 +1355,31 @@ object DedupOps {
     * question on one node; at 100 TB the fixed-width rolling window is
     * the shape that shards.
     */
-  def dedupExactSubstr(spark: SparkSession, dir: String): DataFrame = {
-    val w = SubstrW
-    val toks = TextOps.spread(Tables.documents(spark, dir))
+  /** Non-distinct (doc_id, window-hash) occurrence table, staged once
+    * per corpus (VERDICT r15 #9) — HASH-ONLY, the span text never lands
+    * in the substrate: the one O(corpus tokens) window-hash pass that
+    * [[dedupExactSubstr]], [[dedupTopSpans]], and the span-postings
+    * index all derive from, exactly like the shared shingle substrate.
+    */
+  /** The un-staged build body — exposed so PlanSpec can keep asserting
+    * the map-side Generate on the plan that actually windows the text.
+    */
+  private[graft] def spanOccurrencesBuild(spark: SparkSession, dir: String): DataFrame =
+    TextOps.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= w)
-    val spans = toks.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(col("t")) - w),
-        j => md5(array_join(slice(col("t"), j + lit(1), lit(w)), " ")
-          .cast("binary")))).as("h"))
+      .filter(size(col("t")) >= SubstrW)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - SubstrW),
+          j => md5(array_join(slice(col("t"), j + lit(1), lit(SubstrW)), " ")
+            .cast("binary")))).as("h"))
+
+  private def stagedSpanOccurrences(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, stageKey(spark, "spanocc", dir)) {
+      spanOccurrencesBuild(spark, dir)
+    }
+
+  def dedupExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val spans = stagedSpanOccurrences(spark, dir)
     val per = spans.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
     // per is (h, doc)-distinct, so COUNT(*) per h == distinct docs
@@ -1423,7 +1439,9 @@ object DedupOps {
 
   private def stagedSpanPostings(spark: SparkSession, dir: String): DataFrame =
     staged(spark, stageKey(spark, "spanpost", dir)) {
-      spanHashes(Tables.documents(spark, dir))
+      // distinct (doc, h) from the shared occurrence substrate — equal
+      // to spanHashes(documents) (per-doc array_distinct) by definition
+      stagedSpanOccurrences(spark, dir).distinct()
         .groupBy(col("h")).agg(collect_set(col("doc_id")).as("ds"))
         .filter(size(col("ds")) <= MaxSpanDf)
     }
@@ -1465,10 +1483,7 @@ object DedupOps {
     val windows = TextOps.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
-    val hashed = windows.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(col("t")) - w),
-        j => md5(array_join(slice(col("t"), j + lit(1), lit(w)), " ")
-          .cast("binary")))).as("h"))
+    val hashed = stagedSpanOccurrences(spark, dir)
     val top = hashed.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)

@@ -314,19 +314,34 @@ object EventOps {
   /** Memoized MIN/MAX(ms) Row of a wave frame — the scalar every drive
     * builder reads before carving. The frame's time bounds are a pure
     * function of the fixture subset (never of the carving seed or drive
-    * config), so the one-row agg job runs once per (label, sf dir) per
+    * config), so the one-row agg job runs once per (frame, sf dir) per
     * JVM instead of once per drive AND per bench pass — the same
     * in-session staging principle as [[sharedStage]]; nothing persists
-    * across runs. Callers choose a label that is unique per logical
-    * frame (per-seed labels are always safe; a family whose drives share
-    * one frame can share one label).
+    * across runs. The cache key is the frame's CANONICALIZED analyzed
+    * plan (VERDICT r15 #4): label uniqueness used to be convention-only,
+    * so a future caller reusing a label over a differently-filtered
+    * frame would have silently served the wrong bounds and mis-carved
+    * every wave — plan-keyed, two semantically different frames can
+    * never collide (exact plan equality, not a hash), and conversely
+    * semantically IDENTICAL frames now share one bounds job regardless
+    * of label: a fuzz family's frame does not depend on the carving
+    * seed, so ~70 per-seed one-row agg scans per bench pass collapse to
+    * one per (family projection, fixture). The label parameter remains
+    * for call-site readability/debugging only.
     */
   private val msBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]
 
-  private[graft] def msBounds(ev: DataFrame, label: String): org.apache.spark.sql.Row =
-    msBoundsCache.computeIfAbsent(label,
+  private[graft] def msBounds(ev: DataFrame, label: String): org.apache.spark.sql.Row = {
+    // the canonicalized plan text distinguishes projections/filters but
+    // OMITS the scan path (LogicalRelation prints as `Relation[...]
+    // parquet`), and suites drive the same frames at several scale
+    // factors in one JVM — the input-file list is the fixture identity
+    val key = ev.queryExecution.analyzed.canonicalized.toString + "#" +
+      ev.inputFiles.sorted.mkString(",")
+    msBoundsCache.computeIfAbsent(key,
       _ => ev.agg(min(col("ms")), max(col("ms"))).head())
+  }
 
   /** Shared-staging keys must be unique per (logical frame, sf dir) —
     * suites drive the same frames at several scale factors in one JVM.
@@ -402,7 +417,8 @@ object EventOps {
     * prints where a drive's wall time goes (staging vs query start vs each
     * micro-batch vs teardown). Pure observability — no behavior change.
     */
-  private val driveTiming = sys.env.get("SPARK_GRAFT_DRIVE_TIMING").contains("1")
+  private val driveTiming =
+    sys.env.get("SPARK_GRAFT_DRIVE_TIMING").exists(Set("1", "2"))
 
   private[graft] def driveWaves(spark: SparkSession, rows: DataFrame,
       schema: String, nWaves: Long, name: String,
@@ -499,6 +515,11 @@ object EventOps {
               val d = ps.last.durationMs
               System.err.println(s"[drive-timing] $name batch$bid durationMs=" +
                 d.entrySet().toArray.mkString(","))
+              // SPARK_GRAFT_DRIVE_TIMING=2 additionally dumps the full
+              // progress JSON (state-operator commit/update times, RocksDB
+              // custom metrics) — the inside-addBatch attribution
+              if (sys.env.get("SPARK_GRAFT_DRIVE_TIMING").contains("2"))
+                System.err.println(s"[drive-progress] $name batch$bid ${ps.last.json}")
             }
           recordLastPlan(q, name)
         } finally { val t = System.nanoTime(); q.stop(); mark("stop", t) }
@@ -615,7 +636,8 @@ object EventOps {
       "spark.sql.streaming.noDataMicroBatches.enabled",
       "spark.sql.codegen.wholeStage",
       "spark.sql.streaming.minBatchesToRetain",
-      "spark.sql.streaming.numRecentProgressUpdates")
+      "spark.sql.streaming.numRecentProgressUpdates",
+      "spark.sql.codegen.factoryMode")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
     // dev-only experiment overrides (optimization-round measurement):
     // SPARK_GRAFT_HARNESS_STATE_PARTS forces every drive's state width,
@@ -632,8 +654,18 @@ object EventOps {
     // overhead stays bounded
     spark.conf.set(keys(0), expParts.toString)
     spark.conf.set(keys(1), "false")
-    spark.conf.set(keys(2),
-      expCodegen.map(_ == "1").getOrElse(codegen).toString)
+    val codegenOn = expCodegen.map(_ == "1").getOrElse(codegen)
+    spark.conf.set(keys(2), codegenOn.toString)
+    // r16: with whole-stage off, NON-whole-stage codegen still
+    // Janino-compiles every watermark-literal-bearing predicate /
+    // projection fresh each micro-batch (the literal is in the generated
+    // code text, so the cache misses by construction). NO_CODEGEN pins
+    // the fully interpreted path — interleaved min-of-3 A/B: task time
+    // -17% (agg family) / -13% (tws-join) / -34% (join-join), see
+    // OPTIMIZATION_r16.md. Production batches amortize compiles over
+    // millions of rows; this is harness-scale tuning, and the dev
+    // codegen hook restores Spark's default FALLBACK mode.
+    spark.conf.set(keys(5), if (codegenOn) "FALLBACK" else "NO_CODEGEN")
     // retain 2 checkpoint batches instead of the production 100: the
     // harness runs <=10 micro-batches per drive, and the restart drives
     // resume from the LATEST committed batch — a shorter retention only

@@ -636,6 +636,10 @@ object RelationalOps {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pq"),
         expr("percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))").as("pe"),
         count(lit(1)).as("n_rows"))
+      // non-null precondition (ADVICE r15): l_returnflag is non-null in
+      // TPC-H, so this inner equi-join cannot drop a group; a reuse of
+      // this split-and-rejoin pattern on a NULLABLE group key must join
+      // null-safely (<=>) or the NULL group silently disappears
       .join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_rows"),
         col("exact_parts"), col("exact_orders"),

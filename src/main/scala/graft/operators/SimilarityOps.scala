@@ -39,23 +39,75 @@ object SimilarityOps {
         expr("cosine_similarity(q.embedding, c.embedding)").as("sim_raw"))
   }
 
+  /** Dense retrieval shortlist, staged once per corpus (§2.4): the
+    * brute-force scoring pass (queries x full corpus cosine) ranked to
+    * depth [[RrfDepth]] per query on (6dp-rounded sim DESC, vec_id) —
+    * the ONE ranked list every full-corpus dense consumer takes a
+    * prefix of: [[simTopkBruteforce]] (depth [[TopK]]), [[simMmrRerank]]
+    * (depth [[MmrShortlist]]), and [[simHybridRrf]]'s dense arm (full
+    * depth). The ranking keys are total (rounded sim, then vec_id), so
+    * each prefix is bit-identical to ranking that consumer's own frame.
+    */
+  /** The un-staged build body — exposed so PlanSpec can keep asserting
+    * the partial WindowGroupLimit on the plan that actually ranks.
+    */
+  private[graft] def denseShortlistBuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored(spark, dir, e, queries)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .withColumn("rank_d", row_number().over(w))
+      .filter(col("rank_d") <= RrfDepth)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank_d"))
+  }
+
+  private def stagedDenseShortlist(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.staged(spark,
+      DedupOps.stageKey(spark, "dense-short", dir, "embeddings")) {
+      denseShortlistBuild(spark, dir)
+    }
+
+  /** Lexical retrieval shortlist, staged once per corpus (§2.4): token
+    * Jaccard of each query document against the corpus, ranked to depth
+    * [[RrfDepth]] per query — [[simHybridRrf]]'s lexical arm reads this
+    * instead of re-running the tokenize + set-algebra cross join on
+    * every invocation.
+    */
+  private def stagedLexicalShortlist(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.staged(spark,
+      DedupOps.stageKey(spark, "lex-short", dir, "documents")) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " "))
+          .as("toks"))
+      val qToks = broadcast(docs.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("query_id"), col("toks").as("qtoks")))
+      val wL = Window.partitionBy(col("query_id"))
+        .orderBy(col("jac").desc, col("doc_id"))
+      qToks.join(docs, col("doc_id") =!= col("query_id"))
+        .withColumn("inter",
+          size(array_intersect(col("qtoks"), col("toks"))).cast("double"))
+        .withColumn("jac", round(col("inter")
+          / (size(col("qtoks")) + size(col("toks")) - col("inter"))
+          + lit(5e-10), 6))
+        .withColumn("rank_l", row_number().over(wL))
+        .filter(col("rank_l") <= RrfDepth)
+        .select(col("query_id"), col("doc_id"), col("rank_l"))
+    }
+
   /** Brute-force exact top-k: broadcast queries x full corpus scan.
     * Rank on the 6-dp-rounded similarity with vec_id tiebreak so results
     * are bit-deterministic across engines.
     */
-  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
-    val s = scored(spark, dir, e, queries)
-      .withColumn("sim", round(col("sim_raw"), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    s.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    // depth-TopK prefix of the staged ranked list — identical keys
+    // (rounded sim DESC, vec_id), so rank_d <= TopK IS this query's rk
+    stagedDenseShortlist(spark, dir)
+      .filter(col("rank_d") <= TopK)
+      .select(col("query_id"), col("rank_d").cast("long").as("rk"),
         col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
-  }
 
   val simTopkBruteforceOracle: String =
     s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $NumQueries),
@@ -139,15 +191,12 @@ object SimilarityOps {
     */
   def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
-    val rel = scored(spark, dir, e, queries)
-      .withColumn("rel", round(col("sim_raw"), 6))
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("vec_id"))
-    val short = rel
-      .withColumn("srk", row_number().over(wShort))
-      .filter(col("srk") <= MmrShortlist)
-      .select(col("query_id"), col("vec_id"), col("rel"))
+    // depth-MmrShortlist prefix of the staged ranked list (same keys)
+    val short = stagedDenseShortlist(spark, dir)
+      .filter(col("rank_d") <= MmrShortlist)
+      .select(col("query_id"), col("vec_id"), col("sim").as("rel"))
     val sv = short.join(e.select(col("vec_id"), col("embedding")), "vec_id")
     val pair = sv.as("a").join(sv.as("b"),
         col("a.query_id") === col("b.query_id") &&
@@ -276,31 +325,12 @@ object SimilarityOps {
     * doc-id tiebreak.
     */
   def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " "))
-        .as("toks"))
-    val queries = broadcast(e.filter(col("vec_id") < NumQueries))
-    val wD = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val dense = scored(spark, dir, e, queries)
-      .withColumn("sim", round(col("sim_raw"), 6))
-      .withColumn("rank_d", row_number().over(wD))
-      .filter(col("rank_d") <= RrfDepth)
+    // both arms read their staged shortlists (§2.4): the fusion is a
+    // full-outer join of two depth-bounded parquet scans, never a
+    // re-scoring of the corpus
+    val dense = stagedDenseShortlist(spark, dir)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_d"))
-    val qToks = broadcast(docs.filter(col("doc_id") < NumQueries)
-      .select(col("doc_id").as("query_id"), col("toks").as("qtoks")))
-    val wL = Window.partitionBy(col("query_id"))
-      .orderBy(col("jac").desc, col("doc_id"))
-    val lexical = qToks.join(docs, col("doc_id") =!= col("query_id"))
-      .withColumn("inter",
-        size(array_intersect(col("qtoks"), col("toks"))).cast("double"))
-      .withColumn("jac", round(col("inter")
-        / (size(col("qtoks")) + size(col("toks")) - col("inter"))
-        + lit(5e-10), 6))
-      .withColumn("rank_l", row_number().over(wL))
-      .filter(col("rank_l") <= RrfDepth)
-      .select(col("query_id"), col("doc_id"), col("rank_l"))
+    val lexical = stagedLexicalShortlist(spark, dir)
     val fused = dense.join(lexical, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("rank_d")), lit(0.0))

@@ -303,31 +303,75 @@ object StatsOps {
     graft.functions.DdSketch.register(spark)
     def okCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       abs(est - exact) <= lit(DdAlpha * 1.001) * exact
-    // r15: the exact side used three percentile_disc aggregates, each an
-    // object buffer collecting the FULL column per group and merging
-    // per-partition arrays through the shuffle (4.8 s to compute every
-    // column at sf0.1; count() hid it by pruning the aggregates). One
-    // window sort + the positional pick computes the identical
-    // discrete order statistics: percentile_disc(q) is the FIRST sorted
-    // value whose cumulative fraction rn/n >= q, with the comparison in
-    // double division exactly as Spark evaluates it (probed: q=0.95 over
-    // 1..20 returns 19 — division semantics, NOT ceil(q*n)=20) — and it
-    // spills gracefully instead of buffering a group in memory (guide
-    // §5); oracle re-proven identical at sf0.001/sf0.01 (and the α-bound
-    // booleans at sf0.1).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = Tables.lineitem(spark, dir)
+    // r15 replaced three percentile_disc object buffers (full column per
+    // group in memory) with one window sort — but that sort still ran as
+    // ONE task per l_returnflag group (3 groups), a parallelism ceiling
+    // at scale (VERDICT r15 #3). r16: two-pass distributed selection.
+    // Pass 1 histograms each group into fixed-width value buckets (one
+    // map-side-partial aggregate; the per-(group,bucket) cumulative
+    // window is over the tiny histogram, not the data). The target rank
+    // k(q) = the FIRST position whose cumulative fraction k/n >= q under
+    // DOUBLE division, exactly as percentile_disc and the r15 rewrite
+    // evaluate it (probed: q=0.95 over 1..20 gives 19, NOT ceil=20's
+    // neighbor) — computed by probing ceil(q*n)±1 against that same
+    // double comparison, no sort needed. Pass 2 sorts ONLY the rows of
+    // each quantile-straddling bucket (~n/bucket_count per task instead
+    // of n) and picks position k - cum_before within it. Semantics are
+    // identical because sorting is on the value alone: the value at a
+    // fixed position of the sorted multiset does not depend on how ties
+    // are broken. Oracle re-proven at sf0.001/sf0.01/sf0.1.
+    // Non-null precondition: l_extendedprice is non-null in TPC-H; the
+    // isNotNull guard (free on non-null data) pins percentile_disc's
+    // null-skipping semantics should the column ever become nullable,
+    // and l_returnflag is non-null so the inner joins below cannot drop
+    // a group (ADVICE r15).
+    val BucketWidth = 128.0 // ~820 buckets over TPC-H's [900, 105000]
+    val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
-    def atQ(q: Double) = min(when(
-      col("rn").cast("double") / col("n").cast("double") >= lit(q),
-      col("l_extendedprice")))
-    val exact = ranked.groupBy(col("l_returnflag"))
-      .agg(atQ(0.5).as("p50_exact"), atQ(0.95).as("p95_exact"),
-        atQ(0.99).as("p99_exact"))
+      .filter(col("l_extendedprice").isNotNull)
+      .withColumn("bkt", floor(col("l_extendedprice") / lit(BucketWidth)))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag"))))
+    // k(q): smallest k with k/n >= q under double division — candidates
+    // ceil(q*n)-1 / ceil(q*n) / ceil(q*n)+1 probed ascending. One row
+    // per (group, quantile): explode the quantile menu over the
+    // histogram ONCE (three separate filters would recompute it) and
+    // keep each quantile's straddling bucket + the position inside it.
+    val qCol = col("q")
+    val k = {
+      val n = col("n").cast("double")
+      val b = ceil(qCol * n)
+      when((b - 1) >= 1 && (b - 1) / n >= qCol, b - 1)
+        .when(b / n >= qCol, b)
+        .otherwise(b + 1)
+        .cast("long")
+    }
+    val targets = hist
+      .withColumn("qs", explode(array(
+        Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99").map { case (q, t) =>
+          struct(lit(q).as("q"), lit(t).as("qt"))
+        }: _*)))
+      .select(col("l_returnflag"), col("bkt"), col("c"), col("cum_before"),
+        col("n"), col("qs.q").as("q"), col("qs.qt").as("qt"))
+      .filter(col("cum_before") < k && col("cum_before") + col("c") >= k)
+      .select(col("l_returnflag"), col("bkt"),
+        (k - col("cum_before")).as("pos"), col("qt"))
+    // pass 2: rank only the straddling buckets' rows; the window
+    // partitions by (group, quantile), each holding one bucket's rows
+    val wPick = Window.partitionBy(col("l_returnflag"), col("qt"))
+      .orderBy(col("l_extendedprice"))
+    val picked = base.join(broadcast(targets), Seq("l_returnflag", "bkt"))
+      .withColumn("rnb", row_number().over(wPick))
+      .filter(col("rnb") === col("pos"))
+    val exact = picked.groupBy(col("l_returnflag"))
+      .agg(min(when(col("qt") === "p50", col("l_extendedprice"))).as("p50_exact"),
+        min(when(col("qt") === "p95", col("l_extendedprice"))).as("p95_exact"),
+        min(when(col("qt") === "p99", col("l_extendedprice"))).as("p99_exact"))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr(s"dd_sketch(l_extendedprice, $DdAlpha)").as("sk"),

@@ -762,7 +762,10 @@ object TextOps {
     * per-row array math (size vs distinct size), map-only at any scale.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread (r16): this was the one heavy per-row text op reading the
+    // small fixture without the parallelism floor — 8.1 s of shingle
+    // building serialized on one scan task while 31 cores idled
+    spread(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("g"))
       .select(col("doc_id"),
         size(col("g")).cast("long").as("n_grams"),
@@ -1393,26 +1396,52 @@ object TextOps {
         j => concat_ws(" ", element_at(t, j + 1), element_at(t, j + 2))))
       .otherwise(array().cast("array<string>"))
     val g3 = shingles3(t)
-    val stopHits = size(filter(
-      array(GopherStopWords.map(lit): _*), s => array_contains(t, s)))
+    // r16 per-row cost rewrite (guide §4) — same outputs, cheaper
+    // evaluation; every replacement is exact, not approximate:
+    //  - stop_hits: 9 array_contains scans -> one array_intersect
+    //    (GopherStopWords is duplicate-free, so the intersect size IS
+    //    the distinct-stop-words-present count);
+    //  - mean_word_len: regexp_replace -> translate (single-char space
+    //    deletion needs no regex engine);
+    //  - alpha_frac: per-token rlike("[a-zA-Z]") -> translate-delete of
+    //    the 52 ASCII letters + length compare (a token contains a
+    //    letter iff deleting letters shortens it);
+    //  - top-2-gram: the O(distinct^2) nested filter fold -> sort +
+    //    one linear run-length fold (ascending order makes the FIRST
+    //    gram reaching the max count the lexicographically smallest,
+    //    reproducing the documented tie-break).
+    val stopHits = size(array_intersect(
+      array(GopherStopWords.map(lit): _*), t))
+    val asciiLetters = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    val hasLetter = (x: Column) =>
+      length(translate(x, asciiLetters, "")) < length(x)
+    val foldInit = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("cnt"),
+      lit(null).cast("string").as("gram"))
+    val folded = aggregate(array_sort(g2), foldInit, (acc, x) => {
+      val run2 = when(acc.getField("prev").isNotNull &&
+        x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+      struct(x.as("prev"), run2.as("run"),
+        when(run2 > acc.getField("cnt"), run2)
+          .otherwise(acc.getField("cnt")).as("cnt"),
+        when(run2 > acc.getField("cnt"), x)
+          .otherwise(acc.getField("gram")).as("gram"))
+    })
     docs
       .withColumn("n_words", size(t).cast("long"))
       .withColumn("mean_word_len",
-        round(length(regexp_replace(col("text"), " ", ""))
+        round(length(translate(col("text"), " ", ""))
           / col("n_words").cast("double") + lit(1e-9), 4))
       .withColumn("alpha_frac",
-        round(size(filter(t, x => x.rlike("[a-zA-Z]")))
+        round(size(filter(t, hasLetter))
           / col("n_words").cast("double") + lit(1e-9), 4))
       .withColumn("stop_hits", stopHits.cast("long"))
-      .withColumn("g2", g2)
-      .withColumn("dg", array_distinct(col("g2")))
-      // max occurrence count over distinct 2-grams, then the
-      // lexicographically smallest gram attaining it (deterministic
-      // cross-engine tie-break; integer counts, no float compare)
-      .withColumn("top2_cnt", coalesce(array_max(
-        transform(col("dg"), x => size(filter(col("g2"), y => y === x)))), lit(0)))
-      .withColumn("top2_gram", array_min(filter(col("dg"),
-        x => size(filter(col("g2"), y => y === x)) === col("top2_cnt"))))
+      // max occurrence count over 2-grams, then the lexicographically
+      // smallest gram attaining it (deterministic cross-engine
+      // tie-break; integer counts, no float compare)
+      .withColumn("top2", folded)
+      .withColumn("top2_cnt", col("top2.cnt"))
+      .withColumn("top2_gram", col("top2.gram"))
       .withColumn("top2_frac",
         when(col("top2_cnt") === 0, lit(0.0))
           .otherwise(round(col("top2_cnt") * length(col("top2_gram"))
@@ -1432,7 +1461,7 @@ object TextOps {
       .withColumn("keep",
         (col("r_wordcount") + col("r_wordlen") + col("r_alpha")
           + col("r_stop") + col("r_top2") + col("r_rep3") === 6).cast("long"))
-      .drop("g2", "dg", "top2_cnt", "top2_gram")
+      .drop("top2", "top2_cnt", "top2_gram")
   }
 
   val textGopherRulesOracle: String = {

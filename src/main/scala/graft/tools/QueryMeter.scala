@@ -38,10 +38,14 @@ object QueryMeter {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // dev experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets config
-    // A/B runs vary session confs without a recompile
+    // A/B runs vary session confs without a recompile. Malformed entries
+    // are NAMED on stderr (ADVICE r15: a typo'd A/B must not silently
+    // measure the wrong config).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       val i = kv.indexOf('=')
       if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      else if (kv.trim.nonEmpty) System.err.println(
+        s"[meter] SPARK_GRAFT_EXTRA_CONF entry ignored (no '='): '$kv'")
     })
     val spark = builder.getOrCreate()
     // per-drive job/stage/task census: if sum(executorRunTime) per drive is

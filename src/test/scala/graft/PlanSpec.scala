@@ -459,8 +459,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("per-key top-k windows plan a partial WindowGroupLimit before the shuffle") {
     // row_number + rk<=k must not sort whole partitions: Spark's
-    // InferWindowGroupLimit keeps only k rows per key map-side
-    val plan = finalPlan(graft.operators.SimilarityOps.simTopkBruteforce(spark, dir))
+    // InferWindowGroupLimit keeps only k rows per key map-side.
+    // r16: the ranking moved into the staged dense-shortlist substrate
+    // (built once per corpus, prefix-read by bruteforce/MMR/RRF), so the
+    // assertion targets the substrate BUILD — the plan that ranks.
+    val plan = finalPlan(
+      graft.operators.SimilarityOps.denseShortlistBuild(spark, dir))
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
     assert(plan.contains("Partial"), s"no map-side partial top-k in:\n$plan")
   }
@@ -664,13 +668,20 @@ class PlanSpec extends AnyFunSuite {
     // stays skew-splittable
     assert(!plan.contains("Window"),
       s"exact-substring dedup must not use a per-h window:\n$plan")
-    assert(plan.contains("Generate"),
-      s"span windows must explode map-side (Generate):\n$plan")
     assert(plan.contains("partial_count"),
       s"dup-flag must pre-aggregate map-side before any exchange:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"),
       s"no all-pairs shape may appear:\n$plan")
+    // r16: the window-hash pass moved into the staged span-occurrence
+    // substrate (shared with dedup_top_spans and the span postings), so
+    // the map-side-explode assertion targets the substrate BUILD
+    val buildPlan = finalPlan(
+      graft.operators.DedupOps.spanOccurrencesBuild(spark, dir))
+    assert(buildPlan.contains("Generate"),
+      s"span windows must explode map-side (Generate):\n$buildPlan")
+    assert(!buildPlan.contains("Exchange hashpartitioning"),
+      s"the substrate build must stay map-only:\n$buildPlan")
   }
 
   test("top duplicated-passages report: ranking shuffles hashes only " +
