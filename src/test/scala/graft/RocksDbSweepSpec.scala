@@ -28,7 +28,16 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   // seed→twin dispatch lives in StreamFuzz.twinFor (single source)
 
-  StreamFuzz.registeredSeeds.foreach { s =>
+  // default: one seed per family block (the provider must be invariant
+  // per STATE MACHINE, not per seed — the remaining seeds of a block
+  // differ only in geometry); SPARK_GRAFT_FULL_SWEEPS=1 restores the
+  // full registered-seed sweep (VERDICT r15 #2 test-budget fix)
+  private val rdbSeeds =
+    if (TestSpark.fullSweeps) StreamFuzz.registeredSeeds
+    else StreamFuzz.registeredSeeds.groupBy(_ / 500).toSeq.sortBy(_._1)
+      .map(_._2.min)
+
+  rdbSeeds.foreach { s =>
     test(s"fuzz seed $s drive matches its batch twin under RocksDB") {
       // the drive executes eagerly inside build(), so the provider conf
       // must wrap the build, not the collect

@@ -26,6 +26,31 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+  /** Exhaustive-sweep gate (VERDICT r15 #2): the streaming differential
+    * suites outgrew the driver's sbt-test budget, and the budget expiry
+    * left the driver with NO completed test signal — worse than a
+    * smaller default sweep. Default keeps a per-family covering subset
+    * (every family still drives, every harness knob still exercised);
+    * SPARK_GRAFT_FULL_SWEEPS=1 restores the full seed lists — runnable,
+    * not default. No assertion is removed anywhere, only repetition
+    * count per family.
+    */
+  val fullSweeps: Boolean =
+    sys.env.get("SPARK_GRAFT_FULL_SWEEPS").contains("1")
+
+  /** First `keep` entries of an exhaustive sweep unless full sweeps are
+    * requested (lists are ordered registered-seeds-first, so the kept
+    * prefix always includes the oracle-checked rendering).
+    */
+  def sweep[T](xs: Seq[T], keep: Int): Seq[T] =
+    if (fullSweeps) xs else xs.take(keep)
+
+  /** Every `step`-th entry (first of each group) — for flat lists that
+    * interleave families, where a prefix would drop whole families.
+    */
+  def sweepEvery[T](xs: Seq[T], step: Int): Seq[T] =
+    if (fullSweeps) xs else xs.grouped(step).map(_.head).toSeq
+
   val sfDir = "/root/testdata/sf0.001"
   // 10x document step for scaling-regression guards (sf0.001 and sf0.01
   // share the same 500-doc documents table; sf0.1 is the 5000-doc one)
